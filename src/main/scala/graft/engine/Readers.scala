@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources (SURVEY.md §2.1).
+  *
+  * The reference ingests every CSV with `all_varchar=True` (reference
+  * `models/corporate/stg_corporate.sql:40-45`) so raw columns are always text,
+  * and — for the hospital vertical — additionally normalizes messy header
+  * names (`models/hospital/stg_hospital.sql:25-31`, documented rules at
+  * `stg_hospital.sql:6-11`). Both behaviors are reproduced here on top of
+  * Spark's CSV source, which is distributed and predicate/projection-pruned
+  * by Catalyst out of the box: at 100 TB the CSV scan splits by file and by
+  * range within splittable files, so no custom reader work is needed.
+  */
+object Readers {
+
+  /** S1 — all-varchar CSV scan. Spark's CSV reader already defaults every
+    * column to StringType when schema inference is off, which is exactly
+    * DuckDB's `all_varchar=True` semantics; a header pass resolves names at
+    * runtime (same late-binding as the reference — SURVEY.md §4).
+    */
+  def csvAllVarchar(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"") // RFC-4180 doubled-quote escaping, like DuckDB
+      .option("inferSchema", "false")
+      .csv(path)
+
+  /** S2 — DuckDB `normalize_names=True` column-name rule: trim, lowercase,
+    * every run of non-alphanumerics becomes a single underscore, and leading/
+    * trailing underscores are stripped (reference behavior observed at
+    * `stg_hospital.sql:6-11`: ' Total Discharges ' -> total_discharges).
+    * A name left empty or starting with a digit is prefixed with '_' so it
+    * stays a valid identifier (DuckDB does the same).
+    */
+  def normalizeName(name: String): String = {
+    val base = name.trim.toLowerCase
+      .replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+    if (base.isEmpty || base.head.isDigit) "_" + base else base
+  }
+
+  /** Rename all columns with [[normalizeName]], de-duplicating collisions the
+    * way DuckDB does (second occurrence gets a numeric suffix).
+    */
+  def normalizeColumns(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val renamed = df.columns.map { c =>
+      val n = normalizeName(c)
+      seen.get(n) match {
+        case None    => seen(n) = 1; n
+        case Some(k) => seen(n) = k + 1; s"${n}_$k"
+      }
+    }
+    df.toDF(renamed.toIndexedSeq: _*)
+  }
+
+  /** S2 composed: all-varchar CSV with normalized header names. */
+  def csvNormalized(spark: SparkSession, path: String): DataFrame =
+    normalizeColumns(csvAllVarchar(spark, path))
+
+  /** S6-analog — parquet table scan from a warehouse/testdata directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
