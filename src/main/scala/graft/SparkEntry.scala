@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ParityQueries, RelationalQueries}
+import graft.queries.{ExtensionQueries, ParityQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ RelationalQueries.queries
+    ParityQueries.queries ++ RelationalQueries.queries ++
+      ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ RelationalQueries.oracleSql
+    ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++
+      ExtensionQueries.oracleSql
 }

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable.{hash60, wsTokens}
+
+/** Deduplication operators for training-data pipelines, all built as
+  * shuffle-conscious DataFrame programs:
+  *
+  *  - exact dedup is a single hash aggregate on a text digest (the digest,
+  *    not the text, is shuffled — bytes moved per row stay constant no
+  *    matter how large documents get);
+  *  - n-gram Jaccard uses an inverted-index join on shingles (never an
+  *    O(n²) cross join — candidate generation is |shared shingle| bounded,
+  *    and AQE's skew-join splitting absorbs hot shingles);
+  *  - MinHash-LSH reduces each document to a constant-size signature, bands
+  *    the signature, and joins on band keys, so the shuffle volume is
+  *    O(docs × bands) regardless of document length;
+  *  - SimHash reduces each document to a single 60-bit signature.
+  *
+  * Signatures use the md5-derived [[graft.functions.Portable.hash60]], so
+  * MinHash/SimHash outputs are bit-reproducible in the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = col("w")
+    docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), w,
+        explode(sequence(lit(1), greatest(size(w) - (n - 1), lit(1)))).as("i"))
+      .filter(col("i") <= size(w) - (n - 1))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(j => element_at(w, col("i") + j)): _*)
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by exact n-gram Jaccard similarity >= threshold,
+    * via inverted-index join (doc pairs are generated only when they share
+    * at least one shingle).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("sa.n_shingles") + col("sb.n_shingles") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: numHashes seeded min-hashes over word n-gram
+    * shingles. One shuffle (groupBy doc_id); signature width is constant.
+    */
+  def minhashSignature(docs: DataFrame, numHashes: Int = 16, n: Int = 3): DataFrame =
+    shingles(docs, n)
+      .groupBy("doc_id")
+      .agg(
+        min(hash60(0, col("shingle"))).as("h0"),
+        (1 until numHashes).map(s => min(hash60(s, col("shingle"))).as(s"h$s")): _*)
+
+  /** LSH banding: candidate near-duplicate pairs = documents sharing at
+    * least one band of the MinHash signature. Output includes how many
+    * bands agree (more bands ⇒ higher similarity).
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 16,
+                        rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = minhashSignature(docs, numHashes, n)
+    val bandCols = (0 until numBands).map { b =>
+      val key = md5(concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 60-bit SimHash over the distinct-token set (weight 1 per token). */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(wsTokens(col("text")))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val bitSums = tok.groupBy("doc_id").agg(
+      sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("b0"),
+      (1 until bits).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b")): _*)
+    bitSums.select(col("doc_id"),
+      (0 until bits).map(b =>
+        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxDist, using
+    * band-of-bits blocking (pigeonhole: distance <= d pairs must agree on
+    * at least one of d+1 bit-bands) — never a cross join.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, bits: Int = 60): DataFrame = {
+    val numBands = maxDist + 1
+    val bandBits = bits / numBands
+    val sig = simhash(docs, bits)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND((1L << bandBits) - 1).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}
