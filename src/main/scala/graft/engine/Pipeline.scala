@@ -1,0 +1,134 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.current_timestamp
+import graft.engine.models.{Corporate, Education, Hospital}
+
+/** Model DAG + materialization (SURVEY.md §2.12 M1-M8), re-created
+  * Spark-natively. The reference's SQLMesh layer contributes: a model
+  * registry with dependencies, FULL (rebuild-from-scratch) materialization,
+  * selective per-industry plans, and failure cleanup of half-built outputs.
+  * Catalyst makes the rest of SQLMesh's work (parse/qualify/annotate)
+  * unnecessary.
+  *
+  * Materialization writes parquet per model under a per-upload warehouse
+  * directory; writes go to a temp dir first and atomically rename on
+  * success (M8 — the reference deletes corrupt DuckDB files on failure;
+  * temp+rename is the Spark-native equivalent and is also safe under
+  * concurrent readers). No global upload mutex (M6): per-upload warehouse
+  * paths are disjoint by construction, so Spark's scheduler can run tenant
+  * uploads concurrently — the reference's process-global env-var tenancy
+  * hack (SURVEY.md §7.4.7) is designed out by passing paths as arguments.
+  */
+object Pipeline {
+
+  /** M1 — a named model: dependencies by model name, and a build function
+    * from already-built upstream DataFrames to this model's DataFrame.
+    */
+  final case class ModelSpec(
+      name: String,
+      deps: Seq[String],
+      build: (SparkSession, Map[String, DataFrame]) => DataFrame)
+
+  /** The six reference models, keyed by industry. `rawPath` is a plain
+    * function parameter — the Spark-native replacement for the
+    * `@client_raw_path` macro variable (M4/S3).
+    */
+  def industryModels(industry: String, rawPath: String,
+                     now: Column = current_timestamp()): Seq[ModelSpec] =
+    industry match {
+      case "corporate" => Seq(
+        ModelSpec("corporate.stg_corporate", Nil,
+          (s, _) => Corporate.stg(Readers.csvAllVarchar(s, rawPath), now)),
+        ModelSpec("corporate.fct_corporate", Seq("corporate.stg_corporate"),
+          (_, up) => Corporate.fct(up("corporate.stg_corporate"))))
+      case "education" => Seq(
+        ModelSpec("education.stg_education", Nil,
+          (s, _) => Education.stg(Readers.csvAllVarchar(s, rawPath), now)),
+        ModelSpec("education.fct_education", Seq("education.stg_education"),
+          (_, up) => Education.fct(up("education.stg_education"))))
+      case "hospital" => Seq(
+        ModelSpec("hospital.stg_hospital", Nil,
+          (s, _) => Hospital.stg(Readers.csvNormalized(s, rawPath), now)),
+        ModelSpec("hospital.fct_hospital", Seq("hospital.stg_hospital"),
+          (_, up) => Hospital.fct(up("hospital.stg_hospital"))))
+      case other =>
+        throw new IllegalArgumentException(s"unknown industry: $other")
+    }
+
+  /** Topological order of a model selection (M3 — selective plan). */
+  def topoOrder(models: Seq[ModelSpec]): Seq[ModelSpec] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val visited = scala.collection.mutable.LinkedHashSet.empty[String]
+    def visit(n: String, path: Set[String]): Unit = byName.get(n).foreach { m =>
+      require(!path.contains(n), s"model dependency cycle at $n")
+      if (!visited.contains(n)) {
+        m.deps.foreach(visit(_, path + n))
+        visited += n
+      }
+    }
+    models.foreach(m => visit(m.name, Set.empty))
+    visited.toSeq.map(byName)
+  }
+
+  /** M2+M8 — FULL materialization of a model selection into
+    * `warehouse/<model_name>/` parquet dirs, built in dependency order.
+    * The whole upload builds into `<warehouse>.tmp` and atomically renames
+    * over the target on success; on any failure the temp dir is deleted and
+    * the previous warehouse (if any) is left untouched.
+    */
+  def materialize(spark: SparkSession, models: Seq[ModelSpec],
+                  warehouse: Path): Map[String, DataFrame] = {
+    val ordered = topoOrder(models)
+    val tmp = warehouse.resolveSibling(warehouse.getFileName.toString + ".tmp")
+    deleteRecursively(tmp)
+    try {
+      var built = Map.empty[String, DataFrame]
+      ordered.foreach { m =>
+        val out = tmp.resolve(m.name).toString
+        m.build(spark, built).write.mode("overwrite").parquet(out)
+        // read back the materialized table so downstream models consume the
+        // written parquet, not a re-computed plan (FULL semantics)
+        built += m.name -> spark.read.parquet(out)
+      }
+      deleteRecursively(warehouse)
+      Files.move(tmp, warehouse)
+      built.map { case (n, _) =>
+        n -> spark.read.parquet(warehouse.resolve(n).toString)
+      }
+    } catch {
+      case e: Throwable =>
+        deleteRecursively(tmp) // M8: no corrupt half-built warehouse
+        throw e
+    }
+  }
+
+  /** Entry point 1 (SURVEY.md §3.1) — upload + transform, end to end:
+    * authenticate, validate the filename gate, copy the CSV into the Raw
+    * zone, run the industry's stg+fct models FULL into the per-upload
+    * warehouse. Returns the built tables keyed by model name.
+    */
+  def ingest(spark: SparkSession, storageBase: Path,
+             users: Seq[Tenancy.Tenant], clientId: String, password: String,
+             filename: String, sourceCsv: Path,
+             now: Column = current_timestamp()): Map[String, DataFrame] = {
+    val tenant = Tenancy.authenticate(users, clientId, password)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    Tenancy.validateFilename(tenant, filename)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    Tenancy.provisionStorage(storageBase, Seq(tenant))
+    val raw = Tenancy.rawPath(storageBase, tenant, filename)
+    Files.copy(sourceCsv, raw,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING) // S5 raw backup
+    val warehouse = Tenancy.cleanDir(storageBase, tenant, filename)
+    materialize(spark,
+      industryModels(tenant.industryType, raw.toString, now), warehouse)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}

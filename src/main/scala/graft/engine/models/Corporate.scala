@@ -15,12 +15,13 @@ object Corporate {
 
   /** P2+P3 — strip currency symbols `[$,]` then cast text to double.
     * Spark's `regexp_replace` replaces globally, matching DuckDB's 'g' flag.
-    * Cast of non-numeric text yields null (non-ANSI mode) — the reference's
-    * observable behavior since its inputs are clean post-regex and COALESCE
-    * absorbs the rest (SURVEY.md §7.4.1).
+    * `try_cast` (not `cast`) so non-numeric text yields null regardless of
+    * the session's ANSI setting — Spark 4 is ANSI-on by default, and the
+    * reference's observable behavior is null-fill + COALESCE absorption
+    * (SURVEY.md §7.4.1).
     */
   def money(c: Column): Column =
-    regexp_replace(c, "[$,]", "").cast(DoubleType)
+    regexp_replace(c, "[$,]", "").try_cast(DoubleType)
 
   /** stg_corporate — renames + currency cleaning + zero-fill policy.
     * `now` is injected so tests/oracle comparisons can freeze the audit

@@ -19,12 +19,13 @@ object Education {
       col("district").as("district_name"),
       col("school").as("school_name"),
       col("primary_job").as("job_title"),
-      // fte defaults to 1.0 (full time) when missing — NOT 0.0 (stg:17)
-      coalesce(col("fte").cast(DoubleType), lit(1.0)).as("fte_ratio"),
-      coalesce(col("experience_total").cast(DoubleType), lit(0.0))
+      // fte defaults to 1.0 (full time) when missing — NOT 0.0 (stg:17);
+      // try_cast: null (not error) on dirty text under ANSI-on Spark 4
+      coalesce(col("fte").try_cast(DoubleType), lit(1.0)).as("fte_ratio"),
+      coalesce(col("experience_total").try_cast(DoubleType), lit(0.0))
         .as("experience_years"),
       col("certificate").as("certificate_status"),
-      coalesce(col("salary").cast(DoubleType), lit(0.0)).as("base_salary"),
+      coalesce(col("salary").try_cast(DoubleType), lit(0.0)).as("base_salary"),
       now.as("processed_at")
     )
 

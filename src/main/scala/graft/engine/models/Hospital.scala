@@ -19,10 +19,10 @@ object Hospital {
       col("provider_city").as("city"),
       col("provider_state").as("state"),
       col("drg_definition").as("service_description"),
-      col("total_discharges").cast(IntegerType).as("total_patients"),
-      col("average_total_payments").cast(DoubleType)
+      col("total_discharges").try_cast(IntegerType).as("total_patients"),
+      col("average_total_payments").try_cast(DoubleType)
         .as("avg_payment_per_patient"),
-      col("average_medicare_payments").cast(DoubleType)
+      col("average_medicare_payments").try_cast(DoubleType)
         .as("medicare_coverage"),
       now.as("processed_at")
     )

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Behavior tests for the training-data-pipeline operators: known-answer
+  * Jaccard, MinHash candidate generation, SimHash stability, cosine math,
+  * and LSH recall against the brute-force baseline.
+  */
+class ExtSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different words appear in this one"),
+    (3L, "the quick brown fox jumps over the lazy dog")  // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  describe("Dedup.exactGroups") {
+    it("groups identical texts") {
+      val g = Dedup.exactGroups(docs).filter(col("n_docs") > 1).collect()
+      assert(g.length == 1)
+      assert(g(0).getAs[Long]("n_docs") == 2L)
+      assert(g(0).getAs[Long]("keep_doc_id") == 0L)
+    }
+  }
+
+  describe("Dedup.jaccardPairs") {
+    it("computes exact n-gram jaccard") {
+      val pairs = Dedup.jaccardPairs(docs, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pairs((0L, 3L)) == 1.0) // exact dup
+      // docs 0/1: 7 shingles each, 6 shared -> 6/8
+      assert(math.abs(pairs((0L, 1L)) - 6.0 / 8.0) < 1e-12)
+      assert(!pairs.contains((0L, 2L)))
+    }
+  }
+
+  describe("Dedup.minhashCandidates") {
+    it("surfaces exact and near duplicates as candidates") {
+      val cand = Dedup.minhashCandidates(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cand.contains((0L, 3L))) // identical signature -> all bands
+      assert(!cand.contains((0L, 2L)))
+    }
+  }
+
+  describe("Dedup.simhash") {
+    it("gives identical signatures to identical token sets") {
+      val sig = Dedup.simhash(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sig(0L) == sig(3L))
+      assert(sig(0L) != sig(2L))
+    }
+    it("finds low-hamming pairs via banding") {
+      val pairs = Dedup.simhashPairs(docs, maxDist = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(pairs((0L, 3L)) == 0)
+    }
+  }
+
+  describe("Similarity.cosine") {
+    it("matches hand-computed values") {
+      val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)),
+        (Array(1.0, 2.0), Array(2.0, 4.0))).toDF("a", "b")
+      val r = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+      assert(math.abs(r(0)) < 1e-12)
+      assert(math.abs(r(1) - 1.0) < 1e-12)
+    }
+  }
+
+  describe("Similarity.knnLsh recall vs brute force") {
+    it("recovers most true neighbors at sf0.001") {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.knnBrute(q, emb, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Similarity.knnLsh(q, emb, 3, planes = 2, dim = 64).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & lsh).size.toDouble / brute.size
+      // random near-orthogonal vectors are a worst case for LSH; with 2
+      // planes (4 buckets) expect a meaningful fraction, not perfection
+      assert(recall >= 0.2, s"recall=$recall")
+    }
+  }
+
+  describe("TextAnalysis") {
+    it("counts tokens both ways") {
+      val t = TextAnalysis.tokenCounts(Seq((1L, "ab cd, ef!")).toDF("doc_id", "text"))
+        .collect()(0)
+      assert(t.getAs[Int]("n_tokens_ws") == 3)
+      assert(t.getAs[Int]("n_tokens_re") == 5) // ab, cd, ",", ef, "!"
+    }
+    it("predicts language by stopword votes with fixed priority") {
+      val d = Seq(
+        (1L, "the cat is on the mat"),
+        (2L, "el gato que duerme y la casa"),
+        (3L, "xyzzy plugh")).toDF("doc_id", "text")
+      val p = TextAnalysis.langId(d).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+      assert(p(1L) == "en"); assert(p(2L) == "es"); assert(p(3L) == "und")
+    }
+    it("fingerprints are order-insensitive on the token set") {
+      val d = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b d"))
+        .toDF("doc_id", "text")
+      val fp = TextAnalysis.fingerprint(d).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fp(1L) == fp(2L))
+      assert(fp(1L) != fp(3L))
+    }
+  }
+}
