@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference only streams at the transport layer (Arrow Flight record
+  * batches — SURVEY.md §2.10); these operators are the engine-level stream
+  * processing a large-scale deployment adds on top: watermarked tumbling
+  * windows, session windows, and custom keyed state. All are expressed on
+  * the streaming Dataset API so the same code runs on a bounded batch
+  * DataFrame (for tests/backfills) and an unbounded source.
+  *
+  * Scale notes: watermarks bound state size (late data beyond 10 min is
+  * dropped rather than held forever); aggregations shuffle by
+  * (window, key) which Spark's state store partitions by
+  * `spark.sql.shuffle.partitions` — at 1000 executors, state is spread
+  * across partitions and compacted per micro-batch via RocksDB (config,
+  * not code).
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windows per event type with a 10-minute watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Session windows per user: events within a 30-minute gap fuse into one
+    * session; emits per-session event count and value total.
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("value_sum"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_sum"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running totals
+    * across micro-batches (the escape hatch for semantics windowed aggs
+    * can't express). State eviction for abandoned keys would use a
+    * GroupStateTimeout in production; kept timeout-free here so bounded
+    * runs drain deterministically.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.value_sum)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming transform to completion against a memory
+    * sink and return the result table (for tests and bounded backfills).
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}
