@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Portable.{hash60, wsTokens}
+import graft.functions.Portable.{hash30, hash60, wsTokens}
 
 /** Deduplication operators for training-data pipelines, all built as
   * shuffle-conscious DataFrame programs:
@@ -63,15 +63,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: numHashes seeded min-hashes over word n-gram
-    * shingles. One shuffle (groupBy doc_id); signature width is constant.
+  /** MinHash signature: numHashes min-hashes over word n-gram shingles via
+    * the affine family (one md5 per shingle, not per seed×shingle). One
+    * shuffle (groupBy doc_id); signature width is constant.
     */
-  def minhashSignature(docs: DataFrame, numHashes: Int = 16, n: Int = 3): DataFrame =
-    shingles(docs, n)
-      .groupBy("doc_id")
+  def minhashSignature(docs: DataFrame, numHashes: Int = 16, n: Int = 3): DataFrame = {
+    val consts = graft.functions.Portable.minhashConstants(numHashes)
+    val p = graft.functions.Portable.MinhashPrime
+    val base = shingles(docs, n).withColumn("h30", hash30(col("shingle")))
+    def seeded(s: Int) = {
+      val (a, b) = consts(s)
+      (lit(a) * col("h30") + lit(b)) % lit(p)
+    }
+    base.groupBy("doc_id")
       .agg(
-        min(hash60(0, col("shingle"))).as("h0"),
-        (1 until numHashes).map(s => min(hash60(s, col("shingle"))).as(s"h$s")): _*)
+        min(seeded(0)).as("h0"),
+        (1 until numHashes).map(s => min(seeded(s)).as(s"h$s")): _*)
+  }
 
   /** LSH banding: candidate near-duplicate pairs = documents sharing at
     * least one band of the MinHash signature. Output includes how many

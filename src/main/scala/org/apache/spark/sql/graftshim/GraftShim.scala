@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column <-> Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`, Spark 4.x), needed to
+  * use custom Catalyst expressions from the public DataFrame API. Lives
+  * inside the org.apache.spark.sql namespace solely for access; contains
+  * no logic.
+  */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
