@@ -1,0 +1,94 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.current_timestamp
+import scala.jdk.CollectionConverters._
+
+/** The reference's four service entry points (SURVEY.md §3) as a library
+  * facade — a user of the reference's Flight endpoints maps 1:1 onto these
+  * calls. Transport (gRPC/Arrow Flight) is out of scope by design
+  * (SURVEY.md §7.2 PR3): DataFrames returned here already cross process
+  * boundaries efficiently via Spark's own Arrow paths when needed.
+  *
+  *  - do_put (upload+transform)        -> [[upload]]
+  *  - do_get get_budget_report         -> [[budgetReport]]
+  *  - do_get get_full_clean            -> [[fullExport]]
+  *  - do_action list_files             -> [[listFiles]]
+  */
+final class GraftService(spark: SparkSession, storageBase: Path,
+                         users: Seq[Tenancy.Tenant],
+                         now: Column = current_timestamp()) {
+
+  /** Upload a CSV for a tenant: authenticate, gate the filename, archive
+    * the raw file, FULL-rebuild the industry's stg+fct models into the
+    * per-upload warehouse (`serve_flight.py:81-230`).
+    */
+  def upload(clientId: String, password: String, filename: String,
+             sourceCsv: Path): Map[String, DataFrame] =
+    Pipeline.ingest(spark, storageBase, users, clientId, password,
+      filename, sourceCsv, now)
+
+  private def fctTable(clientId: String, password: String,
+                       filename: String): DataFrame = {
+    val tenant = auth(clientId, password)
+    val warehouse = Tenancy.cleanDir(storageBase, tenant, filename)
+    // contract table name is a pure function of the industry (M-contract,
+    // `serve_flight.py:285-286`)
+    val fct = s"${tenant.industryType}.fct_${tenant.industryType}"
+    spark.read.parquet(warehouse.resolve(fct).toString)
+  }
+
+  private def auth(clientId: String, password: String): Tenancy.Tenant =
+    Tenancy.authenticate(users, clientId, password)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
+  /** Budget report over a prior upload (`serve_flight.py:295`), optionally
+    * archived as `<base>_summary.csv` in Downloads (S8).
+    */
+  def budgetReport(clientId: String, password: String, filename: String,
+                   saveCopy: Boolean = false): DataFrame = {
+    val report = Reports.budgetReport(fctTable(clientId, password, filename))
+    if (saveCopy)
+      saveCsv(report, auth(clientId, password), filename, "_summary")
+    report
+  }
+
+  /** Full export ordered by job_title (`serve_flight.py:291`), optionally
+    * archived as `<base>_full_export.csv` (S8).
+    */
+  def fullExport(clientId: String, password: String, filename: String,
+                 saveCopy: Boolean = false): DataFrame = {
+    val export = Reports.fullExport(fctTable(clientId, password, filename))
+    if (saveCopy)
+      saveCsv(export, auth(clientId, password), filename, "_full_export")
+    export
+  }
+
+  /** List a tenant's raw uploads and built warehouses, sorted
+    * (`serve_flight.py:337-363`, S11).
+    */
+  def listFiles(clientId: String, password: String): (Seq[String], Seq[String]) = {
+    val tenant = auth(clientId, password)
+    def ls(sub: String): Seq[String] = {
+      val dir = storageBase.resolve(tenant.clientId).resolve(sub)
+      if (!Files.isDirectory(dir)) Seq.empty
+      else Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).toSeq.sorted
+    }
+    (ls("Raw"), ls("Clean"))
+  }
+
+  /** S8 — single-file CSV archive into the tenant's Downloads zone. The
+    * coalesce(1) is intentional: report outputs are small by construction
+    * (one row per job_title); never do this on a fact table.
+    */
+  private def saveCsv(df: DataFrame, tenant: Tenancy.Tenant,
+                      filename: String, suffix: String): Unit = {
+    val base = filename.replaceAll("\\.[^.]*$", "")
+    val out = storageBase.resolve(tenant.clientId).resolve("Downloads")
+      .resolve(base + suffix)
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(out.toString)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions.lit
+import scala.jdk.CollectionConverters._
+import graft.SparkSpec
+
+/** Facade tests covering all three industries end-to-end through the
+  * service API (upload -> report/export/list), i.e. the reference's four
+  * Flight entry points.
+  */
+class ServiceSuite extends SparkSpec {
+
+  private val frozen = lit("2020-01-01 00:00:00").cast("timestamp")
+  private val storage = Files.createTempDirectory("graft_svc")
+  private val users = Tenancy.parseUsersJson(
+    """{
+      |  "LA": {"password": "%s", "industry_type": "corporate"},
+      |  "NJ": {"password": "%s", "industry_type": "education"},
+      |  "US": {"password": "%s", "industry_type": "hospital"}
+      |}""".stripMargin.format(
+      Tenancy.sha256Hex("p1"), Tenancy.sha256Hex("p2"), Tenancy.sha256Hex("p3")))
+
+  private def svc = new GraftService(SparkSpec.session, storage, users, frozen)
+
+  private def writeCsv(name: String, content: String) = {
+    val p = storage.resolve(name)
+    Files.write(p, content.stripMargin.getBytes("UTF-8"))
+    p
+  }
+
+  it("serves corporate upload -> report -> export -> list") {
+    val csv = writeCsv("c.csv",
+      """Row ID,Year,Department Title,Job Class Title,Employment Type,Base Pay,Overtime Pay,Longevity Bonus Pay,Average Benefit Cost
+        |1,2013,Police,Officer,FT,"$10,000.00",$500.00,,$100.00
+        |2,2013,Police,Officer,FT,"$20,000.00",,,
+        |3,2013,Fire,Chief,FT,"$30,000.00","$10,000.00",,
+        |""")
+    svc.upload("LA", "p1", "corporate_a.csv", csv)
+    val report = svc.budgetReport("LA", "p1", "corporate_a.csv", saveCopy = true)
+      .collect()
+    assert(report.map(_.getAs[String]("job_title")).toSeq == Seq("Chief", "Officer"))
+    assert(report(1).getAs[Long]("total_employee") == 2L)
+    val export = svc.fullExport("LA", "p1", "corporate_a.csv").collect()
+    assert(export.length == 3)
+    assert(export.head.getAs[String]("job_title") == "Chief")
+    val (raw, clean) = svc.listFiles("LA", "p1")
+    assert(raw == Seq("corporate_a.csv"))
+    assert(clean == Seq("LA_corporate_corporate_a"))
+    // S8 archive landed as a single CSV part in Downloads
+    val dl = storage.resolve("LA/Downloads/corporate_a_summary")
+    assert(Files.list(dl).iterator().asScala.exists(_.toString.endsWith(".csv")))
+  }
+
+  it("serves education with fte/seniority semantics intact") {
+    val csv = writeCsv("e.csv",
+      """last_name,first_name,district,school,primary_job,fte,experience_total,certificate,salary
+        |Smith,Ann,Newark,Lincoln,Teacher,,17,Std,64000
+        |Lee,Bo,Newark,Lincoln,Aide,0.5,3,Std,30000
+        |""")
+    svc.upload("NJ", "p2", "education_b.csv", csv)
+    val export = svc.fullExport("NJ", "p2", "education_b.csv").collect()
+    val smith = export.find(_.getAs[String]("job_title") == "Teacher").get
+    assert(smith.getAs[String]("employment_status") == "Full Time") // fte null -> 1.0
+    assert(smith.getAs[Double]("total_amount") == 64000 * 1.05)     // 17y bonus
+  }
+
+  it("serves hospital through header normalization") {
+    val csv = writeCsv("h.csv",
+      """Provider Name,Provider City,Provider State,DRG Definition, Total Discharges , Average Total Payments ,Average Medicare Payments
+        |General,LA,CA,DRG X,10,1000.5,800.0
+        |Mercy,SF,CA,DRG Y,5,2000.0,1500.0
+        |""")
+    svc.upload("US", "p3", "hospital_c.csv", csv)
+    val report = svc.budgetReport("US", "p3", "hospital_c.csv").collect()
+    assert(report.head.getAs[String]("job_title") == "DRG X") // 10*1000.5 > 5*2000
+    assert(report.head.getAs[Double]("total_budget") == 10005.0)
+  }
+
+  it("refuses cross-tenant access") {
+    assertThrows[IllegalArgumentException](
+      svc.budgetReport("LA", "wrong", "corporate_a.csv"))
+  }
+
+}
