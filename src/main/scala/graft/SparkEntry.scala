@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQueries, ExtensionQueries, ParityQueries, RelationalQueries}
+import graft.queries.{AdvancedQueries, CorpusQueries, ExtensionQueries, ParityQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ RelationalQueries.queries ++
-      ExtensionQueries.queries ++ AdvancedQueries.queries
+      ExtensionQueries.queries ++ AdvancedQueries.queries ++
+      CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      ExtensionQueries.oracleSql ++ AdvancedQueries.oracleSql
+      ExtensionQueries.oracleSql ++ AdvancedQueries.oracleSql ++
+      CorpusQueries.oracleSql
 }

@@ -85,6 +85,20 @@ class ExtSuite extends SparkSpec {
     }
   }
 
+  describe("IvfIndex recall vs brute force") {
+    it("probing half the cells recovers most true neighbors") {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.knnBrute(q, emb, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val model = IvfIndex.build(spark, emb, nCells = 8)
+      val ivf = IvfIndex.knn(model, q, 3, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & ivf).size.toDouble / brute.size
+      assert(recall >= 0.4, s"recall=$recall")
+    }
+  }
+
   describe("TextAnalysis") {
     it("counts tokens both ways") {
       val t = TextAnalysis.tokenCounts(Seq((1L, "ab cd, ef!")).toDF("doc_id", "text"))
