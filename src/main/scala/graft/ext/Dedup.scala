@@ -53,9 +53,12 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
+    // no broadcast hint on sizes: one row per document means it only fits
+    // in memory at small corpus sizes — AQE broadcasts it when it is small
+    // and shuffle-joins when it is not
     inter
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("sa.n_shingles") + col("sb.n_shingles") - col("n_inter")))
