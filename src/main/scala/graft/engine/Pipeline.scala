@@ -127,6 +127,44 @@ object Pipeline {
       industryModels(tenant.industryType, raw.toString, now), warehouse)
   }
 
+  /** M5 — fingerprint-based rebuild skip (the Spark analog of SQLMesh's
+    * content-hash snapshot cache). The fingerprint covers the input file's
+    * (size, mtime, sha-256) plus the model names; when unchanged since the
+    * last successful build, [[ingestIfChanged]] returns the existing
+    * warehouse without running any Spark job. The reference always
+    * rebuilds (`include_unmodified=True`, `serve_flight.py:181`), so
+    * [[ingest]] keeps FULL semantics and this is the opt-in fast path.
+    */
+  def inputFingerprint(source: Path, modelNames: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(modelNames.mkString(",").getBytes("UTF-8"))
+    md.update(Files.size(source).toString.getBytes("UTF-8"))
+    md.update(Files.readAllBytes(source))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def ingestIfChanged(spark: SparkSession, storageBase: Path,
+                      users: Seq[Tenancy.Tenant], clientId: String,
+                      password: String, filename: String, sourceCsv: Path,
+                      now: Column = current_timestamp()): Map[String, DataFrame] = {
+    val tenant = Tenancy.authenticate(users, clientId, password)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val warehouse = Tenancy.cleanDir(storageBase, tenant, filename)
+    val marker = warehouse.resolve("_fingerprint")
+    val models = industryModels(tenant.industryType, "unused", now).map(_.name)
+    val fp = inputFingerprint(sourceCsv, models)
+    if (Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == fp) {
+      models.map(n =>
+        n -> spark.read.parquet(warehouse.resolve(n).toString)).toMap
+    } else {
+      val built = ingest(spark, storageBase, users, clientId, password,
+        filename, sourceCsv, now)
+      Files.write(marker, fp.getBytes("UTF-8"))
+      built
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

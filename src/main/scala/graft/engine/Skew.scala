@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed joins — the manual fallback when AQE's runtime
+  * skew-join splitting isn't available (non-AQE pipelines, or skew on the
+  * BUILD side of a broadcast-ineligible join).
+  *
+  * A join on a key where one value holds, say, 30% of all rows puts 30% of
+  * the data in one task. Salting rewrites `L ⋈ R on k` as
+  * `salt(L) ⋈ explode(R) on (k, salt)`:
+  *  - the large/skewed side gets a DETERMINISTIC salt in [0, f) derived by
+  *    hashing the whole row (not `rand()` — deterministic under retries
+  *    and speculative execution);
+  *  - the other side is replicated f times, one copy per salt value.
+  * The hot key's rows now spread over f tasks; replication costs f× the
+  * small side, which is the explicit trade.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, f) from the given columns. */
+  def salt(f: Int, cols: Column*): Column =
+    pmod(hash(cols: _*), lit(f))
+
+  /** Inner-join `large` (skewed on `key`) with `small`, spreading each key
+    * over `f` tasks. Both inputs must contain `key`; result columns =
+    * large's ++ small's (minus the duplicate key), like a plain join.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 f: Int): DataFrame = {
+    val saltCols = large.columns.map(col).toSeq // whole row -> stable salt
+    val l = large.withColumn("__salt", salt(f, saltCols: _*))
+    val r = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(f - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}
