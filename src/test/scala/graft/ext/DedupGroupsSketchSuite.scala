@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupGroupsSketchSuite extends SparkSpec {
+  import spark.implicits._
+
+  describe("DedupGroups.connectedComponents") {
+    it("labels chains, cliques, and separate components correctly") {
+      // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L),
+        (10L, 11L), (11L, 12L), (10L, 12L),
+        (20L, 21L)).toDF("doc_a", "doc_b")
+      val cc = DedupGroups.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+      assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+      assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    }
+    it("drops all but the representative of each group") {
+      val docs = (1L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+      val kept = DedupGroups.dropNearDuplicates(docs, pairs)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 4L, 5L)) // 2,3 fold into 1; 6 into 5; 4 isolated
+    }
+    it("scales to the real near-dup pairs at sf0.001") {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val pairs = Dedup.jaccardPairs(docs, 0.5)
+      val kept = DedupGroups.dropNearDuplicates(docs, pairs).count()
+      val nPairs = pairs.count()
+      assert(kept < docs.count() || nPairs == 0)
+      assert(kept >= docs.count() - 2 * nPairs)
+    }
+  }
+
+  describe("Sketches vs exact answers") {
+    it("HLL distinct count is within the configured error bound") {
+      val df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      val approx = Sketches.approxDistinct(df, "o_orderstatus", "o_custkey", 0.05)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = df.groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, e) =>
+        assert(math.abs(approx(k) - e).toDouble / e < 0.15,
+          s"$k: approx=${approx(k)} exact=$e")
+      }
+    }
+    it("approximate percentiles are close to exact ones") {
+      val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      val approx = Sketches.approxPercentiles(
+        df, "l_returnflag", "l_extendedprice", Seq(0.5), 10000)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+      val exact = df.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("m")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (k, e) =>
+        assert(math.abs(approx(k) - e) / e < 0.01,
+          s"$k: approx=${approx(k)} exact=$e")
+      }
+    }
+  }
+}
