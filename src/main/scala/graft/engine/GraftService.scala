@@ -29,9 +29,7 @@ final class GraftService(spark: SparkSession, storageBase: Path,
     Pipeline.ingest(spark, storageBase, users, clientId, password,
       filename, sourceCsv, now)
 
-  private def fctTable(clientId: String, password: String,
-                       filename: String): DataFrame = {
-    val tenant = auth(clientId, password)
+  private def fctOf(tenant: Tenancy.Tenant, filename: String): DataFrame = {
     val warehouse = Tenancy.cleanDir(storageBase, tenant, filename)
     // contract table name is a pure function of the industry (M-contract,
     // `serve_flight.py:285-286`)
@@ -48,9 +46,9 @@ final class GraftService(spark: SparkSession, storageBase: Path,
     */
   def budgetReport(clientId: String, password: String, filename: String,
                    saveCopy: Boolean = false): DataFrame = {
-    val report = Reports.budgetReport(fctTable(clientId, password, filename))
-    if (saveCopy)
-      saveCsv(report, auth(clientId, password), filename, "_summary")
+    val tenant = auth(clientId, password)
+    val report = Reports.budgetReport(fctOf(tenant, filename))
+    if (saveCopy) saveCsv(report, tenant, filename, "_summary")
     report
   }
 
@@ -59,9 +57,9 @@ final class GraftService(spark: SparkSession, storageBase: Path,
     */
   def fullExport(clientId: String, password: String, filename: String,
                  saveCopy: Boolean = false): DataFrame = {
-    val export = Reports.fullExport(fctTable(clientId, password, filename))
-    if (saveCopy)
-      saveCsv(export, auth(clientId, password), filename, "_full_export")
+    val tenant = auth(clientId, password)
+    val export = Reports.fullExport(fctOf(tenant, filename))
+    if (saveCopy) saveCsv(export, tenant, filename, "_full_export")
     export
   }
 
@@ -73,8 +71,11 @@ final class GraftService(spark: SparkSession, storageBase: Path,
     def ls(sub: String): Seq[String] = {
       val dir = storageBase.resolve(tenant.clientId).resolve(sub)
       if (!Files.isDirectory(dir)) Seq.empty
-      else Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString).toSeq.sorted
+      else {
+        val stream = Files.list(dir)
+        try stream.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+        finally stream.close()
+      }
     }
     (ls("Raw"), ls("Clean"))
   }

@@ -75,15 +75,20 @@ object Pipeline {
 
   /** M2+M8 — FULL materialization of a model selection into
     * `warehouse/<model_name>/` parquet dirs, built in dependency order.
-    * The whole upload builds into `<warehouse>.tmp` and atomically renames
-    * over the target on success; on any failure the temp dir is deleted and
-    * the previous warehouse (if any) is left untouched.
+    * The upload builds into a UNIQUE temp sibling (so concurrent retries
+    * of the same upload cannot clobber each other's in-progress build),
+    * then swaps: old warehouse renamed aside, temp renamed in, old copy
+    * deleted last. Both renames are same-directory moves (atomic on POSIX
+    * filesystems); a failure between them restores the old warehouse, so
+    * at every point at least one complete copy exists.
     */
   def materialize(spark: SparkSession, models: Seq[ModelSpec],
                   warehouse: Path): Map[String, DataFrame] = {
     val ordered = topoOrder(models)
-    val tmp = warehouse.resolveSibling(warehouse.getFileName.toString + ".tmp")
-    deleteRecursively(tmp)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val name = warehouse.getFileName.toString
+    val tmp = warehouse.resolveSibling(s"$name.tmp-$tag")
+    val old = warehouse.resolveSibling(s"$name.old-$tag")
     try {
       var built = Map.empty[String, DataFrame]
       ordered.foreach { m =>
@@ -93,15 +98,20 @@ object Pipeline {
         // written parquet, not a re-computed plan (FULL semantics)
         built += m.name -> spark.read.parquet(out)
       }
-      deleteRecursively(warehouse)
-      Files.move(tmp, warehouse)
+      val hadOld = Files.exists(warehouse)
+      if (hadOld) Files.move(warehouse, old)
+      try Files.move(tmp, warehouse)
+      catch {
+        case e: Throwable =>
+          if (hadOld) Files.move(old, warehouse) // restore previous build
+          throw e
+      }
+      if (hadOld) deleteRecursively(old)
       built.map { case (n, _) =>
         n -> spark.read.parquet(warehouse.resolve(n).toString)
       }
-    } catch {
-      case e: Throwable =>
-        deleteRecursively(tmp) // M8: no corrupt half-built warehouse
-        throw e
+    } finally {
+      deleteRecursively(tmp) // M8: no corrupt half-built leftovers
     }
   }
 
@@ -166,7 +176,10 @@ object Pipeline {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 }

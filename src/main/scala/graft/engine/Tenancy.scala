@@ -67,18 +67,29 @@ object Tenancy {
 
   /** F1 — filename validation gate (`serve_flight.py:109-124`): the upload
     * filename must contain the tenant's industry keyword, case-insensitive.
-    * Rejects schema-mismatched uploads before any data lands.
+    * Additionally the name must be a plain file name — no path separators
+    * or '..' — so a crafted filename cannot escape the tenant's storage
+    * zone (the reference is vulnerable to this; we are not).
     */
   def validateFilename(tenant: Tenant, filename: String): Either[String, Unit] =
-    if (filename.toLowerCase.contains(tenant.industryType)) Right(())
+    if (filename.isEmpty || filename.contains('/') || filename.contains('\\') ||
+      filename.contains("..") || filename.startsWith("."))
+      Left(s"REJECTED: '$filename' is not a plain file name")
+    else if (filename.toLowerCase.contains(tenant.industryType)) Right(())
     else Left(s"REJECTED: user of type '${tenant.industryType}' may only " +
       s"upload files containing '${tenant.industryType}' in the name")
+
+  private def requirePlainName(filename: String): Unit =
+    require(filename.nonEmpty && !filename.contains('/') &&
+      !filename.contains('\\') && !filename.contains("..") &&
+      !filename.startsWith("."), s"not a plain file name: $filename")
 
   /** Per-upload warehouse name `{client}_{industry}_{basename}`
     * (`serve_flight.py:129-141`) — a pure function of the upload identity,
     * so re-uploads overwrite their own warehouse and never another's.
     */
   def uploadWarehouseName(tenant: Tenant, filename: String): String = {
+    requirePlainName(filename)
     val base = filename.replaceAll("\\.[^.]*$", "")
     s"${tenant.clientId}_${tenant.industryType}_$base"
   }
@@ -93,8 +104,10 @@ object Tenancy {
       }
     }
 
-  def rawPath(storageBase: Path, tenant: Tenant, filename: String): Path =
+  def rawPath(storageBase: Path, tenant: Tenant, filename: String): Path = {
+    requirePlainName(filename)
     storageBase.resolve(tenant.clientId).resolve("Raw").resolve(filename)
+  }
 
   def cleanDir(storageBase: Path, tenant: Tenant, filename: String): Path =
     storageBase.resolve(tenant.clientId).resolve("Clean")

@@ -90,6 +90,8 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 16,
                         rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand)")
     val numBands = numHashes / rowsPerBand
     val sig = minhashSignature(docs, numHashes, n)
     val bandCols = (0 until numBands).map { b =>

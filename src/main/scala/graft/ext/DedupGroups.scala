@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * Algorithm: iterative label propagation ("hash-to-min") — every node
   * starts labeled with its own id; each round, every node adopts the
   * minimum label in its neighborhood; converged when no label changes.
-  * Each round is one join + one aggregate (both shuffles on node id), and
-  * the number of rounds is O(log(diameter)) in practice for near-dup
-  * graphs (which are overwhelmingly small cliques and chains). This is
+  * Each round is one join + one aggregate (both shuffles on node id).
+  * Plain propagation moves labels one hop per round, so rounds are
+  * O(component diameter) — fine for near-dup graphs, which are
+  * overwhelmingly small cliques and short chains. Non-convergence within
+  * `maxIter` THROWS rather than silently returning partial components
+  * (silent under-merge would mean silent under-deduplication). This is
   * the standard scalable formulation — no driver-side union-find, no
   * graph library dependency.
   */
@@ -19,15 +22,19 @@ object DedupGroups {
 
   /** Connected components of an undirected pair list (doc_a, doc_b).
     * Returns (doc_id, component) where component = min doc_id reachable.
+    *
+    * @throws IllegalStateException if labels have not stabilized after
+    *         maxIter rounds (pathologically long chains — raise maxIter).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // symmetric edge list + self-loops so isolated endpoints keep a label
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // symmetric edge list so propagation works in both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -40,14 +47,20 @@ object DedupGroups {
         .select(col("id"),
           least(col("component"), coalesce(col("n_component"), col("component")))
             .as("component"))
-        .cache()
+        // localCheckpoint: caps the lineage, which otherwise doubles per
+        // round and eventually dominates planning time
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise maxIter")
     labels
   }
 

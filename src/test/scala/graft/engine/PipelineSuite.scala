@@ -37,6 +37,17 @@ class PipelineSuite extends SparkSpec {
       assert(Tenancy.validateFilename(t, "CORPORATE_la_2013.csv").isRight)
       assert(Tenancy.validateFilename(t, "payroll.csv").isLeft)
     }
+    it("rejects path-traversal filenames everywhere they are resolved") {
+      val t = users.head
+      assert(Tenancy.validateFilename(t, "../corporate.csv").isLeft)
+      assert(Tenancy.validateFilename(t, "a/corporate.csv").isLeft)
+      assert(Tenancy.validateFilename(t, ".corporate.csv").isLeft)
+      val base = java.nio.file.Paths.get("/tmp/x")
+      assertThrows[IllegalArgumentException](
+        Tenancy.rawPath(base, t, "../../b/Raw/corporate.csv"))
+      assertThrows[IllegalArgumentException](
+        Tenancy.uploadWarehouseName(t, "../corporate"))
+    }
     it("derives the per-upload warehouse name") {
       assert(Tenancy.uploadWarehouseName(users.head, "corporate_x.csv") ==
         "LA_Office_corporate_corporate_x")
@@ -83,7 +94,14 @@ class PipelineSuite extends SparkSpec {
       assertThrows[RuntimeException](
         Pipeline.materialize(spark, Seq(boom), warehouse))
       assert(Files.exists(warehouse)) // previous build intact
-      assert(!Files.exists(Paths.get(warehouse.toString + ".tmp")))
+      // no .tmp-*/.old-* siblings left behind
+      import scala.jdk.CollectionConverters._
+      val stream = Files.list(warehouse.getParent)
+      val leftovers =
+        try stream.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.contains(".tmp-") || n.contains(".old-")).toSeq
+        finally stream.close()
+      assert(leftovers.isEmpty, s"leftover temp dirs: $leftovers")
     }
   }
 
