@@ -71,6 +71,31 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen,
+    * keeping state only within the watermark horizon — the streaming twin
+    * of batch exact dedup, with bounded state (late duplicates beyond the
+    * watermark are the accepted trade for not holding all history).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Micro-batch warehouse sink: append each batch to a parquet directory
+    * via foreachBatch (the composition point for routing one stream to
+    * multiple tables or running merge logic per batch).
+    */
+  def toParquetWarehouse(df: DataFrame, outDir: String,
+                         checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Convenience: run a streaming transform to completion against a memory
     * sink and return the result table (for tests and bounded backfills).
     */

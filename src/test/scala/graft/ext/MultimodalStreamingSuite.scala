@@ -88,6 +88,31 @@ class MultimodalStreamingSuite extends SparkSpec {
         .getAs[Long]("n_events") == 2L)
     }
 
+    it("drops duplicate event ids within the watermark") {
+      implicit val sc = spark.sqlContext
+      val src = MemoryStream[EventStream.Event]
+      src.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+        ev(1, "2026-01-01 10:00:00", 1, "click", 1.0), // dup id
+        ev(2, "2026-01-01 10:01:00", 1, "view", 2.0))
+      val out = EventStream.runToMemory(
+        EventStream.dedupedEvents(src.toDF()), "dedup_test",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      assert(out.count() == 2)
+    }
+
+    it("sinks micro-batches to a parquet warehouse dir") {
+      implicit val sc = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+      val src = MemoryStream[EventStream.Event]
+      src.addData(ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2026-01-01 10:05:00", 2, "view", 2.0))
+      val q = EventStream.toParquetWarehouse(src.toDF(),
+        s"$dir/out", s"$dir/ckpt")
+      q.awaitTermination()
+      assert(spark.read.parquet(s"$dir/out").count() == 2)
+    }
+
     it("keeps custom per-user state across micro-batches") {
       implicit val sc = spark.sqlContext
       val src = MemoryStream[EventStream.Event]
