@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Readers
+import graft.functions.Portable.wsTokens
+
+/** Breadth batch 3: term weighting, decile histograms, pivot tables, and
+  * regex extraction. The TF-IDF variant uses a rational (log-free) IDF so
+  * every value is exact integer-ratio arithmetic — engine-portable without
+  * tolerance; a production scorer would wrap `ln()` around the same ratio.
+  */
+object BreadthQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Term weighting: tf, df, and a log-free tf*(N/df) score per
+    // (doc, token). One explode + two aggregations; the df table is
+    // vocabulary-sized and broadcast by AQE.
+    "q43_term_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // corpus size: a scalar, computed once
+      val tok = docs.select(col("doc_id"),
+        explode(wsTokens(col("text"))).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .join(tok.groupBy("doc_id").agg(count(lit(1)).as("doc_len")), "doc_id")
+      val df = tok.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(df, "tok")
+        .select(col("doc_id"), col("tok"), col("tf"), col("doc_len"), col("df"),
+          (col("tf").cast("double") / col("doc_len") *
+            (lit(n.toDouble) / col("df"))).as("score"))
+        .orderBy("doc_id", "tok")
+    }),
+
+    // Decile histogram of order values: ntile over a total order.
+    "q44_ntile_histogram" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("decile")
+    }),
+
+    // Pivot: returnflag rows × linestatus columns of summed quantity.
+    // Explicit values list so the output schema is static (required for
+    // the oracle and, at scale, to avoid a discovery pass over the data).
+    "q45_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
+    // Regex extraction: structured capture groups out of string columns.
+    "q46_regex_extract" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "(\\w+)$", 1).as("last_type_word"))
+        .orderBy("p_partkey"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q43_term_weights" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+          dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+          idf AS (SELECT tok, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents)
+          SELECT tf.doc_id, tf.tok, tf.tf, dl.doc_len, idf.df,
+                 tf.tf * 1.0 / dl.doc_len * (n.n * 1.0 / idf.df) AS score
+          FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok), n
+          ORDER BY doc_id, tok""",
+
+    "q44_ntile_histogram" ->
+      """WITH d AS (SELECT o_totalprice,
+                    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+                    FROM orders)
+         SELECT decile, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+                round(max(o_totalprice), 2) AS hi
+         FROM d GROUP BY 1 ORDER BY decile""",
+
+    "q45_pivot" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q46_regex_extract" ->
+      """SELECT p_partkey,
+                regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+                regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+                regexp_extract(p_type, '(\w+)$', 1) AS last_type_word
+         FROM part ORDER BY p_partkey"""
+  )
+}
