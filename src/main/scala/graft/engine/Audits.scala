@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audits — the working version of SQLMesh's
+  * audit facility, which the reference declares but leaves empty
+  * (`audits/` contains only .gitkeep; no model lists an `audits` key —
+  * SURVEY.md §5). An audit is a named predicate over a materialized model;
+  * failures carry the violating row count. All audits for a table run in
+  * ONE aggregation pass (a single job computing every violation count),
+  * not one scan per audit.
+  */
+object Audits {
+
+  sealed trait Audit { def name: String; def violations: Column }
+
+  /** Rows where `col` is null. */
+  final case class NotNull(column: String) extends Audit {
+    val name = s"not_null($column)"
+    val violations: Column = count_if(col(column).isNull)
+  }
+
+  /** Duplicate key values (unique constraint). */
+  final case class Unique(column: String) extends Audit {
+    val name = s"unique($column)"
+    // counted via distinct-vs-total in the same pass
+    val violations: Column =
+      (count(col(column)) - countDistinct(col(column))).cast("long")
+  }
+
+  /** Values outside the accepted set (nulls don't count — combine with
+    * NotNull when both are required).
+    */
+  final case class AcceptedValues(column: String, values: Seq[String]) extends Audit {
+    val name = s"accepted_values($column)"
+    val violations: Column = count_if(
+      col(column).isNotNull &&
+        !col(column).isin(values.map(_.asInstanceOf[Any]): _*))
+  }
+
+  /** Rows violating an arbitrary boolean expression. */
+  final case class Expression(name: String, predicate: Column) extends Audit {
+    val violations: Column = count_if(!coalesce(predicate, lit(false)))
+  }
+
+  final case class Failure(audit: String, violations: Long)
+
+  /** Run all audits in one aggregation pass; return every failure. */
+  def run(df: DataFrame, audits: Seq[Audit]): Seq[Failure] = {
+    if (audits.isEmpty) return Seq.empty
+    val row = df.agg(
+      audits.head.violations.as("a0"),
+      audits.tail.zipWithIndex.map { case (a, i) =>
+        a.violations.as(s"a${i + 1}")
+      }: _*).collect()(0)
+    audits.zipWithIndex.flatMap { case (a, i) =>
+      val v = row.getLong(i)
+      if (v > 0) Some(Failure(a.name, v)) else None
+    }
+  }
+
+  /** Run and THROW on any failure — wired after materialization so a bad
+    * build never becomes the live warehouse (composes with Pipeline's
+    * atomic swap: audit inside the build, before the rename).
+    */
+  def enforce(df: DataFrame, audits: Seq[Audit]): Unit = {
+    val failures = run(df, audits)
+    if (failures.nonEmpty)
+      throw new IllegalStateException("audit failures: " +
+        failures.map(f => s"${f.audit}=${f.violations}").mkString(", "))
+  }
+
+  /** The fct contract audits every industry shares (SURVEY.md §1.3). */
+  def contractAudits: Seq[Audit] = Seq(
+    NotNull("job_title"),
+    Expression("total_amount_non_negative", col("total_amount") >= 0))
+}

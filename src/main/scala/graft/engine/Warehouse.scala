@@ -34,4 +34,38 @@ object Warehouse {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** M7 analog — small-file compaction. Streaming sinks and fine-grained
+    * appends accumulate many small parquet files; scans then pay per-file
+    * open/footer costs and lose row-group locality. Rewrites the directory
+    * to ~`targetFileBytes` files via an atomic temp+rename swap (readers
+    * never see a partial directory). The reference's CHECKPOINT/VACUUM
+    * (`serve_flight.py:196-198`) is the single-file-DB version of this.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val path = java.nio.file.Paths.get(dir)
+    val totalBytes = {
+      val walk = java.nio.file.Files.walk(path)
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally walk.close()
+    }
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.resolveSibling(
+      path.getFileName.toString + ".compact-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = path.resolveSibling(tmp.getFileName.toString + ".old")
+    java.nio.file.Files.move(path, old)
+    try java.nio.file.Files.move(tmp, path)
+    catch { case e: Throwable =>
+      java.nio.file.Files.move(old, path); throw e
+    }
+    val walk2 = java.nio.file.Files.walk(old)
+    try walk2.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally walk2.close()
+  }
 }
