@@ -30,7 +30,8 @@ object Pipeline {
   final case class ModelSpec(
       name: String,
       deps: Seq[String],
-      build: (SparkSession, Map[String, DataFrame]) => DataFrame)
+      build: (SparkSession, Map[String, DataFrame]) => DataFrame,
+      audits: Seq[Audits.Audit] = Nil)
 
   /** The six reference models, keyed by industry. `rawPath` is a plain
     * function parameter — the Spark-native replacement for the
@@ -96,7 +97,11 @@ object Pipeline {
         m.build(spark, built).write.mode("overwrite").parquet(out)
         // read back the materialized table so downstream models consume the
         // written parquet, not a re-computed plan (FULL semantics)
-        built += m.name -> spark.read.parquet(out)
+        val table = spark.read.parquet(out)
+        // audits run on the written data, inside the build — a failing
+        // audit aborts BEFORE the swap, so it can never go live
+        Audits.enforce(table, m.audits)
+        built += m.name -> table
       }
       val hadOld = Files.exists(warehouse)
       if (hadOld) Files.move(warehouse, old)

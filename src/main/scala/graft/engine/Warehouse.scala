@@ -35,6 +35,20 @@ object Warehouse {
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `partitionCol`. Queries filtering on the partition column prune whole
+    * directories at planning time (PartitionFilters in the scan, zero I/O
+    * for excluded partitions) — the first lever for time-series or
+    * per-category data at 100 TB. Keep partition cardinality moderate
+    * (dates, categories — never high-cardinality keys: millions of tiny
+    * directories defeat the purpose).
+    */
+  def writePartitioned(df: DataFrame, dir: String,
+                       partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(dir)
+
   /** M7 analog — small-file compaction. Streaming sinks and fine-grained
     * appends accumulate many small parquet files; scans then pay per-file
     * open/footer costs and lose row-group locality. Rewrites the directory

@@ -33,6 +33,35 @@ class AuditsCompactSuite extends SparkSpec {
       assertThrows[IllegalStateException](
         Audits.enforce(df, Audits.contractAudits))
     }
+    it("a failing model audit aborts materialization before the swap") {
+      val wh = Files.createTempDirectory("graft_audit").resolve("w")
+      val bad = Pipeline.ModelSpec("m.bad", Nil,
+        (s, _) => { import s.implicits._
+          Seq((null.asInstanceOf[String], 1.0)).toDF("job_title", "total_amount") },
+        audits = Audits.contractAudits)
+      assertThrows[IllegalStateException](
+        Pipeline.materialize(spark, Seq(bad), wh))
+      assert(!Files.exists(wh)) // never went live
+    }
+  }
+
+  describe("Warehouse.writePartitioned") {
+    it("prunes partitions at planning time for partition-column filters") {
+      val dir = Files.createTempDirectory("graft_part").resolve("events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      Warehouse.writePartitioned(ev, dir.toString, "event_type")
+      val q = spark.read.parquet(dir.toString)
+        .filter(col("event_type") === "purchase")
+      val scan = q.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters"), scan)
+      // only the purchase partition's rows are read
+      assert(q.count() ==
+        ev.filter(col("event_type") === "purchase").count())
+      val files = q.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(files.contains("event_type=purchase") ||
+        scan.contains("isnotnull(event_type"), files)
+    }
   }
 
   describe("Warehouse.compact") {
