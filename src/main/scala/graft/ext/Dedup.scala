@@ -28,8 +28,10 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** Word n-gram shingles per document, WITH positional duplicates:
+    * (doc_id, shingle). No shuffle — a pure projection/explode.
+    */
+  def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
     val w = col("w")
     docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
       .select(col("doc_id"), w,
@@ -38,8 +40,13 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", (0 until n).map(j => element_at(w, col("i") + j)): _*)
           .as("shingle"))
-      .distinct()
   }
+
+  /** Distinct word n-gram shingles per document (set semantics — required
+    * by Jaccard; costs one shuffle).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesRaw(docs, n).distinct()
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity >= threshold,
     * via inverted-index join (doc pairs are generated only when they share
@@ -73,7 +80,9 @@ object Dedup {
   def minhashSignature(docs: DataFrame, numHashes: Int = 16, n: Int = 3): DataFrame = {
     val consts = graft.functions.Portable.minhashConstants(numHashes)
     val p = graft.functions.Portable.MinhashPrime
-    val base = shingles(docs, n).withColumn("h30", hash30(col("shingle")))
+    // min() is duplicate-insensitive, so the set-semantics distinct (and
+    // its shuffle) is unnecessary here — raw shingles feed the aggregate
+    val base = shinglesRaw(docs, n).withColumn("h30", hash30(col("shingle")))
     def seeded(s: Int) = {
       val (a, b) = consts(s)
       (lit(a) * col("h30") + lit(b)) % lit(p)
