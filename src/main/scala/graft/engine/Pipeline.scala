@@ -35,29 +35,42 @@ object Pipeline {
 
   /** The six reference models, keyed by industry. `rawPath` is a plain
     * function parameter — the Spark-native replacement for the
-    * `@client_raw_path` macro variable (M4/S3).
+    * `@client_raw_path` macro variable (M4/S3). `audits` attaches
+    * data-quality checks per model name, enforced pre-swap by
+    * [[materialize]]. The DEFAULT is no audits, deliberately: the
+    * reference validates nothing at runtime (SURVEY.md §5 — empty
+    * `audits/`), and e.g. a null job_title flows through its reports, so
+    * enforcing [[Audits.contractAudits]] by default would reject uploads
+    * the reference accepts. Deployments that prefer safety over parity
+    * pass `Map(s"$industry.fct_$industry" -> Audits.contractAudits)`.
     */
   def industryModels(industry: String, rawPath: String,
-                     now: Column = current_timestamp()): Seq[ModelSpec] =
+                     now: Column = current_timestamp(),
+                     audits: Map[String, Seq[Audits.Audit]] = Map.empty)
+  : Seq[ModelSpec] = {
+    def spec(name: String, deps: Seq[String],
+             build: (SparkSession, Map[String, DataFrame]) => DataFrame) =
+      ModelSpec(name, deps, build, audits.getOrElse(name, Nil))
     industry match {
       case "corporate" => Seq(
-        ModelSpec("corporate.stg_corporate", Nil,
+        spec("corporate.stg_corporate", Nil,
           (s, _) => Corporate.stg(Readers.csvAllVarchar(s, rawPath), now)),
-        ModelSpec("corporate.fct_corporate", Seq("corporate.stg_corporate"),
+        spec("corporate.fct_corporate", Seq("corporate.stg_corporate"),
           (_, up) => Corporate.fct(up("corporate.stg_corporate"))))
       case "education" => Seq(
-        ModelSpec("education.stg_education", Nil,
+        spec("education.stg_education", Nil,
           (s, _) => Education.stg(Readers.csvAllVarchar(s, rawPath), now)),
-        ModelSpec("education.fct_education", Seq("education.stg_education"),
+        spec("education.fct_education", Seq("education.stg_education"),
           (_, up) => Education.fct(up("education.stg_education"))))
       case "hospital" => Seq(
-        ModelSpec("hospital.stg_hospital", Nil,
+        spec("hospital.stg_hospital", Nil,
           (s, _) => Hospital.stg(Readers.csvNormalized(s, rawPath), now)),
-        ModelSpec("hospital.fct_hospital", Seq("hospital.stg_hospital"),
+        spec("hospital.fct_hospital", Seq("hospital.stg_hospital"),
           (_, up) => Hospital.fct(up("hospital.stg_hospital"))))
       case other =>
         throw new IllegalArgumentException(s"unknown industry: $other")
     }
+  }
 
   /** Topological order of a model selection (M3 — selective plan). */
   def topoOrder(models: Seq[ModelSpec]): Seq[ModelSpec] = {
@@ -128,7 +141,9 @@ object Pipeline {
   def ingest(spark: SparkSession, storageBase: Path,
              users: Seq[Tenancy.Tenant], clientId: String, password: String,
              filename: String, sourceCsv: Path,
-             now: Column = current_timestamp()): Map[String, DataFrame] = {
+             now: Column = current_timestamp(),
+             audits: Map[String, Seq[Audits.Audit]] = Map.empty)
+  : Map[String, DataFrame] = {
     val tenant = Tenancy.authenticate(users, clientId, password)
       .fold(e => throw new IllegalArgumentException(e), identity)
     Tenancy.validateFilename(tenant, filename)
@@ -139,7 +154,8 @@ object Pipeline {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING) // S5 raw backup
     val warehouse = Tenancy.cleanDir(storageBase, tenant, filename)
     materialize(spark,
-      industryModels(tenant.industryType, raw.toString, now), warehouse)
+      industryModels(tenant.industryType, raw.toString, now, audits),
+      warehouse)
   }
 
   /** M5 — fingerprint-based rebuild skip (the Spark analog of SQLMesh's

@@ -52,13 +52,37 @@ object Warehouse {
   /** M7 analog — small-file compaction. Streaming sinks and fine-grained
     * appends accumulate many small parquet files; scans then pay per-file
     * open/footer costs and lose row-group locality. Rewrites the directory
-    * to ~`targetFileBytes` files via an atomic temp+rename swap (readers
-    * never see a partial directory). The reference's CHECKPOINT/VACUUM
-    * (`serve_flight.py:196-198`) is the single-file-DB version of this.
+    * to ~`targetFileBytes` files via a temp+rename swap. Hive-partitioned
+    * directories (from [[writePartitioned]]) are compacted PER PARTITION —
+    * the layout (and its pruning) is preserved, and partition values never
+    * round-trip through schema inference.
+    *
+    * Swap caveat: the rename-out/rename-in pair leaves a brief window
+    * where the directory is absent; a reader landing exactly there fails
+    * and retries, and a crash in the window leaves the data intact in a
+    * `.old-*` sibling (manual recovery). True always-available compaction
+    * needs a manifest-based table format; this is the plain-parquet trade.
+    * The reference's CHECKPOINT/VACUUM (`serve_flight.py:196-198`) is the
+    * single-file-DB version of this operation.
     */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val path = java.nio.file.Paths.get(dir)
+    // Hive-partitioned layout? recurse into each partition directory.
+    val partDirs = {
+      val ls = java.nio.file.Files.list(path)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.contains("="))
+          .toList
+      } finally ls.close()
+    }
+    if (partDirs.nonEmpty) {
+      partDirs.foreach(p => compact(spark, p.toString, targetFileBytes))
+      return
+    }
     val totalBytes = {
       val walk = java.nio.file.Files.walk(path)
       try walk.filter(p => p.toString.endsWith(".parquet"))

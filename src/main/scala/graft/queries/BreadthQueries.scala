@@ -25,14 +25,17 @@ object BreadthQueries {
     // vocabulary-sized and broadcast by AQE.
     "q43_term_weights" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val n = docs.count() // corpus size: a scalar, computed once
-      val tok = docs.select(col("doc_id"),
-        explode(wsTokens(col("text"))).as("tok"))
-      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .join(tok.groupBy("doc_id").agg(count(lit(1)).as("doc_len")), "doc_id")
-      val df = tok.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-      tf.join(df, "tok")
+      val n = docs.count() // corpus size: metadata-only count, one cheap job
+      // ONE tokenize+aggregate pass; doc_len and df derive from the tf
+      // aggregate via window sums — no re-scan, no joins
+      val tf = docs
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      tf
+        .withColumn("doc_len",
+          sum("tf").over(Window.partitionBy("doc_id")))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("tok")))
         .select(col("doc_id"), col("tok"), col("tf"), col("doc_len"), col("df"),
           (col("tf").cast("double") / col("doc_len") *
             (lit(n.toDouble) / col("df"))).as("score"))

@@ -43,24 +43,87 @@ class AuditsCompactSuite extends SparkSpec {
         Pipeline.materialize(spark, Seq(bad), wh))
       assert(!Files.exists(wh)) // never went live
     }
+    it("audits attach to the production ingest path per model name") {
+      val storage = Files.createTempDirectory("graft_audit_ingest")
+      val users = Tenancy.parseUsersJson(
+        s"""{"T": {"password": "${Tenancy.sha256Hex("p")}", "industry_type": "corporate"}}""")
+      val csv = storage.resolve("src.csv")
+      // negative overtime makes total_amount < base -> passes; use a
+      // negative base to violate total_amount_non_negative
+      Files.write(csv,
+        ("Row ID,Year,Department Title,Job Class Title,Employment Type,Base Pay,Overtime Pay,Longevity Bonus Pay,Average Benefit Cost\n" +
+          "1,2013,D,J,FT,-$100.00,,,\n").getBytes("UTF-8"))
+      assertThrows[IllegalStateException](
+        Pipeline.ingest(spark, storage, users, "T", "p", "corporate_a.csv",
+          csv, org.apache.spark.sql.functions.current_timestamp(),
+          audits = Map("corporate.fct_corporate" -> Audits.contractAudits)))
+      // and without audits the same upload succeeds (reference parity)
+      val built = Pipeline.ingest(spark, storage, users, "T", "p",
+        "corporate_a.csv", csv)
+      assert(built("corporate.fct_corporate").count() == 1)
+    }
+  }
+
+  /** Files actually read by the scan (post-pruning), via the numFiles
+    * metric after execution.
+    */
+  private def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  private def parquetFileCount(dir: java.nio.file.Path): Long = {
+    val w = Files.walk(dir)
+    try w.filter(_.toString.endsWith(".parquet")).count()
+    finally w.close()
   }
 
   describe("Warehouse.writePartitioned") {
     it("prunes partitions at planning time for partition-column filters") {
       val dir = Files.createTempDirectory("graft_part").resolve("events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      Warehouse.writePartitioned(ev, dir.toString, "event_type")
-      val q = spark.read.parquet(dir.toString)
-        .filter(col("event_type") === "purchase")
-      val scan = q.queryExecution.executedPlan.toString
-      assert(scan.contains("PartitionFilters"), scan)
-      // only the purchase partition's rows are read
-      assert(q.count() ==
-        ev.filter(col("event_type") === "purchase").count())
-      val files = q.queryExecution.executedPlan.collectLeaves().head.toString
-      assert(files.contains("event_type=purchase") ||
-        scan.contains("isnotnull(event_type"), files)
+      val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      try {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        Warehouse.writePartitioned(ev, dir.toString, "event_type")
+        val q = spark.read.parquet(dir.toString)
+          .filter(col("event_type") === "purchase")
+        // a NON-EMPTY PartitionFilters clause naming the partition column
+        // (FileSourceScanExec always prints the key, so presence alone
+        // proves nothing)
+        val scan = q.queryExecution.executedPlan.toString
+        val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+          .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+        assert(pf.contains("event_type"), s"no partition pruning in:\n$scan")
+        // and fewer files are actually READ than exist (numFiles metric is
+        // post-pruning; Dataset.inputFiles is pre-pruning and useless here)
+        assert(q.count() ==
+          ev.filter(col("event_type") === "purchase").count())
+        assert(scanNumFiles(q) < parquetFileCount(dir),
+          s"scan read all ${parquetFileCount(dir)} files")
+      } finally prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
+    it("compacting a partitioned dir preserves the layout") {
+      val dir = Files.createTempDirectory("graft_part2").resolve("t")
+      import spark.implicits._
+      val df = (1 to 1000).map(i => (s"k${i % 3}", i)).toDF("part", "v")
+        .repartition(10)
+      Warehouse.writePartitioned(df, dir.toString, "part")
+      Warehouse.compact(spark, dir.toString)
+      val back = spark.read.parquet(dir.toString)
+      assert(back.count() == 1000)
+      // layout survived: partition dirs still exist, pruning still works
+      assert(Files.isDirectory(dir.resolve("part=k1")))
+      val q = back.filter(col("part") === "k1")
+      assert(q.count() == 334) // i % 3 == 1 for i in 1..1000
+      assert(scanNumFiles(q) < parquetFileCount(dir))
+      assert(back.schema("part").dataType.typeName == "string")
     }
   }
 
