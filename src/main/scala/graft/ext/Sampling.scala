@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable.hash60
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * Everything here derives from the content key's md5 hash, never from
+  * `rand()`: assignments are reproducible across runs, partitionings,
+  * engines (the DuckDB oracle verifies them), and — critically — across
+  * RE-RUNS OVER GROWING DATA: a document keeps its train/val/test
+  * assignment when the corpus is re-snapshotted, which random splits
+  * cannot guarantee without persisting state.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the key column's content. */
+  def hashBucket(key: Column, buckets: Int = 10000): Column =
+    pmod(hash60(key.cast("string")), lit(buckets))
+
+  /** Named splits by cumulative fraction over the hash space, e.g.
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Fractions are exact
+    * over the bucket space (80/10/10 => buckets [0,8000), [8000,9000),
+    * [9000,10000)); actual row proportions converge by key-hash
+    * uniformity.
+    */
+  def splitAssign(key: Column, splits: Seq[(String, Double)],
+                  buckets: Int = 10000): Column = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val b = hashBucket(key, buckets)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    splits.zip(cuts).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) =>
+        when(b < math.round(cut * buckets), name).otherwise(acc)
+    }
+  }
+
+  /** Deterministic fractional sample: keep rows whose key hashes below the
+    * fraction cut. Same key => same decision, forever.
+    */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double,
+                   buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(key, buckets) < math.round(fraction * buckets))
+
+  /** Class-balanced cap: keep at most `n` rows per group, chosen by a
+    * deterministic order (window row_number — one shuffle on the group
+    * key; for heavily skewed groups, AQE splits the hot partitions).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                  n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

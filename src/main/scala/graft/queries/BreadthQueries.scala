@@ -73,7 +73,25 @@ object BreadthQueries {
         regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
         regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
         regexp_extract(col("p_type"), "(\\w+)$", 1).as("last_type_word"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // Deterministic 80/10/10 train/val/test split by content-hash bucket
+    // (same doc_id -> same split, on any engine, forever).
+    "q47_dataset_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.ext.Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
+
+    // Class-balanced cap: at most 10 documents per source, chosen by
+    // doc_id order — the downsampling step of a mixture recipe.
+    "q48_cap_per_group" -> ((s, dir) =>
+      graft.ext.Sampling.capPerGroup(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", 10)
+        .orderBy("source", "doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -108,6 +126,26 @@ object BreadthQueries {
                 regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
                 regexp_extract(p_name, '^(\w+)', 1) AS first_word,
                 regexp_extract(p_type, '(\w+)$', 1) AS last_type_word
-         FROM part ORDER BY p_partkey"""
+         FROM part ORDER BY p_partkey""",
+
+    "q47_dataset_split" ->
+      """WITH b AS (
+           SELECT lang,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 10000 AS bucket
+           FROM documents)
+         SELECT lang,
+                CASE WHEN bucket < 8000 THEN 'train'
+                     WHEN bucket < 9000 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n
+         FROM b GROUP BY 1, 2 ORDER BY lang, split""",
+
+    "q48_cap_per_group" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 10 ORDER BY source, doc_id"""
   )
 }

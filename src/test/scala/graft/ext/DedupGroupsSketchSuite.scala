@@ -36,6 +36,32 @@ class DedupGroupsSketchSuite extends SparkSpec {
     }
   }
 
+  describe("Sampling determinism") {
+    it("split assignment is stable when the corpus grows") {
+      import org.apache.spark.sql.functions.col
+      val small = (1L to 100L).toDF("doc_id")
+      val big = (1L to 1000L).toDF("doc_id")
+      def assign(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val a = assign(small); val b = assign(big)
+      assert(a.forall { case (k, v) => b(k) == v }) // old docs keep splits
+      val dist = b.values.groupBy(identity).view.mapValues(_.size).toMap
+      assert(dist("train") > 700 && dist("train") < 900) // ~80%
+    }
+    it("sampleByHash keeps the same rows on re-run and caps fractions") {
+      import org.apache.spark.sql.functions.col
+      val df = (1L to 2000L).toDF("doc_id")
+      val s1 = Sampling.sampleByHash(df, col("doc_id"), 0.25)
+        .collect().map(_.getLong(0)).toSet
+      val s2 = Sampling.sampleByHash(df, col("doc_id"), 0.25)
+        .collect().map(_.getLong(0)).toSet
+      assert(s1 == s2)
+      assert(s1.size > 400 && s1.size < 600) // ~25% of 2000
+    }
+  }
+
   describe("Sketches vs exact answers") {
     it("HLL distinct count is within the configured error bound") {
       val df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
