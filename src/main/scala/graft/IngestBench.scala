@@ -31,8 +31,9 @@ object IngestBench {
     var written = 0L
     var i = 0
     while (written < targetBytes) {
+      val cents = f"${i % 100}%02d"
       val row = s"""$i,2013,Department ${i % 40},Job Title ${i % 500},FT,""" +
-        s""""$$${60000 + i % 90000}.${i % 100}%02d","$$${i % 9000}.00",""" +
+        s""""$$${60000 + i % 90000}.$cents","$$${i % 9000}.00",""" +
         s""""$$${i % 2000}.00","$$${10000 + i % 15000}.00"\n"""
       w.write(row)
       written += row.length
@@ -45,17 +46,29 @@ object IngestBench {
     // warm the JVM/codegen on a tiny ingest first (the reference's numbers
     // are steady-state service numbers, not cold-JVM numbers)
     val warmCsv = storage.resolve("warm.csv")
-    Files.write(warmCsv, Files.readAllLines(csv).subList(0, 100)
-      .stream().reduce("", (a: String, b: String) => a + b + "\n")
-      .getBytes("UTF-8"))
+    val reader = Files.newBufferedReader(csv)
+    val warmWriter = Files.newBufferedWriter(warmCsv)
+    try {
+      var line = reader.readLine()
+      var k = 0
+      while (line != null && k < 100) {
+        warmWriter.write(line); warmWriter.write("\n")
+        line = reader.readLine(); k += 1
+      }
+    } finally { reader.close(); warmWriter.close() }
     Pipeline.ingest(spark, storage, users, "Bench_Tenant", "pw",
       "corporate_warm.csv", warmCsv)
 
     val t0 = System.nanoTime()
     val built = Pipeline.ingest(spark, storage, users, "Bench_Tenant", "pw",
       "corporate_bench.csv", csv)
-    val nRows = built("corporate.fct_corporate").count()
+    val fct = built("corporate.fct_corporate")
+    val nRows = fct.count()
     val sec = (System.nanoTime() - t0) / 1e9
+    // self-check: the parse path must actually succeed, or the timing is
+    // measuring a pipeline that nulls every metric
+    val nBadPay = fct.filter(fct("total_amount").isNull).count()
+    require(nBadPay == 0, s"$nBadPay rows failed money parsing")
     println(s"""{"metric":"ingest_${sizeMb}mb","value":$sec,"unit":"sec","rows":$nRows,"reference_claim_sec":"30-60 (<10MB) / 60-180 (10-100MB)"}""")
     spark.stop()
   }

@@ -68,14 +68,24 @@ object Warehouse {
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val path = java.nio.file.Paths.get(dir)
-    // Hive-partitioned layout? recurse into each partition directory.
+    // Streaming file-sink output is manifest-tracked: rewriting files
+    // behind _spark_metadata's back makes readers silently drop data.
+    require(!java.nio.file.Files.exists(path.resolve("_spark_metadata")),
+      s"$dir is a streaming file-sink output (_spark_metadata present); " +
+        "stop the query and remove the manifest before compacting, or " +
+        "compact into a NEW directory")
+    // Hive-partitioned layout? recurse into each partition directory
+    // (skipping hidden/underscore dirs, which Spark ignores too).
     val partDirs = {
       val ls = java.nio.file.Files.list(path)
       try {
         import scala.jdk.CollectionConverters._
         ls.iterator().asScala
-          .filter(p => java.nio.file.Files.isDirectory(p) &&
-            p.getFileName.toString.contains("="))
+          .filter { p =>
+            val n = p.getFileName.toString
+            java.nio.file.Files.isDirectory(p) && n.contains("=") &&
+              !n.startsWith(".") && !n.startsWith("_")
+          }
           .toList
       } finally ls.close()
     }
@@ -90,9 +100,14 @@ object Warehouse {
       finally walk.close()
     }
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // tmp/old sibling names: leading '.' (Spark's readers and our own
+    // partition-recursion skip hidden dirs) and no '=' (so a partition
+    // leaf's scratch dir can never be partition-discovered as data —
+    // without this, compacting table/part=k1 would briefly create
+    // table/part=k1.compact-x, which readers would treat as a partition)
+    val safeName = "." + path.getFileName.toString.replace('=', '_')
     val tmp = path.resolveSibling(
-      path.getFileName.toString + ".compact-" +
-        java.util.UUID.randomUUID().toString.take(8))
+      safeName + ".compact-" + java.util.UUID.randomUUID().toString.take(8))
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     val old = path.resolveSibling(tmp.getFileName.toString + ".old")

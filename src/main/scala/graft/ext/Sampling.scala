@@ -48,12 +48,17 @@ object Sampling {
   /** Class-balanced cap: keep at most `n` rows per group, chosen by a
     * deterministic order (window row_number — one shuffle on the group
     * key; for heavily skewed groups, AQE splits the hot partitions).
+    * `orderCol` ties are broken by a hash of the whole row, so the kept
+    * set is stable across runs/partitionings even for non-unique order
+    * columns (row_number alone would tie-break by arrival order).
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
                   n: Int): DataFrame = {
-    val w = Window.partitionBy(groupCol).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    val tieBreak = pmod(hash(df.columns.map(col).toSeq: _*), lit(1 << 30))
+    val w = Window.partitionBy(groupCol).orderBy(col(orderCol), tieBreak)
+    val rn = s"__rn_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
   }
 }
