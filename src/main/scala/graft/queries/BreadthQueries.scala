@@ -91,7 +91,34 @@ object BreadthQueries {
       graft.ext.Sampling.capPerGroup(
         t(s, dir, "documents").select("doc_id", "source"),
         "source", "doc_id", 10)
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+
+    // Correlated scalar subquery: each customer's largest order (Catalyst
+    // decorrelates to an aggregate + join).
+    "q49_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").as("c").createOrReplaceTempView("q49_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q49_orders")
+      s.sql(
+        """SELECT c_custkey,
+                  (SELECT round(max(o_totalprice), 2) FROM q49_orders
+                   WHERE o_custkey = c_custkey) AS max_order
+           FROM q49_customer ORDER BY c_custkey""")
+    }),
+
+    // Array-function sweep over the embedding column: size, slicing,
+    // element stats, sort/contains — the collection-type surface.
+    "q50_array_funcs" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(v).as("dim"),
+        element_at(v, 1).as("first"),
+        element_at(v, -1).as("last"),
+        aggregate(slice(v, 1, 8), lit(0.0), _ + _).as("head8_sum"),
+        element_at(array_sort(v), 1).as("min_val"),
+        element_at(array_sort(v), 64).as("max_val"))
+        .orderBy("vec_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -146,6 +173,19 @@ object BreadthQueries {
            SELECT doc_id, source,
                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
            FROM documents) t
-         WHERE rn <= 10 ORDER BY source, doc_id"""
+         WHERE rn <= 10 ORDER BY source, doc_id""",
+
+    "q49_scalar_subquery" ->
+      """SELECT c_custkey,
+                (SELECT round(max(o_totalprice), 2) FROM orders
+                 WHERE o_custkey = c_custkey) AS max_order
+         FROM customer ORDER BY c_custkey""",
+
+    "q50_array_funcs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT vec_id, len(v) AS dim, v[1] AS first, v[-1] AS last,
+                list_sum(v[1:8]) AS head8_sum,
+                list_sort(v)[1] AS min_val, list_sort(v)[64] AS max_val
+         FROM e ORDER BY vec_id"""
   )
 }
