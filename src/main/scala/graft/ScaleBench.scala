@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling evidence beyond the bundled scale factors: synthesizes
+  * lineitem-shaped data with spark.range (no disk, so row count is bounded
+  * only by time) and times the core operator shapes at two sizes. If the
+  * design holds, time grows ~linearly with rows (hash aggregation,
+  * broadcast join, window) — superlinear growth would flag a plan that
+  * won't survive 100 TB. Usage: runMain graft.ScaleBench [rowsSmall rowsBig]
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val small = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val big = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def lineitem(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("orderkey"),
+      (col("id") % 200000).as("partkey"),
+      (col("id") % 1000).as("custkey"),
+      (pmod(hash(col("id")), lit(10000)) / 100.0).as("price"),
+      (pmod(hash(col("id"), lit(1)), lit(5))).cast("string").as("flag"))
+
+    def dim(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("partkey"),
+      concat(lit("brand"), (col("id") % 50).cast("string")).as("brand"))
+
+    val shapes: Seq[(String, Long => Double)] = Seq(
+      "hash_agg" -> { n =>
+        time { lineitem(n).groupBy("flag")
+          .agg(count(lit(1)), round(sum("price"), 2)).collect() }
+      },
+      "broadcast_join_agg" -> { n =>
+        time { lineitem(n).join(broadcast(dim(200000)), "partkey")
+          .groupBy("brand").agg(round(sum("price"), 2)).collect() }
+      },
+      "window_topk" -> { n =>
+        time { lineitem(n)
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("flag").orderBy(desc("price"), asc("orderkey"))))
+          .filter(col("rnk") <= 10).collect() }
+      },
+      "shuffle_join" -> { n =>
+        time { lineitem(n).as("a")
+          .join(lineitem(n / 10).as("b"), Seq("orderkey"))
+          .agg(count(lit(1))).collect() }
+      })
+
+    // warm-up
+    lineitem(100000L).groupBy("flag").count().collect()
+
+    val results = shapes.map { case (name, run) =>
+      val tSmall = run(small)
+      val tBig = run(big)
+      val scaling = tBig / tSmall / (big.toDouble / small)
+      (name, tSmall, tBig, scaling)
+    }
+    val qs = results.map { case (n, a, b, s) =>
+      f""""$n":{"small_sec":$a%.3f,"big_sec":$b%.3f,"per_row_ratio":$s%.3f}"""
+    }.mkString("{", ",", "}")
+    // per_row_ratio ~1.0 => linear scaling; <1 => fixed costs amortizing
+    println(s"""{"metric":"scaling","rows_small":$small,"rows_big":$big,"shapes":$qs}""")
+    spark.stop()
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+}
