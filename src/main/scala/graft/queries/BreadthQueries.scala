@@ -105,6 +105,27 @@ object BreadthQueries {
            FROM q49_customer ORDER BY c_custkey""")
     }),
 
+    // HAVING: post-aggregation group filter (planned as Filter above the
+    // final HashAggregate — no extra pass).
+    "q51_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("spend"))
+        .filter(col("n_orders") >= 20)
+        .orderBy("o_custkey")),
+
+    // Union-by-name: schema-aligned union of differently-ordered inputs.
+    "q52_union_by_name" -> ((s, dir) => {
+      val a = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          lit("customer").as("kind"))
+      val b = t(s, dir, "supplier")
+        .select(lit("supplier").as("kind"), col("s_name").as("name"),
+          col("s_suppkey").as("key")) // deliberately different column order
+      a.unionByName(b).orderBy("kind", "key")
+    }),
+
     // Array-function sweep over the embedding column: size, slicing,
     // element stats, sort/contains — the collection-type surface.
     "q50_array_funcs" -> ((s, dir) => {
@@ -186,6 +207,19 @@ object BreadthQueries {
          SELECT vec_id, len(v) AS dim, v[1] AS first, v[-1] AS last,
                 list_sum(v[1:8]) AS head8_sum,
                 list_sort(v)[1] AS min_val, list_sort(v)[64] AS max_val
-         FROM e ORDER BY vec_id"""
+         FROM e ORDER BY vec_id""",
+
+    "q51_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS spend
+         FROM orders GROUP BY 1 HAVING count(*) >= 20
+         ORDER BY o_custkey""",
+
+    "q52_union_by_name" ->
+      """SELECT key, name, kind FROM (
+           SELECT c_custkey AS key, c_name AS name, 'customer' AS kind FROM customer
+           UNION ALL
+           SELECT s_suppkey AS key, s_name AS name, 'supplier' AS kind FROM supplier)
+         ORDER BY kind, key"""
   )
 }
