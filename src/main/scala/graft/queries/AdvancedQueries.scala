@@ -28,13 +28,18 @@ object AdvancedQueries {
 
     // Exact interpolated percentiles per group (Spark `percentile` ==
     // DuckDB `quantile_cont`); cheap because the sort is per-group.
+    // Rounded to 4dp, NOT 2: interpolated values over 2-decimal prices are
+    // multiples of 0.0005 (e.g. an even-count median lands exactly on a
+    // .005 midpoint), which sit ON the 4dp grid but exactly AT the 2dp
+    // rounding boundary, where the engines' interpolation formulas differ
+    // by an ulp and flip the rounded cent.
     "q33_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
         .orderBy("l_returnflag")),
 
     // Conditional aggregation: filtered counts/sums in one pass (no
@@ -123,9 +128,9 @@ object AdvancedQueries {
   val oracleSql: Map[String, String] = Map(
     "q33_percentiles" ->
       """SELECT l_returnflag,
-                round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-                round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-                round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
 
     "q34_conditional_agg" ->
