@@ -77,6 +77,30 @@ class ServiceSuite extends SparkSpec {
     assert(report.head.getAs[Double]("total_budget") == 10005.0)
   }
 
+  it("runs tenant uploads concurrently (no global mutex — M6 dropped)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val csvA = writeCsv("conc_a.csv",
+      """Row ID,Year,Department Title,Job Class Title,Employment Type,Base Pay,Overtime Pay,Longevity Bonus Pay,Average Benefit Cost
+        |1,2013,D,JobA,FT,$100.00,,,
+        |""")
+    val csvB = writeCsv("conc_b.csv",
+      """last_name,first_name,district,school,primary_job,fte,experience_total,certificate,salary
+        |Roe,Jay,Camden,North,JobB,1.0,2,Std,40000
+        |""")
+    val fa = Future(svc.upload("LA", "p1", "corporate_conc.csv", csvA))
+    val fb = Future(svc.upload("NJ", "p2", "education_conc.csv", csvB))
+    val (ra, rb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(ra("corporate.fct_corporate").count() == 1)
+    assert(rb("education.fct_education").count() == 1)
+    // each landed in its own warehouse, untouched by the other
+    assert(svc.budgetReport("LA", "p1", "corporate_conc.csv")
+      .collect()(0).getAs[String]("job_title") == "JobA")
+    assert(svc.budgetReport("NJ", "p2", "education_conc.csv")
+      .collect()(0).getAs[String]("job_title") == "JobB")
+  }
+
   it("refuses cross-tenant access") {
     assertThrows[IllegalArgumentException](
       svc.budgetReport("LA", "wrong", "corporate_a.csv"))
