@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
-    val small = args.headOption.map(_.toLong).getOrElse(1000000L)
-    val big = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
+    val small = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val big = args.drop(1).headOption.map(_.toLong).getOrElse(100000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,17 +56,19 @@ object ScaleBench {
           .agg(count(lit(1))).collect() }
       })
 
-    // warm-up
-    lineitem(100000L).groupBy("flag").count().collect()
-
     val results = shapes.map { case (name, run) =>
+      // per-shape warm-up: an untimed small run absorbs codegen/JIT for
+      // THIS shape, so the ratio measures scaling, not warm-up
+      run(small)
       val tSmall = run(small)
       val tBig = run(big)
       val scaling = tBig / tSmall / (big.toDouble / small)
       (name, tSmall, tBig, scaling)
     }
+    def d3(x: Double): String = // Locale-independent (f"" uses default locale)
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val qs = results.map { case (n, a, b, s) =>
-      f""""$n":{"small_sec":$a%.3f,"big_sec":$b%.3f,"per_row_ratio":$s%.3f}"""
+      s""""$n":{"small_sec":${d3(a)},"big_sec":${d3(b)},"per_row_ratio":${d3(s)}}"""
     }.mkString("{", ",", "}")
     // per_row_ratio ~1.0 => linear scaling; <1 => fixed costs amortizing
     println(s"""{"metric":"scaling","rows_small":$small,"rows_big":$big,"shapes":$qs}""")

@@ -96,23 +96,29 @@ object BreadthQueries {
     // Correlated scalar subquery: each customer's largest order (Catalyst
     // decorrelates to an aggregate + join).
     "q49_scalar_subquery" -> ((s, dir) => {
-      t(s, dir, "customer").as("c").createOrReplaceTempView("q49_customer")
+      t(s, dir, "customer").createOrReplaceTempView("q49_customer")
       t(s, dir, "orders").createOrReplaceTempView("q49_orders")
-      s.sql(
+      val df = s.sql(
         """SELECT c_custkey,
                   (SELECT round(max(o_totalprice), 2) FROM q49_orders
                    WHERE o_custkey = c_custkey) AS max_order
            FROM q49_customer ORDER BY c_custkey""")
+      // plan is resolved eagerly by sql(); drop the views so the only
+      // queries-map entry with session side effects cleans up after itself
+      s.catalog.dropTempView("q49_customer")
+      s.catalog.dropTempView("q49_orders")
+      df
     }),
 
     // HAVING: post-aggregation group filter (planned as Filter above the
-    // final HashAggregate — no extra pass).
+    // final HashAggregate — no extra pass). Threshold 10 is non-trivial at
+    // every bundled scale factor (max orders/customer at sf0.001 is 18).
     "q51_having" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("spend"))
-        .filter(col("n_orders") >= 20)
+        .filter(col("n_orders") >= 10)
         .orderBy("o_custkey")),
 
     // Union-by-name: schema-aligned union of differently-ordered inputs.
@@ -136,8 +142,8 @@ object BreadthQueries {
         element_at(v, 1).as("first"),
         element_at(v, -1).as("last"),
         aggregate(slice(v, 1, 8), lit(0.0), _ + _).as("head8_sum"),
-        element_at(array_sort(v), 1).as("min_val"),
-        element_at(array_sort(v), 64).as("max_val"))
+        array_min(v).as("min_val"),
+        array_max(v).as("max_val"))
         .orderBy("vec_id")
     })
   )
@@ -206,13 +212,13 @@ object BreadthQueries {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT vec_id, len(v) AS dim, v[1] AS first, v[-1] AS last,
                 list_sum(v[1:8]) AS head8_sum,
-                list_sort(v)[1] AS min_val, list_sort(v)[64] AS max_val
+                list_min(v) AS min_val, list_max(v) AS max_val
          FROM e ORDER BY vec_id""",
 
     "q51_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS spend
-         FROM orders GROUP BY 1 HAVING count(*) >= 20
+         FROM orders GROUP BY 1 HAVING count(*) >= 10
          ORDER BY o_custkey""",
 
     "q52_union_by_name" ->
