@@ -63,6 +63,32 @@ final class GraftService(spark: SparkSession, storageBase: Path,
     export
   }
 
+  /** S4 — Arrow ingest: accept the upload as Arrow IPC record batches
+    * (the reference's do_put wire format), materialize to CSV in the Raw
+    * zone, and run the normal ingest path — mirroring the reference's
+    * arrow -> pandas -> csv sequence (`serve_flight.py:145-151`).
+    */
+  def uploadArrow(clientId: String, password: String, filename: String,
+                  batches: Array[Array[Byte]]): Map[String, DataFrame] = {
+    val df = org.apache.spark.sql.graftshim.ArrowBridge
+      .fromArrowBatches(spark, batches)
+    val tmp = Files.createTempDirectory("graft_arrow_upload")
+    val csvDir = tmp.resolve("csv")
+    df.coalesce(1).write.option("header", "true").csv(csvDir.toString)
+    val part = Files.list(csvDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException("no csv part written"))
+    upload(clientId, password, filename, part)
+  }
+
+  /** S7 — Arrow result stream: the budget report as Arrow IPC batches
+    * (the reference's do_get wire format, `serve_flight.py:301,330`).
+    */
+  def budgetReportArrow(clientId: String, password: String,
+                        filename: String): Array[Array[Byte]] =
+    org.apache.spark.sql.graftshim.ArrowBridge
+      .toArrowBatches(budgetReport(clientId, password, filename))
+
   /** List a tenant's raw uploads and built warehouses, sorted
     * (`serve_flight.py:337-363`, S11).
     */

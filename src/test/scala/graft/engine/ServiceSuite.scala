@@ -101,6 +101,33 @@ class ServiceSuite extends SparkSpec {
       .collect()(0).getAs[String]("job_title") == "JobB")
   }
 
+  it("round-trips the Arrow wire format (S4 upload / S7 result stream)") {
+    import org.apache.spark.sql.graftshim.ArrowBridge
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // pure bridge round-trip preserves data
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
+    val back = ArrowBridge.fromArrowBatches(spark, ArrowBridge.toArrowBatches(df))
+    assert(back.orderBy("k").collect().map(_.toSeq).toSeq ==
+      df.orderBy("k").collect().map(_.toSeq).toSeq)
+
+    // service: upload via Arrow batches, read the report back as Arrow
+    val raw = Seq(
+      ("1", "2013", "Ops", "Analyst", "FT", "$1,000.00", "", "", ""),
+      ("2", "2013", "Ops", "Analyst", "FT", "$2,000.00", "", "", ""))
+      .toDF("Row ID", "Year", "Department Title", "Job Class Title",
+        "Employment Type", "Base Pay", "Overtime Pay", "Longevity Bonus Pay",
+        "Average Benefit Cost")
+    svc.uploadArrow("LA", "p1", "corporate_arrow.csv",
+      ArrowBridge.toArrowBatches(raw))
+    val report = ArrowBridge.fromArrowBatches(spark,
+      svc.budgetReportArrow("LA", "p1", "corporate_arrow.csv"))
+    val row = report.collect()(0)
+    assert(row.getAs[String]("job_title") == "Analyst")
+    assert(row.getAs[Long]("total_employee") == 2L)
+    assert(row.getAs[Double]("total_budget") == 3000.0)
+  }
+
   it("refuses cross-tenant access") {
     assertThrows[IllegalArgumentException](
       svc.budgetReport("LA", "wrong", "corporate_a.csv"))
