@@ -39,6 +39,11 @@ object BucketBench {
       l.join(r, "orderkey").groupBy("priority")
         .agg(round(sum("price"), 2)).collect()
 
+    // broadcast disabled for BOTH legs — the experiment compares shuffle
+    // vs bucketed SMJ; at small row counts the plain leg would otherwise
+    // silently become a broadcast join and the comparison meaningless
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     joinAgg(fact.limit(1000000), orders.limit(100000)) // warm-up
     val plainSec = time(joinAgg(fact, orders))
 
@@ -46,8 +51,6 @@ object BucketBench {
       Warehouse.writeBucketed(fact, "bb_fact", "orderkey", cpus.toInt)
       Warehouse.writeBucketed(orders, "bb_orders", "orderkey", cpus.toInt)
     }
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val bucketedSec = time(
       joinAgg(spark.table("bb_fact"), spark.table("bb_orders")))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

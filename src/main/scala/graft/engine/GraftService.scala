@@ -70,15 +70,30 @@ final class GraftService(spark: SparkSession, storageBase: Path,
     */
   def uploadArrow(clientId: String, password: String, filename: String,
                   batches: Array[Array[Byte]]): Map[String, DataFrame] = {
+    // authenticate + gate BEFORE decoding anything — a bad caller must not
+    // cost a Spark job or leave payload bytes on disk
+    val tenant = auth(clientId, password)
+    Tenancy.validateFilename(tenant, filename)
+      .fold(e => throw new IllegalArgumentException(e), identity)
     val df = org.apache.spark.sql.graftshim.ArrowBridge
       .fromArrowBatches(spark, batches)
     val tmp = Files.createTempDirectory("graft_arrow_upload")
-    val csvDir = tmp.resolve("csv")
-    df.coalesce(1).write.option("header", "true").csv(csvDir.toString)
-    val part = Files.list(csvDir).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".csv"))
-      .getOrElse(throw new IllegalStateException("no csv part written"))
-    upload(clientId, password, filename, part)
+    try {
+      val csvDir = tmp.resolve("csv")
+      df.coalesce(1).write.option("header", "true").csv(csvDir.toString)
+      val ls = Files.list(csvDir)
+      val part =
+        try ls.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".csv"))
+          .getOrElse(throw new IllegalStateException("no csv part written"))
+        finally ls.close()
+      upload(clientId, password, filename, part)
+    } finally {
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
   }
 
   /** S7 — Arrow result stream: the budget report as Arrow IPC batches

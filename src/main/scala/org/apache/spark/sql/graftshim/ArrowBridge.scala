@@ -1,5 +1,6 @@
 package org.apache.spark.sql.graftshim
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.arrow.ArrowConverters
 
@@ -13,31 +14,44 @@ import org.apache.spark.sql.execution.arrow.ArrowConverters
   */
 object ArrowBridge {
 
-  /** DataFrame -> Arrow IPC batches (schema embedded in each batch). */
+  /** DataFrame -> Arrow IPC batches (schema embedded in each batch).
+    * Always returns at least one (possibly empty) batch so the schema
+    * survives a zero-row round trip.
+    */
   def toArrowBatches(df: DataFrame,
                      maxRecordsPerBatch: Long = 10000): Array[Array[Byte]] = {
     val schema = df.schema
     val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
-    df.queryExecution.toRdd.mapPartitions { it =>
+    val batches = df.queryExecution.toRdd.mapPartitions { it =>
+      // signature: (rowIter, schema, maxRecordsPerBatch,
+      //             maxEstimatedBatchSize, timeZoneId, ...)
       ArrowConverters.toBatchWithSchemaIterator(
-        it, schema, Long.MaxValue, maxRecordsPerBatch, tz,
+        it, schema, maxRecordsPerBatch, Long.MaxValue, tz,
         true /* errorOnDuplicatedFieldNames */, false /* largeVarTypes */)
     }.collect()
+    if (batches.nonEmpty) batches
+    else Array(ArrowConverters.createEmptyArrowBatch(schema, tz, true, false))
   }
 
-  /** Arrow IPC batches (schema embedded) -> DataFrame. The schema travels
-    * in the batches, so the receiver needs no side-channel contract.
+  /** Arrow IPC batches (schema embedded) -> DataFrame. The schema is read
+    * driver-side from the first batch; row decoding runs distributed
+    * (batch bytes are parallelized, same shape as Spark's own
+    * ArrowConverters.toDataFrame) so large payloads never materialize as
+    * rows on the driver.
     */
   def fromArrowBatches(spark: SparkSession,
                        batches: Array[Array[Byte]]): DataFrame = {
+    require(batches.nonEmpty,
+      "no Arrow batches: the sender must emit at least one (empty) batch")
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val (it, schema) =
-      ArrowConverters.fromBatchWithSchemaIterator(batches.iterator, null)
-    // copy: the iterator reuses its UnsafeRow buffer per element
-    val rows = it.map(_.copy()).toArray
-    cs.internalCreateDataFrame(
-      cs.sparkContext.parallelize(rows.toIndexedSeq,
-        math.max(1, math.min(rows.length, 8))),
-      schema, isStreaming = false)
+    val (_, schema) = ArrowConverters
+      .fromBatchWithSchemaIterator(Iterator(batches.head), null)
+    val rdd = cs.sparkContext
+      .parallelize(batches.toIndexedSeq,
+        math.max(1, math.min(batches.length, 32)))
+      .mapPartitions { it =>
+        ArrowConverters.fromBatchWithSchemaIterator(it, TaskContext.get())._1
+      }
+    cs.internalCreateDataFrame(rdd, schema, isStreaming = false)
   }
 }

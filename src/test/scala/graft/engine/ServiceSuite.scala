@@ -110,6 +110,13 @@ class ServiceSuite extends SparkSpec {
     val back = ArrowBridge.fromArrowBatches(spark, ArrowBridge.toArrowBatches(df))
     assert(back.orderBy("k").collect().map(_.toSeq).toSeq ==
       df.orderBy("k").collect().map(_.toSeq).toSeq)
+    // empty round-trip keeps the schema (at least one empty batch ships)
+    val empty = ArrowBridge.fromArrowBatches(spark,
+      ArrowBridge.toArrowBatches(df.limit(0)))
+    assert(empty.count() == 0 && empty.schema == df.schema)
+    // maxRecordsPerBatch caps records, not bytes: 5 rows / cap 2 -> 3 batches
+    val five = spark.range(5).coalesce(1).toDF("k")
+    assert(ArrowBridge.toArrowBatches(five, maxRecordsPerBatch = 2).length == 3)
 
     // service: upload via Arrow batches, read the report back as Arrow
     val raw = Seq(
