@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQueries, BreadthQueries, CorpusQueries, ExtensionQueries, ParityQueries, RelationalQueries}
+import graft.queries.{AdvancedQueries, BreadthQueries, CorpusQueries, ExtensionQueries, ParityQueries, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ RelationalQueries.queries ++
       ExtensionQueries.queries ++ AdvancedQueries.queries ++
-      CorpusQueries.queries ++ BreadthQueries.queries
+      CorpusQueries.queries ++ BreadthQueries.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++
       ExtensionQueries.oracleSql ++ AdvancedQueries.oracleSql ++
-      CorpusQueries.oracleSql ++ BreadthQueries.oracleSql
+      CorpusQueries.oracleSql ++ BreadthQueries.oracleSql ++
+      StreamingQueries.oracleSql
 }
