@@ -76,7 +76,7 @@ object IvfIndex {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("neighbor_id"))
     scored.select(col("query_id"), col("neighbor_id"), col("score"),
-      row_number().over(w).as("rnk"))
+      row_number().over(w).cast("long").as("rnk"))
       .filter(col("rnk") <= k)
   }
 }

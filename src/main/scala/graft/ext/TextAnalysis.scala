@@ -31,9 +31,9 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(wsTokens(col("text"))).as("n_tokens_ws"),
+      size(wsTokens(col("text"))).cast("long").as("n_tokens_ws"),
       size(regexp_extract_all(col("text"),
-        lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_tokens_re"))
+        lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_tokens_re"))
 
   /** Quality scoring: length, punctuation density, stopword density, and
     * average token length, combined into one [0,1] score.
@@ -42,7 +42,7 @@ object TextAnalysis {
     val toks = wsTokens(col("text"))
     docs.select(
       col("doc_id"),
-      size(toks).as("n_tokens"),
+      size(toks).cast("long").as("n_tokens"),
       (length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))
         .cast("double") / length(col("text"))).as("alnum_ratio"),
       (countIn(toks, enStopwords).cast("double") / size(toks))
@@ -62,7 +62,7 @@ object TextAnalysis {
     val toks = wsTokens(col("text"))
     val scored = docs.select(
       col("doc_id") +: langStopwords.map { case (l, ws) =>
-        countIn(toks, ws).as(s"c_$l")
+        countIn(toks, ws).cast("long").as(s"c_$l")
       }: _*)
     val Seq(en, es, fr, de) = langStopwords.map(l => col(s"c_${l._1}"))
     scored.withColumn("lang_pred",

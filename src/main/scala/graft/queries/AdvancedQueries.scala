@@ -65,16 +65,16 @@ object AdvancedQueries {
         lpad(col("p_partkey").cast("string"), 10, "0").as("key_pad"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         col("p_name").like("%green%").as("is_green"),
-        length(col("p_name")).as("name_len"))
+        length(col("p_name")).cast("long").as("name_len"))
         .orderBy("p_partkey")),
 
     // Date/time scalar sweep (UTC session; truncation + parts).
     "q36_date_funcs" -> ((s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
         date_trunc("month", col("o_orderdate")).as("month_start"),
         // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the
         // cast to instant is identity, enabling epoch extraction
@@ -135,7 +135,7 @@ object AdvancedQueries {
 
     "q34_conditional_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
-                count_if(o_totalprice > 200000) AS n_big,
+                CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
                 round(sum(CASE WHEN o_orderpriority = '1-URGENT'
                           THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total
          FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
@@ -181,7 +181,8 @@ object AdvancedQueries {
                   sum(coalesce(new_s, 0)) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
            FROM g)
-         SELECT user_id, session_id, count(*) AS n_events,
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                count(*) AS n_events,
                 epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
                 round(sum(value), 2) AS value_sum
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",

@@ -46,7 +46,8 @@ object BreadthQueries {
     "q44_ntile_histogram" -> ((s, dir) => {
       val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
       t(s, dir, "orders")
-        .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+        .select(col("o_totalprice"),
+          ntile(10).over(w).cast("long").as("decile"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           round(min("o_totalprice"), 2).as("lo"),
@@ -138,7 +139,7 @@ object BreadthQueries {
       val v = col("embedding").cast("array<double>")
       t(s, dir, "embeddings").select(
         col("vec_id"),
-        size(v).as("dim"),
+        size(v).cast("long").as("dim"),
         element_at(v, 1).as("first"),
         element_at(v, -1).as("last"),
         aggregate(slice(v, 1, 8), lit(0.0), _ + _).as("head8_sum"),

@@ -90,10 +90,11 @@ object CorpusQueries {
                   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
            FROM events GROUP BY 1)
          SELECT count(*) AS n_users,
-                count_if(t_signup IS NOT NULL) AS n_signup,
-                count_if(t_signup IS NOT NULL AND t_click > t_signup) AS n_signup_click,
-                count_if(t_signup IS NOT NULL AND t_click > t_signup
-                         AND t_purchase > t_click) AS n_full_funnel
+                CAST(count_if(t_signup IS NOT NULL) AS BIGINT) AS n_signup,
+                CAST(count_if(t_signup IS NOT NULL AND t_click > t_signup)
+                     AS BIGINT) AS n_signup_click,
+                CAST(count_if(t_signup IS NOT NULL AND t_click > t_signup
+                         AND t_purchase > t_click) AS BIGINT) AS n_full_funnel
          FROM per_user"""
   )
 }

@@ -158,7 +158,7 @@ object ParityQueries {
            SELECT l_returnflag, count(*) AS emp, sum(l_extendedprice) AS bud
            FROM lineitem GROUP BY 1)
          SELECT round(sum(bud), 2) AS total_budget,
-                sum(emp) AS total_employee,
+                CAST(sum(emp) AS BIGINT) AS total_employee,
                 round(CASE WHEN sum(emp) > 0 THEN sum(bud) / sum(emp)
                       ELSE 0.0 END, 2) AS avg_budget_per_employee
          FROM r""",

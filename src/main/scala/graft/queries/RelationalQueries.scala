@@ -82,7 +82,7 @@ object RelationalQueries {
         .orderBy(desc("p_retailprice"), asc("p_partkey"))
       t(s, dir, "part")
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
-          rank().over(w).as("rnk"))
+          rank().over(w).cast("long").as("rnk"))
         .filter(col("rnk") <= 3)
         .orderBy("p_brand", "rnk", "p_partkey")
     }),
@@ -193,9 +193,9 @@ object RelationalQueries {
 
     "q17_window_running" ->
       """SELECT o_custkey, o_orderkey,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-           AS running_spend
+           AS DECIMAL(28,2)) AS running_spend
          FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q18_setops" ->
@@ -222,7 +222,7 @@ object RelationalQueries {
 
     "q21_json_events" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                 round(sum(value), 2) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
   )

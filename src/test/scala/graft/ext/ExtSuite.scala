@@ -103,8 +103,8 @@ class ExtSuite extends SparkSpec {
     it("counts tokens both ways") {
       val t = TextAnalysis.tokenCounts(Seq((1L, "ab cd, ef!")).toDF("doc_id", "text"))
         .collect()(0)
-      assert(t.getAs[Int]("n_tokens_ws") == 3)
-      assert(t.getAs[Int]("n_tokens_re") == 5) // ab, cd, ",", ef, "!"
+      assert(t.getAs[Long]("n_tokens_ws") == 3L)
+      assert(t.getAs[Long]("n_tokens_re") == 5L) // ab, cd, ",", ef, "!"
     }
     it("predicts language by stopword votes with fixed priority") {
       val d = Seq(
