@@ -38,8 +38,12 @@ final class GraftService(spark: SparkSession, storageBase: Path,
   }
 
   private def auth(clientId: String, password: String): Tenancy.Tenant =
+    // Uniform failure message at the service boundary: distinguishing
+    // unknown-client from bad-password would enable client-id enumeration
+    // (the reference emits a single AUTHENTICATION_FAILED the same way).
     Tenancy.authenticate(users, clientId, password)
-      .fold(e => throw new IllegalArgumentException(e), identity)
+      .fold(_ => throw new IllegalArgumentException("AUTHENTICATION_FAILED"),
+        identity)
 
   /** Budget report over a prior upload (`serve_flight.py:295`), optionally
     * archived as `<base>_summary.csv` in Downloads (S8).
@@ -114,7 +118,11 @@ final class GraftService(spark: SparkSession, storageBase: Path,
       if (!Files.isDirectory(dir)) Seq.empty
       else {
         val stream = Files.list(dir)
-        try stream.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+        // hide in-progress/stale scratch dirs (dot-prefixed) and Spark
+        // metadata — only complete warehouses/uploads are listable
+        try stream.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+          .toSeq.sorted
         finally stream.close()
       }
     }

@@ -101,8 +101,13 @@ object Pipeline {
     val ordered = topoOrder(models)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val name = warehouse.getFileName.toString
-    val tmp = warehouse.resolveSibling(s"$name.tmp-$tag")
-    val old = warehouse.resolveSibling(s"$name.old-$tag")
+    // dot-prefixed scratch names: hidden from listFiles and from Spark's
+    // own file discovery, so a crash mid-build never surfaces a partial
+    // warehouse. Stale scratch from earlier crashed builds of the SAME
+    // warehouse is swept here (a crashed rename has no other cleanup path).
+    val tmp = warehouse.resolveSibling(s".$name.tmp-$tag")
+    val old = warehouse.resolveSibling(s".$name.old-$tag")
+    sweepStaleScratch(warehouse)
     try {
       var built = Map.empty[String, DataFrame]
       ordered.foreach { m =>
@@ -131,6 +136,29 @@ object Pipeline {
     } finally {
       deleteRecursively(tmp) // M8: no corrupt half-built leftovers
     }
+  }
+
+  /** Delete crashed builds' scratch dirs (`.{name}.tmp-*` / `.{name}.old-*`)
+    * for this warehouse. Age-gated so a CONCURRENT healthy build's scratch
+    * (which exists only for seconds) is never swept mid-swap.
+    */
+  private def sweepStaleScratch(warehouse: Path,
+                                olderThanMs: Long = 60 * 60 * 1000L): Unit = {
+    val parent = warehouse.getParent
+    val name = warehouse.getFileName.toString
+    if (parent == null || !Files.isDirectory(parent)) return
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val ls = Files.list(parent)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith(s".$name.tmp-") || n.startsWith(s".$name.old-")) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff
+        }
+        .toList.foreach(deleteRecursively)
+    } finally ls.close()
   }
 
   /** Entry point 1 (SURVEY.md §3.1) — upload + transform, end to end:

@@ -99,6 +99,9 @@ object Warehouse {
         .mapToLong(p => java.nio.file.Files.size(p)).sum()
       finally walk.close()
     }
+    // nothing to compact (empty or header-only sink dir): reading it back
+    // would fail schema inference with an unrelated-looking error
+    if (totalBytes == 0L) return
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // tmp/old sibling names: leading '.' (Spark's readers and our own
     // partition-recursion skip hidden dirs) and no '=' (so a partition

@@ -70,9 +70,9 @@ object CorpusQueries {
   val oracleSql: Map[String, String] = Map(
     "q40_top_ngrams" ->
       s"""WITH words AS (SELECT $tokSql AS w FROM documents),
-          bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram
-                 FROM words, generate_series(1, 2000) t(i)
-                 WHERE i <= len(w) - 1)
+          pos AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                  FROM words),
+          bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram FROM pos)
           SELECT bigram, count(*) AS n FROM bg GROUP BY 1
           ORDER BY n DESC, bigram LIMIT 20""",
 

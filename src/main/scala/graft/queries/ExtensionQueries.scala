@@ -28,12 +28,18 @@ object ExtensionQueries {
   private def hashSql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
-  /** Word-3-gram shingle CTEs (words, sh) over documents. */
+  /** Word-3-gram shingle CTEs (words, sh) over documents. Positions come
+    * from scalar-list `unnest(generate_series(1, len(w)-2))`, which allows
+    * per-row (correlated) bounds — unlike the table-function form, whose
+    * constant bound would silently truncate longer documents.
+    */
   private val shingleCte =
     raw"""words AS (SELECT doc_id, $tokSql AS w FROM documents),
-          sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                 FROM words, generate_series(1, 2000) t(i)
-                 WHERE i <= len(w) - 2)"""
+          pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                  FROM words),
+          sh AS (SELECT DISTINCT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                 FROM pos)"""
 
   private val NumHashes = 16
   private val RowsPerBand = 4

@@ -1,8 +1,14 @@
 package org.apache.spark.sql.graftshim
 
+import java.io.ByteArrayInputStream
+import java.nio.channels.Channels
+
+import org.apache.arrow.vector.ipc.ReadChannel
+import org.apache.arrow.vector.ipc.message.MessageSerializer
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.arrow.ArrowConverters
+import org.apache.spark.sql.util.ArrowUtils
 
 /** Arrow IPC wire bridge (SURVEY.md §2.1 S4/S7): the reference ships
   * record batches over Arrow Flight (`serve_flight.py:148,330`); this
@@ -44,8 +50,13 @@ object ArrowBridge {
     require(batches.nonEmpty,
       "no Arrow batches: the sender must emit at least one (empty) batch")
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val (_, schema) = ArrowConverters
-      .fromBatchWithSchemaIterator(Iterator(batches.head), null)
+    // Read the schema straight from the head batch's IPC schema message.
+    // (Probing via fromBatchWithSchemaIterator would leak its Arrow
+    // allocator unless the row iterator is fully drained: with a null
+    // TaskContext, closeAll only runs on exhaustion.)
+    val arrowSchema = MessageSerializer.deserializeSchema(new ReadChannel(
+      Channels.newChannel(new ByteArrayInputStream(batches.head))))
+    val schema = ArrowUtils.fromArrowSchema(arrowSchema)
     val rdd = cs.sparkContext
       .parallelize(batches.toIndexedSeq,
         math.max(1, math.min(batches.length, 32)))
