@@ -42,12 +42,14 @@ object BreadthQueries {
         .orderBy("doc_id", "tok")
     }),
 
-    // Decile histogram of order values: ntile over a total order.
+    // Decile histogram of order values: exact ntile over a total order,
+    // computed distributed (GlobalOrder) — the naive
+    // ntile().over(Window.orderBy(..)) collapses to ONE partition and
+    // cannot scale; this matches its semantics bit-for-bit.
     "q44_ntile_histogram" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_totalprice"),
-          ntile(10).over(w).cast("long").as("decile"))
+      graft.ext.GlobalOrder.withNtile(
+        t(s, dir, "orders").select("o_totalprice", "o_orderkey"),
+        10, Seq(col("o_totalprice"), col("o_orderkey")), "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           round(min("o_totalprice"), 2).as("lo"),

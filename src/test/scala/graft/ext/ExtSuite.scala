@@ -124,4 +124,32 @@ class ExtSuite extends SparkSpec {
       assert(fp(1L) != fp(3L))
     }
   }
+
+  describe("GlobalOrder") {
+    // non-trivial sizes including n % k != 0 and n < k
+    for ((n, k) <- Seq((97, 10), (100, 10), (5, 10), (64, 7))) {
+      it(s"ntile($k) over $n rows matches the single-partition window") {
+        val df = spark.range(n).select(
+          (col("id") * 7919 % 101).as("v"), col("id"))
+        val viaWindow = df.select(col("v"), col("id"),
+          ntile(k).over(org.apache.spark.sql.expressions.Window
+            .orderBy("v", "id")).cast("long").as("b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val viaGlobal = GlobalOrder
+          .withNtile(df, k, Seq(col("v"), col("id")), "b", partitions = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(viaGlobal == viaWindow)
+      }
+    }
+    it("row numbers are a contiguous 1..n permutation in sort order") {
+      val df = spark.range(1000).select((col("id") * 31 % 997).as("v"), col("id"))
+      val rn = GlobalOrder.withRowNumber(df, Seq(col("v"), col("id")),
+        "rn", partitions = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rn.map(_._3).sorted.toSeq == (1L to 1000L))
+      // rn order == (v, id) lexicographic order
+      assert(rn.sortBy(_._3).map(t => (t._1, t._2)).toSeq ==
+        rn.map(t => (t._1, t._2)).sortBy(identity).toSeq)
+    }
+  }
 }
