@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Readers
+import graft.ext.AsofJoin
+import graft.functions.Portable
+import graft.streaming.EventStream
+
+/** Round-2 batch: two-table as-of join (union-interleave, oracle = native
+  * DuckDB ASOF JOIN), streaming session windows run bounded against a
+  * batch sessionization oracle, CUBE, correlated EXISTS, lateral token
+  * positions, and a polynomial rolling-hash fingerprint.
+  */
+object Round2Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  /** Rolling polynomial hash params: acc < P < 2^30 and B ~ 2^20 keep
+    * acc*B + h30 < 2^51 — no BIGINT overflow on either engine.
+    */
+  private val RollB = 1000003L
+  private val RollP = Portable.MinhashPrime
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Two-table as-of join: for every purchase event, the same user's
+    // latest click at-or-before it. Right side pre-aggregated to unique
+    // (user_id, ts) — as-of ties inside the right table are undefined in
+    // every engine.
+    "q54_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      // carry the matched right time as a payload column (click_at)
+      val clicksR = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("click_us"))
+        .agg(max("event_id").as("click_id"))
+        .withColumn("click_at", col("click_us"))
+      AsofJoin.leftAsof(purchases, clicksR, "user_id", "ts_us", "click_us",
+        Seq("click_at", "click_id"))
+        .select("event_id", "user_id", "ts_us", "click_at", "click_id")
+        .orderBy("event_id")
+    }),
+
+    // The streaming session-window operator (EventStream.userSessions,
+    // watermarked session_window) run bounded — results hash-equal to a
+    // batch gap-sessionization oracle.
+    "q55_streaming_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val streamDir = java.nio.file.Files.createTempDirectory("q55_events")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream
+        .schema(StreamingQueries.eventsSchema)
+        .parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val name = "q55_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val out = EventStream.runToMemory(
+        EventStream.userSessions(stream), name)
+      out.select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("value_sum"), 2).as("value_sum"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // CUBE over two dimensions (rollup's big sibling: all 4 grouping sets).
+    "q56_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus")),
+
+    // Correlated EXISTS subquery (Catalyst decorrelates to a semi join).
+    "q57_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 400000)
+               ORDER BY c_custkey""")
+    }),
+
+    // Lateral positions: every token with its 1-based position
+    // (posexplode = Spark's LATERAL VIEW with ordinality).
+    "q58_lateral_positions" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Portable.wsTokens(col("text"))).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("tok"))
+        .orderBy("doc_id", "pos")),
+
+    // Rolling-hash document fingerprint: order-SENSITIVE polynomial hash
+    // over the token stream (the order-insensitive set fingerprint is
+    // q25) — fold is a single projection, no shuffle.
+    "q59_rolling_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(
+            transform(Portable.wsTokens(col("text")),
+              tok => Portable.hash30(tok)),
+            lit(0L),
+            (acc, h) => (acc * RollB + h) % RollP).as("roll_fp"))
+        .orderBy("doc_id"))
+  )
+
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
+  private def hash30Sql(e: String): String =
+    s"(CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT) & ${Portable.Hash30Mask})"
+
+  val oracleSql: Map[String, String] = Map(
+    "q54_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, epoch_us(ts) AS click_us,
+                         CAST(max(event_id) AS BIGINT) AS click_id
+                  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_us,
+                c.click_us AS click_at, c.click_id
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts_us >= c.click_us
+         ORDER BY p.event_id""",
+
+    "q55_streaming_sessions" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+                  sum(coalesce(new_s, 0)) OVER (PARTITION BY user_id
+                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g)
+         SELECT user_id,
+                CAST(min(ts) AS TIMESTAMP) AS session_start,
+                CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+                count(*) AS n_events,
+                round(sum(value), 2) AS value_sum
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
+
+    "q56_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+
+    "q57_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
+
+    "q58_lateral_positions" ->
+      s"""WITH words AS (SELECT doc_id, $tokSql AS w FROM documents),
+          pos AS (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w))) AS i FROM words)
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
+          FROM pos ORDER BY doc_id, pos""",
+
+    "q59_rolling_hash" ->
+      s"""WITH h AS (SELECT doc_id,
+                 list_transform($tokSql, t -> ${hash30Sql("t")}) AS hs
+               FROM documents)
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                   (a, b) -> (a * $RollB + b) % $RollP) AS roll_fp
+          FROM h ORDER BY doc_id"""
+  )
+}

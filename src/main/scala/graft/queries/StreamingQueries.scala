@@ -15,7 +15,7 @@ import graft.streaming.EventStream
   */
 object StreamingQueries {
 
-  private val eventsSchema = StructType(Seq(
+  private[queries] val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), // ts read as long (nanosAsLong)
     StructField("ts", LongType),
     StructField("user_id", LongType),

@@ -125,6 +125,32 @@ class ExtSuite extends SparkSpec {
     }
   }
 
+  describe("AsofJoin.leftAsof") {
+    it("matches latest right row at-or-before, inclusive on ties") {
+      val left = Seq((1L, 10L, "p1"), (1L, 25L, "p2"), (2L, 5L, "p3"))
+        .toDF("k", "t", "tag")
+      val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (3L, 1L, 300L))
+        .toDF("k", "rt", "v")
+      val got = AsofJoin.leftAsof(left, right, "k", "t", "rt", Seq("v"))
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+          Option(r.getAs[Any]("v")))
+        .toMap
+      assert(got((1L, 10L)) == Some(100L)) // tie: rt == t counts (<=)
+      assert(got((1L, 25L)) == Some(200L)) // latest of {10, 20}
+      assert(got((2L, 5L)) == None)        // key with no right rows
+    }
+    it("keeps all left columns and ignores future right rows") {
+      val left = Seq((7L, 100L, 1.5)).toDF("k", "t", "x")
+      val right = Seq((7L, 101L, 9L)).toDF("k", "rt", "v")
+      val rows = AsofJoin.leftAsof(left, right, "k", "t", "rt", Seq("v"))
+        .collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Double]("x") == 1.5)
+      assert(rows(0).isNullAt(rows(0).fieldIndex("v"))) // right is AFTER left
+    }
+  }
+
   describe("GlobalOrder") {
     // non-trivial sizes including n % k != 0 and n < k
     for ((n, k) <- Seq((97, 10), (100, 10), (5, 10), (64, 7))) {
