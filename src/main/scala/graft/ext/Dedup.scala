@@ -53,23 +53,23 @@ object Dedup {
     * at least one shingle).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    // each shingle row carries its document's total shingle count (one
+    // window pass over the doc_id shuffle) so |A| and |B| ride along with
+    // the inverted-index join — without this, sizes would be a separate
+    // aggregate joined back in, re-scanning and re-shingling the corpus
+    // twice more (4 corpus passes instead of 2 in the physical plan)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val sh = shingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("a")
+      .withColumn("n_shingles", count(lit(1)).over(w))
+    sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_shingles").as("n_a"), col("b.n_shingles").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    // no broadcast hint on sizes: one row per document means it only fits
-    // in memory at small corpus sizes — AQE broadcasts it when it is small
-    // and shuffle-joins when it is not
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
-          (col("sa.n_shingles") + col("sb.n_shingles") - col("n_inter")))
-          .as("jaccard"))
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -21,11 +21,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GlobalOrder {
 
-  /** Append a 1-based global row number in the total order of `sortCols`.
-    * Scales: no single-partition window; ordering work is a range shuffle.
+  /** Range-sort `df` on `sortCols` and number rows 1..n in that order.
+    * Returns the numbered DataFrame plus the total row count (free — it
+    * falls out of the per-partition count job, so callers that need n,
+    * like ntile, don't pay a third pass).
     */
-  def withRowNumber(df: DataFrame, sortCols: Seq[Column],
-                    out: String = "rn", partitions: Int = 0): DataFrame = {
+  private def numbered(df: DataFrame, sortCols: Seq[Column], out: String,
+                       partitions: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
     else spark.sessionState.conf.numShufflePartitions
@@ -33,13 +35,26 @@ object GlobalOrder {
       .sortWithinPartitions(sortCols: _*)
     val schema = StructType(
       sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    // zipWithIndex = one count-per-partition job + one numbering pass;
-    // indices are contiguous in partition order = the range-sort order
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+    val rdd0 = sorted.rdd
+    // job 1: count per partition -> contiguous index offsets in range order
+    val counts = rdd0
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    // job 2: assign 1-based numbers
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
     }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema), counts.sum)
   }
+
+  /** Append a 1-based global row number in the total order of `sortCols`.
+    * Scales: no single-partition window; ordering work is a range shuffle.
+    */
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column],
+                    out: String = "rn", partitions: Int = 0): DataFrame =
+    numbered(df, sortCols, out, partitions)._1
 
   /** Exact NTILE(k) over a total order, same semantics as
     * `ntile(k).over(Window.orderBy(sortCols))`: with n rows, the first
@@ -49,11 +64,10 @@ object GlobalOrder {
   def withNtile(df: DataFrame, k: Int, sortCols: Seq[Column],
                 out: String = "bucket", partitions: Int = 0): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
-    val n = df.count()
+    val (rn, n) = numbered(df, sortCols, "__graft_rn", partitions)
     val base = n / k
     val rem = n % k
     val cut = rem * (base + 1)
-    val rn = withRowNumber(df, sortCols, "__graft_rn", partitions)
     // `div` = exact integer division on longs (Column./ would go double)
     rn.withColumn(out,
       when(col("__graft_rn") <= cut,

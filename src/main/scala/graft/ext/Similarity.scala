@@ -49,7 +49,11 @@ object Similarity {
     */
   def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = withNorm2(queries, "query_id", "qv")
-    val c = withNorm2(corpus, "neighbor_id", "cv")
+    // same single-split hazard as neardupPairs: the corpus is the stream
+    // side of a broadcast join, so its input split count IS the
+    // parallelism of the scoring loop
+    val p = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = withNorm2(corpus, "neighbor_id", "cv").repartition(p)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -65,7 +69,12 @@ object Similarity {
     * quadratic candidate set — use [[lshNeardupPairs]] beyond ~1M vectors.
     */
   def neardupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = withNorm2(emb, "vec_a", "va")
+    // spread the probe side across all cores: a small corpus often arrives
+    // as ONE parquet split, and a broadcast nested-loop join inherits the
+    // stream side's partitioning — without this the O(n²) pair loop runs
+    // in a single task no matter how many executors exist
+    val p = emb.sparkSession.sparkContext.defaultParallelism
+    val a = withNorm2(emb, "vec_a", "va").repartition(p)
     val b = withNorm2(emb, "vec_b", "vb")
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
