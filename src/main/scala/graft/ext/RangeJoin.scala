@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join via time binning.
+  *
+  * Spark plans a bare `p.ts >= i.start && p.ts < i.end` join as a
+  * broadcast-nested-loop — O(|P|·|I|) comparisons, unusable when neither
+  * side broadcasts. Binning converts it to an equi-join: every interval
+  * explodes to the fixed-width bins it overlaps, every point maps to its
+  * one bin, the join key is the bin id, and the exact predicate re-filters
+  * the per-bin candidates. Work becomes O(|P| + |I|·len/bin + candidates),
+  * shuffled by bin — the standard trick Spark itself lacks but dedicated
+  * engines ship as a native operator.
+  *
+  * Pick `binUs` near the typical interval length: too small inflates the
+  * interval explode factor (len/bin copies per interval), too large
+  * inflates per-bin candidate pairs. Both sides' column names must be
+  * disjoint (the join keeps all of them).
+  */
+object RangeJoin {
+
+  /** Match every point to every interval containing it — `[start, end)`
+    * semantics over long microsecond columns. Intervals with
+    * `end <= start` are dropped (empty by definition; also keeps the
+    * descending-`sequence` footgun out: Spark generates a DESCENDING range
+    * when the upper bin sorts below the lower one).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointUs: String, startUs: String, endUs: String,
+                      binUs: Long): DataFrame = {
+    require(binUs > 0, s"bin width must be positive, got $binUs")
+    val p = points.withColumn("__bin", expr(s"$pointUs div $binUs"))
+    val i = intervals
+      .filter(col(endUs) > col(startUs))
+      .withColumn("__bin", explode(sequence(
+        expr(s"$startUs div $binUs"), expr(s"($endUs - 1) div $binUs"))))
+    p.join(i, Seq("__bin")).drop("__bin")
+      .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))
+  }
+}

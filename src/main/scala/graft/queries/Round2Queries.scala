@@ -102,6 +102,25 @@ object Round2Queries {
           col("tok"))
         .orderBy("doc_id", "pos")),
 
+    // Keyless range join via binning: events falling inside the 20
+    // busiest hours (intervals derived rank-based so the query is
+    // scale-factor-independent). A bare range predicate would plan as a
+    // nested-loop join; RangeJoin makes it an equi-join on bin ids.
+    "q60_range_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        .select("event_id", "ts_us")
+      val hourUs = 3600L * 1000000
+      val busy = events(s, dir)
+        .groupBy(expr(s"(ts div 1000) div $hourUs * $hourUs").as("start_us"))
+        .agg(count(lit(1)).as("hn"))
+        .orderBy(desc("hn"), asc("start_us")).limit(20)
+        .withColumn("end_us", col("start_us") + hourUs)
+      graft.ext.RangeJoin.pointInInterval(
+        ev, busy, "ts_us", "start_us", "end_us", hourUs)
+        .select("event_id", "start_us", "hn")
+        .orderBy("event_id", "start_us")
+    }),
+
     // Rolling-hash document fingerprint: order-SENSITIVE polynomial hash
     // over the token stream (the order-insensitive set fingerprint is
     // q25) — fold is a single projection, no shuffle.
@@ -173,6 +192,17 @@ object Round2Queries {
                          unnest(generate_series(1, len(w))) AS i FROM words)
           SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
           FROM pos ORDER BY doc_id, pos""",
+
+    "q60_range_join" ->
+      """WITH busy AS (
+           SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS start_us,
+                  count(*) AS hn
+           FROM events GROUP BY 1 ORDER BY hn DESC, start_us LIMIT 20)
+         SELECT e.event_id, b.start_us, CAST(b.hn AS BIGINT) AS hn
+         FROM events e JOIN busy b
+           ON epoch_us(e.ts) >= b.start_us
+          AND epoch_us(e.ts) < b.start_us + 3600000000
+         ORDER BY event_id, start_us""",
 
     "q59_rolling_hash" ->
       s"""WITH h AS (SELECT doc_id,

@@ -151,6 +151,22 @@ class ExtSuite extends SparkSpec {
     }
   }
 
+  describe("RangeJoin.pointInInterval") {
+    it("matches the naive range join on unaligned/overlapping intervals") {
+      val pts = (0L until 200L).map(i => (i, i * 37 % 1000)).toDF("pid", "t")
+      val ivs = Seq((100L, 1L, 250L), (101L, 240L, 900L), (102L, 50L, 51L),
+        (103L, 500L, 500L), /* empty */ (104L, 999L, 2000L))
+        .toDF("iid", "s", "e")
+      for (bin <- Seq(1L, 64L, 1000L, 5000L)) {
+        val got = RangeJoin.pointInInterval(pts, ivs, "t", "s", "e", bin)
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = pts.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"bin=$bin")
+      }
+    }
+  }
+
   describe("GlobalOrder") {
     // non-trivial sizes including n % k != 0 and n < k
     for ((n, k) <- Seq((97, 10), (100, 10), (5, 10), (64, 7))) {
