@@ -121,6 +121,45 @@ object Round2Queries {
         .orderBy("event_id", "start_us")
     }),
 
+    // Sorted set-aggregation into arrays (collect_set is unordered —
+    // array_sort makes it comparable across engines).
+    "q61_array_agg" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(array_sort(collect_set("c_mktsegment")).as("segments"),
+          countDistinct("c_mktsegment").as("n_segments"))
+        .orderBy("c_nationkey")),
+
+    // Window navigation sweep: lag, lead-with-default, first_value and
+    // nth_value over a running frame.
+    "q62_window_nav" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1, -1.0).over(w).as("next_price"),
+        first("o_totalprice").over(run).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(run).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // GROUPING SETS with grouping flags (the general form of q20's rollup
+    // and q56's cube), via the SQL surface.
+    "q63_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                      coalesce(l_linestatus, 'ALL') AS linestatus,
+                      CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                      CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                      count(*) AS n
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                       (l_returnflag, l_linestatus))
+               ORDER BY returnflag, linestatus""")
+    }),
+
     // Rolling-hash document fingerprint: order-SENSITIVE polynomial hash
     // over the token stream (the order-insensitive set fingerprint is
     // q25) — fold is a single projection, no shuffle.
@@ -192,6 +231,37 @@ object Round2Queries {
                          unnest(generate_series(1, len(w))) AS i FROM words)
           SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
           FROM pos ORDER BY doc_id, pos""",
+
+    "q61_array_agg" ->
+      """SELECT c_nationkey,
+                list_sort(list(DISTINCT c_mktsegment)) AS segments,
+                count(DISTINCT c_mktsegment) AS n_segments
+         FROM customer GROUP BY 1 ORDER BY c_nationkey""",
+
+    "q62_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice) OVER w AS prev_price,
+                lead(o_totalprice, 1, -1.0) OVER w AS next_price,
+                first_value(o_totalprice) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS first_price,
+                nth_value(o_totalprice, 2) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q63_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))
+         ORDER BY returnflag, linestatus""",
 
     "q60_range_join" ->
       """WITH busy AS (

@@ -140,4 +140,20 @@ class ServiceSuite extends SparkSpec {
       svc.budgetReport("LA", "wrong", "corporate_a.csv"))
   }
 
+  it("auth failures are indistinguishable (no client-id enumeration)") {
+    val badPw = intercept[IllegalArgumentException](
+      svc.listFiles("LA", "wrong"))
+    val badId = intercept[IllegalArgumentException](
+      svc.listFiles("NOBODY", "p1"))
+    assert(badPw.getMessage == badId.getMessage)
+    assert(badPw.getMessage == "AUTHENTICATION_FAILED")
+  }
+
+  it("listFiles hides scratch and metadata entries") {
+    Files.createDirectories(storage.resolve("LA/Clean/.wh.tmp-abc"))
+    Files.createDirectories(storage.resolve("LA/Clean/_spark_metadata"))
+    val (_, clean) = svc.listFiles("LA", "p1")
+    assert(!clean.exists(n => n.startsWith(".") || n.startsWith("_")))
+  }
+
 }
