@@ -121,6 +121,17 @@ object Round2Queries {
         .orderBy("event_id", "start_us")
     }),
 
+    // IVF ANN top-k: KMeans coarse quantizer + probed-cell scoring. No
+    // SQL oracle (KMeans centroids are not SQL-expressible) -> the driver
+    // records the weaker rows-only check; recall vs brute force is
+    // asserted in ExtSuite instead.
+    "q64_ann_ivf" -> ((s, dir) => {
+      val e = Readers.table(s, dir, "embeddings")
+      val model = graft.ext.IvfIndex.build(s, e, nCells = 16)
+      graft.ext.IvfIndex.knn(model, e.filter(col("vec_id") < 10), 5, nProbe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Sorted set-aggregation into arrays (collect_set is unordered —
     // array_sort makes it comparable across engines).
     "q61_array_agg" -> ((s, dir) =>
