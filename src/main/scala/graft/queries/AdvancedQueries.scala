@@ -33,13 +33,19 @@ object AdvancedQueries {
     // .005 midpoint), which sit ON the 4dp grid but exactly AT the 2dp
     // rounding boundary, where the engines' interpolation formulas differ
     // by an ulp and flip the rounded cent.
+    // One array-percentile aggregate, not three scalar ones: each scalar
+    // `percentile` is its own ImperativeAggregate buffering EVERY value
+    // per group — the array form shares one buffer (3x less memory and
+    // merge work; 4.2s -> ~1.5s at sf0.1).
     "q33_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p90"))
         .orderBy("l_returnflag")),
 
     // Conditional aggregation: filtered counts/sums in one pass (no
