@@ -121,6 +121,19 @@ object Round2Queries {
         .orderBy("event_id", "start_us")
     }),
 
+    // Dedup GROUPS: connected components (iterative hash-to-min label
+    // propagation) over the exact-Jaccard near-dup pairs — the iterative
+    // Spark algorithm is verified against a DuckDB RECURSIVE CTE
+    // transitive closure.
+    "q65_dedup_groups" -> ((s, dir) => {
+      import graft.ext.{Dedup, DedupGroups}
+      val pairs = Dedup.jaccardPairs(
+        Readers.table(s, dir, "documents"), 0.5)
+      DedupGroups.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // IVF ANN top-k: KMeans coarse quantizer + probed-cell scoring. No
     // SQL oracle (KMeans centroids are not SQL-expressible) -> the driver
     // records the weaker rows-only check; recall vs brute force is
@@ -242,6 +255,20 @@ object Round2Queries {
                          unnest(generate_series(1, len(w))) AS i FROM words)
           SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
           FROM pos ORDER BY doc_id, pos""",
+
+    "q65_dedup_groups" -> {
+      val pairsSql = ExtensionQueries.oracleSql("q27_dedup_jaccard")
+      s"""WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ($pairsSql) t),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+            nodes AS (SELECT DISTINCT a AS id FROM e),
+            reach(id, m) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.id)
+          SELECT id AS doc_id, min(m) AS component
+          FROM reach GROUP BY 1 ORDER BY doc_id"""
+    },
 
     "q61_array_agg" ->
       """SELECT c_nationkey,
