@@ -121,6 +121,20 @@ object Round2Queries {
         .orderBy("event_id", "start_us")
     }),
 
+    // ANSI-safe arithmetic: try_divide nulls on zero denominators,
+    // try_cast nulls on garbage — Spark 4 runs ANSI-on by default, where
+    // plain / and CAST would THROW; these are the production-safe forms
+    // (DuckDB expresses the same as NULLIF-guarded division + TRY_CAST).
+    "q66_try_arithmetic" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        try_divide(col("o_totalprice"), (col("o_orderkey") % 5).cast("double"))
+          .as("per_bucket"),
+        when(col("o_orderkey") % 3 === 0, lit("badnum"))
+          .otherwise(col("o_orderkey").cast("string"))
+          .try_cast("double").as("maybe_num"))
+        .orderBy("o_orderkey")),
+
     // Dedup GROUPS: connected components (iterative hash-to-min label
     // propagation) over the exact-Jaccard near-dup pairs — the iterative
     // Spark algorithm is verified against a DuckDB RECURSIVE CTE
@@ -255,6 +269,15 @@ object Round2Queries {
                          unnest(generate_series(1, len(w))) AS i FROM words)
           SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
           FROM pos ORDER BY doc_id, pos""",
+
+    "q66_try_arithmetic" ->
+      """SELECT o_orderkey,
+                o_totalprice / nullif(CAST(o_orderkey % 5 AS DOUBLE), 0.0)
+                  AS per_bucket,
+                TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'badnum'
+                              ELSE CAST(o_orderkey AS VARCHAR) END AS DOUBLE)
+                  AS maybe_num
+         FROM orders ORDER BY o_orderkey""",
 
     "q65_dedup_groups" -> {
       val pairsSql = ExtensionQueries.oracleSql("q27_dedup_jaccard")
