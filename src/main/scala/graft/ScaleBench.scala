@@ -54,6 +54,44 @@ object ScaleBench {
         time { lineitem(n).as("a")
           .join(lineitem(n / 10).as("b"), Seq("orderkey"))
           .agg(count(lit(1))).collect() }
+      },
+      // round-2 operators: as-of join (union-interleave), binned range
+      // join, distributed ntile — all must scale ~linearly or they don't
+      // belong in a 100 TB plan
+      "asof_join" -> { n =>
+        time {
+          // n point lookups against n/10 reference rows, 1000 keys
+          val left = spark.range(n).select(
+            (col("id") % 1000).as("k"), (col("id") * 7L % 1000000L).as("t"),
+            col("id").as("payload"))
+          val right = spark.range(n / 10).select(
+            (col("id") % 1000).as("k"),
+            (col("id") * 13L % 1000000L).as("rt")).distinct()
+            .withColumn("v", col("rt") + 1)
+          graft.ext.AsofJoin.leftAsof(left, right, "k", "t", "rt", Seq("v"))
+            .agg(count(lit(1)), sum("v")).collect()
+        }
+      },
+      "range_join_binned" -> { n =>
+        time {
+          // n points vs 10k intervals of width ~1000 over a 1e9 domain
+          val pts = spark.range(n).select(col("id").as("pid"),
+            (hash(col("id")).cast("long").bitwiseAND(0x3FFFFFFFL) * 2).as("t"))
+          val ivs = spark.range(10000).select(col("id").as("iid"),
+            (hash(col("id"), lit(7)).cast("long").bitwiseAND(0x3FFFFFFFL) * 2)
+              .as("s"))
+            .withColumn("e", col("s") + 1000L)
+          graft.ext.RangeJoin.pointInInterval(pts, ivs, "t", "s", "e", 1024L)
+            .agg(count(lit(1))).collect()
+        }
+      },
+      "global_ntile" -> { n =>
+        time {
+          graft.ext.GlobalOrder.withNtile(
+            lineitem(n).select("price", "orderkey"), 10,
+            Seq(col("price"), col("orderkey")), "decile")
+            .groupBy("decile").agg(count(lit(1))).collect()
+        }
       })
 
     val results = shapes.map { case (name, run) =>
