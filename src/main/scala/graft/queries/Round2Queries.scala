@@ -121,6 +121,25 @@ object Round2Queries {
         .orderBy("event_id", "start_us")
     }),
 
+    // Multimodal decode path, oracle-verified: documents' text bytes play
+    // the role of media blobs; Multimodal.decodeStats runs the real
+    // mapPartitions plumbing with the md5-derived stub codec, whose
+    // outputs ARE SQL-expressible — so the whole binary-column pipeline
+    // (schema, batch shape, per-partition codec init) gets a value-level
+    // DuckDB check, not just unit tests.
+    "q67_multimodal_stats" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      graft.ext.Multimodal.decodeStats(media)
+        .select(col("media_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("media_id")
+    }),
+
     // ANSI-safe arithmetic: try_divide nulls on zero denominators,
     // try_cast nulls on garbage — Spark 4 runs ANSI-on by default, where
     // plain / and CAST would THROW; these are the production-safe forms
@@ -269,6 +288,14 @@ object Round2Queries {
                          unnest(generate_series(1, len(w))) AS i FROM words)
           SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
           FROM pos ORDER BY doc_id, pos""",
+
+    "q67_multimodal_stats" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                round(CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) / 255.0, 6) AS mean_r,
+                round(CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) / 255.0, 6) AS mean_g,
+                round(CAST(('0x' || substr(md5(text), 5, 2)) AS INTEGER) / 255.0, 6) AS mean_b
+         FROM documents ORDER BY media_id""",
 
     "q66_try_arithmetic" ->
       """SELECT o_orderkey,
