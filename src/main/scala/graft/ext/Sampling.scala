@@ -45,6 +45,24 @@ object Sampling {
                    buckets: Int = 10000): DataFrame =
     df.filter(hashBucket(key, buckets) < math.round(fraction * buckets))
 
+  /** Stratified sampling: a different keep-fraction per stratum value
+    * (class rebalancing — downsample the majority class, keep the rare
+    * one whole). Same content-hash determinism as [[sampleByHash]]: no
+    * rand(), assignments survive re-runs over grown data. Strata not in
+    * `fractions` keep `default`.
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+                       fractions: Map[String, Double],
+                       default: Double = 0.0,
+                       buckets: Int = 10000): DataFrame = {
+    val cut = fractions.foldLeft(
+      lit(math.round(default * buckets)): Column) {
+      case (acc, (s, f)) =>
+        when(strata === s, lit(math.round(f * buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(key, buckets) < cut)
+  }
+
   /** Class-balanced cap: keep at most `n` rows per group, chosen by a
     * deterministic order (window row_number — one shuffle on the group
     * key; for heavily skewed groups, AQE splits the hot partitions).

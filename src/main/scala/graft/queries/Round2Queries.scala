@@ -121,6 +121,16 @@ object Round2Queries {
         .orderBy("event_id", "start_us")
     }),
 
+    // Stratified (per-class) deterministic sampling: downsample open
+    // orders to 10%, finished to 50%, keep everything else — content-hash
+    // based, so the kept set is stable across runs and engines.
+    "q68_stratified_sample" -> ((s, dir) =>
+      graft.ext.Sampling.stratifiedSample(
+        t(s, dir, "orders"), col("o_orderstatus"), col("o_orderkey"),
+        Map("O" -> 0.1, "F" -> 0.5), default = 1.0)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
     // Multimodal decode path, oracle-verified: documents' text bytes play
     // the role of media blobs; Multimodal.decodeStats runs the real
     // mapPartitions plumbing with the md5-derived stub codec, whose
@@ -288,6 +298,15 @@ object Round2Queries {
                          unnest(generate_series(1, len(w))) AS i FROM words)
           SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
           FROM pos ORDER BY doc_id, pos""",
+
+    "q68_stratified_sample" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 10000) <
+               CASE o_orderstatus WHEN 'O' THEN 1000
+                                  WHEN 'F' THEN 5000
+                                  ELSE 10000 END
+         ORDER BY o_orderkey""",
 
     "q67_multimodal_stats" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
