@@ -63,8 +63,9 @@ object Round2Queries {
         .parquet(streamDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val name = "q55_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // session state is keyed by user (~thousands): 8 partitions suffice
       val out = EventStream.runToMemory(
-        EventStream.userSessions(stream), name)
+        EventStream.userSessions(stream), name, statePartitions = Some(8))
       out.select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("value_sum"), 2).as("value_sum"))
         .orderBy("user_id", "session_start")

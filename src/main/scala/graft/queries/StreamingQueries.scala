@@ -37,8 +37,9 @@ object StreamingQueries {
         .parquet(streamDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val name = "q53_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // ~720 hour-windows x ~5 event types of state: 8 partitions, not 32
       val out = EventStream.runToMemory(
-        EventStream.hourlyCounts(stream), name)
+        EventStream.hourlyCounts(stream), name, statePartitions = Some(8))
       out.select(col("window_start"), col("event_type"), col("n"),
         round(col("value_sum"), 2).as("value_sum"))
         .orderBy("window_start", "event_type")

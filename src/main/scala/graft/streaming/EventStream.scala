@@ -98,16 +98,30 @@ object EventStream {
 
   /** Convenience: run a streaming transform to completion against a memory
     * sink and return the result table (for tests and bounded backfills).
+    *
+    * `statePartitions` sizes the state store for THIS query (read from
+    * `spark.sql.shuffle.partitions` at stream start, then restored):
+    * state-partition count should track key cardinality — tiny keyed
+    * state spread over many partitions pays per-partition store/commit
+    * overhead for nothing, exactly like over-provisioned state stores on
+    * a real cluster.
     */
   def runToMemory(df: DataFrame, name: String,
-                  outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                  outputMode: OutputMode = OutputMode.Complete(),
+                  statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(p => spark.conf.set(key, p.toString))
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally statePartitions.foreach(_ => spark.conf.set(key, prev))
     df.sparkSession.table(name)
   }
 }
