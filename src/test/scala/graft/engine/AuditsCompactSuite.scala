@@ -145,5 +145,13 @@ class AuditsCompactSuite extends SparkSpec {
       assert(after.count() == 10000)
       assert(after.agg(sum("v")).as[Long].collect()(0) == 10000L * 9999)
     }
+
+    it("is a no-op on a dir with no parquet bytes") {
+      val dir = Files.createTempDirectory("graft_compact_empty").resolve("t")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+      Warehouse.compact(spark, dir.toString) // must not throw
+      assert(Files.exists(dir.resolve("_SUCCESS")))
+    }
   }
 }

@@ -103,6 +103,26 @@ class PipelineSuite extends SparkSpec {
         finally stream.close()
       assert(leftovers.isEmpty, s"leftover temp dirs: $leftovers")
     }
+
+    it("sweeps stale crashed-build scratch but not fresh scratch") {
+      val warehouse = storage.resolve(
+        "LA_Office/Clean/LA_Office_corporate_corporate_2013")
+      val name = warehouse.getFileName.toString
+      val stale = warehouse.resolveSibling(s".$name.tmp-dead1234")
+      val fresh = warehouse.resolveSibling(s".$name.old-live5678")
+      Files.createDirectories(stale)
+      Files.createDirectories(fresh)
+      // age the stale dir past the sweep cutoff; leave fresh current
+      Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 2 * 60 * 60 * 1000L))
+      val ok = Pipeline.ModelSpec("x.ok", Nil,
+        (s, _) => { import s.implicits._; Seq(1).toDF("a") })
+      Pipeline.materialize(spark, Seq(ok), warehouse)
+      assert(!Files.exists(stale), "stale scratch should be swept")
+      assert(Files.exists(fresh),
+        "recent scratch (possibly a concurrent build) must survive")
+      Files.delete(fresh)
+    }
   }
 
   describe("model DAG") {
