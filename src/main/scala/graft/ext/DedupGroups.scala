@@ -32,8 +32,13 @@ object DedupGroups {
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed with the one-hop minimum (own id vs direct neighbors) — one
+    // aggregate instead of a full propagation round; saves an iteration
+    // of join+checkpoint+convergence-check on every call
+    var labels = edges.groupBy("src")
+      .agg(min("dst").as("mn"))
+      .select(col("src").as("id"),
+        least(col("mn"), col("src")).as("component"))
       .cache()
     var converged = false
     var iter = 0
