@@ -31,4 +31,11 @@ object SparkEntry {
       ExtensionQueries.oracleSql ++ AdvancedQueries.oracleSql ++
       CorpusQueries.oracleSql ++ BreadthQueries.oracleSql ++
       StreamingQueries.oracleSql ++ Round2Queries.oracleSql
+
+  /** Oracles whose SQL depends on run-time-learned parameters (q64's
+    * k-means centroids): rendered per (session, sfDir) when Verify dumps
+    * oracle_sql.json, so the driver's DuckDB check covers them too.
+    */
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
+    Round2Queries.dynamicOracleSql
 }

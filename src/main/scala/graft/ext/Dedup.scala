@@ -51,16 +51,35 @@ object Dedup {
   /** Near-duplicate pairs by exact n-gram Jaccard similarity >= threshold,
     * via inverted-index join (doc pairs are generated only when they share
     * at least one shingle).
+    *
+    * `dfCap` (opt-in) prunes shingles whose document frequency exceeds the
+    * cap BEFORE the self-join: a shingle shared by d documents contributes
+    * d²/2 candidate pairs, so on web-scale corpora one boilerplate shingle
+    * (d in the millions) is an algorithmic blowup no skew-split can absorb.
+    * This is the standard MinHash-preprocessing trade: |A| and |B| keep
+    * their FULL shingle counts, so pruning only UNDERestimates Jaccard —
+    * a pair is lost only if its entire overlap is ultra-common shingles.
+    * The default (`Int.MaxValue`) keeps exact semantics.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                   dfCap: Int = Int.MaxValue): DataFrame = {
     // each shingle row carries its document's total shingle count (one
     // window pass over the doc_id shuffle) so |A| and |B| ride along with
     // the inverted-index join — without this, sizes would be a separate
     // aggregate joined back in, re-scanning and re-shingling the corpus
     // twice more (4 corpus passes instead of 2 in the physical plan)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sh = shingles(docs, n)
+    val all = shingles(docs, n)
       .withColumn("n_shingles", count(lit(1)).over(w))
+    val sh =
+      if (dfCap == Int.MaxValue) all
+      else {
+        // df-pruning: one window pass over the shingle shuffle — the same
+        // partitioning the self-join needs, so the exchange is reused
+        val ws = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+        all.withColumn("df", count(lit(1)).over(ws))
+          .filter(col("df") <= dfCap).drop("df")
+      }
     sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -35,7 +35,12 @@ object GlobalOrder {
       .sortWithinPartitions(sortCols: _*)
     val schema = StructType(
       sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    // persist the sorted rows so the range shuffle + sort runs ONCE: the
+    // count job below fills the cache and the numbering job reads it back
+    // (spill-safe). Spark's ContextCleaner unpersists the blocks once the
+    // numbered result's lineage is dropped by the caller.
     val rdd0 = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // job 1: count per partition -> contiguous index offsets in range order
     val counts = rdd0
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))

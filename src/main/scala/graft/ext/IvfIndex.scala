@@ -11,44 +11,88 @@ import graft.functions.VectorFunctions.dot
   * coarse-quantizer alternative to random-hyperplane LSH
   * ([[Similarity.knnLsh]]):
   *
-  *  1. TRAIN: k-means over (a sample of) the corpus learns `nCells`
-  *     centroids — O(corpus · nCells) per iteration, done once.
-  *  2. ASSIGN: every corpus vector joins its nearest centroid's cell —
-  *     one shuffle by cell id; the posting lists are just a partitioned
-  *     DataFrame, no driver-side index structure.
-  *  3. PROBE: each query ranks centroids (broadcast — there are only
-  *     `nCells` of them), keeps the `nProbe` nearest cells, and scores
-  *     only vectors in those cells: the scanned fraction is ~nProbe/nCells
-  *     of the corpus, the quadratic term gone.
+  *  1. TRAIN: k-means over a bounded, deterministic sample of the corpus
+  *     learns `nCells` centroids. Lloyd iterations are full passes over the
+  *     TRAINING input, so the sample cap (`maxTrainVectors`, default 100k)
+  *     is what keeps training O(1) in corpus size — quantizer quality needs
+  *     a representative sample, not every vector (FAISS trains IVF cells
+  *     the same way).
+  *  2. ASSIGN: every corpus vector picks its nearest centroid in a single
+  *     PROJECTION — the centroids travel into whole-stage codegen as array
+  *     literals, so assignment is one corpus pass with no join, no shuffle,
+  *     and no per-row blowup. Posting lists are just the `cell` column; at
+  *     warehouse scale they can additionally be bucketed on disk.
+  *  3. PROBE: each query ranks centroids (there are only `nCells`), keeps
+  *     the `nProbe` nearest cells, and scores only vectors in those cells:
+  *     the scanned fraction is ~nProbe/nCells of the corpus, the quadratic
+  *     term gone.
   *
-  * At 100 TB the cell assignment is a normal partitioned join and each
-  * cell's postings can further be bucketed on disk; recall/probe tradeoff
-  * is (nCells, nProbe) — measured against the exact baseline in ExtSuite.
+  * Assignment uses the squared-Euclidean identity ‖v−c‖² = v·v − 2·v·c + c·c
+  * with ties to the lowest cell, evaluated in the same operation order as
+  * DuckDB's `list_dot_product` — so the whole post-training pipeline is
+  * SQL-expressible and hash-verified by the q64 oracle (only the k-means
+  * `fit` itself stays outside the gate). Recall/probe tradeoff is
+  * (nCells, nProbe) — measured against the exact baseline in ExtSuite.
   */
 object IvfIndex {
 
-  final case class Model(centroids: DataFrame /* (cell, cv, cv_n2) */,
+  final case class Model(centroidVecs: Seq[Seq[Double]],
+                         centroids: DataFrame /* (cell, cv, cv_n2) */,
                          assigned: DataFrame /* corpus + cell */)
 
   private def asDouble(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** Train the coarse quantizer and assign every corpus vector to a cell. */
-  def build(spark: SparkSession, corpus: DataFrame, nCells: Int,
-            seed: Long = 42L): Model = {
+  /** Learn `nCells` centroids from a deterministic sample of at most
+    * ~`maxTrainVectors` corpus vectors (sampling keeps the 10 Lloyd passes
+    * bounded no matter how large the corpus is).
+    */
+  def trainCentroids(spark: SparkSession, corpus: DataFrame, nCells: Int,
+                     seed: Long = 42L,
+                     maxTrainVectors: Long = 100000L): Seq[Seq[Double]] = {
     val vecs = asDouble(corpus)
-    val featurized = vecs.withColumn("features", array_to_vector(col("v")))
+    // count() on parquet is metadata-only — not a data pass
+    val n = vecs.count()
+    val frac = math.min(1.0, maxTrainVectors.toDouble / math.max(n, 1L))
+    val train =
+      (if (frac >= 1.0) vecs else vecs.sample(withReplacement = false, frac, seed))
+        .withColumn("features", array_to_vector(col("v")))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .fit(featurized)
-    val assigned = model.transform(featurized)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-      .withColumn("v_n2", dot(col("v"), col("v")))
+      .fit(train)
+    model.clusterCenters.toSeq.map(_.toArray.toSeq)
+  }
+
+  /** Train the coarse quantizer (sampled) and assign every corpus vector. */
+  def build(spark: SparkSession, corpus: DataFrame, nCells: Int,
+            seed: Long = 42L, maxTrainVectors: Long = 100000L): Model =
+    fromCentroids(spark, corpus,
+      trainCentroids(spark, corpus, nCells, seed, maxTrainVectors))
+
+  /** Assign every corpus vector to its nearest centroid: `array_min` over
+    * (d2, cell) structs gives the argmin with ties to the lowest cell, in
+    * one codegen'd projection — no crossJoin row blowup, no shuffle.
+    */
+  def fromCentroids(spark: SparkSession, corpus: DataFrame,
+                    centroidVecs: Seq[Seq[Double]]): Model = {
+    require(centroidVecs.nonEmpty, "fromCentroids needs at least one centroid")
+    val vecs = asDouble(corpus)
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toDF("cell", "cv")
+    val centroids = centroidVecs.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "cv")
       .withColumn("cv_n2", dot(col("cv"), col("cv")))
-    Model(centroids, assigned)
+    val cellStructs = centroidVecs.zipWithIndex.map { case (c, i) =>
+      val cvLit = array(c.map(lit): _*)
+      // same left-to-right accumulation as DotProduct / list_dot_product
+      val cvN2 = c.foldLeft(0.0)((s, x) => s + x * x)
+      struct(
+        (col("v_n2") - lit(2.0) * dot(col("v"), cvLit) + lit(cvN2)).as("d2"),
+        lit(i).as("cell"))
+    }
+    val assigned = vecs
+      .withColumn("v_n2", dot(col("v"), col("v")))
+      .withColumn("cell", array_min(array(cellStructs: _*)).getField("cell"))
+      .select("vec_id", "v", "cell", "v_n2")
+    Model(centroidVecs, centroids, assigned)
   }
 
   /** Approximate top-k: probe the nProbe nearest cells per query, exact

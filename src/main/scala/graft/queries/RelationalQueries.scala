@@ -88,14 +88,18 @@ object RelationalQueries {
     }),
 
     // Window running total per customer over order time. DECIMAL sum makes
-    // the cumulative value exact and order-of-accumulation independent.
+    // the cumulative value exact and order-of-accumulation independent;
+    // the final cast to DOUBLE is the comparison boundary (values are exact
+    // at 2dp, so the round-trip is lossless) — engines' DECIMAL widening
+    // rules differ (Spark decimal(28,2) vs DuckDB decimal(38,2)) and typed
+    // hashes diverge on the representation even when values agree.
     "q17_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(asc("o_orderdate"), asc("o_orderkey"))
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-            .as("running_spend"))
+            .cast("double").as("running_spend"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -195,7 +199,7 @@ object RelationalQueries {
       """SELECT o_custkey, o_orderkey,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-           AS DECIMAL(28,2)) AS running_spend
+           AS DOUBLE) AS running_spend
          FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q18_setops" ->

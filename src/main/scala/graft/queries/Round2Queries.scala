@@ -55,17 +55,24 @@ object Round2Queries {
     "q55_streaming_sessions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val streamDir = java.nio.file.Files.createTempDirectory("q55_events")
+      val link = streamDir.resolve("events.parquet")
       java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = s.readStream
         .schema(StreamingQueries.eventsSchema)
         .parquet(streamDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val name = "q55_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // session state is keyed by user (~thousands): 8 partitions suffice
-      val out = EventStream.runToMemory(
-        EventStream.userSessions(stream), name, statePartitions = Some(8))
+      // session state is keyed by user (~thousands): 8 partitions suffice.
+      // runToMemory drains the stream before returning, so the scratch dir
+      // (symlink-only — never the data it points at) is removable here.
+      val out =
+        try EventStream.runToMemory(
+          EventStream.userSessions(stream), name, statePartitions = Some(8))
+        finally {
+          java.nio.file.Files.deleteIfExists(link)
+          java.nio.file.Files.deleteIfExists(streamDir)
+        }
       out.select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("value_sum"), 2).as("value_sum"))
         .orderBy("user_id", "session_start")
@@ -178,23 +185,27 @@ object Round2Queries {
         .orderBy("doc_id")
     }),
 
-    // IVF ANN top-k: KMeans coarse quantizer + probed-cell scoring. No
-    // SQL oracle (KMeans centroids are not SQL-expressible) -> the driver
-    // records the weaker rows-only check; recall vs brute force is
-    // asserted in ExtSuite instead.
+    // IVF ANN top-k: KMeans coarse quantizer + probed-cell scoring. The
+    // k-means FIT is the only step outside the oracle gate: the trained
+    // centroids are injected as literal VALUES into a generated DuckDB
+    // oracle (dynamicOracleSql below), so assignment, probing, and scoring
+    // are all hash-checked. Recall vs brute force is asserted in ExtSuite.
     "q64_ann_ivf" -> ((s, dir) => {
       val e = Readers.table(s, dir, "embeddings")
-      val model = graft.ext.IvfIndex.build(s, e, nCells = 16)
+      val model = graft.ext.IvfIndex.fromCentroids(s, e, ivfCentroids(s, dir))
       graft.ext.IvfIndex.knn(model, e.filter(col("vec_id") < 10), 5, nProbe = 4)
         .orderBy("query_id", "rnk")
     }),
 
     // Sorted set-aggregation into arrays (collect_set is unordered —
-    // array_sort makes it comparable across engines).
+    // array_sort makes it deterministic). The compared surface is the
+    // string-joined form: the driver's pandas comparator cannot sort/hash
+    // array cells, so arrays never cross the comparison boundary.
     "q61_array_agg" -> ((s, dir) =>
       t(s, dir, "customer")
         .groupBy("c_nationkey")
-        .agg(array_sort(collect_set("c_mktsegment")).as("segments"),
+        .agg(array_join(array_sort(collect_set("c_mktsegment")), ",")
+            .as("segments"),
           countDistinct("c_mktsegment").as("n_segments"))
         .orderBy("c_nationkey")),
 
@@ -241,6 +252,66 @@ object Round2Queries {
             (acc, h) => (acc * RollB + h) % RollP).as("roll_fp"))
         .orderBy("doc_id"))
   )
+
+  /** One k-means fit per sf dir: the q64 query AND its generated oracle
+    * must see the SAME centroids within a Verify/Bench run.
+    */
+  private val ivfCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  private def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    ivfCentroidCache.computeIfAbsent(dir, _ =>
+      graft.ext.IvfIndex.trainCentroids(
+        s, Readers.table(s, dir, "embeddings"), nCells = 16))
+
+  /** q64's DuckDB oracle, generated from the trained centroids: everything
+    * after `fit` — squared-Euclidean cell assignment (ties to lowest cell),
+    * cosine cell probing, in-cell scoring, top-k — re-expressed over the
+    * same parquet with the centroids as literal VALUES. Float math matches
+    * because both engines fold dot products left-to-right over doubles.
+    */
+  private def ivfOracle(centroids: Seq[Seq[Double]], k: Int, nProbe: Int): String = {
+    val values = centroids.zipWithIndex.map { case (c, i) =>
+      c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+    }.mkString(", ")
+    s"""WITH centroids(cell, cv) AS (VALUES $values),
+        cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cv_n2 FROM centroids),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        en AS (SELECT vec_id, v, list_dot_product(v, v) AS v_n2 FROM e),
+        assigned AS (
+          SELECT vec_id, v, v_n2, cell FROM (
+            SELECT en.vec_id, en.v, en.v_n2, cn.cell,
+                   row_number() OVER (PARTITION BY en.vec_id
+                     ORDER BY (en.v_n2 - 2 * list_dot_product(en.v, cn.cv) + cn.cv_n2) ASC,
+                              cn.cell ASC) AS arnk
+            FROM en CROSS JOIN cn) t
+          WHERE arnk = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv, v_n2 AS qv_n2
+              FROM en WHERE vec_id < 10),
+        probe AS (
+          SELECT query_id, qv, qv_n2, cell FROM (
+            SELECT q.query_id, q.qv, q.qv_n2, cn.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_dot_product(q.qv, cn.cv) / sqrt(q.qv_n2 * cn.cv_n2) DESC,
+                              cn.cell ASC) AS cell_rnk
+            FROM q CROSS JOIN cn) t
+          WHERE cell_rnk <= $nProbe),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round(list_dot_product(p.qv, a.v) / sqrt(p.qv_n2 * a.v_n2), 6) AS score
+          FROM probe p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+        r AS (SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rnk
+              FROM scored)
+        SELECT query_id, neighbor_id, score, rnk FROM r
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
+  /** Oracles that depend on run-time-learned parameters: generated per
+    * (session, sfDir) at Verify dump time.
+    */
+  val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "q64_ann_ivf" -> ((s, dir) => ivfOracle(ivfCentroids(s, dir), k = 5, nProbe = 4)))
 
   private val tokSql = raw"string_split_regex(trim(text), '\s+')"
   private def hash30Sql(e: String): String =
@@ -342,7 +413,8 @@ object Round2Queries {
 
     "q61_array_agg" ->
       """SELECT c_nationkey,
-                list_sort(list(DISTINCT c_mktsegment)) AS segments,
+                array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                  AS segments,
                 count(DISTINCT c_mktsegment) AS n_segments
          FROM customer GROUP BY 1 ORDER BY c_nationkey""",
 

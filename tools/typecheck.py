@@ -13,6 +13,16 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The driver's pandas/hash comparator is only proven safe on these arrow
+# types (r1 broke on decimal128, r2 broke on lists). Compared queries must
+# emit ONLY these — keep exact decimals/arrays internal and cast/join at
+# the comparison boundary. int32 is allowed ONLY because identical-int32
+# passthrough columns (source parquet keys) were driver hash-green in both
+# rounds; the TYPEDIFF check above still rejects int32-vs-int64 mixes.
+ALLOWED_TYPES = ("int64", "int32", "double", "string", "large_string",
+                 "bool", "date32[day]", "timestamp[us]",
+                 "timestamp[us, tz=UTC]")
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -29,8 +39,14 @@ def main(sf_dir, out_dir):
             sd = {f.name: str(f.type) for f in s}
             diff = {k: (sd.get(k), od.get(k))
                     for k in set(od) | set(sd) if od.get(k) != sd.get(k)}
+            banned = {k: v for d in (sd, od) for k, v in d.items()
+                      if v not in ALLOWED_TYPES}
             if diff:
                 print(f"TYPEDIFF {name} (spark, oracle): {diff}")
+                n_fail += 1
+            elif banned:
+                print(f"BANNEDTYPE {name}: {banned} "
+                      f"(driver-safe types: {ALLOWED_TYPES})")
                 n_fail += 1
         except Exception as e:
             print(f"ERR {name}: {type(e).__name__}: {str(e)[:160]}")
