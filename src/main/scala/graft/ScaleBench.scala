@@ -92,6 +92,22 @@ object ScaleBench {
             Seq(col("price"), col("orderkey")), "decile")
             .groupBy("decile").agg(count(lit(1))).collect()
         }
+      },
+      "jaccard_hot_shingle_capped" -> { n =>
+        time {
+          // n/10 docs, every one starting with the same boilerplate 3-gram
+          // (df = corpus size) plus unique tail shingles — the web-corpus
+          // adversary. UNCAPPED, the inverted-index self-join would emit
+          // (n/10)²/2 candidate pairs from that single hot shingle (5e13 at
+          // the big size — unrunnable); dfCap prunes it before the join, so
+          // a linear per_row_ratio here is the proof the blowup is bounded.
+          val docs = spark.range(n / 10).select(col("id").as("doc_id"),
+            concat(lit("hdr one two u"), col("id").cast("string"),
+              lit(" v"), col("id").cast("string"),
+              lit(" w"), col("id").cast("string")).as("text"))
+          graft.ext.Dedup.jaccardPairs(docs, 0.5, dfCap = 100)
+            .agg(count(lit(1))).collect()
+        }
       })
 
     val results = shapes.map { case (name, run) =>

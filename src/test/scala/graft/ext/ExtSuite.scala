@@ -37,6 +37,46 @@ class ExtSuite extends SparkSpec {
     }
   }
 
+  describe("Dedup.jaccardPairs with dfCap") {
+    // one boilerplate shingle ("aaa bbb ccc") shared by ALL docs plus a
+    // genuine near-dup pair that also shares rare shingles
+    val hot = Seq(
+      (0L, "aaa bbb ccc x0 y0 z0"),
+      (1L, "aaa bbb ccc x1 y1 z1"),
+      (2L, "aaa bbb ccc x2 y2 z2"),
+      (3L, "aaa bbb ccc x3 y3 z3"),
+      (4L, "aaa bbb ccc shared tail words"),
+      (5L, "aaa bbb ccc shared tail words extra")
+    ).toDF("doc_id", "text")
+
+    it("prunes hot shingles: pairs whose only overlap is boilerplate vanish") {
+      // every doc shares "aaa bbb ccc" -> uncapped emits all 15 pairs as
+      // candidates; capped at df<=2 only the genuinely-overlapping pair
+      // (4,5) survives candidate generation
+      val capped = Dedup.jaccardPairs(hot, 0.0, dfCap = 2)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == Set((4L, 5L)))
+    }
+    it("keeps FULL shingle counts, so capped jaccard only underestimates") {
+      val exact = Dedup.jaccardPairs(hot, 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val capped = Dedup.jaccardPairs(hot, 0.0, dfCap = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      for ((k, v) <- capped) assert(v <= exact(k) + 1e-12, s"pair $k")
+      // docs 4/5: |A|=4, |B|=5 shingles, intersection 4 exact -> 4/5;
+      // pruning drops only the df-6 boilerplate shingle -> intersection 3
+      // over the SAME full denominators -> 3/6
+      assert(math.abs(exact((4L, 5L)) - 4.0 / 5.0) < 1e-12)
+      assert(math.abs(capped((4L, 5L)) - 3.0 / 6.0) < 1e-12)
+    }
+    it("dfCap default is exact (no pruning)") {
+      val a = Dedup.jaccardPairs(docs, 0.5).collect().length
+      val b = Dedup.jaccardPairs(docs, 0.5, dfCap = Int.MaxValue).collect().length
+      assert(a == b)
+    }
+  }
+
   describe("Dedup.minhashCandidates") {
     it("surfaces exact and near duplicates as candidates") {
       val cand = Dedup.minhashCandidates(docs)
