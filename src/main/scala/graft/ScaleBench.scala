@@ -108,6 +108,40 @@ object ScaleBench {
           graft.ext.Dedup.jaccardPairs(docs, 0.5, dfCap = 100)
             .agg(count(lit(1))).collect()
         }
+      },
+      "ivf_assign_4096cells" -> { n =>
+        time {
+          // n/10 vectors (dim 8) against 4096 centroids — far past the
+          // codegen literal budget, so this exercises the broadcast-join
+          // assignment path: crossJoin(broadcast) + min(struct) with
+          // map-side partial aggregation collapsing each vector's 4096
+          // candidates before the one corpus-row shuffle. The literal path
+          // at this cell count would de-codegen (64 KB method limit).
+          val vecs = spark.range(n / 10).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(7)), j =>
+              (pmod(hash(col("id"), j), lit(1000)) / 500.0 - 1.0).cast("float"))
+              .as("embedding"))
+          val cents = Seq.tabulate(4096)(i =>
+            Seq.tabulate(8)(j => (((i * 31L + j * 17L) % 997L) / 498.5) - 1.0))
+          graft.ext.IvfIndex.fromCentroids(spark, vecs, cents).assigned
+            .groupBy("cell").agg(count(lit(1)))
+            .agg(count(lit(1))).collect()
+        }
+      },
+      "dedup_groups_cc" -> { n =>
+        time {
+          // connected components over n/20 edges arranged as 8-node chains
+          // (diameter 7): bounds the round count so the shape measures the
+          // per-round join+agg machinery at edge scale — the most expensive
+          // query in BENCH_r03 — not an unbounded propagation. Near-dup
+          // graphs are short chains/small cliques, so this is the
+          // representative topology; rounds ~ diameter regardless of n.
+          val edges = spark.range(n / 20)
+            .filter(col("id") % 8 =!= 7)
+            .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+          graft.ext.DedupGroups.connectedComponents(edges, maxIter = 12)
+            .agg(count(lit(1)), sum("component")).collect()
+        }
       })
 
     val results = shapes.map { case (name, run) =>

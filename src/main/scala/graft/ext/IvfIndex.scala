@@ -51,7 +51,8 @@ object IvfIndex {
                      seed: Long = 42L,
                      maxTrainVectors: Long = 100000L): Seq[Seq[Double]] = {
     val vecs = asDouble(corpus)
-    // count() on parquet is metadata-only — not a data pass
+    // column-pruned count (near-metadata cost on parquet; still one Spark
+    // job per trainCentroids call)
     val n = vecs.count()
     val frac = math.min(1.0, maxTrainVectors.toDouble / math.max(n, 1L))
     val train =
@@ -68,30 +69,63 @@ object IvfIndex {
     fromCentroids(spark, corpus,
       trainCentroids(spark, corpus, nCells, seed, maxTrainVectors))
 
-  /** Assign every corpus vector to its nearest centroid: `array_min` over
-    * (d2, cell) structs gives the argmin with ties to the lowest cell, in
-    * one codegen'd projection — no crossJoin row blowup, no shuffle.
+  /** Above this many centroid literals (nCells × dim), assignment switches
+    * from the embedded-literal projection to the broadcast-join path: a
+    * generated method carrying tens of thousands of array literals blows
+    * past the JVM's 64 KB method limit and whole-stage codegen silently
+    * falls back to interpreted eval — exactly where interpretation hurts
+    * most. 2048 keeps q64's 16×64 literal plan (the ideal shape at small
+    * cell counts) and routes anything bigger through the join.
+    */
+  val DefaultCodegenLiteralBudget = 2048
+
+  /** Assign every corpus vector to its nearest centroid.
+    *
+    * Small cell counts (nCells × dim <= `codegenLiteralBudget`): `array_min`
+    * over (d2, cell) structs gives the argmin with ties to the lowest cell,
+    * in one codegen'd projection — no crossJoin row blowup, no shuffle.
+    *
+    * Large cell counts (the 10⁴–10⁵ cells a 100 TB corpus wants):
+    * crossJoin against the BROADCAST centroid table + `min(struct(d2,
+    * cell))` aggregate. Partial aggregation collapses each vector's nCells
+    * candidate rows map-side, so the one shuffle moves corpus rows, not
+    * corpus × nCells. Identical operation order (v·v − 2·v·c + c·c, fold
+    * left-to-right, ties to lowest cell), so both paths are bit-equal —
+    * asserted in ExtSuite at nCells=2048.
     */
   def fromCentroids(spark: SparkSession, corpus: DataFrame,
-                    centroidVecs: Seq[Seq[Double]]): Model = {
+                    centroidVecs: Seq[Seq[Double]],
+                    codegenLiteralBudget: Int = DefaultCodegenLiteralBudget): Model = {
     require(centroidVecs.nonEmpty, "fromCentroids needs at least one centroid")
     val vecs = asDouble(corpus)
     import spark.implicits._
     val centroids = centroidVecs.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "cv")
       .withColumn("cv_n2", dot(col("cv"), col("cv")))
-    val cellStructs = centroidVecs.zipWithIndex.map { case (c, i) =>
-      val cvLit = array(c.map(lit): _*)
-      // same left-to-right accumulation as DotProduct / list_dot_product
-      val cvN2 = c.foldLeft(0.0)((s, x) => s + x * x)
-      struct(
-        (col("v_n2") - lit(2.0) * dot(col("v"), cvLit) + lit(cvN2)).as("d2"),
-        lit(i).as("cell"))
-    }
-    val assigned = vecs
-      .withColumn("v_n2", dot(col("v"), col("v")))
-      .withColumn("cell", array_min(array(cellStructs: _*)).getField("cell"))
-      .select("vec_id", "v", "cell", "v_n2")
+    val vn = vecs.withColumn("v_n2", dot(col("v"), col("v")))
+    val nLiterals = centroidVecs.size.toLong * centroidVecs.head.size
+    val assigned =
+      if (nLiterals <= codegenLiteralBudget) {
+        val cellStructs = centroidVecs.zipWithIndex.map { case (c, i) =>
+          val cvLit = array(c.map(lit): _*)
+          // same left-to-right accumulation as DotProduct / list_dot_product
+          val cvN2 = c.foldLeft(0.0)((s, x) => s + x * x)
+          struct(
+            (col("v_n2") - lit(2.0) * dot(col("v"), cvLit) + lit(cvN2)).as("d2"),
+            lit(i).as("cell"))
+        }
+        vn.withColumn("cell", array_min(array(cellStructs: _*)).getField("cell"))
+          .select("vec_id", "v", "cell", "v_n2")
+      } else {
+        val d2 =
+          col("v_n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cv_n2")
+        vn.crossJoin(broadcast(centroids))
+          .groupBy("vec_id")
+          .agg(first("v").as("v"),
+            min(struct(d2.as("d2"), col("cell"))).getField("cell").as("cell"),
+            first("v_n2").as("v_n2"))
+          .select("vec_id", "v", "cell", "v_n2")
+      }
     Model(centroidVecs, centroids, assigned)
   }
 

@@ -254,7 +254,11 @@ object Round2Queries {
   )
 
   /** One k-means fit per sf dir: the q64 query AND its generated oracle
-    * must see the SAME centroids within a Verify/Bench run.
+    * must see the SAME centroids within a Verify/Bench run. Keyed by dir
+    * alone, which assumes a dir's contents are immutable for the JVM's
+    * lifetime — true for the driver's testdata; a long-lived service
+    * regenerating data in place under the same path would need a data
+    * fingerprint in the key.
     */
   private val ivfCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
@@ -270,8 +274,13 @@ object Round2Queries {
     * because both engines fold dot products left-to-right over doubles.
     */
   private def ivfOracle(centroids: Seq[Seq[Double]], k: Int, nProbe: Int): String = {
+    // each component rendered as a VARCHAR cast ('x'::DOUBLE): DuckDB parses
+    // bare decimal literals as DECIMAL, and DECIMAL->DOUBLE is not correctly
+    // rounded (~12% of doubles lose 1 ulp through [..]::DOUBLE[]), which
+    // could flip cell assignment on near-ties; string->double parsing
+    // round-trips Java's shortest-repr Double.toString exactly
     val values = centroids.zipWithIndex.map { case (c, i) =>
-      c.mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      c.map(x => s"'$x'::DOUBLE").mkString(s"($i, [", ", ", "])")
     }.mkString(", ")
     s"""WITH centroids(cell, cv) AS (VALUES $values),
         cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cv_n2 FROM centroids),

@@ -139,6 +139,33 @@ class ExtSuite extends SparkSpec {
     }
   }
 
+  describe("IvfIndex.fromCentroids large-cell-count fallback") {
+    it("broadcast-join assignment == literal assignment at nCells=2048") {
+      // dim 4 keeps the literal plan buildable (8192 literals) so the two
+      // paths can be compared row-for-row; at real dims this cell count
+      // would blow the codegen budget, which is the fallback's reason to exist
+      val corpus = spark.range(300).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(3)), j =>
+          (pmod(hash(col("id"), j), lit(1000)) / 500.0 - 1.0).cast("float"))
+          .as("embedding"))
+      val cents = Seq.tabulate(2048)(i =>
+        Seq.tabulate(4)(j => (((i * 31 + j * 17) % 97) / 97.0) - 0.5))
+      val viaLiteral = IvfIndex
+        .fromCentroids(spark, corpus, cents, codegenLiteralBudget = Int.MaxValue)
+        .assigned.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val viaJoin = IvfIndex
+        .fromCentroids(spark, corpus, cents, codegenLiteralBudget = 0)
+        .assigned.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(viaJoin == viaLiteral)
+    }
+    it("default budget keeps q64's 16x64 shape on the literal path") {
+      assert(16 * 64 <= IvfIndex.DefaultCodegenLiteralBudget)
+      assert(2048L * 64 > IvfIndex.DefaultCodegenLiteralBudget)
+    }
+  }
+
   describe("TextAnalysis") {
     it("counts tokens both ways") {
       val t = TextAnalysis.tokenCounts(Seq((1L, "ab cd, ef!")).toDF("doc_id", "text"))
