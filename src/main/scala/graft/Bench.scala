@@ -14,19 +14,27 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // materialize the ALREADY-optimized plan: .count() would re-optimize
       // with a count aggregate on top, pruning every unused projection and
       // dropping sorts — q02's "full export" would time a bare row count
-      val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
-        catch {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
+      }
+      // median of 3: single-run timings drift ±0.3 s with ambient load,
+      // which round-over-round comparison can't tell from a regression
+      val v =
+        try {
+          val ts = IndexedSeq(once(), once(), once()).sorted
+          ts(1)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            // failures are -1, never a (fast-looking) elapsed time
+            -1.0
         }
-      // failures are reported as -1, never as a (fast-looking) elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> v
     }
     // 3-decimal seconds keep the one-line artifact under ~2 KB — the
     // harness captures a bounded stdout tail, and r2's full-precision line

@@ -59,7 +59,9 @@ object Dedup {
     * This is the standard MinHash-preprocessing trade: |A| and |B| keep
     * their FULL shingle counts, so pruning only UNDERestimates Jaccard —
     * a pair is lost only if its entire overlap is ultra-common shingles.
-    * The default (`Int.MaxValue`) keeps exact semantics.
+    * The default (`Int.MaxValue`) keeps exact semantics FOR THE ORACLE
+    * GATE; production corpora should set dfCap (low hundreds) — see
+    * README "Designed for 100 TB" for the full sizing argument.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    dfCap: Int = Int.MaxValue): DataFrame = {
@@ -74,11 +76,17 @@ object Dedup {
     val sh =
       if (dfCap == Int.MaxValue) all
       else {
-        // df-pruning: one window pass over the shingle shuffle — the same
-        // partitioning the self-join needs, so the exchange is reused
-        val ws = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-        all.withColumn("df", count(lit(1)).over(ws))
-          .filter(col("df") <= dfCap).drop("df")
+        // df-pruning via aggregate + anti-join, NOT a shingle-partitioned
+        // window: a window would buffer the hot shingle's entire partition
+        // in the one task that's about to discard it. groupBy's partial
+        // aggregation shrinks the hot key to one row per map partition, and
+        // the over-cap set is typically tiny (boilerplate shingles) so AQE
+        // converts the anti-join to broadcast at runtime — not hinted
+        // explicitly because its size is data-dependent (bounded only by
+        // rows/cap), and a wrong forced broadcast is a driver OOM
+        val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select("shingle")
+        all.join(hot, Seq("shingle"), "left_anti")
       }
     sh.as("a")
       .join(sh.as("b"),

@@ -39,6 +39,26 @@ object ArrowBridge {
     else Array(ArrowConverters.createEmptyArrowBatch(schema, tz, true, false))
   }
 
+  /** DataFrame -> Arrow IPC batches as a lazily-pulled iterator: the
+    * size-safe sibling of [[toArrowBatches]] for FULL exports.
+    * `toLocalIterator` fetches one partition's batches at a time, so
+    * driver memory is bounded by the largest partition rather than the
+    * whole result — the shape a Flight do_get stream wants (batches are
+    * written to the wire as they arrive). Trade: one job per partition
+    * instead of one job total, invisible at transport latencies.
+    */
+  def toArrowBatchIterator(df: DataFrame,
+                           maxRecordsPerBatch: Long = 10000): Iterator[Array[Byte]] = {
+    val schema = df.schema
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val it = df.queryExecution.toRdd.mapPartitions { rows =>
+      ArrowConverters.toBatchWithSchemaIterator(
+        rows, schema, maxRecordsPerBatch, Long.MaxValue, tz, true, false)
+    }.toLocalIterator
+    if (it.hasNext) it
+    else Iterator(ArrowConverters.createEmptyArrowBatch(schema, tz, true, false))
+  }
+
   /** Arrow IPC batches (schema embedded) -> DataFrame. The schema is read
     * driver-side from the first batch; row decoding runs distributed
     * (batch bytes are parallelized, same shape as Spark's own

@@ -135,6 +135,27 @@ class ServiceSuite extends SparkSpec {
     assert(row.getAs[Double]("total_budget") == 3000.0)
   }
 
+  it("streams Arrow batches lazily for full exports (bounded driver memory)") {
+    import org.apache.spark.sql.graftshim.ArrowBridge
+    val spark = SparkSpec.session
+    // 4 partitions, batch cap 10 -> every partition yields multiple batches;
+    // the iterator must deliver the same bytes the collecting path does
+    val df = spark.range(100).repartition(4).toDF("k")
+    val streamed = ArrowBridge.toArrowBatchIterator(df, maxRecordsPerBatch = 10)
+    val back = ArrowBridge.fromArrowBatches(spark, streamed.toArray)
+    assert(back.agg(org.apache.spark.sql.functions.sum("k")).collect()(0)
+      .getLong(0) == 4950L)
+    assert(back.count() == 100)
+    // zero-row export still ships a schema-bearing batch
+    val empty = ArrowBridge.toArrowBatchIterator(df.limit(0)).toArray
+    assert(empty.length == 1)
+    assert(ArrowBridge.fromArrowBatches(spark, empty).schema == df.schema)
+    // laziness: building the iterator must not materialize the batches —
+    // pulling the head leaves the rest of the stream unconsumed
+    val it = ArrowBridge.toArrowBatchIterator(df, maxRecordsPerBatch = 10)
+    assert(it.next().nonEmpty && it.hasNext)
+  }
+
   it("refuses cross-tenant access") {
     assertThrows[IllegalArgumentException](
       svc.budgetReport("LA", "wrong", "corporate_a.csv"))
