@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * only by time) and times the core operator shapes at two sizes. If the
   * design holds, time grows ~linearly with rows (hash aggregation,
   * broadcast join, window) — superlinear growth would flag a plan that
-  * won't survive 100 TB. Usage: runMain graft.ScaleBench [rowsSmall rowsBig]
+  * won't survive 100 TB. Usage:
+  * runMain graft.ScaleBench [rowsSmall rowsBig [shapeName ...]]
+  * (trailing shape names re-measure a subset without the full sweep)
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val small = args.headOption.map(_.toLong).getOrElse(10000000L)
     val big = args.drop(1).headOption.map(_.toLong).getOrElse(100000000L)
+    val onlyShapes: Option[Set[String]] =
+      if (args.length > 2) Some(args.drop(2).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

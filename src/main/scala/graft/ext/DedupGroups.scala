@@ -40,6 +40,22 @@ object DedupGroups {
       .select(col("src").as("id"),
         least(col("mn"), col("src")).as("component"))
       .cache()
+    // convergence probe: labels are monotonically non-increasing (every
+    // round takes least(own, neighborhood min)), so "no label changed" ⟺
+    // "sum of labels unchanged" — one aggregate pass per round instead of
+    // a join+filter+count. Decimal accumulation keeps the sum exact at any
+    // node count / id magnitude. Only valid for numeric ids; other id
+    // types (monotonicity is in ORDERING, not arithmetic) fall back to
+    // the join-based change count.
+    val numericIds = labels.schema("component").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    def changedVsJoin(next: DataFrame, prev: DataFrame): Boolean =
+      next.join(prev.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count() > 0
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -55,11 +71,15 @@ object DedupGroups {
         // localCheckpoint: caps the lineage, which otherwise doubles per
         // round and eventually dominates planning time
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
+      if (numericIds) {
+        val curSum = labelSum(next)
+        converged = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+      } else {
+        converged = !changedVsJoin(next, labels)
+      }
       labels.unpersist()
       labels = next
-      converged = changed == 0
       iter += 1
     }
     edges.unpersist()

@@ -19,6 +19,14 @@ class DedupGroupsSketchSuite extends SparkSpec {
       assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
       assert(Seq(20L, 21L).forall(cc(_) == 20L))
     }
+    it("string ids converge via the join-based probe (no arithmetic sum)") {
+      val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+        .toDF("doc_a", "doc_b")
+      val cc = DedupGroups.connectedComponents(pairs).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(Seq("a", "b", "c").forall(cc(_) == "a"))
+      assert(Seq("x", "y").forall(cc(_) == "x"))
+    }
     it("drops all but the representative of each group") {
       val docs = (1L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
       val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
