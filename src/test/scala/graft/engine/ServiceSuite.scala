@@ -156,6 +156,79 @@ class ServiceSuite extends SparkSpec {
     assert(it.next().nonEmpty && it.hasNext)
   }
 
+  it("serves the four entry points over a real socket (HTTP Arrow binding)") {
+    import java.io.{DataInputStream, DataOutputStream, EOFException}
+    import java.net.{HttpURLConnection, URI}
+    import org.apache.spark.sql.graftshim.ArrowBridge
+    val spark = SparkSpec.session
+    import spark.implicits._
+
+    val http = new GraftHttpServer(svc)
+    val port = http.start()
+    def conn(path: String, method: String,
+             auth: (String, String) = ("LA", "p1")): HttpURLConnection = {
+      val c = new URI(s"http://127.0.0.1:$port$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      c.setRequestMethod(method)
+      c.setRequestProperty("X-Graft-Client", auth._1)
+      c.setRequestProperty("X-Graft-Password", auth._2)
+      c
+    }
+    def readFrames(in: java.io.InputStream): Array[Array[Byte]] = {
+      val d = new DataInputStream(in)
+      val out = Array.newBuilder[Array[Byte]]
+      try {
+        while (true) {
+          val buf = new Array[Byte](d.readInt())
+          d.readFully(buf); out += buf
+        }
+      } catch { case _: EOFException => () }
+      out.result()
+    }
+    try {
+      // do_put: upload Arrow batches over the wire
+      val raw = Seq(
+        ("1", "2013", "Ops", "Analyst", "FT", "$1,500.00", "", "", ""),
+        ("2", "2013", "Ops", "Analyst", "FT", "$2,500.00", "", "", ""))
+        .toDF("Row ID", "Year", "Department Title", "Job Class Title",
+          "Employment Type", "Base Pay", "Overtime Pay", "Longevity Bonus Pay",
+          "Average Benefit Cost")
+      val put = conn("/files/corporate_http.csv", "PUT")
+      put.setDoOutput(true)
+      val body = new DataOutputStream(put.getOutputStream)
+      ArrowBridge.toArrowBatches(raw).foreach { b =>
+        body.writeInt(b.length); body.write(b)
+      }
+      body.close()
+      assert(put.getResponseCode == 200)
+
+      // do_get get_budget_report: Arrow batches back over the wire
+      val rep = conn("/files/corporate_http.csv/report", "GET")
+      val report = ArrowBridge.fromArrowBatches(
+        spark, readFrames(rep.getInputStream))
+      val row = report.collect()(0)
+      assert(row.getAs[String]("job_title") == "Analyst")
+      assert(row.getAs[Double]("total_budget") == 4000.0)
+
+      // do_get get_full_clean: streamed (chunked) full export
+      val exp = conn("/files/corporate_http.csv/export", "GET")
+      val export = ArrowBridge.fromArrowBatches(
+        spark, readFrames(exp.getInputStream))
+      assert(export.count() == 2)
+
+      // do_action list_files
+      val ls = conn("/files", "GET")
+      val listing = new String(ls.getInputStream.readAllBytes(), "UTF-8")
+      assert(listing.contains("raw/corporate_http.csv"))
+
+      // uniform auth failure over the wire
+      val bad = conn("/files", "GET", auth = ("LA", "wrong"))
+      assert(bad.getResponseCode == 401)
+      val missing = conn("/files/nope.csv/report", "GET")
+      assert(missing.getResponseCode == 500 || missing.getResponseCode == 400)
+    } finally http.stop()
+  }
+
   it("refuses cross-tenant access") {
     assertThrows[IllegalArgumentException](
       svc.budgetReport("LA", "wrong", "corporate_a.csv"))
