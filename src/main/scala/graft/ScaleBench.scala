@@ -116,11 +116,12 @@ object ScaleBench {
       "ivf_assign_4096cells" -> { n =>
         time {
           // n/10 vectors (dim 8) against 4096 centroids — far past the
-          // codegen literal budget, so this exercises the broadcast-join
-          // assignment path: crossJoin(broadcast) + min(struct) with
-          // map-side partial aggregation collapsing each vector's 4096
-          // candidates before the one corpus-row shuffle. The literal path
-          // at this cell count would de-codegen (64 KB method limit).
+          // codegen literal budget, so this exercises the NearestCentroid
+          // matrix expression: centroids ride as a codegen reference
+          // object, assignment stays one whole-stage-codegen'd projection
+          // (no join, no shuffle). The literal path at this cell count
+          // fails Janino's 64 KB method limit and de-codegens; measured
+          // 2026-08: expression 16s vs interpreted/join ~475s at 10M rows.
           val vecs = spark.range(n / 10).select(col("id").as("vec_id"),
             transform(sequence(lit(0), lit(7)), j =>
               (pmod(hash(col("id"), j), lit(1000)) / 500.0 - 1.0).cast("float"))
@@ -148,7 +149,9 @@ object ScaleBench {
         }
       })
 
-    val results = shapes.map { case (name, run) =>
+    val results = shapes
+      .filter { case (name, _) => onlyShapes.forall(_.contains(name)) }
+      .map { case (name, run) =>
       // per-shape warm-up: an untimed small run absorbs codegen/JIT for
       // THIS shape, so the ratio measures scaling, not warm-up
       run(small)

@@ -70,12 +70,15 @@ object IvfIndex {
       trainCentroids(spark, corpus, nCells, seed, maxTrainVectors))
 
   /** Above this many centroid literals (nCells × dim), assignment switches
-    * from the embedded-literal projection to the broadcast-join path: a
-    * generated method carrying tens of thousands of array literals blows
-    * past the JVM's 64 KB method limit and whole-stage codegen silently
-    * falls back to interpreted eval — exactly where interpretation hurts
-    * most. 2048 keeps q64's 16×64 literal plan (the ideal shape at small
-    * cell counts) and routes anything bigger through the join.
+    * from the embedded-literal projection to the [[NearestCentroid]]
+    * matrix expression: a generated method carrying tens of thousands of
+    * array literals blows past the JVM's 64 KB codegen method limit
+    * (measured at 4096×8: Janino throws "Code grows beyond 64 KB" — for
+    * flat AND chunked literal trees — and interpreted fallback runs ~370 ns
+    * per vector-cell; a crossJoin(broadcast)+min(struct) aggregate is no
+    * faster, dominated by per-pair ObjectHashAggregate lookups). 2048
+    * keeps q64's 16×64 literal plan, whose plan-time constant folding is
+    * ideal at small cell counts.
     */
   val DefaultCodegenLiteralBudget = 2048
 
@@ -86,12 +89,13 @@ object IvfIndex {
     * in one codegen'd projection — no crossJoin row blowup, no shuffle.
     *
     * Large cell counts (the 10⁴–10⁵ cells a 100 TB corpus wants):
-    * crossJoin against the BROADCAST centroid table + `min(struct(d2,
-    * cell))` aggregate. Partial aggregation collapses each vector's nCells
-    * candidate rows map-side, so the one shuffle moves corpus rows, not
-    * corpus × nCells. Identical operation order (v·v − 2·v·c + c·c, fold
-    * left-to-right, ties to lowest cell), so both paths are bit-equal —
-    * asserted in ExtSuite at nCells=2048.
+    * [[graft.functions.NearestCentroid]] — a custom Catalyst expression
+    * whose generated code is a fixed-size loop over the centroid matrix
+    * held as a reference object, so assignment stays ONE codegen'd
+    * projection (no join, no shuffle, no 64 KB ceiling) at any cell count.
+    * Identical operation order (v·v − 2·v·c + c·c, folds left-to-right,
+    * ties to lowest cell), so both paths are bit-equal — asserted in
+    * ExtSuite at nCells=2048.
     */
   def fromCentroids(spark: SparkSession, corpus: DataFrame,
                     centroidVecs: Seq[Seq[Double]],
@@ -104,7 +108,7 @@ object IvfIndex {
       .withColumn("cv_n2", dot(col("cv"), col("cv")))
     val vn = vecs.withColumn("v_n2", dot(col("v"), col("v")))
     val nLiterals = centroidVecs.size.toLong * centroidVecs.head.size
-    val assigned =
+    val cellCol =
       if (nLiterals <= codegenLiteralBudget) {
         val cellStructs = centroidVecs.zipWithIndex.map { case (c, i) =>
           val cvLit = array(c.map(lit): _*)
@@ -114,18 +118,12 @@ object IvfIndex {
             (col("v_n2") - lit(2.0) * dot(col("v"), cvLit) + lit(cvN2)).as("d2"),
             lit(i).as("cell"))
         }
-        vn.withColumn("cell", array_min(array(cellStructs: _*)).getField("cell"))
-          .select("vec_id", "v", "cell", "v_n2")
+        array_min(array(cellStructs: _*)).getField("cell")
       } else {
-        val d2 =
-          col("v_n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cv_n2")
-        vn.crossJoin(broadcast(centroids))
-          .groupBy("vec_id")
-          .agg(first("v").as("v"),
-            min(struct(d2.as("d2"), col("cell"))).getField("cell").as("cell"),
-            first("v_n2").as("v_n2"))
-          .select("vec_id", "v", "cell", "v_n2")
+        graft.functions.VectorFunctions.nearestCentroid(col("v"), centroidVecs)
       }
+    val assigned = vn.withColumn("cell", cellCol)
+      .select("vec_id", "v", "cell", "v_n2")
     Model(centroidVecs, centroids, assigned)
   }
 

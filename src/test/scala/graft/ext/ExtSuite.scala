@@ -140,7 +140,7 @@ class ExtSuite extends SparkSpec {
   }
 
   describe("IvfIndex.fromCentroids large-cell-count fallback") {
-    it("broadcast-join assignment == literal assignment at nCells=2048") {
+    it("matrix-expression assignment == literal assignment at nCells=2048") {
       // dim 4 keeps the literal plan buildable (8192 literals) so the two
       // paths can be compared row-for-row; at real dims this cell count
       // would blow the codegen budget, which is the fallback's reason to exist
