@@ -39,5 +39,5 @@ object SparkEntry {
     * oracle_sql.json, so the driver's DuckDB check covers them too.
     */
   def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
-    Round2Queries.dynamicOracleSql
+    Round2Queries.dynamicOracleSql ++ Round4Queries.dynamicOracleSql
 }

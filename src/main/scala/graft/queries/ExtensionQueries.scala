@@ -33,7 +33,7 @@ object ExtensionQueries {
     * per-row (correlated) bounds — unlike the table-function form, whose
     * constant bound would silently truncate longer documents.
     */
-  private val shingleCte =
+  private[queries] val shingleCte =
     raw"""words AS (SELECT doc_id, $tokSql AS w FROM documents),
           pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
                   FROM words),

@@ -262,7 +262,7 @@ object Round2Queries {
     */
   private val ivfCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-  private def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
+  private[queries] def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
     ivfCentroidCache.computeIfAbsent(dir, _ =>
       graft.ext.IvfIndex.trainCentroids(
         s, Readers.table(s, dir, "embeddings"), nCells = 16))
@@ -273,7 +273,7 @@ object Round2Queries {
     * same parquet with the centroids as literal VALUES. Float math matches
     * because both engines fold dot products left-to-right over doubles.
     */
-  private def ivfOracle(centroids: Seq[Seq[Double]], k: Int, nProbe: Int): String = {
+  private[queries] def ivfOracle(centroids: Seq[Seq[Double]], k: Int, nProbe: Int): String = {
     // each component rendered as a VARCHAR cast ('x'::DOUBLE): DuckDB parses
     // bare decimal literals as DECIMAL, and DECIMAL->DOUBLE is not correctly
     // rounded (~12% of doubles lose 1 ulp through [..]::DOUBLE[]), which

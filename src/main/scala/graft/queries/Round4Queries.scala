@@ -94,7 +94,38 @@ object Round4Queries {
           coalesce(col("n_frames_sampled"), lit(0L)).as("n_frames_sampled"),
           coalesce(col("min_frame_digest"), lit("")).as("min_frame_digest"))
         .orderBy("media_id")
-    }))
+    }),
+
+    // q64 with the NearestCentroid MATRIX path forced (budget 0): the
+    // codegen'd reference-object loop — the shape large cell counts use —
+    // hash-checked against the same generated DuckDB oracle as q64. The
+    // two queries green together prove both assignment paths bit-equal
+    // at the driver, not just in ExtSuite.
+    "q72_ann_ivf_matrix" -> ((s, dir) => {
+      val e = Readers.table(s, dir, "embeddings")
+      val model = graft.ext.IvfIndex.fromCentroids(
+        s, e, Round2Queries.ivfCentroids(s, dir), codegenLiteralBudget = 0)
+      graft.ext.IvfIndex.knn(model, e.filter(col("vec_id") < 10), 5, nProbe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // The PRODUCTION near-dup path — jaccardPairs WITH dfCap — under the
+    // hash gate (q27 gates the exact default): the oracle reproduces the
+    // same df-pruning (full |A|/|B| denominators, candidate generation
+    // only over under-cap shingles), so the underestimate-only semantics
+    // are verified value-for-value, not just unit-tested.
+    "q73_dedup_jaccard_capped" -> ((s, dir) =>
+      graft.ext.Dedup.jaccardPairs(
+        t(s, dir, "documents"), 0.2, dfCap = 20)
+        .orderBy("doc_a", "doc_b")))
+
+  /** Oracles that depend on run-time-learned parameters (q72 shares q64's
+    * trained-centroid oracle generator).
+    */
+  val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "q72_ann_ivf_matrix" -> ((s, dir) =>
+      Round2Queries.ivfOracle(Round2Queries.ivfCentroids(s, dir),
+        k = 5, nProbe = 4)))
 
   private def embComponent(i: Int): String =
     s"round((CAST(('0x' || substr(md5(text), ${2 * i + 1}, 2)) AS INTEGER)" +
@@ -110,6 +141,24 @@ object Round4Queries {
       """SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY o.o_orderkey""",
+
+    "q73_dedup_jaccard_capped" ->
+      s"""WITH ${ExtensionQueries.shingleCte},
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          keep AS (SELECT shingle FROM sh GROUP BY shingle
+                   HAVING count(*) <= 20),
+          shp AS (SELECT sh.doc_id, sh.shingle FROM sh
+                  JOIN keep USING (shingle)),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS i
+                    FROM shp a JOIN shp b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, i * 1.0 / (x.n + y.n - i) AS jaccard
+          FROM inter JOIN sz x ON x.doc_id = doc_a
+                     JOIN sz y ON y.doc_id = doc_b
+          WHERE i * 1.0 / (x.n + y.n - i) >= 0.2
+          ORDER BY doc_a, doc_b""",
 
     "q71_multimodal_pipeline" ->
       s"""WITH m AS (SELECT doc_id AS media_id,
