@@ -129,8 +129,16 @@ object IvfIndex {
 
   /** Approximate top-k: probe the nProbe nearest cells per query, exact
     * cosine within the probed cells only.
+    *
+    * `broadcastProbe = true` (default) broadcasts the (query × nProbe)
+    * probe table into the corpus scan — right whenever the query set fits
+    * an executor (ad-hoc search, dashboard lookups). For CORPUS-SCALE
+    * query sets (e.g. all-vs-all near-dup via IVF) set it false: the
+    * probe join then shuffles both sides on `cell` — cells are zipfy, so
+    * leave AQE skew-join splitting on.
     */
-  def knn(model: Model, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  def knn(model: Model, queries: DataFrame, k: Int, nProbe: Int,
+          broadcastProbe: Boolean = true): DataFrame = {
     val q = asDouble(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .withColumn("qv_n2", dot(col("qv"), col("qv")))
@@ -144,7 +152,8 @@ object IvfIndex {
       .filter(col("cell_rnk") <= nProbe)
       .select("query_id", "qv", "qv_n2", "cell")
     // score only vectors in probed cells
-    val scored = model.assigned.join(broadcast(probed), Seq("cell"))
+    val probeSide = if (broadcastProbe) broadcast(probed) else probed
+    val scored = model.assigned.join(probeSide, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / sqrt(col("qv_n2") * col("v_n2")), 6)

@@ -164,6 +164,16 @@ class ExtSuite extends SparkSpec {
       assert(16 * 64 <= IvfIndex.DefaultCodegenLiteralBudget)
       assert(2048L * 64 > IvfIndex.DefaultCodegenLiteralBudget)
     }
+    it("shuffle-probe knn == broadcast-probe knn") {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 5)
+      val model = IvfIndex.build(spark, emb, nCells = 8)
+      def rows(b: Boolean) =
+        IvfIndex.knn(model, q, 3, nProbe = 4, broadcastProbe = b).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSet
+      assert(rows(false) == rows(true))
+    }
   }
 
   describe("TextAnalysis") {
