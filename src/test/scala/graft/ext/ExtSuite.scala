@@ -164,6 +164,15 @@ class ExtSuite extends SparkSpec {
       assert(16 * 64 <= IvfIndex.DefaultCodegenLiteralBudget)
       assert(2048L * 64 > IvfIndex.DefaultCodegenLiteralBudget)
     }
+    it("NearestCentroid is null-safe") {
+      val df = Seq(Tuple1(Option(Seq(1.0, 0.0))), Tuple1(None))
+        .toDF("v").select(col("v").cast("array<double>").as("v"))
+      val cents = Seq(Seq(0.0, 1.0), Seq(1.0, 0.0))
+      val got = df.select(graft.functions.VectorFunctions
+        .nearestCentroid(col("v"), cents).as("cell")).collect()
+      assert(got(0).getInt(0) == 1)  // matches the second centroid exactly
+      assert(got(1).isNullAt(0))     // null vector -> null cell, no NPE
+    }
     it("shuffle-probe knn == broadcast-probe knn") {
       val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       val q = emb.filter(col("vec_id") < 5)
