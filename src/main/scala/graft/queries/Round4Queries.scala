@@ -117,6 +117,26 @@ object Round4Queries {
     "q73_dedup_jaccard_capped" -> ((s, dir) =>
       graft.ext.Dedup.jaccardPairs(
         t(s, dir, "documents"), 0.2, dfCap = 20)
+        .orderBy("doc_a", "doc_b")),
+
+    // GlobalOrder's offset-numbering machinery gated directly (q44 gates
+    // it only through ntile): distributed global row numbers over a total
+    // order vs DuckDB's single ROW_NUMBER window.
+    "q74_global_rownum" -> ((s, dir) =>
+      graft.ext.GlobalOrder.withRowNumber(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq(desc("o_totalprice"), asc("o_orderkey")), "rn")
+        .orderBy("o_orderkey")),
+
+    // SimHash near-dup PAIRS (q29 gates the signatures): banding is only
+    // a candidate filter — pigeonhole (<= maxDist diffs across maxDist+1
+    // bands) guarantees every true pair shares a clean band, so the
+    // banded join's result set EQUALS the naive all-pairs Hamming filter,
+    // which is exactly what the DuckDB oracle computes.
+    "q75_simhash_pairs" -> ((s, dir) =>
+      graft.ext.Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 8)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")))
 
   /** Oracles that depend on run-time-learned parameters (q72 shares q64's
@@ -159,6 +179,23 @@ object Round4Queries {
                      JOIN sz y ON y.doc_id = doc_b
           WHERE i * 1.0 / (x.n + y.n - i) >= 0.2
           ORDER BY doc_a, doc_b""",
+
+    "q74_global_rownum" ->
+      """SELECT o_orderkey, o_totalprice,
+                row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                  AS rn
+         FROM orders ORDER BY o_orderkey""",
+
+    "q75_simhash_pairs" -> {
+      val simhashSql = ExtensionQueries.oracleSql("q29_simhash")
+      s"""WITH s AS ($simhashSql)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+          ORDER BY doc_a, doc_b"""
+    },
 
     "q71_multimodal_pipeline" ->
       s"""WITH m AS (SELECT doc_id AS media_id,
