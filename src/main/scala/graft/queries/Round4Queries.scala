@@ -137,7 +137,46 @@ object Round4Queries {
       graft.ext.Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 8)
         .select(col("doc_a"), col("doc_b"),
           col("hamming").cast("long").as("hamming"))
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
+
+    // mapGroupsWithState under the hash gate (q53/q55 gate the windowed
+    // operators; this gates CUSTOM keyed state): per-user running totals
+    // run bounded, then each user's FINAL state row selected via
+    // max(struct(n_events, ...)) — n_events strictly increases per update,
+    // so the pick is deterministic however AvailableNow micro-batches the
+    // input — and compared to the plain batch aggregate. round(2) is safe:
+    // event values are 2-decimal, so true sums sit ON the 2dp grid.
+    "q76_streaming_state_totals" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val streamDir = java.nio.file.Files.createTempDirectory("q76_events")
+      val link = streamDir.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream
+        .schema(StreamingQueries.eventsSchema)
+        .parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      import s.implicits._
+      val name = "q76_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val out =
+        try graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream
+            .runningUserTotals(stream.as[graft.streaming.EventStream.Event])
+            .toDF(),
+          name,
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = Some(8))
+        finally {
+          java.nio.file.Files.deleteIfExists(link)
+          java.nio.file.Files.deleteIfExists(streamDir)
+        }
+      out.groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("value_sum"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          round(col("m.value_sum"), 2).as("value_sum"))
+        .orderBy("user_id")
+    }))
 
   /** Oracles that depend on run-time-learned parameters (q72 shares q64's
     * trained-centroid oracle generator).
@@ -179,6 +218,11 @@ object Round4Queries {
                      JOIN sz y ON y.doc_id = doc_b
           WHERE i * 1.0 / (x.n + y.n - i) >= 0.2
           ORDER BY doc_a, doc_b""",
+
+    "q76_streaming_state_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+                round(sum(value), 2) AS value_sum
+         FROM events GROUP BY 1 ORDER BY user_id""",
 
     "q74_global_rownum" ->
       """SELECT o_orderkey, o_totalprice,
