@@ -176,6 +176,41 @@ object Round4Queries {
         .select(col("user_id"), col("m.n_events").as("n_events"),
           round(col("m.value_sum"), 2).as("value_sum"))
         .orderBy("user_id")
+    }),
+
+    // Streaming exact dedup under the hash gate: the events file is fed
+    // to the stream TWICE (two symlinks), so every event_id arrives
+    // duplicated — possibly across micro-batches —
+    // dropDuplicatesWithinWatermark must emit each exactly once. The
+    // oracle is the plain events table: any duplicate leaked (state
+    // miss) or row lost fails the hash. Deterministic because duplicate
+    // copies are bit-identical rows, so "which copy won" is invisible.
+    "q77_streaming_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val streamDir = java.nio.file.Files.createTempDirectory("q77_events")
+      val links = Seq("a.parquet", "b.parquet").map { n =>
+        val l = streamDir.resolve(n)
+        java.nio.file.Files.createSymbolicLink(
+          l, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        l
+      }
+      val stream = s.readStream
+        .schema(StreamingQueries.eventsSchema)
+        .parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val name = "q77_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val out =
+        try graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.dedupedEvents(stream),
+          name,
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = Some(8))
+        finally {
+          links.foreach(java.nio.file.Files.deleteIfExists)
+          java.nio.file.Files.deleteIfExists(streamDir)
+        }
+      out.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
     }))
 
   /** Oracles that depend on run-time-learned parameters (q72 shares q64's
@@ -218,6 +253,11 @@ object Round4Queries {
                      JOIN sz y ON y.doc_id = doc_b
           WHERE i * 1.0 / (x.n + y.n - i) >= 0.2
           ORDER BY doc_a, doc_b""",
+
+    "q77_streaming_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                event_type, value
+         FROM events ORDER BY event_id""",
 
     "q76_streaming_state_totals" ->
       """SELECT user_id, count(*) AS n_events,
