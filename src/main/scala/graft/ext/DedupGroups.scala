@@ -50,8 +50,11 @@ object DedupGroups {
     val numericIds = labels.schema("component").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
+      // sum over zero rows is null — an EMPTY pair set (nothing to dedup)
+      // must converge, not NPE
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     def changedVsJoin(next: DataFrame, prev: DataFrame): Boolean =
       next.join(prev.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count() > 0

@@ -19,6 +19,10 @@ class DedupGroupsSketchSuite extends SparkSpec {
       assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
       assert(Seq(20L, 21L).forall(cc(_) == 20L))
     }
+    it("empty pair set converges to an empty labeling (no NPE)") {
+      val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+      assert(DedupGroups.connectedComponents(empty).collect().isEmpty)
+    }
     it("string ids converge via the join-based probe (no arithmetic sum)") {
       val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
         .toDF("doc_a", "doc_b")
