@@ -134,7 +134,7 @@ object Round4Queries {
     // banded join's result set EQUALS the naive all-pairs Hamming filter,
     // which is exactly what the DuckDB oracle computes.
     "q75_simhash_pairs" -> ((s, dir) =>
-      graft.ext.Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 8)
+      graft.ext.Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)
         .select(col("doc_a"), col("doc_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")),
@@ -277,7 +277,7 @@ object Round4Queries {
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
                    AS hamming
           FROM s a JOIN s b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY doc_a, doc_b"""
     },
 
