@@ -36,12 +36,15 @@ object Bench {
         }
       name -> v
     }
-    // 3-decimal seconds keep the one-line artifact under ~2 KB — the
-    // harness captures a bounded stdout tail, and r2's full-precision line
-    // overflowed it (head truncated -> unparseable artifact)
+    // The harness captures a bounded stdout tail and r2's full-precision
+    // line overflowed it (head truncated -> unparseable artifact): keep the
+    // one-liner small with 3-decimal seconds AND short keys — "qNN" is the
+    // unique prefix of every query name (77 full names would push the line
+    // back toward the observed truncation zone)
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
