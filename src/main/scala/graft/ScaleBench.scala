@@ -133,6 +133,21 @@ object ScaleBench {
             .agg(count(lit(1))).collect()
         }
       },
+      "seq_packing_running_total" -> { n =>
+        time {
+          // corpus-order concat-and-chunk over n docs: one range shuffle +
+          // a p-long per-partition-sums job + a prefix-scan job. The only
+          // driver-side state is p partial sums, so the shape must stay
+          // linear no matter the corpus size — the single-partition window
+          // alternative would collapse n rows onto one task here.
+          val docs = spark.range(n).select(col("id").as("doc_id"),
+            (pmod(hash(col("id")), lit(512)) + 1).cast("long").as("toks"))
+          graft.ext.Packing
+            .chunkSpans(docs, col("toks"), Seq(col("doc_id")), 2048)
+            .agg(count(lit(1)), sum("n_chunks"), max("chunk_last"))
+            .collect()
+        }
+      },
       "dedup_groups_cc" -> { n =>
         time {
           // connected components over n/20 edges arranged as 8-node chains

@@ -64,4 +64,12 @@ object Readers {
   /** S6-analog — parquet table scan from a warehouse/testdata directory. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** JSONL (newline-delimited JSON) scan with a caller-supplied schema.
+    * Schema inference is deliberately not offered: it costs an extra full
+    * pass over the files, which at 100 TB doubles the scan bill — a
+    * training-data pipeline always knows its record schema.
+    */
+  def jsonl(spark: SparkSession, path: String, ddlSchema: String): DataFrame =
+    spark.read.schema(ddlSchema).json(path)
 }

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Benchmark decontamination: flag training documents that share a word
+  * n-gram with any document in an evaluation/benchmark set, so eval data
+  * can be excluded from a pretraining corpus (the standard n-gram-overlap
+  * decontamination used by public LLM data pipelines).
+  *
+  * Scale shape: n-grams are reduced to 60-bit md5 hashes ([[Portable]])
+  * before the join, so the shuffle carries 8-byte keys instead of strings.
+  * Benchmark suites are small by construction (memberships in the
+  * thousands-to-millions while the corpus has billions of docs), so the
+  * benchmark gram set is broadcast — the corpus side never shuffles. Set
+  * `broadcastBench = false` to fall back to a shuffle join if a benchmark
+  * outgrows the broadcast budget.
+  */
+object Decontaminate {
+
+  /** Distinct (doc_id, 60-bit n-gram hash) pairs of `textCol`, tokenized
+    * on whitespace. Documents with fewer than `n` tokens contribute no
+    * grams. Hashing is engine-portable: DuckDB gets the same values via
+    * `'0x' || substr(md5(gram), 1, 15)`.
+    */
+  def ngramHashes(df: DataFrame, idCol: Column, textCol: Column,
+                  n: Int): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    df.select(idCol.as("doc_id"), Portable.wsTokens(textCol).as("__w"))
+      .filter(size(col("__w")) >= n)
+      // sequence(1, k) needs k >= 1, guaranteed by the filter above
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(__w) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(__w, i, $n)))")).as("gram"))
+      .select(col("doc_id"), Portable.hash60(col("gram")).as("gram_hash"))
+      .distinct()
+  }
+
+  /** Corpus documents sharing at least one `n`-gram with the benchmark:
+    * (doc_id, n_hits) where n_hits counts distinct overlapping grams.
+    * Clean documents are absent (anti-join against this result to keep
+    * them, or join to drop the contaminated ones).
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+                   idCol: Column, textCol: Column, n: Int,
+                   broadcastBench: Boolean = true): DataFrame = {
+    val bench0 = ngramHashes(benchmark, idCol, textCol, n)
+      .select("gram_hash").distinct()
+    val bench = if (broadcastBench) broadcast(bench0) else bench0
+    ngramHashes(corpus, idCol, textCol, n)
+      .join(bench, "gram_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

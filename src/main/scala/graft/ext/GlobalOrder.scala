@@ -61,6 +61,50 @@ object GlobalOrder {
                     out: String = "rn", partitions: Int = 0): DataFrame =
     numbered(df, sortCols, out, partitions)._1
 
+  /** Append an inclusive running total of the LongType column `valueCol`
+    * in the total order of `sortCols` — same semantics as
+    * `sum(valueCol).over(Window.orderBy(sortCols))` but scalable: the
+    * single-partition WindowExec is replaced by a range shuffle, a small
+    * per-partition-sums job (p longs to the driver), and a per-partition
+    * prefix scan. This is the primitive behind corpus-order sequence
+    * packing ([[Packing.chunkSpans]]), where a 100 TB corpus needs a
+    * running token count no single executor could hold.
+    *
+    * Nulls in `valueCol` count as 0 (SQL SUM ignores them). `sortCols`
+    * must form a total order (unique tiebreaker), as with
+    * [[withRowNumber]].
+    */
+  def withRunningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                       out: String = "running_total",
+                       partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+    else spark.sessionState.conf.numShufflePartitions
+    val vi = df.schema.fieldIndex(valueCol)
+    require(df.schema(vi).dataType == LongType,
+      s"withRunningTotal needs a LongType value column; " +
+        s"$valueCol is ${df.schema(vi).dataType}")
+    val sorted = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rdd0 = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def v(row: Row): Long = if (row.isNullAt(vi)) 0L else row.getLong(vi)
+    // job 1: per-partition sums -> prefix offsets in range order
+    val sums = rdd0
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.foldLeft(0L)((acc, r) => acc + v(r)))))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    // job 2: per-partition prefix scan seeded with the offset
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { row => acc += v(row); Row.fromSeq(row.toSeq :+ acc) }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Exact NTILE(k) over a total order, same semantics as
     * `ntile(k).over(Window.orderBy(sortCols))`: with n rows, the first
     * n % k buckets get one extra row. Distributed (no single-partition

@@ -63,6 +63,18 @@ object Sampling {
     df.filter(hashBucket(key, buckets) < cut)
   }
 
+  /** Per-row weighted sampling: keep each row with probability `weight`
+    * (a column in [0,1] — e.g. a quality score), decided by the key's
+    * content hash. The decision is deterministic per key, so re-runs over
+    * grown data keep prior selections, and the DuckDB oracle reproduces
+    * it exactly. `floor` (not cast) maps the weight to the bucket space:
+    * double->int casts round half-up in some engines and truncate in
+    * others, which would flip rows at the boundary.
+    */
+  def sampleByWeight(df: DataFrame, key: Column, weight: Column,
+                     buckets: Int = 1000000): DataFrame =
+    df.filter(hashBucket(key, buckets) < floor(weight * buckets))
+
   /** Class-balanced cap: keep at most `n` rows per group, chosen by a
     * deterministic order (window row_number — one shuffle on the group
     * key; for heavily skewed groups, AQE splits the hot partitions).

@@ -81,4 +81,58 @@ object TextAnalysis {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(wsTokens(col("text"))))))
         .as("fp"))
+
+  /** Word n-gram array of `tokens` (space-joined); empty when the document
+    * has fewer than `n` tokens. Shared by [[repetition]].
+    */
+  private def grams(n: Int): Column =
+    when(size(col("__w")) >= n,
+      expr(s"transform(sequence(1, size(__w) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(__w, i, $n)))"))
+      .otherwise(expr("array()"))
+
+  /** Duplicate n-gram fraction — the Gopher/C4-style within-document
+    * repetition signal used to drop boilerplate and degenerate text. For
+    * n = 2 and n = 3: gram count, distinct gram count, and
+    * `dup_frac_n = 1 - distinct/total` (0 for documents too short to have
+    * grams). Pure per-row projection: no shuffle, codegen-friendly.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    def frac(total: Column, uniq: Column): Column =
+      when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) - uniq.cast("double") / total)
+    docs.select(col("doc_id"), wsTokens(col("text")).as("__w"))
+      .withColumn("n_grams2", size(grams(2)).cast("long"))
+      .withColumn("n_uniq2", size(array_distinct(grams(2))).cast("long"))
+      .withColumn("n_grams3", size(grams(3)).cast("long"))
+      .withColumn("n_uniq3", size(array_distinct(grams(3))).cast("long"))
+      .select(col("doc_id"), col("n_grams2"), col("n_uniq2"),
+        frac(col("n_grams2"), col("n_uniq2")).as("dup_frac2"),
+        col("n_grams3"), col("n_uniq3"),
+        frac(col("n_grams3"), col("n_uniq3")).as("dup_frac3"))
+  }
+
+  /** Email-address pattern valid in both Java regex and RE2, so the same
+    * redaction is reproducible in the DuckDB oracle.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Runs of 4+ digits — long ids, phone fragments, account numbers. */
+  val LongDigitsRe = "\\d{4,}"
+
+  /** PII scrubbing: redact email addresses then long digit runs (emails
+    * are replaced first so their digits aren't double-counted). Returns
+    * (doc_id, n_emails, n_digit_runs, md5 of the scrubbed text). The
+    * regexes are RE2-compatible, so the oracle reproduces the redaction
+    * byte-for-byte. Per-row projection — no shuffle.
+    */
+  def piiScrub(docs: DataFrame, text: Column): DataFrame = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit(LongDigitsRe)).cast("long")
+        .as("n_digit_runs"),
+      md5(regexp_replace(noEmail, LongDigitsRe, "<NUM>")).as("scrub_md5"))
+  }
 }

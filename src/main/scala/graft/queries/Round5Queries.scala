@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Readers
+import graft.ext.{Decontaminate, Packing, Sampling, TextAnalysis}
+import graft.functions.Portable
+
+/** Round-5 batch: the training-data-pipeline operators a 100 TB corpus
+  * build needs beyond dedup/ANN — sequence packing (concat-and-chunk),
+  * benchmark decontamination, PII scrubbing, within-document repetition
+  * scoring, quality-weighted sampling, and the JSONL + JSON-column source
+  * paths. Every entry is hash-checked against a DuckDB oracle.
+  */
+object Round5Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  /** Chunk size for q78 — small enough that sf0.01 docs span chunk
+    * boundaries both ways (many docs per chunk AND docs crossing chunks).
+    */
+  private val ChunkTokens = 512
+
+  /** Word n-gram size for q79. Real decontamination runs use 8-13-gram
+    * overlap; the synthetic corpus has a ~45-word vocabulary, so 3-grams
+    * are where overlap is discriminating (about a third of the corpus
+    * hits the benchmark set) — the operator is identical, only `n`
+    * differs.
+    */
+  private val ContamN = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sequence packing: concatenate the corpus in doc_id order, chunk the
+    // token stream every 512 tokens, and map each document to the chunk
+    // span holding its tokens. The running token count is the scalable
+    // range-shuffle prefix scan (GlobalOrder.withRunningTotal), never a
+    // single-partition window.
+    "q78_seq_packing" -> ((s, dir) =>
+      Packing.chunkSpans(
+        t(s, dir, "documents").select("doc_id", "text"),
+        size(Portable.wsTokens(col("text"))), Seq(col("doc_id")),
+        ChunkTokens)
+        .select("doc_id", "n_tokens", "chunk_first", "chunk_last",
+          "n_chunks")),
+
+    // Benchmark decontamination: corpus docs (doc_id % 97 != 0) sharing a
+    // word 3-gram with the held-out benchmark slice (doc_id % 97 == 0).
+    // Gram hashes are 60-bit md5 (8-byte shuffle keys); the benchmark
+    // gram set is broadcast, so the corpus side never shuffles.
+    "q79_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        col("doc_id"), col("text"), ContamN)
+    }),
+
+    // PII scrubbing: the synthetic corpus carries no PII, so the gate
+    // plants a deterministic email + reference number per document (same
+    // construction in the oracle) and verifies the redaction counts and
+    // the md5 of the scrubbed text byte-for-byte.
+    "q80_pii_scrub" -> ((s, dir) => {
+      val planted = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or ref "),
+        (col("doc_id") + 100000).cast("string"))
+      TextAnalysis.piiScrub(t(s, dir, "documents"), planted)
+    }),
+
+    // Gopher/C4-style repetition signal: duplicate 2-gram and 3-gram
+    // fractions per document. Pure projection — no shuffle.
+    "q81_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"))),
+
+    // Quality-weighted sampling: keep each doc with probability
+    // min(1, n_chars/500), decided by the doc_id content hash — the
+    // deterministic form of importance sampling a mixture recipe needs.
+    "q82_weighted_sample" -> ((s, dir) =>
+      Sampling.sampleByWeight(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        col("doc_id"), least(lit(1.0), col("n_chars") / lit(500.0)))),
+
+    // JSONL source path: export documents as newline-delimited JSON, read
+    // them back through the schema'd JSONL reader, and aggregate — the
+    // oracle computes the same totals from the parquet, so any loss in
+    // the JSON round-trip (escaping, type mapping) breaks the hash.
+    "q83_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q83_jsonl")
+        .toString
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars", "text")
+        .write.mode("overwrite").json(tmp)
+      Readers.jsonl(s, tmp,
+        "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+    }),
+
+    // JSON metadata column: extract a typed field from the events table's
+    // JSON props string and aggregate per event type.
+    "q84_json_extract" -> ((s, dir) => {
+      // events.ts is TIMESTAMP(NANOS) parquet — read it as long, as q42 does
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          max("k").as("max_k"),
+          count_if(col("k").isNull).as("n_null"))
+    })
+  )
+
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q78_seq_packing" ->
+      s"""WITH d AS (SELECT doc_id,
+                CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
+          SELECT doc_id, n_tokens,
+                 (cum - n_tokens) // $ChunkTokens AS chunk_first,
+                 CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // $ChunkTokens
+                      ELSE (cum - 1) // $ChunkTokens END AS chunk_last,
+                 CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+                      ELSE (cum - 1) // $ChunkTokens
+                           - (cum - n_tokens) // $ChunkTokens + 1
+                 END AS n_chunks
+          FROM c""",
+
+    "q79_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
+          g AS (SELECT DISTINCT doc_id,
+                CAST('0x' || substr(md5(array_to_string(
+                     w[i:i+${ContamN - 1}], ' ')), 1, 15) AS BIGINT) AS gh
+                FROM (SELECT doc_id, w,
+                      unnest(generate_series(1, len(w) - ${ContamN - 1})) AS i
+                      FROM w)),
+          bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+          corp AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 <> 0)
+          SELECT doc_id, count(*) AS n_hits
+          FROM corp JOIN bench USING (gh) GROUP BY 1""",
+
+    "q80_pii_scrub" -> {
+      val email = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+      val digits = raw"\d{4,}"
+      s"""WITH s AS (SELECT doc_id,
+                substr(text, 1, 40) || ' contact user'
+                  || CAST(doc_id AS VARCHAR) || '@mail.example.com or ref '
+                  || CAST(doc_id + 100000 AS VARCHAR) AS t
+                FROM documents),
+          r AS (SELECT doc_id, t,
+                regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1 FROM s)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '$email')) AS BIGINT)
+                   AS n_emails,
+                 CAST(len(regexp_extract_all(t1, '$digits')) AS BIGINT)
+                   AS n_digit_runs,
+                 md5(regexp_replace(t1, '$digits', '<NUM>', 'g'))
+                   AS scrub_md5
+          FROM r"""
+    },
+
+    "q81_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
+          g AS (SELECT doc_id,
+                list_transform(generate_series(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1]) AS g2,
+                list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+                FROM w)
+          SELECT doc_id,
+                 CAST(len(g2) AS BIGINT) AS n_grams2,
+                 CAST(len(list_distinct(g2)) AS BIGINT) AS n_uniq2,
+                 CASE WHEN len(g2) = 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+                 END AS dup_frac2,
+                 CAST(len(g3) AS BIGINT) AS n_grams3,
+                 CAST(len(list_distinct(g3)) AS BIGINT) AS n_uniq3,
+                 CASE WHEN len(g3) = 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(g3)) * 1.0 / len(g3)
+                 END AS dup_frac3
+          FROM g""",
+
+    "q82_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000
+               < CAST(floor(least(1.0, n_chars / 500.0) * 1000000)
+                      AS BIGINT)""",
+
+    "q83_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY 1""",
+
+    "q84_json_extract" ->
+      """WITH e AS (SELECT event_type,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+                CAST(count_if(k IS NULL) AS BIGINT) AS n_null
+         FROM e GROUP BY 1"""
+  )
+}
