@@ -28,6 +28,25 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
 
+  /** Incremental exact dedup for snapshot-over-snapshot ingest: from
+    * `incoming`, keep one representative per content digest (min doc_id)
+    * whose digest does NOT already exist in `existing`. This is the
+    * "only process genuinely new documents" step of a recurring crawl.
+    *
+    * Scale shape: both sides reduce to 16-byte digests before any
+    * shuffle; the existing-corpus side is a digest-only aggregate (its
+    * text is never moved), and the final check is a left-anti join on the
+    * digest — at 100 TB the bytes shuffled are proportional to document
+    * COUNT, not corpus size.
+    */
+  def incrementalNew(incoming: DataFrame, existing: DataFrame,
+                     digest: Column = md5(col("text"))): DataFrame = {
+    val inc = incoming.select(col("doc_id"), digest.as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val seen = existing.select(digest.as("fp")).distinct()
+    inc.join(seen, Seq("fp"), "left_anti").select("doc_id", "fp")
+  }
+
   /** Word n-gram shingles per document, WITH positional duplicates:
     * (doc_id, shingle). No shuffle — a pure projection/explode.
     */

@@ -43,7 +43,8 @@ object Round5Queries {
         size(Portable.wsTokens(col("text"))), Seq(col("doc_id")),
         ChunkTokens)
         .select("doc_id", "n_tokens", "chunk_first", "chunk_last",
-          "n_chunks")),
+          "n_chunks")
+        .orderBy("doc_id")),
 
     // Benchmark decontamination: corpus docs (doc_id % 97 != 0) sharing a
     // word 3-gram with the held-out benchmark slice (doc_id % 97 == 0).
@@ -55,6 +56,7 @@ object Round5Queries {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         col("doc_id"), col("text"), ContamN)
+        .orderBy("doc_id")
     }),
 
     // PII scrubbing: the synthetic corpus carries no PII, so the gate
@@ -68,12 +70,13 @@ object Round5Queries {
         lit("@mail.example.com or ref "),
         (col("doc_id") + 100000).cast("string"))
       TextAnalysis.piiScrub(t(s, dir, "documents"), planted)
+        .orderBy("doc_id")
     }),
 
     // Gopher/C4-style repetition signal: duplicate 2-gram and 3-gram
     // fractions per document. Pure projection — no shuffle.
     "q81_repetition" -> ((s, dir) =>
-      TextAnalysis.repetition(t(s, dir, "documents"))),
+      TextAnalysis.repetition(t(s, dir, "documents")).orderBy("doc_id")),
 
     // Quality-weighted sampling: keep each doc with probability
     // min(1, n_chars/500), decided by the doc_id content hash — the
@@ -81,7 +84,8 @@ object Round5Queries {
     "q82_weighted_sample" -> ((s, dir) =>
       Sampling.sampleByWeight(
         t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
-        col("doc_id"), least(lit(1.0), col("n_chars") / lit(500.0)))),
+        col("doc_id"), least(lit(1.0), col("n_chars") / lit(500.0)))
+        .orderBy("doc_id")),
 
     // JSONL source path: export documents as newline-delimited JSON, read
     // them back through the schema'd JSONL reader, and aggregate — the
@@ -100,6 +104,7 @@ object Round5Queries {
           sum(length(col("text"))).as("sum_len"),
           min("doc_id").as("min_id"),
           max("doc_id").as("max_id"))
+        .orderBy("lang")
     }),
 
     // JSON metadata column: extract a typed field from the events table's
@@ -115,6 +120,34 @@ object Round5Queries {
           sum("k").as("sum_k"),
           max("k").as("max_k"),
           count_if(col("k").isNull).as("n_null"))
+        .orderBy("event_type")
+    }),
+
+    // Incremental exact dedup: the recurring-crawl step — from an
+    // incoming snapshot slice (doc_id % 5 == 0), keep one doc per digest
+    // whose digest is unseen in the existing corpus. The digest here is a
+    // 30-char-prefix md5 so the synthetic corpus (all texts distinct)
+    // actually exercises the anti-join: ~13% of incoming digests collide
+    // with the existing side and are dropped.
+    "q85_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        md5(substring(col("text"), 1, 30)))
+        .orderBy("doc_id")
+    }),
+
+    // Mixture recipe: allocate a 1M-token budget across sources by the
+    // largest-remainder method — allocations sum to exactly the budget.
+    "q86_mixture_alloc" -> ((s, dir) => {
+      val perSource = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(Portable.wsTokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+      graft.ext.Mixture.withAllocation(perSource, "source", "n_tokens",
+        1000000L)
+        .orderBy("source")
     })
   )
 
@@ -136,7 +169,7 @@ object Round5Queries {
                       ELSE (cum - 1) // $ChunkTokens
                            - (cum - n_tokens) // $ChunkTokens + 1
                  END AS n_chunks
-          FROM c""",
+          FROM c ORDER BY doc_id""",
 
     "q79_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
@@ -149,7 +182,8 @@ object Round5Queries {
           bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
           corp AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 <> 0)
           SELECT doc_id, count(*) AS n_hits
-          FROM corp JOIN bench USING (gh) GROUP BY 1""",
+          FROM corp JOIN bench USING (gh) GROUP BY 1
+          ORDER BY doc_id""",
 
     "q80_pii_scrub" -> {
       val email = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -168,7 +202,7 @@ object Round5Queries {
                    AS n_digit_runs,
                  md5(regexp_replace(t1, '$digits', '<NUM>', 'g'))
                    AS scrub_md5
-          FROM r"""
+          FROM r ORDER BY doc_id"""
     },
 
     "q81_repetition" ->
@@ -190,21 +224,22 @@ object Round5Queries {
                  CASE WHEN len(g3) = 0 THEN 0.0
                       ELSE 1.0 - len(list_distinct(g3)) * 1.0 / len(g3)
                  END AS dup_frac3
-          FROM g""",
+          FROM g ORDER BY doc_id""",
 
     "q82_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                     AS BIGINT) % 1000000
                < CAST(floor(least(1.0, n_chars / 500.0) * 1000000)
-                      AS BIGINT)""",
+                      AS BIGINT)
+         ORDER BY doc_id""",
 
     "q83_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 CAST(sum(length(text)) AS BIGINT) AS sum_len,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
-         FROM documents GROUP BY 1""",
+         FROM documents GROUP BY 1 ORDER BY lang""",
 
     "q84_json_extract" ->
       """WITH e AS (SELECT event_type,
@@ -213,6 +248,32 @@ object Round5Queries {
          SELECT event_type, count(*) AS n,
                 CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
                 CAST(count_if(k IS NULL) AS BIGINT) AS n_null
-         FROM e GROUP BY 1"""
+         FROM e GROUP BY 1 ORDER BY event_type""",
+
+    "q85_incremental_dedup" ->
+      """WITH inc AS (SELECT md5(substr(text, 1, 30)) AS fp,
+                min(doc_id) AS doc_id
+                FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
+         ex AS (SELECT DISTINCT md5(substr(text, 1, 30)) AS fp
+                FROM documents WHERE doc_id % 5 <> 0)
+         SELECT doc_id, fp FROM inc
+         WHERE fp NOT IN (SELECT fp FROM ex) ORDER BY doc_id""",
+
+    "q86_mixture_alloc" ->
+      s"""WITH per AS (SELECT source,
+                CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1),
+          e AS (SELECT source, n_tokens,
+                CAST(n_tokens AS DOUBLE) * 1000000
+                  / sum(n_tokens) OVER () AS ex FROM per),
+          b AS (SELECT source, n_tokens, floor(ex) AS base,
+                ex - floor(ex) AS rem FROM e),
+          r AS (SELECT source, n_tokens, base,
+                row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                1000000 - sum(base) OVER () AS leftover FROM b)
+          SELECT source, n_tokens,
+                 CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                      AS BIGINT) AS alloc
+          FROM r ORDER BY source"""
   )
 }

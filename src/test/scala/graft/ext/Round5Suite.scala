@@ -151,6 +151,47 @@ class Round5Suite extends SparkSpec {
     }
   }
 
+  describe("Dedup.incrementalNew") {
+    it("keeps min-id per digest and drops digests already in existing") {
+      val incoming = Seq(
+        (10L, "aaa"), (12L, "aaa"), // within-batch dup -> keep 10
+        (11L, "bbb"),               // already in existing -> dropped
+        (13L, "ccc"))               // genuinely new
+        .toDF("doc_id", "text")
+      val existing = Seq((1L, "bbb"), (2L, "zzz")).toDF("doc_id", "text")
+      val kept = Dedup.incrementalNew(incoming, existing)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(10L, 13L))
+    }
+  }
+
+  describe("Mixture.withAllocation") {
+    it("largest-remainder allocation sums exactly to the budget") {
+      val per = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("src", "w")
+      val m = Mixture.withAllocation(per, "src", "w", 100L)
+        .select("src", "alloc").as[(String, Long)].collect().toMap
+      // 100/3 = 33.33..; equal remainders -> leftover to first by name
+      assert(m.values.sum == 100L)
+      assert(m == Map("a" -> 34L, "b" -> 33L, "c" -> 33L))
+    }
+
+    it("proportional weights allocate proportionally") {
+      val per = Seq(("a", 3L), ("b", 1L)).toDF("src", "w")
+      val m = Mixture.withAllocation(per, "src", "w", 1000L)
+        .select("src", "alloc").as[(String, Long)].collect().toMap
+      assert(m == Map("a" -> 750L, "b" -> 250L))
+    }
+
+    it("remainders go to the largest fractional parts") {
+      // weights 5,3,2 over budget 7: exact 3.5, 2.1, 1.4 -> base 3,2,1
+      // (sum 6); the one leftover unit goes to 'a' (rem .5)
+      val per = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("src", "w")
+      val m = Mixture.withAllocation(per, "src", "w", 7L)
+        .select("src", "alloc").as[(String, Long)].collect().toMap
+      assert(m == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    }
+  }
+
   describe("Readers.jsonl") {
     it("round-trips records through newline-delimited JSON") {
       val tmp = java.nio.file.Files.createTempDirectory("jsonl_spec")
