@@ -101,10 +101,14 @@ object TextAnalysis {
     def frac(total: Column, uniq: Column): Column =
       when(total === 0, lit(0.0))
         .otherwise(lit(1.0) - uniq.cast("double") / total)
+    // gram COUNTS come from the token count alone — only the distinct
+    // counts need the gram arrays materialized (once each, not per use)
     docs.select(col("doc_id"), wsTokens(col("text")).as("__w"))
-      .withColumn("n_grams2", size(grams(2)).cast("long"))
+      .withColumn("n_grams2",
+        greatest(size(col("__w")) - 1, lit(0)).cast("long"))
       .withColumn("n_uniq2", size(array_distinct(grams(2))).cast("long"))
-      .withColumn("n_grams3", size(grams(3)).cast("long"))
+      .withColumn("n_grams3",
+        greatest(size(col("__w")) - 2, lit(0)).cast("long"))
       .withColumn("n_uniq3", size(array_distinct(grams(3))).cast("long"))
       .select(col("doc_id"), col("n_grams2"), col("n_uniq2"),
         frac(col("n_grams2"), col("n_uniq2")).as("dup_frac2"),

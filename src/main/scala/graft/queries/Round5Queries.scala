@@ -148,6 +148,67 @@ object Round5Queries {
       graft.ext.Mixture.withAllocation(perSource, "source", "n_tokens",
         1000000L)
         .orderBy("source")
+    }),
+
+    // Unpivot (wide -> long): lineitem's four measures melted into
+    // (measure, val) rows, then re-aggregated per measure.
+    "q87_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total"))
+        .orderBy("measure")),
+
+    // Time-RANGE window frame (not ROWS): per event, how many of the same
+    // user's events fall in the trailing hour, plus the frame's max value.
+    // count/max are order-insensitive and exact, so the frame semantics
+    // are hash-checked without double-summation noise.
+    "q88_range_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          max("value").over(w).as("max_last_hour"))
+        .orderBy("event_id")
+    }),
+
+    // Stream-stream interval join: purchases attributed to same-user
+    // clicks in the preceding hour, run through the real watermarked
+    // streaming join on a bounded stream; the oracle is the equivalent
+    // batch interval join.
+    "q89_streaming_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val streamDir = java.nio.file.Files.createTempDirectory("q89_events")
+      val link = streamDir.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream
+        .schema(StreamingQueries.eventsSchema)
+        .parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val name = "q89_mem_" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val out =
+        try graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.purchaseAttribution(stream),
+          name,
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = Some(8))
+        finally {
+          java.nio.file.Files.deleteIfExists(link)
+          java.nio.file.Files.deleteIfExists(streamDir)
+        }
+      out.orderBy("purchase_id", "click_id")
     })
   )
 
@@ -274,6 +335,41 @@ object Round5Queries {
           SELECT source, n_tokens,
                  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                       AS BIGINT) AS alloc
-          FROM r ORDER BY source"""
+          FROM r ORDER BY source""",
+
+    "q87_unpivot" ->
+      """WITH u AS (
+           SELECT measure, val FROM (
+             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                    l_discount, l_tax FROM lineitem)
+           UNPIVOT (val FOR measure IN
+             (l_quantity, l_extendedprice, l_discount, l_tax)))
+         SELECT measure, count(*) AS n, round(sum(val), 2) AS total
+         FROM u GROUP BY 1 ORDER BY measure""",
+
+    "q88_range_window" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+                epoch_us(ts) AS ts_us FROM events)
+         SELECT event_id, user_id, ts_us,
+                count(*) OVER w AS n_last_hour,
+                max(value) OVER w AS max_last_hour
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q89_streaming_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                epoch_us(ts) AS ts_us FROM events),
+         c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+               FROM e WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id,
+                      ts_us AS purchase_us
+               FROM e WHERE event_type = 'purchase')
+         SELECT p.purchase_id, c.click_id, p.user_id
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.click_us BETWEEN p.purchase_us - 3600000000
+                              AND p.purchase_us
+         ORDER BY purchase_id, click_id"""
   )
 }
