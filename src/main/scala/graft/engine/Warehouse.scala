@@ -65,6 +65,24 @@ object Warehouse {
     * The reference's CHECKPOINT/VACUUM (`serve_flight.py:196-198`) is the
     * single-file-DB version of this operation.
     */
+  /** SCD-1 upsert (CDC apply): latest version per key across
+    * base ∪ updates — the MERGE-INTO-by-key pattern without a table
+    * format. One shuffle on the key; per-key state is a window
+    * row_number, so skewed keys are split by AQE like any windowed
+    * aggregate. Versions must be distinct per key (a CDC log's LSN /
+    * batch id is): ties would make "latest" partition-order-dependent.
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keyCol: String,
+                   versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keyCol).orderBy(col(versionCol).desc)
+    base.unionByName(updates)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val path = java.nio.file.Paths.get(dir)

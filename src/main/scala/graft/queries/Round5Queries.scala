@@ -209,6 +209,23 @@ object Round5Queries {
           java.nio.file.Files.deleteIfExists(streamDir)
         }
       out.orderBy("purchase_id", "click_id")
+    }),
+
+    // SCD-1 upsert (CDC apply): a deterministic "updates batch" (every
+    // 4th order, version 2, price bumped, status 'U') merged over the
+    // base snapshot (version 1); keep-latest-per-key via one windowed
+    // shuffle. The oracle states the expected post-merge table directly.
+    "q90_upsert_latest" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.select(col("o_orderkey"),
+        lit(1L).as("version"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      val updates = orders.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), lit(2L).as("version"),
+          (col("o_totalprice") + 100.0).as("price"), lit("U").as("status"))
+      graft.engine.Warehouse
+        .upsertLatest(base, updates, "o_orderkey", "version")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -370,6 +387,16 @@ object Round5Queries {
          FROM p JOIN c ON p.user_id = c.user_id
            AND c.click_us BETWEEN p.purchase_us - 3600000000
                               AND p.purchase_us
-         ORDER BY purchase_id, click_id"""
+         ORDER BY purchase_id, click_id""",
+
+    "q90_upsert_latest" ->
+      """SELECT o_orderkey,
+                CAST(CASE WHEN o_orderkey % 4 = 0 THEN 2 ELSE 1 END
+                     AS BIGINT) AS version,
+                CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 100.0
+                     ELSE o_totalprice END AS price,
+                CASE WHEN o_orderkey % 4 = 0 THEN 'U'
+                     ELSE o_orderstatus END AS status
+         FROM orders ORDER BY o_orderkey"""
   )
 }

@@ -192,6 +192,18 @@ class Round5Suite extends SparkSpec {
     }
   }
 
+  describe("Warehouse.upsertLatest") {
+    it("keeps the highest version per key and passes through new keys") {
+      val base = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "version", "v")
+      val updates = Seq((2L, 2L, "b2"), (3L, 1L, "c"))
+        .toDF("k", "version", "v")
+      val got = graft.engine.Warehouse
+        .upsertLatest(base, updates, "k", "version")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 1L, "a"), (2L, 2L, "b2"), (3L, 1L, "c")))
+    }
+  }
+
   describe("Readers.jsonl") {
     it("round-trips records through newline-delimited JSON") {
       val tmp = java.nio.file.Files.createTempDirectory("jsonl_spec")
