@@ -226,6 +226,39 @@ object Round5Queries {
       graft.engine.Warehouse
         .upsertLatest(base, updates, "o_orderkey", "version")
         .orderBy("o_orderkey")
+    }),
+
+    // The operators COMPOSED as one corpus-prep pipeline: quality filter
+    // (>= 20 tokens) -> exact dedup keep-first -> quality-weighted sample
+    // -> sequence packing. One oracle checks the whole chain, proving the
+    // pieces agree when stacked, not just in isolation.
+    "q91_corpus_prep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          size(Portable.wsTokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 20)
+      val winners = d.groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val deduped = d.join(winners, "doc_id")
+      val sampled = Sampling.sampleByWeight(deduped, col("doc_id"),
+        least(lit(1.0), col("n_tokens") / lit(100.0)))
+      Packing.chunkSpans(sampled.select("doc_id", "n_tokens"),
+        col("n_tokens"), Seq(col("doc_id")), 256)
+        .select("doc_id", "n_tokens", "chunk_first", "chunk_last")
+        .orderBy("doc_id")
+    }),
+
+    // Fixed-width histogram binning (floor-div bins, clamped) — the
+    // arithmetic stays on exact floor/compare ops so bin edges can't
+    // drift between engines.
+    "q92_histogram" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .select(greatest(least(floor(col("value") / 5.0), lit(19L)),
+          lit(0L)).as("bin"), col("value"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("bin")
     })
   )
 
@@ -397,6 +430,30 @@ object Round5Queries {
                      ELSE o_totalprice END AS price,
                 CASE WHEN o_orderkey % 4 = 0 THEN 'U'
                      ELSE o_orderstatus END AS status
-         FROM orders ORDER BY o_orderkey"""
+         FROM orders ORDER BY o_orderkey""",
+
+    "q91_corpus_prep" ->
+      s"""WITH d AS (SELECT doc_id, text,
+                CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
+          f AS (SELECT * FROM d WHERE n_tokens >= 20),
+          k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+          dd AS (SELECT f.* FROM f JOIN k USING (doc_id)),
+          sm AS (SELECT * FROM dd
+                 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 15) AS BIGINT) % 1000000
+                       < CAST(floor(least(1.0, n_tokens / 100.0) * 1000000)
+                              AS BIGINT)),
+          c AS (SELECT doc_id, n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sm)
+          SELECT doc_id, n_tokens, (cum - n_tokens) // 256 AS chunk_first,
+                 (cum - 1) // 256 AS chunk_last
+          FROM c ORDER BY doc_id""",
+
+    "q92_histogram" ->
+      """SELECT CAST(greatest(least(floor(value / 5.0), 19), 0) AS BIGINT)
+                  AS bin,
+                count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1 ORDER BY bin"""
   )
 }
