@@ -65,6 +65,31 @@ object Readers {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table scan. events.parquet carries TIMESTAMP(NANOS),
+    * which Spark cannot represent natively — the session-wide legacy conf
+    * reads it as a nanos long instead (consumers convert with
+    * `timestamp_micros(ts div 1000)` where they need a timestamp).
+    *
+    * The conf is intentionally set here and NOT restored: it is a global
+    * session mutation, and scattering per-query set calls (the previous
+    * shape) made later parquet timestamp reads order-dependent. The
+    * invariant that keeps the global setting safe is that EVERY events
+    * consumer in this engine goes through this helper and wants the
+    * nanos-long representation — no query in the suite reads a
+    * nanos-timestamp parquet column expecting TimestampType. Keep it that
+    * way: new events readers must call this, not re-set the conf.
+    */
+  def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    table(spark, dir, "events")
+  }
+
+  /** Streaming events readers (which must pass an explicit schema) call
+    * this before `readStream` — same invariant as [[eventsNanos]].
+    */
+  def enableNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** JSONL (newline-delimited JSON) scan with a caller-supplied schema.
     * Schema inference is deliberately not offered: it costs an extra full
     * pass over the files, which at 100 TB doubles the scan bill — a

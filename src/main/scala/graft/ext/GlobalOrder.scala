@@ -20,12 +20,17 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * single-node pass — at 100 TB that is the difference between a plan that
   * runs and a plan that OOMs the one unlucky executor.
   *
-  * The hot path stays on Tungsten InternalRows: the sorted output is
-  * cached as compact UnsafeRow copies (bytes, not boxed objects) and the
-  * appended column is written with an UnsafeProjection. The earlier
-  * external-Row formulation (`.rdd` + `Row.fromSeq` + `createDataFrame`)
-  * boxed every field twice and blew the block-manager cache at 10^8 rows
-  * (measured per-row ratio 1.48 at 10M->100M; ~1.0 on this path).
+  * The hot path stays on Tungsten InternalRows and is deliberately
+  * UNCACHED: the stats job and the prefix-scan job share one sorted RDD
+  * lineage, so the range shuffle is written once and each job re-reads
+  * the shuffle files, re-paying only the in-partition sort (a few percent
+  * of the pass). Persisting the sorted rows — boxed external Rows or even
+  * compact UnsafeRow copies — made storage compete with the concurrent
+  * sorters' execution memory and failed at 10^8 rows (docs/PLANS.md,
+  * lessons 1-2: per-row ratio 1.48 boxed+cached; tasks died with
+  * UNABLE_TO_ACQUIRE_MEMORY cached-unsafe; ~1.0 on this uncached path).
+  * The appended column is written with a reused JoinedRow +
+  * UnsafeProjection — no boxing anywhere.
   *
   * The sort columns MUST form a total order (include a unique tiebreaker):
   * range boundaries are only deterministic when no two rows compare equal.

@@ -27,6 +27,12 @@ object Mixture {
     * All arithmetic is double mult -> floor -> integer compare, each step
     * correctly rounded identically in any IEEE-754 engine, so the DuckDB
     * oracle reproduces the allocation bit-for-bit.
+    *
+    * A zero (or empty) total weight has no proportional answer: rather
+    * than let 0*budget/0 = NaN flow into floor() and emit garbage
+    * allocations silently, every group short-circuits to `out` = 0 — the
+    * only allocation consistent with "each share is proportional to its
+    * weight" when all weights are 0.
     */
   def withAllocation(perGroup: DataFrame, groupCol: String,
                      weightCol: String, budget: Long,
@@ -35,16 +41,21 @@ object Mixture {
     val all = Window.partitionBy()
     perGroup
       .withColumn("__exact",
-        col(weightCol).cast("double") * budget /
-          sum(col(weightCol)).over(all))
+        when(sum(col(weightCol)).over(all) <= 0, lit(0.0))
+          .otherwise(col(weightCol).cast("double") * budget /
+            sum(col(weightCol)).over(all)))
       .withColumn("__base", floor(col("__exact")))
       .withColumn("__rk", row_number().over(
         Window.orderBy((col("__exact") - col("__base")).desc,
           col(groupCol).asc)))
       .withColumn(out,
-        col("__base") + when(
-          col("__rk") <= lit(budget) - sum(col("__base")).over(all), 1L)
-          .otherwise(0L))
+        // The largest-remainder top-up only applies when there IS a
+        // proportional base; under the zero-total short-circuit the
+        // leftover equals the whole budget and must NOT be distributed.
+        when(sum(col(weightCol)).over(all) <= 0, lit(0L))
+          .otherwise(col("__base") + when(
+            col("__rk") <= lit(budget) - sum(col("__base")).over(all), 1L)
+            .otherwise(0L)))
       .drop("__exact", "__base", "__rk")
   }
 }

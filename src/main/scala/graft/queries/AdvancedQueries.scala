@@ -18,11 +18,9 @@ object AdvancedQueries {
     Readers.table(s, dir, name)
 
   /** events with the nanosecond timestamp read as long and converted. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Readers.eventsNanos(s, dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

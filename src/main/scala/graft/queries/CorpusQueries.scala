@@ -50,8 +50,7 @@ object CorpusQueries {
     // Funnel: users who signed up, then clicked after first signup, then
     // purchased after first click (event-time ordering via min timestamps).
     "q42_event_funnel" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
+      val ev = Readers.eventsNanos(s, dir)
         .withColumn("ts_us", expr("ts div 1000"))
       val perUser = ev.groupBy("user_id").agg(
         min(when(col("event_type") === "signup", col("ts_us"))).as("t_signup"),

@@ -139,8 +139,7 @@ object RelationalQueries {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
     // long (nanosAsLong) — convert to a microsecond timestamp explicitly.
     "q21_json_events" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
+      Readers.eventsNanos(s, dir)
         .select(
           date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("hour"),
           col("event_type"),

@@ -17,10 +17,8 @@ object Round2Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Readers.table(s, dir, name)
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Readers.eventsNanos(s, dir)
 
   /** Rolling polynomial hash params: acc < P < 2^30 and B ~ 2^20 keep
     * acc*B + h30 < 2^51 — no BIGINT overflow on either engine.
@@ -53,11 +51,12 @@ object Round2Queries {
     // watermarked session_window) run bounded — results hash-equal to a
     // batch gap-sessionization oracle.
     "q55_streaming_sessions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Readers.enableNanosAsLong(s)
       val streamDir = java.nio.file.Files.createTempDirectory("q55_events")
       val link = streamDir.resolve("events.parquet")
       java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        link, java.nio.file.Paths.get(dir).toAbsolutePath
+          .resolve("events.parquet"))
       val stream = s.readStream
         .schema(StreamingQueries.eventsSchema)
         .parquet(streamDir.toString)

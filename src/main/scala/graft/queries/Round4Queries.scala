@@ -147,11 +147,12 @@ object Round4Queries {
     // input — and compared to the plain batch aggregate. round(2) is safe:
     // event values are 2-decimal, so true sums sit ON the 2dp grid.
     "q76_streaming_state_totals" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.engine.Readers.enableNanosAsLong(s)
       val streamDir = java.nio.file.Files.createTempDirectory("q76_events")
       val link = streamDir.resolve("events.parquet")
       java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        link, java.nio.file.Paths.get(dir).toAbsolutePath
+          .resolve("events.parquet"))
       val stream = s.readStream
         .schema(StreamingQueries.eventsSchema)
         .parquet(streamDir.toString)
@@ -186,12 +187,13 @@ object Round4Queries {
     // miss) or row lost fails the hash. Deterministic because duplicate
     // copies are bit-identical rows, so "which copy won" is invisible.
     "q77_streaming_dedup" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.engine.Readers.enableNanosAsLong(s)
       val streamDir = java.nio.file.Files.createTempDirectory("q77_events")
       val links = Seq("a.parquet", "b.parquet").map { n =>
         val l = streamDir.resolve(n)
         java.nio.file.Files.createSymbolicLink(
-          l, java.nio.file.Paths.get(s"$dir/events.parquet"))
+          l, java.nio.file.Paths.get(dir).toAbsolutePath
+            .resolve("events.parquet"))
         l
       }
       val stream = s.readStream

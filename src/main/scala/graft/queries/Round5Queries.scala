@@ -92,27 +92,37 @@ object Round5Queries {
     // oracle computes the same totals from the parquet, so any loss in
     // the JSON round-trip (escaping, type mapping) breaks the hash.
     "q83_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("q83_jsonl")
-        .toString
-      t(s, dir, "documents").select("doc_id", "lang", "n_chars", "text")
-        .write.mode("overwrite").json(tmp)
-      Readers.jsonl(s, tmp,
-        "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_chars").as("sum_chars"),
-          sum(length(col("text"))).as("sum_len"),
-          min("doc_id").as("min_id"),
-          max("doc_id").as("max_id"))
-        .orderBy("lang")
+      val tmpPath = java.nio.file.Files.createTempDirectory("q83_jsonl")
+      val tmp = tmpPath.toString
+      try {
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars", "text")
+          .write.mode("overwrite").json(tmp)
+        val agg = Readers.jsonl(s, tmp,
+          "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"),
+            max("doc_id").as("max_id"))
+          .orderBy("lang")
+        // Materialize (tiny: one row per lang) so the temp dir can be
+        // deleted NOW instead of leaking one JSON corpus per gate run.
+        s.createDataFrame(
+          java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+          .orderBy("lang")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }),
 
     // JSON metadata column: extract a typed field from the events table's
     // JSON props string and aggregate per event type.
     "q84_json_extract" -> ((s, dir) => {
-      // events.ts is TIMESTAMP(NANOS) parquet — read it as long, as q42 does
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
+      Readers.eventsNanos(s, dir)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
@@ -170,11 +180,10 @@ object Round5Queries {
     // count/max are order-insensitive and exact, so the frame semantics
     // are hash-checked without double-summation noise.
     "q88_range_window" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_us")
         .rangeBetween(-3600000000L, 0L)
-      t(s, dir, "events")
+      Readers.eventsNanos(s, dir)
         .withColumn("ts_us", expr("ts div 1000"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           count(lit(1)).over(w).as("n_last_hour"),
@@ -187,11 +196,14 @@ object Round5Queries {
     // streaming join on a bounded stream; the oracle is the equivalent
     // batch interval join.
     "q89_streaming_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Readers.enableNanosAsLong(s)
       val streamDir = java.nio.file.Files.createTempDirectory("q89_events")
       val link = streamDir.resolve("events.parquet")
+      // Absolute target: the link lives in an absolute temp dir, so a
+      // relative target would resolve against the temp dir and dangle.
       java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        link, java.nio.file.Paths.get(dir).toAbsolutePath
+          .resolve("events.parquet"))
       val stream = s.readStream
         .schema(StreamingQueries.eventsSchema)
         .parquet(streamDir.toString)
@@ -252,8 +264,7 @@ object Round5Queries {
     // arithmetic stays on exact floor/compare ops so bin edges can't
     // drift between engines.
     "q92_histogram" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
+      Readers.eventsNanos(s, dir)
         .select(greatest(least(floor(col("value") / 5.0), lit(19L)),
           lit(0L)).as("bin"), col("value"))
         .groupBy("bin")

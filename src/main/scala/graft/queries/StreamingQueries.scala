@@ -25,13 +25,14 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_streaming_hourly" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.engine.Readers.enableNanosAsLong(s)
       // the file stream source requires a DIRECTORY; expose the single
       // parquet file through a symlink in a scratch dir
       val streamDir = java.nio.file.Files.createTempDirectory("q53_events")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(dir).toAbsolutePath
+          .resolve("events.parquet"))
       val stream = s.readStream
         .schema(eventsSchema)
         .parquet(streamDir.toString)

@@ -190,6 +190,13 @@ class Round5Suite extends SparkSpec {
         .select("src", "alloc").as[(String, Long)].collect().toMap
       assert(m == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
     }
+
+    it("all-zero weights short-circuit to zero allocations, not NaN") {
+      val per = Seq(("a", 0L), ("b", 0L)).toDF("src", "w")
+      val m = Mixture.withAllocation(per, "src", "w", 100L)
+        .select("src", "alloc").as[(String, Long)].collect().toMap
+      assert(m == Map("a" -> 0L, "b" -> 0L))
+    }
   }
 
   describe("Warehouse.upsertLatest") {
