@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQueries, BreadthQueries, CorpusQueries, ExtensionQueries, ParityQueries, RelationalQueries, Round2Queries, Round4Queries, Round5Queries, StreamingQueries}
+import graft.queries.{AdvancedQueries, BreadthQueries, CorpusQueries, ExtensionQueries, ParityQueries, RelationalQueries, Round2Queries, Round4Queries, Round5Queries, Round6Queries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
       ExtensionQueries.queries ++ AdvancedQueries.queries ++
       CorpusQueries.queries ++ BreadthQueries.queries ++
       StreamingQueries.queries ++ Round2Queries.queries ++
-      Round4Queries.queries ++ Round5Queries.queries
+      Round4Queries.queries ++ Round5Queries.queries ++
+      Round6Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,12 +33,14 @@ object SparkEntry {
       ExtensionQueries.oracleSql ++ AdvancedQueries.oracleSql ++
       CorpusQueries.oracleSql ++ BreadthQueries.oracleSql ++
       StreamingQueries.oracleSql ++ Round2Queries.oracleSql ++
-      Round4Queries.oracleSql ++ Round5Queries.oracleSql
+      Round4Queries.oracleSql ++ Round5Queries.oracleSql ++
+      Round6Queries.oracleSql
 
   /** Oracles whose SQL depends on run-time-learned parameters (q64's
     * k-means centroids): rendered per (session, sfDir) when Verify dumps
     * oracle_sql.json, so the driver's DuckDB check covers them too.
     */
   def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
-    Round2Queries.dynamicOracleSql ++ Round4Queries.dynamicOracleSql
+    Round2Queries.dynamicOracleSql ++ Round4Queries.dynamicOracleSql ++
+      Round6Queries.dynamicOracleSql
 }

@@ -47,6 +47,39 @@ object Dedup {
     inc.join(seen, Seq("fp"), "left_anti").select("doc_id", "fp")
   }
 
+  /** Blocked edit-distance near-dup pairs: all (a < b) document pairs in
+    * the same block whose prefix Levenshtein distance is ≤ `maxDist`.
+    * Levenshtein is O(len²) PER PAIR, so it can never run all-pairs; the
+    * standard scalable shape is blocking — here (lang, text prefix of
+    * `prefixLen` chars) — which turns the self-join into an equality join
+    * the shuffle partitions by block key. Distance is computed on the
+    * first `cmpLen` chars (bounded per-pair cost) with Spark's
+    * thresholded levenshtein, which abandons a pair as soon as its
+    * distance provably exceeds `maxDist` (banded DP: O(len·maxDist), not
+    * O(len²)).
+    *
+    * At 100 TB the block-size distribution is the risk: a degenerate
+    * block (e.g. a boilerplate prefix shared by millions of docs) turns
+    * quadratic. Production runs should cap block size (the `dfCap`
+    * discipline of [[jaccardPairs]]) or lengthen the prefix; AQE skew
+    * splitting does not help — the quadratic blowup is in generated pair
+    * ROWS, not input partition bytes.
+    */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 4,
+                        cmpLen: Int = 60, maxDist: Int = 10): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+      substring(col("text"), 1, prefixLen).as("blk"),
+      substring(col("text"), 1, cmpLen).as("ta"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
+      substring(col("text"), 1, prefixLen).as("blk"),
+      substring(col("text"), 1, cmpLen).as("tb"))
+    a.join(b, Seq("lang", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0) // thresholded form returns -1 above maxDist
+  }
+
   /** Word n-gram shingles per document, WITH positional duplicates:
     * (doc_id, shingle). No shuffle — a pure projection/explode.
     */

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling: per-column null counts, exact distinct counts, and
+  * min/max — the quality report a pipeline runs on every new corpus drop
+  * before trusting it.
+  *
+  * Scale design: ONE aggregation pass computes every column's stats
+  * simultaneously (rows=0 output, constant aggregate state), then the
+  * single result row is pivoted to the long (one-row-per-column) report
+  * shape driver-side — the pivot touches one row, not the data. The
+  * multiple `count(distinct …)` aggregates expand the input (Spark's
+  * Expand operator: one duplicate of each row per distinct-agg), so the
+  * scan cost is columns × rows; at 100 TB swap `countDistinct` for
+  * `approx_count_distinct` (HLL — no Expand, one pass, ±2%) via
+  * `exact = false`. Min/max are rendered as strings so heterogeneous
+  * column types share one report schema.
+  */
+object Profile {
+
+  /** Profile `cols` of `df`: (col_name, n_rows, n_nulls, n_distinct,
+    * min_val, max_val) per column. `exact = false` switches distinct
+    * counts to HLL sketches for the single-pass 100 TB shape.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        count_if(col(c).isNull).as(s"__nulls_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // stack(k, name1, vals1..., name2, vals2...) pivots the single result
+    // row into one row per column — driver-side cost only.
+    val stackArgs = cols.map { c =>
+      s"'$c', __rows_$c, __nulls_$c, CAST(__nd_$c AS BIGINT), __min_$c, __max_$c"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+  }
+}

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Readers
+import graft.ext.{Dedup, Profile, Quantize, SemDedup, Stats, TimeSeries}
+
+/** Round-6 batch: reproducible statistics and similarity primitives —
+  * blocked edit-distance near-dup, exact-moment correlation/z-score
+  * (integer-cents sums, so results are bit-identical under any
+  * partitioning), per-key time-series gap-fill, one-pass dataset
+  * profiling, int8 embedding quantization with integer-exact top-k, and
+  * SemDeDup-style semantic dedup (cluster-then-compare). Every entry is
+  * hash-checked against a DuckDB oracle; q99's oracle is generated from
+  * the run's trained centroids (the q64 pattern).
+  */
+object Round6Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  /** q93 params: prefix-4 blocking keeps candidate pairs ~1k at sf0.01
+    * (vs 125k all-pairs); distance over the first 60 chars at maxDist 35
+    * exercises both the accept and the banded-DP early-abandon paths.
+    */
+  private val EditPrefix = 4
+  private val EditCmpLen = 60
+  private val EditMaxDist = 35
+
+  /** q99 threshold — same corpus regime as q31's near-dup scan. */
+  private val SemThreshold = 0.4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Blocked Levenshtein near-dup pairs: same-(lang, 4-char prefix)
+    // blocking turns the self-join into an equality join; distance on the
+    // 60-char prefix with threshold early-abandon.
+    "q93_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"),
+        EditPrefix, EditCmpLen, EditMaxDist)
+        .orderBy("doc_a", "doc_b")),
+
+    // Exact-moment correlation/covariance/stddev of quantity vs discount
+    // per returnflag: integer-cents sums (exact under any partitioning)
+    // then one fixed double formula — no float aggregate anywhere, so the
+    // doubles are bit-identical cross-engine with NO rounding step.
+    "q94_corr_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Stats.momentStats(li, "l_returnflag",
+        Stats.cents(col("l_quantity")), Stats.cents(col("l_discount")))
+        .orderBy("l_returnflag")
+    }),
+
+    // Per-user daily gap-fill: dense epoch-day series over each user's
+    // active span, zero-filled counts and value sums (cents — exact).
+    "q95_gapfill" -> ((s, dir) =>
+      TimeSeries.gapFillDaily(
+        Readers.eventsNanos(s, dir),
+        "user_id",
+        expr("(ts div 1000) div 86400000000"),
+        Stats.cents(col("value")))
+        .orderBy("user_id", "day_idx")),
+
+    // Per-group z-score outlier flags over event values: group moments
+    // from exact integer sums, z derived with one fixed double formula —
+    // broadcast-join of the tiny stats table, no window over the facts.
+    "q96_zscore_outliers" -> ((s, dir) =>
+      Stats.withZScore(
+        Readers.eventsNanos(s, dir)
+          .select(col("event_id"), col("event_type"),
+            Stats.cents(col("value")).as("vc")),
+        "event_type", col("vc"), 3.0)
+        .select("event_id", "event_type", "z", "is_outlier")
+        .orderBy("event_id")),
+
+    // One-pass dataset profile of lineitem: per-column nulls, exact
+    // distinct counts, min/max (stringified into one report schema).
+    "q97_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "lineitem"), ProfileCols)
+        .orderBy("col_name")),
+
+    // Int8-quantized brute-force top-k: per-vector symmetric quantization
+    // (4x smaller corpus at scale), integer-exact dot-product scores.
+    "q98_quantized_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Quantize.knnInt8(e.filter(col("vec_id") < 10), e, 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // SemDeDup: assign vectors to the q64 k-means cells (shared per-dir
+    // centroid cache, so query and generated oracle see one fit), then
+    // drop any vector with a lower-id >= 0.4-cosine match in its cell.
+    "q99_semdedup" -> ((s, dir) =>
+      SemDedup.semanticDedup(s, t(s, dir, "embeddings"),
+        Round2Queries.ivfCentroids(s, dir), SemThreshold)
+        .orderBy("vec_id"))
+  )
+
+  private val ProfileCols =
+    Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+      "l_linestatus")
+
+  // Engine-portable integer cents: floor(x*100 + 0.5) — see Stats.cents.
+  private def centsSql(e: String): String =
+    s"CAST(floor($e * 100 + 0.5) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q93_edit_distance" ->
+      s"""WITH d AS (SELECT doc_id, lang, substr(text, 1, $EditPrefix) AS blk,
+                substr(text, 1, $EditCmpLen) AS tc FROM documents)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(levenshtein(a.tc, b.tc) AS BIGINT) AS dist
+          FROM d a JOIN d b
+            ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.tc, b.tc) <= $EditMaxDist
+          ORDER BY doc_a, doc_b""",
+
+    "q94_corr_stats" -> {
+      val x = centsSql("l_quantity")
+      val y = centsSql("l_discount")
+      // mirror Stats.momentStats arithmetic EXACTLY (same ops, same order)
+      val nd = "CAST(n AS DOUBLE)"
+      val cov = s"(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / $nd) / ($nd - 1.0)"
+      val varx = s"(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / $nd) / ($nd - 1.0)"
+      val vary = s"(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / $nd) / ($nd - 1.0)"
+      s"""WITH c AS (SELECT l_returnflag, $x AS x, $y AS y FROM lineitem),
+          g AS (SELECT l_returnflag, count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x*x) AS BIGINT) AS sxx,
+                CAST(sum(y*y) AS BIGINT) AS syy,
+                CAST(sum(x*y) AS BIGINT) AS sxy
+                FROM c GROUP BY 1)
+          SELECT l_returnflag, n, sx, sy,
+                 $cov AS covar,
+                 sqrt($varx) AS stddev_x, sqrt($vary) AS stddev_y,
+                 $cov / (sqrt($varx) * sqrt($vary)) AS corr
+          FROM g ORDER BY l_returnflag"""
+    },
+
+    "q95_gapfill" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+                ${centsSql("value")} AS vc FROM events),
+          obs AS (SELECT user_id, day_idx, count(*) AS n,
+                  CAST(sum(vc) AS BIGINT) AS value_cents
+                  FROM e GROUP BY 1, 2),
+          span AS (SELECT user_id, min(day_idx) AS lo, max(day_idx) AS hi
+                   FROM obs GROUP BY 1),
+          dense AS (SELECT user_id,
+                    unnest(generate_series(lo, hi)) AS day_idx FROM span)
+          SELECT d.user_id, d.day_idx,
+                 CAST(coalesce(n, 0) AS BIGINT) AS n,
+                 CAST(coalesce(value_cents, 0) AS BIGINT) AS value_cents
+          FROM dense d LEFT JOIN obs o
+            ON d.user_id = o.user_id AND d.day_idx = o.day_idx
+          ORDER BY d.user_id, d.day_idx""",
+
+    "q96_zscore_outliers" -> {
+      val nd = "CAST(n AS DOUBLE)"
+      val z = s"(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / $nd) / " +
+        s"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / $nd) / ($nd - 1.0))"
+      s"""WITH e AS (SELECT event_id, event_type,
+                ${centsSql("value")} AS x FROM events),
+          g AS (SELECT event_type, count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(x*x) AS BIGINT) AS sxx
+                FROM e GROUP BY 1),
+          j AS (SELECT event_id, e.event_type, $z AS z
+                FROM e JOIN g ON e.event_type = g.event_type)
+          SELECT event_id, event_type, z, abs(z) > 3.0 AS is_outlier
+          FROM j ORDER BY event_id"""
+    },
+
+    "q97_profile" ->
+      ProfileCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+               CAST(count_if($c IS NULL) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               CAST(min($c) AS VARCHAR) AS min_val,
+               CAST(max($c) AS VARCHAR) AS max_val
+            FROM lineitem"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name"),
+
+    "q98_quantized_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+         m AS (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+         q8 AS (SELECT vec_id,
+                CASE WHEN ma = 0
+                     THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                     ELSE list_transform(v, x ->
+                       greatest(CAST(-127 AS BIGINT),
+                         least(CAST(127 AS BIGINT),
+                           CAST(floor(x * (127.0 / ma) + 0.5) AS BIGINT))))
+                END AS qv FROM m),
+         qs AS (SELECT vec_id AS query_id, qv AS qq FROM q8
+                WHERE vec_id < 10),
+         scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    CAST(list_dot_product(CAST(qq AS DOUBLE[]),
+                         CAST(c.qv AS DOUBLE[])) AS BIGINT) AS qdot
+                    FROM qs, q8 c WHERE c.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, qdot,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY qdot DESC, neighbor_id) AS rnk
+               FROM scored)
+         SELECT query_id, neighbor_id, qdot, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+  )
+
+  /** q99's oracle, generated from the run's trained centroids (rendered
+    * as '<repr>'::DOUBLE string casts — DuckDB's DECIMAL literal path
+    * loses 1 ulp, the q64 lesson). Assignment CTE mirrors
+    * `IvfIndex.fromCentroids` (v·v − 2·v·c + c·c, ties to lowest cell).
+    */
+  private def semOracle(centroids: Seq[Seq[Double]],
+                        threshold: Double): String = {
+    val values = centroids.zipWithIndex.map { case (c, i) =>
+      c.map(x => s"'$x'::DOUBLE").mkString(s"($i, [", ", ", "])")
+    }.mkString(", ")
+    s"""WITH centroids(cell, cv) AS (VALUES $values),
+        cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cv_n2
+               FROM centroids),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        en AS (SELECT vec_id, v, list_dot_product(v, v) AS v_n2 FROM e),
+        assigned AS (
+          SELECT vec_id, v, v_n2, cell FROM (
+            SELECT en.vec_id, en.v, en.v_n2, cn.cell,
+                   row_number() OVER (PARTITION BY en.vec_id
+                     ORDER BY (en.v_n2 - 2 * list_dot_product(en.v, cn.cv)
+                               + cn.cv_n2) ASC,
+                              cn.cell ASC) AS arnk
+            FROM en CROSS JOIN cn) t
+          WHERE arnk = 1),
+        pairs AS (
+          SELECT b.vec_id AS vec_b
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) / sqrt(a.v_n2 * b.v_n2), 6)
+                  >= $threshold),
+        ld AS (SELECT vec_b AS vec_id, count(*) AS n_dup_lower
+               FROM pairs GROUP BY 1)
+        SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+               CAST(coalesce(ld.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+               coalesce(ld.n_dup_lower, 0) = 0 AS kept
+        FROM assigned a LEFT JOIN ld ON a.vec_id = ld.vec_id
+        ORDER BY a.vec_id"""
+  }
+
+  val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "q99_semdedup" -> ((s, dir) =>
+      semOracle(Round2Queries.ivfCentroids(s, dir), SemThreshold)))
+}

@@ -1,0 +1,139 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Round6Suite extends SparkSpec {
+  import spark.implicits._
+
+  describe("Dedup.editDistancePairs") {
+    it("pairs same-block docs within maxDist and drops the rest") {
+      val docs = Seq(
+        (1L, "en", "alpha beta gamma"),
+        (2L, "en", "alpha beta gamme"),  // dist 1 from doc 1
+        (3L, "en", "alpha XXXX YYYY"),   // same block, dist > 2
+        (4L, "de", "alpha beta gamma"),  // other lang -> other block
+        (5L, "en", "omega beta gamma")   // other prefix -> other block
+      ).toDF("doc_id", "lang", "text")
+      val got = Dedup.editDistancePairs(docs, prefixLen = 4, cmpLen = 60,
+        maxDist = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L, 1L)))
+    }
+
+    it("distance 0 pairs (exact dupes) survive the threshold filter") {
+      val docs = Seq(
+        (1L, "en", "same text"), (2L, "en", "same text"))
+        .toDF("doc_id", "lang", "text")
+      val got = Dedup.editDistancePairs(docs, 4, 60, 1)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L, 0L)))
+    }
+  }
+
+  describe("Stats") {
+    it("momentStats reproduces hand-computed sample moments") {
+      // x = 1,2,3,4 ; y = 2,4,6,8 (cents already): corr exactly 1
+      val df = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 6L),
+        ("g", 4L, 8L)).toDF("grp", "x", "y")
+      val r = Stats.momentStats(df, "grp", col("x"), col("y"))
+        .select("n", "sx", "sy", "covar", "stddev_x", "stddev_y", "corr")
+        .as[(Long, Long, Long, Double, Double, Double, Double)]
+        .collect().head
+      assert(r._1 == 4L && r._2 == 10L && r._3 == 20L)
+      // sample covar of (1..4, 2..8) = 10/3; var_x = 5/3
+      assert(math.abs(r._4 - 10.0 / 3) < 1e-12)
+      assert(math.abs(r._5 - math.sqrt(5.0 / 3)) < 1e-12)
+      assert(math.abs(r._7 - 1.0) < 1e-12)
+    }
+
+    it("cents rounds half-up via floor(x*100+0.5)") {
+      val df = Seq(1.005, 2.004, -0.5).toDF("v")
+      val got = df.select(Stats.cents(col("v"))).as[Long].collect().toSeq
+      // 1.005*100 = 100.49999... in binary -> floors to 100; 2.004 -> 200
+      assert(got == Seq(100L, 200L, -50L))
+    }
+
+    it("withZScore flags the outlier and nothing else") {
+      val vals = Seq.fill(20)(100L) :+ 1000L
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, "t", v) }
+        .toDF("id", "grp", "x")
+      val out = Stats.withZScore(df, "grp", col("x"), 3.0)
+        .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+      assert(out(20L))
+      assert((0L until 20L).forall(!out(_)))
+    }
+  }
+
+  describe("TimeSeries.gapFillDaily") {
+    it("densifies each key's span and zero-fills silent days") {
+      val df = Seq((1L, 10L, 100L), (1L, 13L, 200L), (2L, 5L, 50L))
+        .toDF("k", "d", "vc")
+      val got = TimeSeries.gapFillDaily(df, "k", col("d"), col("vc"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, 10L, 1L, 100L), (1L, 11L, 0L, 0L), (1L, 12L, 0L, 0L),
+        (1L, 13L, 1L, 200L), (2L, 5L, 1L, 50L)))
+    }
+  }
+
+  describe("Profile.profile") {
+    it("reports nulls, distincts, and stringified min/max per column") {
+      val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "b"))
+        .toDF("num", "s")
+      val got = Profile.profile(df, Seq("num", "s"))
+        .as[(String, Long, Long, Long, String, String)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(got("num") == ("num", 3L, 1L, 2L, "1", "3"))
+      assert(got("s") == ("s", 3L, 0L, 2L, "a", "b"))
+    }
+  }
+
+  describe("Quantize") {
+    it("int8 maps max|x| to ±127 and zero vectors to zeros") {
+      val df = Seq(
+        (1L, Seq(2.0f, -4.0f, 1.0f)),
+        (2L, Seq(0.0f, 0.0f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      val got = df.select(col("vec_id"), Quantize.int8(col("embedding")))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got(1L) == Seq(64L, -127L, 32L)) // floor(x*31.75+0.5)
+      assert(got(2L) == Seq(0L, 0L, 0L))
+    }
+
+    it("intDot is the exact integer dot product") {
+      val df = Seq((Seq(1L, -2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+      val got = df.select(Quantize.intDot(col("a"), col("b")))
+        .as[Long].collect().head
+      assert(got == 4L - 10L + 18L)
+    }
+
+    it("knnInt8 ranks by integer dot with id tiebreak") {
+      val emb = Seq(
+        (0L, Seq(1.0f, 0.0f)),
+        (1L, Seq(1.0f, 0.0f)),  // qdot 127*127
+        (2L, Seq(0.5f, 0.0f)),  // same direction -> same int8 -> tie with 1
+        (3L, Seq(0.0f, 1.0f))   // orthogonal
+      ).toDF("vec_id", "embedding")
+      val got = Quantize.knnInt8(emb.filter(col("vec_id") === 0), emb, 3)
+        .select("neighbor_id", "rnk").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    }
+  }
+
+  describe("SemDedup.semanticDedup") {
+    it("drops the higher-id member of a near-dup pair within a cell") {
+      val emb = Seq(
+        (1L, Seq(1.0f, 0.0f)),
+        (2L, Seq(0.99f, 0.01f)),  // near-dup of 1, same cell
+        (3L, Seq(-1.0f, 0.0f)),   // other cell
+        (4L, Seq(0.0f, 1.0f))     // same-ish region as nothing
+      ).toDF("vec_id", "embedding")
+      val centroids = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0))
+      val got = SemDedup.semanticDedup(spark, emb, centroids, 0.9)
+        .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    }
+  }
+}
