@@ -93,7 +93,22 @@ object Round6Queries {
     "q99_semdedup" -> ((s, dir) =>
       SemDedup.semanticDedup(s, t(s, dir, "embeddings"),
         Round2Queries.ivfCentroids(s, dir), SemThreshold)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Bloom-prefiltered join ≡ plain join: the sketch prefilter on the
+    // fact side must be result-invisible (false positives are removed by
+    // the exact join; false negatives don't exist) — the oracle is the
+    // plain DuckDB join, so any row the bloom path loses fails the hash.
+    "q100_bloom_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      graft.ext.BloomJoin
+        .prefilteredJoin(orders, dim, "o_custkey", expectedKeys = 10000L)
+        .orderBy("o_orderkey")
+    })
   )
 
   private val ProfileCols =
@@ -205,7 +220,13 @@ object Round6Queries {
                         ORDER BY qdot DESC, neighbor_id) AS rnk
                FROM scored)
          SELECT query_id, neighbor_id, qdot, CAST(rnk AS BIGINT) AS rnk
-         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "q100_bloom_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+         ORDER BY o.o_orderkey"""
   )
 
   /** q99's oracle, generated from the run's trained centroids (rendered

@@ -122,6 +122,30 @@ class Round6Suite extends SparkSpec {
     }
   }
 
+  describe("BloomJoin.prefilteredJoin") {
+    it("matches the plain join exactly (no false negatives survive)") {
+      val probe = (1L to 1000L).map(i => (i, i * 10)).toDF("k", "v")
+      val build = (1L to 1000L by 7).map(i => (i, s"d$i")).toDF("k", "d")
+      val got = BloomJoin.prefilteredJoin(probe, build, "k", 200L)
+        .select("k", "v", "d").as[(Long, Long, String)].collect().toSet
+      val plain = probe.join(build, Seq("k"))
+        .select("k", "v", "d").as[(Long, Long, String)].collect().toSet
+      assert(got == plain && got.size == build.count())
+    }
+
+    it("the probe prunes rows before the join") {
+      val probe = (1L to 1000L).toDF("k")
+      val build = Seq(1L, 2L, 3L).toDF("k")
+      val bf = build.stat.bloomFilter("k", 10L, 0.01)
+      val pruned = probe
+        .filter(graft.functions.BloomFunctions
+          .mightContainLong(col("k"), bf))
+        .count()
+      // 3 true members + at most a handful of false positives at 1% fpp
+      assert(pruned >= 3 && pruned < 50)
+    }
+  }
+
   describe("SemDedup.semanticDedup") {
     it("drops the higher-id member of a near-dup pair within a cell") {
       val emb = Seq(
