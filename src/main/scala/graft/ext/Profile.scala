@@ -27,16 +27,26 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
               exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
+    // Two aggregates, crossJoined on their single rows, instead of one:
+    // string min/max aggregates are sort-based (no mutable fixed-width
+    // buffer), and mixing them into the multi-distinct rewrite made the
+    // planner SORT the full Expand output (cols+1 copies of every row, 6
+    // ordering keys — 6.6s at sf0.1). Separated, the distinct pass stays
+    // a HashAggregate over the Expand and the basic pass is a
+    // SortAggregate with NO grouping keys — which needs no sort at all.
+    val basicAggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"__rows_$c"),
         count_if(col(c).isNull).as(s"__nulls_$c"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val ndAggs = cols.map { c =>
+      (if (exact) countDistinct(col(c))
+       else approx_count_distinct(col(c))).as(s"__nd_$c")
+    }
+    val one = df.agg(basicAggs.head, basicAggs.tail: _*)
+      .crossJoin(df.agg(ndAggs.head, ndAggs.tail: _*))
     // stack(k, name1, vals1..., name2, vals2...) pivots the single result
     // row into one row per column — driver-side cost only.
     val stackArgs = cols.map { c =>
