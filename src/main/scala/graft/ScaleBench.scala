@@ -148,6 +148,52 @@ object ScaleBench {
             .collect()
         }
       },
+      "bloom_prefilter_join" -> { n =>
+        time {
+          // n fact rows against a 10k-key build side covering 1% of the
+          // key space: the bloom probe drops ~99% of fact rows AT THE
+          // SCAN, so the join shuffles ~n/100 rows. Linear per-row ratio
+          // proves the probe is O(1) per row inside codegen; the win over
+          // a plain shuffle join grows with fact size.
+          val fact = spark.range(n).select(
+            (col("id") % 1000000L).as("k"), (col("id") % 97L).as("v"))
+          val build = spark.range(10000L)
+            .select((col("id") * 100L).as("k"), col("id").as("d"))
+          graft.ext.BloomJoin.prefilteredJoin(fact, build, "k", 10000L)
+            .agg(count(lit(1)), sum("v")).collect()
+        }
+      },
+      "int8_quantize_knn" -> { n =>
+        time {
+          // 8 queries against n/10 vectors (dim 8), quantized on the fly:
+          // one corpus scan, broadcast queries, integer dots. Linear =
+          // the quantization + dot cost is O(dim) per row with no
+          // shuffle; the production form materializes int8 once and
+          // scans 4x fewer bytes.
+          val vecs = spark.range(n / 10).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(7)), j =>
+              (pmod(hash(col("id"), j), lit(1000)) / 500.0 - 1.0)
+                .cast("float")).as("embedding"))
+          graft.ext.Quantize
+            .knnInt8(vecs.filter(col("vec_id") < 8), vecs, 5)
+            .agg(count(lit(1)), sum("qdot")).collect()
+        }
+      },
+      "blocked_edit_distance" -> { n =>
+        time {
+          // n/100 docs in ~n/1000 blocks of ~10 docs each: candidate
+          // pairs stay ~45 per block, so the per-pair DP total is linear
+          // in docs. This is the blocking contract — the operator's cost
+          // model is (block size)² × blocks, NOT docs².
+          val docs = spark.range(n / 100).select(col("id").as("doc_id"),
+            lit("en").as("lang"),
+            concat(lpad(pmod(col("id"), lit(n / 1000)).cast("string"),
+              8, "0"), lit(" tail "), col("id").cast("string")).as("text"))
+          graft.ext.Dedup.editDistancePairs(docs,
+            prefixLen = 8, cmpLen = 40, maxDist = 20)
+            .agg(count(lit(1)), sum("dist")).collect()
+        }
+      },
       "dedup_groups_cc" -> { n =>
         time {
           // connected components over n/20 edges arranged as 8-node chains

@@ -30,11 +30,12 @@ object Quantize {
           floor(x * (lit(127.0) / maxabs) + lit(0.5)).cast("long")))))
   }
 
-  /** Exact integer dot product of two long-array columns (left-to-right
-    * fold — deterministic, though integer addition makes order moot).
+  /** Exact integer dot product of two long-array columns (codegen'd
+    * primitive loop — the zip_with/aggregate higher-order form allocates
+    * a lambda frame per element; integer addition makes order moot).
     */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.intDot(a, b)
 
   /** Brute-force top-k by QUANTIZED dot product: the small query set is
     * quantized and broadcast, the corpus is quantized on the fly inside

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector hot path.
   *
@@ -53,6 +53,49 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product over two array<long> columns — the int8
+  * quantized-similarity hot path. Same rationale as [[DotProduct]]: the
+  * `zip_with` + `aggregate` higher-order form allocates a lambda frame
+  * per element; this is a primitive loop inside whole-stage codegen.
+  * Integer addition is associative, so there is no accumulation-order
+  * caveat at all — results are exact on any engine.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_int_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
     copy(left = newLeft, right = newRight)
 }
 
@@ -145,6 +188,11 @@ object VectorFunctions {
   /** Dot product of two array<double> columns (codegen'd primitive loop). */
   def dot(a: Column, b: Column): Column =
     GraftShim.column(DotProduct(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Exact dot product of two array<long> columns (codegen'd loop). */
+  def intDot(a: Column, b: Column): Column =
+    GraftShim.column(IntDotProduct(
       GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Nearest-centroid cell for an array<double> vector column; centroids
