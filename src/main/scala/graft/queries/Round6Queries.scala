@@ -95,6 +95,43 @@ object Round6Queries {
         Round2Queries.ivfCentroids(s, dir), SemThreshold)
         .orderBy("vec_id")),
 
+    // Stream-static enrichment: the events stream left-joined per
+    // micro-batch against the static customer dimension (broadcast,
+    // stateless), run bounded — the oracle is the plain batch left join,
+    // so a row dropped, duplicated, or mis-joined by the per-batch
+    // broadcast machinery fails the hash.
+    "q101_stream_static" -> ((s, dir) => {
+      Readers.enableNanosAsLong(s)
+      val streamDir = java.nio.file.Files.createTempDirectory("q101_events")
+      val link = streamDir.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir).toAbsolutePath
+          .resolve("events.parquet"))
+      val stream = s.readStream
+        .schema(StreamingQueries.eventsSchema)
+        .parquet(streamDir.toString)
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val name = "q101_mem_" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val out =
+        try graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.enrich(stream, dim, "user_id")
+            .select(col("event_id"), col("user_id"),
+              col("event_type"), col("segment")),
+          name,
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = Some(8))
+        finally {
+          java.nio.file.Files.deleteIfExists(link)
+          java.nio.file.Files.deleteIfExists(streamDir)
+        }
+      out.select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("segment"), lit("none")).as("segment"))
+        .orderBy("event_id")
+    }),
+
     // Bloom-prefiltered join ≡ plain join: the sketch prefilter on the
     // fact side must be result-invisible (false positives are removed by
     // the exact join; false negatives don't exist) — the oracle is the
@@ -226,7 +263,13 @@ object Round6Queries {
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_mktsegment = 'BUILDING'
-         ORDER BY o.o_orderkey"""
+         ORDER BY o.o_orderkey""",
+
+    "q101_stream_static" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+                coalesce(c.c_mktsegment, 'none') AS segment
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id"""
   )
 
   /** q99's oracle, generated from the run's trained centroids (rendered

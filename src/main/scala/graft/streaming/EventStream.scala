@@ -107,6 +107,21 @@ object EventStream {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
+  /** Stream-static enrichment: left-join each micro-batch against a
+    * static (batch) dimension table on `key`. Stateless — no watermark,
+    * no state store; the static side is broadcast into every micro-batch
+    * (and re-read per batch, so a warehouse-backed dimension picks up
+    * updates between batches). This is the "attach user/account metadata
+    * to the event stream" shape every streaming pipeline starts with; at
+    * production rates the only sizing rule is that the dimension fits a
+    * broadcast — beyond that, drop the hint and let the join shuffle the
+    * batch side.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events.join(broadcast(dim), Seq(key), "left")
+  }
+
   /** Micro-batch warehouse sink: the built-in parquet file sink, which is
     * exactly-once — committed files are tracked in the `_spark_metadata`
     * manifest, so a batch replayed after a mid-commit crash never double

@@ -88,6 +88,23 @@ class MultimodalStreamingSuite extends SparkSpec {
         .getAs[Long]("n_events") == 2L)
     }
 
+    it("enriches micro-batches from a static dimension (left join)") {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[EventStream.Event]
+      src.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2026-01-01 10:01:00", 9, "view", 2.0)) // no dim row
+      val dim = Seq((1L, "gold")).toDF("user_id", "segment")
+      val out = EventStream.runToMemory(
+        EventStream.enrich(src.toDF(), dim, "user_id")
+          .select("event_id", "segment"),
+        "enrich_test", org.apache.spark.sql.streaming.OutputMode.Append())
+      val rows = out.orderBy("event_id").collect()
+      assert(rows.map(_.getAs[String]("segment")).toSeq ==
+        Seq("gold", null))
+    }
+
     it("drops duplicate event ids within the watermark") {
       implicit val sc = spark.sqlContext
       val src = MemoryStream[EventStream.Event]
