@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Readers
-import graft.ext.{Dedup, Profile, Quantize, SemDedup, Stats, TimeSeries}
+import graft.ext.{Batching, Dedup, Profile, Quantize, SemDedup, Stats, TimeSeries}
+import graft.functions.Portable
 
 /** Round-6 batch: reproducible statistics and similarity primitives —
   * blocked edit-distance near-dup, exact-moment correlation/z-score
@@ -95,6 +96,27 @@ object Round6Queries {
         Round2Queries.ivfCentroids(s, dir), SemThreshold)
         .orderBy("vec_id")),
 
+    // Deterministic corpus shuffle: training order = rank of the salted
+    // content hash, assigned by the scalable global row number (range
+    // shuffle + offsets) — pseudorandom, byte-identical on every rerun
+    // and cluster layout, which is what checkpoint resume needs.
+    "q102_det_shuffle" -> ((s, dir) =>
+      Batching.deterministicShuffle(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        col("doc_id"), salt = 1)
+        .orderBy("position")),
+
+    // Length-bucketed inference batching: band by token length, chunk
+    // each band at 512 cumulative tokens — similar-length sequences
+    // share a batch (bounded padding waste) under an exact, portable
+    // integer rule.
+    "q103_length_batches" -> ((s, dir) =>
+      Batching.lengthBucketedBatches(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(Portable.wsTokens(col("text"))).cast("long").as("n_tokens")),
+        col("doc_id"), col("n_tokens"), bandWidth = 32L, capTokens = 512L)
+        .orderBy("doc_id")),
+
     // Stream-static enrichment: the events stream left-joined per
     // micro-batch against the static customer dimension (broadcast,
     // stateless), run bounded — the oracle is the plain batch left join,
@@ -155,6 +177,9 @@ object Round6Queries {
   // Engine-portable integer cents: floor(x*100 + 0.5) — see Stats.cents.
   private def centsSql(e: String): String =
     s"CAST(floor($e * 100 + 0.5) AS BIGINT)"
+
+  // DuckDB twin of Portable.wsTokens (same regex as the other rounds).
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
 
   val oracleSql: Map[String, String] = Map(
 
@@ -269,7 +294,31 @@ object Round6Queries {
       """SELECT e.event_id, e.user_id, e.event_type,
                 coalesce(c.c_mktsegment, 'none') AS segment
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-         ORDER BY e.event_id"""
+         ORDER BY e.event_id""",
+
+    "q102_det_shuffle" ->
+      """SELECT doc_id, lang,
+                CAST(row_number() OVER (
+                  ORDER BY CAST('0x' || substr(md5('1:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                  doc_id) AS BIGINT) AS position
+         FROM documents ORDER BY position""",
+
+    "q103_length_batches" ->
+      s"""WITH d AS (SELECT doc_id,
+                CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
+          b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS size_bucket
+                FROM d),
+          c AS (SELECT doc_id, n_tokens, size_bucket,
+                sum(n_tokens) OVER w AS cum,
+                row_number() OVER w AS pos_in_bucket
+                FROM b
+                WINDOW w AS (PARTITION BY size_bucket
+                             ORDER BY n_tokens, doc_id))
+          SELECT doc_id, n_tokens, size_bucket,
+                 CAST((cum - n_tokens) // 512 AS BIGINT) AS batch_in_bucket,
+                 CAST(pos_in_bucket AS BIGINT) AS pos_in_bucket
+          FROM c ORDER BY doc_id"""
   )
 
   /** q99's oracle, generated from the run's trained centroids (rendered

@@ -122,6 +122,43 @@ class Round6Suite extends SparkSpec {
     }
   }
 
+  describe("Batching") {
+    it("deterministicShuffle is a reproducible permutation, not id order") {
+      val df = (1L to 100L).toDF("doc_id")
+      def run() = Batching.deterministicShuffle(df, col("doc_id"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val a = run()
+      assert(a.map(_._2).sorted == (1L to 100L)) // a permutation
+      assert(a.map(_._1) != a.sortBy(_._2).map(_._1)) // not identity order
+      assert(a == run()) // byte-identical on rerun
+    }
+
+    it("different salts give different permutations") {
+      val df = (1L to 50L).toDF("doc_id")
+      val s0 = Batching.deterministicShuffle(df, col("doc_id"), salt = 0)
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+      val s1 = Batching.deterministicShuffle(df, col("doc_id"), salt = 1)
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+      assert(s0 != s1)
+    }
+
+    it("lengthBucketedBatches bands by length and chunks at the cap") {
+      // lens 10,12 -> bucket 0; 35,36,37 -> bucket 1 (band 32)
+      val df = Seq((1L, 10L), (2L, 12L), (3L, 35L), (4L, 36L), (5L, 37L))
+        .toDF("id", "len")
+      val got = Batching.lengthBucketedBatches(df, col("id"), col("len"),
+        bandWidth = 32L, capTokens = 70L)
+        .select("id", "size_bucket", "batch_in_bucket", "pos_in_bucket")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got(1L) == ((1L, 0L, 0L, 1L)))
+      assert(got(2L) == ((2L, 0L, 0L, 2L)))
+      // bucket 1 cum: 35, 71, 108 -> starts 0, 35, 71 -> batches 0, 0, 1
+      assert(got(3L) == ((3L, 1L, 0L, 1L)))
+      assert(got(4L) == ((4L, 1L, 0L, 2L)))
+      assert(got(5L) == ((5L, 1L, 1L, 3L)))
+    }
+  }
+
   describe("BloomJoin.prefilteredJoin") {
     it("matches the plain join exactly (no false negatives survive)") {
       val probe = (1L to 1000L).map(i => (i, i * 10)).toDF("k", "v")
