@@ -27,6 +27,35 @@ object TextAnalysis {
   private def countIn(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
+  /** Sliding-window chunking (the RAG / context-window prep step): each
+    * document becomes ceil(n_tokens / stride) overlapping chunks of up to
+    * `window` tokens, starting every `stride` tokens. Pure
+    * projection + explode — no shuffle, chunk boundaries depend only on
+    * the document itself, so the operator is embarrassingly parallel and
+    * re-chunking after an upstream filter never moves data. Emits the
+    * chunk text's md5 (stable identity for downstream dedup/indexing)
+    * and the chunk's token count; keep `stride <= window` for full
+    * coverage with `window - stride` token overlap.
+    */
+  def slidingChunks(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"window/stride must be positive, got $window/$stride")
+    val toks = wsTokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")), lit(stride)))
+          .as("__start"))
+      .select(col("doc_id"),
+        // `div` = integer division (Column./ would round-trip double)
+        expr(s"(__start - 1) div $stride").cast("long").as("chunk_idx"),
+        size(slice(col("__toks"), col("__start"), lit(window)))
+          .cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__toks"), col("__start"), lit(window))))
+          .as("chunk_md5"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish word/symbol pieces. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(

@@ -117,6 +117,15 @@ object Round6Queries {
         col("doc_id"), col("n_tokens"), bandWidth = 32L, capTokens = 512L)
         .orderBy("doc_id")),
 
+    // Sliding-window chunking (RAG / context-window prep): 64-token
+    // chunks every 32 tokens, identity = chunk-text md5 — pure
+    // projection+explode, no shuffle; the oracle recomputes every chunk
+    // hash from the same slicing rule.
+    "q104_sliding_chunks" -> ((s, dir) =>
+      graft.ext.TextAnalysis
+        .slidingChunks(t(s, dir, "documents"), window = 64, stride = 32)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Stream-static enrichment: the events stream left-joined per
     // micro-batch against the static customer dimension (broadcast,
     // stateless), run bounded — the oracle is the plain batch left join,
@@ -295,6 +304,16 @@ object Round6Queries {
                 coalesce(c.c_mktsegment, 'none') AS segment
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+
+    "q104_sliding_chunks" ->
+      s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
+          s AS (SELECT doc_id, w,
+                unnest(generate_series(1, len(w), 32)) AS i FROM w)
+          SELECT doc_id,
+                 CAST((i - 1) // 32 AS BIGINT) AS chunk_idx,
+                 CAST(len(w[i:i+63]) AS BIGINT) AS chunk_tokens,
+                 md5(array_to_string(w[i:i+63], ' ')) AS chunk_md5
+          FROM s ORDER BY doc_id, chunk_idx""",
 
     "q102_det_shuffle" ->
       """SELECT doc_id, lang,

@@ -122,6 +122,26 @@ class Round6Suite extends SparkSpec {
     }
   }
 
+  describe("TextAnalysis.slidingChunks") {
+    it("emits overlapping windows with stable md5 identities") {
+      val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.slidingChunks(docs, window = 4, stride = 3)
+        .select("chunk_idx", "chunk_tokens", "chunk_md5")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      // starts 1,4,7,10 -> windows t1-t4, t4-t7, t7-t10, t10
+      assert(got.map(c => (c._1, c._2)) ==
+        Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 1L)))
+      def m(s: String) = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        d.map("%02x".format(_)).mkString
+      }
+      assert(got(0)._3 == m("t1 t2 t3 t4"))
+      assert(got(3)._3 == m("t10"))
+    }
+  }
+
   describe("Batching") {
     it("deterministicShuffle is a reproducible permutation, not id order") {
       val df = (1L to 100L).toDF("doc_id")
