@@ -17,17 +17,28 @@ import org.apache.spark.sql.functions._
   * identical on every engine) rather than `round()` (HALF_UP BigDecimal
   * in Spark vs scale-multiply std::round in DuckDB — diverges at half-ulp
   * boundaries). Zero vectors quantize to zero vectors (no 0/0).
+  *
+  * The max|x| reduction is materialized as its OWN projection column
+  * before the per-element transform: higher-order functions are not
+  * subexpression-eliminated, so embedding `array_max(transform(...))`
+  * inside the element lambda re-reduces the vector per element — O(dim²)
+  * with an O(dim) allocation per element (measured >100× slower at
+  * dim 2000). Hence the DataFrame-shaped API.
   */
 object Quantize {
 
-  /** Quantize a float/double array column to int8 codes (as longs). */
-  def int8(v: Column): Column = {
+  /** Append `out` = the int8 codes (as longs) of array column `v`. */
+  def withInt8(df: DataFrame, v: Column, out: String): DataFrame = {
     val vd = v.cast("array<double>")
-    val maxabs = array_max(transform(vd, x => abs(x)))
-    when(maxabs === 0.0, transform(vd, _ => lit(0L)))
-      .otherwise(transform(vd, x =>
-        greatest(lit(-127L), least(lit(127L),
-          floor(x * (lit(127.0) / maxabs) + lit(0.5)).cast("long")))))
+    df
+      .withColumn("__q_maxabs", array_max(transform(vd, x => abs(x))))
+      .withColumn(out,
+        when(col("__q_maxabs") === 0.0, transform(vd, _ => lit(0L)))
+          .otherwise(transform(vd, x =>
+            greatest(lit(-127L), least(lit(127L),
+              floor(x * (lit(127.0) / col("__q_maxabs")) + lit(0.5))
+                .cast("long"))))))
+      .drop("__q_maxabs")
   }
 
   /** Exact integer dot product of two long-array columns (codegen'd
@@ -44,13 +55,15 @@ object Quantize {
     * order is reproducible bit-for-bit with no rounding step.
     */
   def knnInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      int8(col("embedding")).as("qq"))
+    val q = withInt8(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      col("embedding"), "qq").drop("embedding")
     // single-split hazard (see Similarity.knnBrute): the corpus side of a
     // broadcast join inherits the scan's split count — spread it
     val p = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      int8(col("embedding")).as("cq")).repartition(p)
+    val c = withInt8(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      col("embedding"), "cq").drop("embedding").repartition(p)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -22,8 +22,9 @@ import graft.functions.VectorFunctions.dot
   * Decision rule (deterministic, order-free): a vector is dropped iff
   * some LOWER-id vector in its cell matches it at ≥ `threshold` cosine —
   * the keep-first discipline of the text-dedup operators, applied to
-  * embedding space. Scores round to 6dp before the threshold compare so
-  * the kept set is reproducible cross-engine.
+  * embedding space. The threshold compares the raw cosine double, which
+  * is bitwise deterministic cross-engine (fixed fold order), so the kept
+  * set is reproducible with no rounding step.
   */
 object SemDedup {
 
@@ -39,11 +40,15 @@ object SemDedup {
       col("v").as("va"), col("v_n2").as("va_n2"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("v_n2").as("vb_n2"))
+    // The threshold compares the UNROUNDED cosine: the raw double is
+    // already bitwise deterministic cross-engine (fixed fold order),
+    // while round()-then-compare would reintroduce the Spark-vs-DuckDB
+    // half-ulp round() divergence exactly where it flips a row set.
     val dupPairs = a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_b"),
-        round(dot(col("va"), col("vb")) /
-          sqrt(col("va_n2") * col("vb_n2")), 6).as("score"))
+        (dot(col("va"), col("vb")) /
+          sqrt(col("va_n2") * col("vb_n2"))).as("score"))
       .filter(col("score") >= threshold)
     val lowerDups = dupPairs.groupBy("vec_b")
       .agg(count(lit(1)).as("n_dup_lower"))

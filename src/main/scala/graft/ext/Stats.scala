@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   * budget: Σx² fits int64 while |x_cents|² × rows < 9.2e18 — at 100 TB
   * scale wide measures should be pre-scaled down or summed as
   * DECIMAL(38,0) instead.
+  *
+  * Degenerate groups never throw (Spark 4 is ANSI-on, so a bare `/ 0`
+  * WOULD): moments are guarded to null when undefined — n < 2 for
+  * covariance/variance, zero variance for correlation and z-scores.
   */
 object Stats {
 
@@ -37,31 +41,45 @@ object Stats {
   /** Per-group exact second-moment statistics of two integer measures:
     * sample covariance, sample stddevs, and Pearson correlation, plus the
     * raw exact sums. The moment formulation ((Σxy − ΣxΣy/n)/(n−1)) is used
-    * on BOTH engines, so derived doubles match bit-for-bit; groups with
-    * n < 2 yield null covariance/correlation (no sample variance exists).
+    * on BOTH engines, so derived doubles match bit-for-bit.
+    *
+    * Null policy is pairwise-complete: only rows where BOTH measures are
+    * non-null enter n and every sum (mixing count(*) with null-skipping
+    * sums would silently skew every derived moment). Degenerate groups
+    * yield null, not an ANSI divide-by-zero: covariance/variance need
+    * n ≥ 2; correlation additionally needs both variances > 0.
     *
     * Output units are the CENTS units of the inputs (covariance scales
     * with scale², correlation is scale-free).
     */
   def momentStats(df: DataFrame, groupCol: String,
                   xCents: Column, yCents: Column): DataFrame = {
+    val bothNonNull = xCents.isNotNull && yCents.isNotNull
+    val x = when(bothNonNull, xCents)
+    val y = when(bothNonNull, yCents)
     val agg = df.groupBy(groupCol).agg(
-      count(lit(1)).as("n"),
-      sum(xCents).as("sx"), sum(yCents).as("sy"),
-      sum(xCents * xCents).as("sxx"),
-      sum(yCents * yCents).as("syy"),
-      sum(xCents * yCents).as("sxy"))
+      count(x).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"),
+      sum(y * y).as("syy"),
+      sum(x * y).as("sxy"))
     val nd = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     val cov = (d("sxy") - d("sx") * d("sy") / nd) / (nd - 1.0)
     val varx = (d("sxx") - d("sx") * d("sx") / nd) / (nd - 1.0)
     val vary = (d("syy") - d("sy") * d("sy") / nd) / (nd - 1.0)
+    // CaseWhen evaluates branches lazily per row, so the guarded
+    // divisions never execute for degenerate groups (no ANSI throw).
+    val covG = when(col("n") >= 2, cov)
+    val varxG = when(col("n") >= 2, varx)
+    val varyG = when(col("n") >= 2, vary)
     agg.select(col(groupCol), col("n"),
       col("sx"), col("sy"),
-      cov.as("covar"),
-      sqrt(varx).as("stddev_x"),
-      sqrt(vary).as("stddev_y"),
-      (cov / (sqrt(varx) * sqrt(vary))).as("corr"))
+      covG.as("covar"),
+      sqrt(varxG).as("stddev_x"),
+      sqrt(varyG).as("stddev_y"),
+      when(col("n") >= 2 && varx > 0.0 && vary > 0.0,
+        cov / (sqrt(varx) * sqrt(vary))).as("corr"))
   }
 
   /** Append a per-group sample z-score of an integer measure, and an
@@ -70,23 +88,28 @@ object Stats {
     * broadcast join; the fact side is never shuffled, which is the shape
     * that survives 100 TB (a `Window.partitionBy(group)` would shuffle
     * AND sort every row for three numbers per group).
+    *
+    * Null rows and degenerate groups (n < 2, or zero variance) get a
+    * null z and `false` flag instead of an ANSI divide-by-zero.
     */
   def withZScore(df: DataFrame, groupCol: String, xCents: Column,
                  zThreshold: Double, zOut: String = "z",
                  flagOut: String = "is_outlier"): DataFrame = {
     val stats = df.groupBy(groupCol).agg(
-      count(lit(1)).as("__n"),
+      count(xCents).as("__n"),
       sum(xCents).as("__sx"),
       sum(xCents * xCents).as("__sxx"))
     val nd = col("__n").cast("double")
     val mean = col("__sx").cast("double") / nd
-    val sd = sqrt(
+    val variance =
       (col("__sxx").cast("double") -
         col("__sx").cast("double") * col("__sx").cast("double") / nd) /
-        (nd - 1.0))
+        (nd - 1.0)
+    val z = when(col("__n") >= 2 && variance > 0.0,
+      (xCents.cast("double") - mean) / sqrt(variance))
     df.join(broadcast(stats), groupCol)
-      .withColumn(zOut, (xCents.cast("double") - mean) / sd)
-      .withColumn(flagOut, abs(col(zOut)) > zThreshold)
+      .withColumn(zOut, z)
+      .withColumn(flagOut, coalesce(abs(col(zOut)) > zThreshold, lit(false)))
       .drop("__n", "__sx", "__sxx")
   }
 }

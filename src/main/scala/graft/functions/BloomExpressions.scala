@@ -42,7 +42,13 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
 }
 
 object BloomFunctions {
-  /** Membership probe of a long column against a pre-built filter. */
+  /** Membership probe against a pre-built filter. The key is cast to
+    * long here — the expression skips ExpectsInputTypes (private[sql],
+    * see GraftShim), so without the cast an int/string key would pass
+    * analysis and then diverge: codegen silently widens, interpreted
+    * eval ClassCastExceptions.
+    */
   def mightContainLong(key: Column, filter: BloomFilter): Column =
-    GraftShim.column(BloomMightContain(GraftShim.expression(key), filter))
+    GraftShim.column(BloomMightContain(
+      GraftShim.expression(key.cast("long")), filter))
 }

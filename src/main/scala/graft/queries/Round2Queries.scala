@@ -50,32 +50,19 @@ object Round2Queries {
     // The streaming session-window operator (EventStream.userSessions,
     // watermarked session_window) run bounded — results hash-equal to a
     // batch gap-sessionization oracle.
-    "q55_streaming_sessions" -> ((s, dir) => {
-      Readers.enableNanosAsLong(s)
-      val streamDir = java.nio.file.Files.createTempDirectory("q55_events")
-      val link = streamDir.resolve("events.parquet")
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir).toAbsolutePath
-          .resolve("events.parquet"))
-      val stream = s.readStream
-        .schema(StreamingQueries.eventsSchema)
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val name = "q55_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // session state is keyed by user (~thousands): 8 partitions suffice.
-      // runToMemory drains the stream before returning, so the scratch dir
-      // (symlink-only — never the data it points at) is removable here.
-      val out =
-        try EventStream.runToMemory(
-          EventStream.userSessions(stream), name, statePartitions = Some(8))
-        finally {
-          java.nio.file.Files.deleteIfExists(link)
-          java.nio.file.Files.deleteIfExists(streamDir)
-        }
-      out.select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"), round(col("value_sum"), 2).as("value_sum"))
-        .orderBy("user_id", "session_start")
-    }),
+    "q55_streaming_sessions" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q55_events") { raw =>
+        val stream = raw
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // session state is keyed by user (~thousands): 8 partitions
+        val out = EventStream.runToMemory(
+          EventStream.userSessions(stream),
+          StreamingQueries.memName("q55_mem_"), statePartitions = Some(8))
+        out.select(col("user_id"), col("session_start"),
+          col("session_end"), col("n_events"),
+          round(col("value_sum"), 2).as("value_sum"))
+          .orderBy("user_id", "session_start")
+      }),
 
     // CUBE over two dimensions (rollup's big sibling: all 4 grouping sets).
     "q56_cube" -> ((s, dir) =>

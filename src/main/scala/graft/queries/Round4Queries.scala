@@ -146,38 +146,25 @@ object Round4Queries {
     // so the pick is deterministic however AvailableNow micro-batches the
     // input — and compared to the plain batch aggregate. round(2) is safe:
     // event values are 2-decimal, so true sums sit ON the 2dp grid.
-    "q76_streaming_state_totals" -> ((s, dir) => {
-      graft.engine.Readers.enableNanosAsLong(s)
-      val streamDir = java.nio.file.Files.createTempDirectory("q76_events")
-      val link = streamDir.resolve("events.parquet")
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir).toAbsolutePath
-          .resolve("events.parquet"))
-      val stream = s.readStream
-        .schema(StreamingQueries.eventsSchema)
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-      import s.implicits._
-      val name = "q76_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val out =
-        try graft.streaming.EventStream.runToMemory(
+    "q76_streaming_state_totals" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q76_events") { raw =>
+        val stream = raw
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        import s.implicits._
+        val out = graft.streaming.EventStream.runToMemory(
           graft.streaming.EventStream
             .runningUserTotals(stream.as[graft.streaming.EventStream.Event])
             .toDF(),
-          name,
+          StreamingQueries.memName("q76_mem_"),
           outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
           statePartitions = Some(8))
-        finally {
-          java.nio.file.Files.deleteIfExists(link)
-          java.nio.file.Files.deleteIfExists(streamDir)
-        }
-      out.groupBy("user_id")
-        .agg(max(struct(col("n_events"), col("value_sum"))).as("m"))
-        .select(col("user_id"), col("m.n_events").as("n_events"),
-          round(col("m.value_sum"), 2).as("value_sum"))
-        .orderBy("user_id")
-    }),
+        out.groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("value_sum"))).as("m"))
+          .select(col("user_id"), col("m.n_events").as("n_events"),
+            round(col("m.value_sum"), 2).as("value_sum"))
+          .orderBy("user_id")
+      }),
 
     // Streaming exact dedup under the hash gate: the events file is fed
     // to the stream TWICE (two symlinks), so every event_id arrives
@@ -186,34 +173,19 @@ object Round4Queries {
     // oracle is the plain events table: any duplicate leaked (state
     // miss) or row lost fails the hash. Deterministic because duplicate
     // copies are bit-identical rows, so "which copy won" is invisible.
-    "q77_streaming_dedup" -> ((s, dir) => {
-      graft.engine.Readers.enableNanosAsLong(s)
-      val streamDir = java.nio.file.Files.createTempDirectory("q77_events")
-      val links = Seq("a.parquet", "b.parquet").map { n =>
-        val l = streamDir.resolve(n)
-        java.nio.file.Files.createSymbolicLink(
-          l, java.nio.file.Paths.get(dir).toAbsolutePath
-            .resolve("events.parquet"))
-        l
-      }
-      val stream = s.readStream
-        .schema(StreamingQueries.eventsSchema)
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val name = "q77_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val out =
-        try graft.streaming.EventStream.runToMemory(
+    "q77_streaming_dedup" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q77_events",
+        copies = 2) { raw =>
+        val stream = raw
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val out = graft.streaming.EventStream.runToMemory(
           graft.streaming.EventStream.dedupedEvents(stream),
-          name,
+          StreamingQueries.memName("q77_mem_"),
           outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
           statePartitions = Some(8))
-        finally {
-          links.foreach(java.nio.file.Files.deleteIfExists)
-          java.nio.file.Files.deleteIfExists(streamDir)
-        }
-      out.select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy("event_id")
-    }))
+        out.select("event_id", "ts", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      }))
 
   /** Oracles that depend on run-time-learned parameters (q72 shares q64's
     * trained-centroid oracle generator).

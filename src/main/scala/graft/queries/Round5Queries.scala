@@ -195,33 +195,17 @@ object Round5Queries {
     // clicks in the preceding hour, run through the real watermarked
     // streaming join on a bounded stream; the oracle is the equivalent
     // batch interval join.
-    "q89_streaming_join" -> ((s, dir) => {
-      Readers.enableNanosAsLong(s)
-      val streamDir = java.nio.file.Files.createTempDirectory("q89_events")
-      val link = streamDir.resolve("events.parquet")
-      // Absolute target: the link lives in an absolute temp dir, so a
-      // relative target would resolve against the temp dir and dangle.
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir).toAbsolutePath
-          .resolve("events.parquet"))
-      val stream = s.readStream
-        .schema(StreamingQueries.eventsSchema)
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val name = "q89_mem_" + java.util.UUID.randomUUID().toString
-        .replace("-", "")
-      val out =
-        try graft.streaming.EventStream.runToMemory(
+    "q89_streaming_join" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q89_events") { raw =>
+        val stream = raw
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        graft.streaming.EventStream.runToMemory(
           graft.streaming.EventStream.purchaseAttribution(stream),
-          name,
+          StreamingQueries.memName("q89_mem_"),
           outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
           statePartitions = Some(8))
-        finally {
-          java.nio.file.Files.deleteIfExists(link)
-          java.nio.file.Files.deleteIfExists(streamDir)
-        }
-      out.orderBy("purchase_id", "click_id")
-    }),
+          .orderBy("purchase_id", "click_id")
+      }),
 
     // SCD-1 upsert (CDC apply): a deterministic "updates batch" (every
     // 4th order, version 2, price bumped, status 'U') merged over the

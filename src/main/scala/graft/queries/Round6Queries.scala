@@ -131,37 +131,22 @@ object Round6Queries {
     // stateless), run bounded — the oracle is the plain batch left join,
     // so a row dropped, duplicated, or mis-joined by the per-batch
     // broadcast machinery fails the hash.
-    "q101_stream_static" -> ((s, dir) => {
-      Readers.enableNanosAsLong(s)
-      val streamDir = java.nio.file.Files.createTempDirectory("q101_events")
-      val link = streamDir.resolve("events.parquet")
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir).toAbsolutePath
-          .resolve("events.parquet"))
-      val stream = s.readStream
-        .schema(StreamingQueries.eventsSchema)
-        .parquet(streamDir.toString)
-      val dim = t(s, dir, "customer")
-        .select(col("c_custkey").as("user_id"),
-          col("c_mktsegment").as("segment"))
-      val name = "q101_mem_" + java.util.UUID.randomUUID().toString
-        .replace("-", "")
-      val out =
-        try graft.streaming.EventStream.runToMemory(
+    "q101_stream_static" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q101_events") { stream =>
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        val out = graft.streaming.EventStream.runToMemory(
           graft.streaming.EventStream.enrich(stream, dim, "user_id")
             .select(col("event_id"), col("user_id"),
               col("event_type"), col("segment")),
-          name,
+          StreamingQueries.memName("q101_mem_"),
           outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
           statePartitions = Some(8))
-        finally {
-          java.nio.file.Files.deleteIfExists(link)
-          java.nio.file.Files.deleteIfExists(streamDir)
-        }
-      out.select(col("event_id"), col("user_id"), col("event_type"),
-        coalesce(col("segment"), lit("none")).as("segment"))
-        .orderBy("event_id")
-    }),
+        out.select(col("event_id"), col("user_id"), col("event_type"),
+          coalesce(col("segment"), lit("none")).as("segment"))
+          .orderBy("event_id")
+      }),
 
     // Bloom-prefiltered join ≡ plain join: the sketch prefilter on the
     // fact side must be result-invisible (false positives are removed by
@@ -369,7 +354,7 @@ object Round6Queries {
           SELECT b.vec_id AS vec_b
           FROM assigned a JOIN assigned b
             ON a.cell = b.cell AND a.vec_id < b.vec_id
-          WHERE round(list_dot_product(a.v, b.v) / sqrt(a.v_n2 * b.v_n2), 6)
+          WHERE list_dot_product(a.v, b.v) / sqrt(a.v_n2 * b.v_n2)
                   >= $threshold),
         ld AS (SELECT vec_b AS vec_id, count(*) AS n_dup_lower
                FROM pairs GROUP BY 1)

@@ -23,28 +23,54 @@ object StreamingQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The bounded-events-stream harness every streaming gate query shares
+    * (previously copy-pasted six times): the file stream source needs a
+    * DIRECTORY, so events.parquet is exposed through `copies` symlink(s)
+    * in a scratch dir (absolute targets — a relative `dir` would dangle
+    * the link), read as a schema'd parquet stream with the nanos-ts
+    * conf on, handed to `use` (which must DRAIN the stream — e.g. via
+    * `EventStream.runToMemory`, so cleanup in `finally` runs after the
+    * bounded run terminates), and the scratch dir is always removed.
+    * `copies` > 1 feeds the same file multiple times (q77's
+    * duplicate-delivery shape).
+    */
+  private[queries] def runEventsStream(
+      s: SparkSession, dir: String, prefix: String, copies: Int = 1)(
+      use: DataFrame => DataFrame): DataFrame = {
+    graft.engine.Readers.enableNanosAsLong(s)
+    val streamDir = java.nio.file.Files.createTempDirectory(prefix)
+    val target = java.nio.file.Paths.get(dir).toAbsolutePath
+      .resolve("events.parquet")
+    val links = (1 to copies).map { i =>
+      val l = streamDir.resolve(s"copy$i.parquet")
+      java.nio.file.Files.createSymbolicLink(l, target)
+      l
+    }
+    try use(
+      s.readStream.schema(eventsSchema).parquet(streamDir.toString))
+    finally {
+      links.foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
+  }
+
+  /** Fresh memory-sink name per run (the sink registry is session-global). */
+  private[queries] def memName(prefix: String): String =
+    prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q53_streaming_hourly" -> ((s, dir) => {
-      graft.engine.Readers.enableNanosAsLong(s)
-      // the file stream source requires a DIRECTORY; expose the single
-      // parquet file through a symlink in a scratch dir
-      val streamDir = java.nio.file.Files.createTempDirectory("q53_events")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(dir).toAbsolutePath
-          .resolve("events.parquet"))
-      val stream = s.readStream
-        .schema(eventsSchema)
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val name = "q53_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // ~720 hour-windows x ~5 event types of state: 8 partitions, not 32
-      val out = EventStream.runToMemory(
-        EventStream.hourlyCounts(stream), name, statePartitions = Some(8))
-      out.select(col("window_start"), col("event_type"), col("n"),
-        round(col("value_sum"), 2).as("value_sum"))
-        .orderBy("window_start", "event_type")
-    })
+    "q53_streaming_hourly" -> ((s, dir) =>
+      runEventsStream(s, dir, "q53_events") { raw =>
+        val stream = raw
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // ~720 hour-windows x ~5 event types of state: 8 partitions
+        val out = EventStream.runToMemory(
+          EventStream.hourlyCounts(stream), memName("q53_mem_"),
+          statePartitions = Some(8))
+        out.select(col("window_start"), col("event_type"), col("n"),
+          round(col("value_sum"), 2).as("value_sum"))
+          .orderBy("window_start", "event_type")
+      })
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -54,6 +54,36 @@ class Round6Suite extends SparkSpec {
       assert(got == Seq(100L, 200L, -50L))
     }
 
+    it("momentStats yields nulls for degenerate groups, not ANSI errors") {
+      val df = Seq(("single", 5L, 7L), ("const", 3L, 5L), ("const", 3L, 9L))
+        .toDF("grp", "x", "y")
+      val rows = Stats.momentStats(df, "grp", col("x"), col("y"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      // n=1: no sample moments at all
+      assert(rows("single").isNullAt(4) && rows("single").isNullAt(7))
+      // constant x: stddev_x = 0 (defined), corr undefined -> null
+      assert(rows("const").getDouble(5) == 0.0)
+      assert(rows("const").isNullAt(7))
+    }
+
+    it("momentStats is pairwise-complete over null measures") {
+      val df = Seq(("g", Some(1L), Some(2L)), ("g", None, Some(100L)),
+        ("g", Some(3L), Some(6L))).toDF("grp", "x", "y")
+      val r = Stats.momentStats(df, "grp", col("x"), col("y"))
+        .select("n", "sx", "sy").as[(Long, Long, Long)].collect().head
+      // the null-x row is excluded from n AND from sy (else moments skew)
+      assert(r == ((2L, 4L, 8L)))
+    }
+
+    it("withZScore yields null z / false flag for constant groups") {
+      val df = Seq((1L, "c", 5L), (2L, "c", 5L), (3L, "c", 5L))
+        .toDF("id", "grp", "x")
+      val out = Stats.withZScore(df, "grp", col("x"), 3.0)
+        .select("id", "z", "is_outlier").collect()
+      assert(out.forall(_.isNullAt(1)))
+      assert(out.forall(!_.getBoolean(2)))
+    }
+
     it("withZScore flags the outlier and nothing else") {
       val vals = Seq.fill(20)(100L) :+ 1000L
       val df = vals.zipWithIndex
@@ -91,12 +121,13 @@ class Round6Suite extends SparkSpec {
   }
 
   describe("Quantize") {
-    it("int8 maps max|x| to ±127 and zero vectors to zeros") {
+    it("withInt8 maps max|x| to ±127 and zero vectors to zeros") {
       val df = Seq(
         (1L, Seq(2.0f, -4.0f, 1.0f)),
         (2L, Seq(0.0f, 0.0f, 0.0f))
       ).toDF("vec_id", "embedding")
-      val got = df.select(col("vec_id"), Quantize.int8(col("embedding")))
+      val got = Quantize.withInt8(df, col("embedding"), "q")
+        .select("vec_id", "q")
         .as[(Long, Seq[Long])].collect().toMap
       assert(got(1L) == Seq(64L, -127L, 32L)) // floor(x*31.75+0.5)
       assert(got(2L) == Seq(0L, 0L, 0L))
