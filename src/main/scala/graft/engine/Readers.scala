@@ -90,6 +90,17 @@ object Readers {
   def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Schema-evolution scan: one DataFrame over parquet written under
+    * EVOLVING schemas (a column added mid-corpus), reconciled by column
+    * name — rows from pre-evolution files null-fill the new columns.
+    * `mergeSchema` reads every file's footer at planning time, which is
+    * the right trade for an ingest/reconcile step; a steady-state 100 TB
+    * table should instead pin the superset schema explicitly (or keep it
+    * in a catalog) so planning stays O(1) in file count.
+    */
+  def parquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** JSONL (newline-delimited JSON) scan with a caller-supplied schema.
     * Schema inference is deliberately not offered: it costs an extra full
     * pass over the files, which at 100 TB doubles the scan bill — a

@@ -23,6 +23,17 @@ object Skew {
   def salt(f: Int, cols: Column*): Column =
     pmod(hash(cols: _*), lit(f))
 
+  /** Heavy-hitter survey: keys whose row count exceeds `threshold` — the
+    * cheap pre-flight a pipeline runs to DECIDE whether a join needs
+    * [[saltedJoin]] (or a per-key isolate-and-broadcast). One partial-
+    * aggregated pass; the result is per-key counts, small by definition
+    * of "heavy", so it can be collected or broadcast into the planner's
+    * decision.
+    */
+  def heavyKeys(df: DataFrame, keyCol: String, threshold: Long): DataFrame =
+    df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .filter(col("n") > threshold)
+
   /** Inner-join `large` (skewed on `key`) with `small`, spreading each key
     * over `f` tasks. Both inputs must contain `key`; result columns =
     * large's ++ small's (minus the duplicate key), like a plain join.

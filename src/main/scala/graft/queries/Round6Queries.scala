@@ -117,6 +117,43 @@ object Round6Queries {
         col("doc_id"), col("n_tokens"), bandWidth = 32L, capTokens = 512L)
         .orderBy("doc_id")),
 
+    // Schema-evolution read: the corpus written in two waves — the
+    // second wave adds l_returnflag — read back as ONE mergeSchema scan;
+    // pre-evolution rows null-fill the new column. The oracle restates
+    // the union with an explicit NULL, so any column misalignment or
+    // row loss in the merge fails the hash.
+    "q105_schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q105_evo")
+      try {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_orderkey") % 2 === 0)
+          .select("l_orderkey", "l_quantity")
+          .write.parquet(s"$tmp/v1")
+        li.filter(col("l_orderkey") % 2 === 1)
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .write.parquet(s"$tmp/v2")
+        val agg = Readers
+          .parquetMerged(s, Seq(s"$tmp/v1", s"$tmp/v2"))
+          .groupBy(coalesce(col("l_returnflag"), lit("<pre-schema>"))
+            .as("flag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("qty"),
+            countDistinct("l_orderkey").as("n_orders"))
+          .orderBy("flag")
+        // materialize (4 rows) so the temp corpus can be deleted now
+        s.createDataFrame(
+          java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+          .orderBy("flag")
+      } finally deleteRecursively(tmp)
+    }),
+
+    // Heavy-hitter survey: the skew pre-flight that decides whether a
+    // join needs salting — users with > 70 events plus their counts.
+    "q106_heavy_hitters" -> ((s, dir) =>
+      graft.engine.Skew
+        .heavyKeys(Readers.eventsNanos(s, dir), "user_id", 70L)
+        .orderBy("user_id")),
+
     // Sliding-window chunking (RAG / context-window prep): 64-token
     // chunks every 32 tokens, identity = chunk-text md5 — pure
     // projection+explode, no shuffle; the oracle recomputes every chunk
@@ -174,6 +211,13 @@ object Round6Queries {
 
   // DuckDB twin of Portable.wsTokens (same regex as the other rounds).
   private val tokSql = raw"string_split_regex(trim(text), '\s+')"
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -289,6 +333,22 @@ object Round6Queries {
                 coalesce(c.c_mktsegment, 'none') AS segment
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+
+    "q105_schema_evolution" ->
+      """WITH m AS (
+           SELECT l_orderkey, l_quantity, NULL AS l_returnflag
+           FROM lineitem WHERE l_orderkey % 2 = 0
+           UNION ALL
+           SELECT l_orderkey, l_quantity, l_returnflag
+           FROM lineitem WHERE l_orderkey % 2 = 1)
+         SELECT coalesce(l_returnflag, '<pre-schema>') AS flag,
+                count(*) AS n, round(sum(l_quantity), 2) AS qty,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         FROM m GROUP BY 1 ORDER BY flag""",
+
+    "q106_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n FROM events
+         GROUP BY 1 HAVING count(*) > 70 ORDER BY user_id""",
 
     "q104_sliding_chunks" ->
       s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
