@@ -34,4 +34,26 @@ object Sketches {
     df.groupBy(groupCol)
       .agg(percentile_approx(col(valueCol),
         array(percentiles.map(lit): _*), lit(accuracy)).as("approx_pcts"))
+
+  /** Count-min-sketch frequency bounds per key: build the sketch in one
+    * pass (fixed ceil(2/eps)-wide counter rows, partial-merged), probe it
+    * per key via the codegen'd reference-object expression, and emit the
+    * CMS guarantee as flags: exact <= estimate (always — CMS only
+    * overestimates) and estimate <= exact + ceil(eps·N) (with the
+    * sketch's confidence). Counter updates commute, so for a fixed seed
+    * the flags are deterministic under any partitioning — gateable by a
+    * TRUE-asserting oracle (the q69 pattern), with the exact counts
+    * riding along hash-compared.
+    */
+  def cmsBounds(df: DataFrame, keyCol: String, eps: Double,
+                confidence: Double, seed: Int): DataFrame = {
+    val cms = df.stat.countMinSketch(col(keyCol), eps, confidence, seed)
+    val slack = math.ceil(eps * cms.totalCount()).toLong
+    val est = graft.functions.BloomFunctions
+      .cmsEstimateLong(col(keyCol), cms)
+    df.groupBy(keyCol).agg(count(lit(1)).as("n_exact"))
+      .select(col(keyCol), col("n_exact"),
+        (est >= col("n_exact")).cast("long").as("lower_ok"),
+        (est <= col("n_exact") + slack).cast("long").as("upper_ok"))
+  }
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.{BooleanType, DataType}
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /** Codegen'd bloom-filter membership probe over a long key column.
   *
@@ -41,6 +41,35 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
       newChild: Expression): BloomMightContain = copy(child = newChild)
 }
 
+/** Codegen'd count-min-sketch frequency estimate for a long key — the
+  * same reference-object pattern as [[BloomMightContain]]: the sketch is
+  * built once (one pass, driver-merged fixed-size counters), then probed
+  * per row inside whole-stage codegen. CMS guarantees
+  * exact <= estimate <= exact + eps·N (with the sketch's confidence), and
+  * counter updates commute, so the estimate is deterministic under any
+  * partitioning for a fixed seed.
+  */
+case class CmsEstimateLong(child: Expression, sketch: CountMinSketch)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  override def nullSafeEval(input: Any): Any =
+    sketch.estimateCount(input.asInstanceOf[java.lang.Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("cmsSketch", sketch,
+        classOf[CountMinSketch].getName)
+      s"${ev.value} = $ref.estimateCount((Object) java.lang.Long.valueOf($v));"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CmsEstimateLong = copy(child = newChild)
+}
+
 object BloomFunctions {
   /** Membership probe against a pre-built filter. The key is cast to
     * long here — the expression skips ExpectsInputTypes (private[sql],
@@ -51,4 +80,11 @@ object BloomFunctions {
   def mightContainLong(key: Column, filter: BloomFilter): Column =
     GraftShim.column(BloomMightContain(
       GraftShim.expression(key.cast("long")), filter))
+
+  /** Per-row CMS frequency estimate of a long key (cast enforced here —
+    * same reasoning as [[mightContainLong]]).
+    */
+  def cmsEstimateLong(key: Column, sketch: CountMinSketch): Column =
+    GraftShim.column(CmsEstimateLong(
+      GraftShim.expression(key.cast("long")), sketch))
 }

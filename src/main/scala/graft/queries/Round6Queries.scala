@@ -154,6 +154,15 @@ object Round6Queries {
         .heavyKeys(Readers.eventsNanos(s, dir), "user_id", 70L)
         .orderBy("user_id")),
 
+    // Count-min frequency bounds (the q69 pattern for a third sketch
+    // family): per-user exact counts hash-compared, CMS estimate
+    // asserted within [exact, exact + ceil(eps*N)] via TRUE flags.
+    "q107_cms_bounds" -> ((s, dir) =>
+      graft.ext.Sketches.cmsBounds(
+        Readers.eventsNanos(s, dir).select("user_id"),
+        "user_id", eps = 0.001, confidence = 0.99, seed = 42)
+        .orderBy("user_id")),
+
     // Sliding-window chunking (RAG / context-window prep): 64-token
     // chunks every 32 tokens, identity = chunk-text md5 — pure
     // projection+explode, no shuffle; the oracle recomputes every chunk
@@ -349,6 +358,11 @@ object Round6Queries {
     "q106_heavy_hitters" ->
       """SELECT user_id, count(*) AS n FROM events
          GROUP BY 1 HAVING count(*) > 70 ORDER BY user_id""",
+
+    "q107_cms_bounds" ->
+      """SELECT user_id, count(*) AS n_exact,
+                CAST(1 AS BIGINT) AS lower_ok, CAST(1 AS BIGINT) AS upper_ok
+         FROM events GROUP BY 1 ORDER BY user_id""",
 
     "q104_sliding_chunks" ->
       s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),

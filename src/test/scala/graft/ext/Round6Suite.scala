@@ -153,6 +153,18 @@ class Round6Suite extends SparkSpec {
     }
   }
 
+  describe("Sketches.cmsBounds") {
+    it("CMS estimates stay within [exact, exact + eps*N]") {
+      val df = ((1L to 50L) ++ Seq.fill(100)(7L)).toDF("k")
+      val rows = Sketches.cmsBounds(df, "k", eps = 0.01,
+        confidence = 0.99, seed = 7)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(rows.length == 50)
+      assert(rows.forall(r => r._3 == 1L && r._4 == 1L))
+      assert(rows.find(_._1 == 7L).get._2 == 101L)
+    }
+  }
+
   describe("Readers.parquetMerged / Skew.heavyKeys") {
     it("merges evolving schemas by name, null-filling old files") {
       val tmp = java.nio.file.Files.createTempDirectory("evo_test")
