@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, IntDotProduct}
 
 /** Session construction for the engine.
   *
@@ -39,8 +39,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
-  /** Register the engine's SQL functions on an existing session. */
-  def registerFunctions(spark: SparkSession): Unit =
+  /** Register the engine's SQL functions on an existing session.
+    * (Only the expressions constructible from child expressions alone are
+    * SQL-facing; the reference-object probes — NearestCentroid,
+    * BloomMightContain, CmsEstimateLong — carry runtime state and are
+    * reached through their typed Scala wrappers.)
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       (children: Seq[Expression]) => {
@@ -48,6 +53,15 @@ object GraftSession {
         DotProduct(children.head, children(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_int_dot",
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_int_dot(a, b) takes 2 arguments")
+        IntDotProduct(children.head, children(1))
+      },
+      "scala_udf")
+  }
 }
 
 /** `spark.sql.extensions` entry point: injects the engine's functions at
@@ -61,6 +75,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(a, b) takes 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int_dot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "graft_int_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_int_dot(a, b) takes 2 arguments")
+        IntDotProduct(children.head, children(1))
       }))
   }
 }

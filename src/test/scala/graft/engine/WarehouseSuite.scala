@@ -45,4 +45,12 @@ class WarehouseSuite extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(r == 11.0)
   }
+
+  it("SQL surface exposes graft_int_dot after registration") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT graft_int_dot(array(1L, -2L), array(3L, 4L)) AS d")
+      .collect()(0).getLong(0)
+    assert(r == -5L)
+  }
 }
