@@ -194,6 +194,21 @@ object ScaleBench {
             .agg(count(lit(1)), sum("dist")).collect()
         }
       },
+      "gapfill_daily" -> { n =>
+        time {
+          // n events over n/10000 keys spanning 90 days: both exchanges
+          // (per-(key,day) counts, per-key spans) carry COUNT rows, and
+          // the dense output is keys x <=90 days — linear in events with
+          // a span-bounded explode, never a row-per-event second pass.
+          val ev = spark.range(n).select(
+            (col("id") % (n / 10000L)).as("user_id"),
+            (pmod(hash(col("id")), lit(90))).cast("long").as("day"),
+            (col("id") % 1000L).as("vc"))
+          graft.ext.TimeSeries.gapFillDaily(ev, "user_id", col("day"),
+            col("vc"))
+            .agg(count(lit(1)), sum("n"), sum("value_cents")).collect()
+        }
+      },
       "dedup_groups_cc" -> { n =>
         time {
           // connected components over n/20 edges arranged as 8-node chains
