@@ -224,7 +224,10 @@ object Pipeline {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Recursive delete with the walk stream closed — the one shared copy
+    * (query-side gates delete their scratch corpora through this too).
+    */
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)
       try walk.sorted(Comparator.reverseOrder[Path]())

@@ -43,16 +43,25 @@ object Readers {
   }
 
   /** Rename all columns with [[normalizeName]], de-duplicating collisions the
-    * way DuckDB does (second occurrence gets a numeric suffix).
+    * way DuckDB does (second occurrence gets a numeric suffix). Suffixed
+    * names are checked against EVERY name assigned so far — a bare
+    * counter would let the generated `a_1` collide with a natural `a_1`
+    * column later in the header, yielding a DataFrame with duplicate
+    * columns that fails far away with AMBIGUOUS_REFERENCE.
     */
   def normalizeColumns(df: DataFrame): DataFrame = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val used = scala.collection.mutable.Set.empty[String]
     val renamed = df.columns.map { c =>
       val n = normalizeName(c)
-      seen.get(n) match {
-        case None    => seen(n) = 1; n
-        case Some(k) => seen(n) = k + 1; s"${n}_$k"
-      }
+      val name =
+        if (!used.contains(n)) n
+        else {
+          var k = 1
+          while (used.contains(s"${n}_$k")) k += 1
+          s"${n}_$k"
+        }
+      used += name
+      name
     }
     df.toDF(renamed.toIndexedSeq: _*)
   }

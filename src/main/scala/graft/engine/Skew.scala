@@ -40,6 +40,8 @@ object Skew {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  f: Int): DataFrame = {
+    // fail at the call site, not as an ANSI REMAINDER_BY_ZERO mid-job
+    require(f > 0, s"salt fan-out must be positive, got $f")
     val saltCols = large.columns.map(col).toSeq // whole row -> stable salt
     val l = large.withColumn("__salt", salt(f, saltCols: _*))
     val r = small.withColumn("__salt",

@@ -51,9 +51,16 @@ object Sketches {
     val slack = math.ceil(eps * cms.totalCount()).toLong
     val est = graft.functions.BloomFunctions
       .cmsEstimateLong(col(keyCol), cms)
+    // A null key can't be sketched (the builder skips nulls and the
+    // probe is null-safe → NULL estimate): its group keeps the exact
+    // count and trivially-true flags, instead of NULL flags that would
+    // break a TRUE-asserting gate.
     df.groupBy(keyCol).agg(count(lit(1)).as("n_exact"))
       .select(col(keyCol), col("n_exact"),
-        (est >= col("n_exact")).cast("long").as("lower_ok"),
-        (est <= col("n_exact") + slack).cast("long").as("upper_ok"))
+        when(col(keyCol).isNull, lit(1L))
+          .otherwise((est >= col("n_exact")).cast("long")).as("lower_ok"),
+        when(col(keyCol).isNull, lit(1L))
+          .otherwise((est <= col("n_exact") + slack).cast("long"))
+          .as("upper_ok"))
   }
 }

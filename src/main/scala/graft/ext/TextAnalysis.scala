@@ -40,6 +40,9 @@ object TextAnalysis {
   def slidingChunks(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0,
       s"window/stride must be positive, got $window/$stride")
+    require(stride <= window,
+      s"stride ($stride) > window ($window) silently skips tokens — " +
+        "every (stride - window)-token gap would be missing from coverage")
     val toks = wsTokens(col("text"))
     docs
       .select(col("doc_id"), toks.as("__toks"))
@@ -72,8 +75,11 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      (length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))
-        .cast("double") / length(col("text"))).as("alnum_ratio"),
+      // empty text would make this an ANSI DIVIDE_BY_ZERO; score it 0
+      when(length(col("text")) > 0,
+        length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))
+          .cast("double") / length(col("text")))
+        .otherwise(0.0).as("alnum_ratio"),
       (countIn(toks, enStopwords).cast("double") / size(toks))
         .as("stopword_ratio"),
       (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
@@ -88,7 +94,9 @@ object TextAnalysis {
     * priority order (en > es > fr > de) and 'und' when nothing matches.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = wsTokens(col("text"))
+    // null text must land in 'und', not fall through NULL comparisons to
+    // the final otherwise() branch ('de')
+    val toks = wsTokens(coalesce(col("text"), lit("")))
     val scored = docs.select(
       col("doc_id") +: langStopwords.map { case (l, ws) =>
         countIn(toks, ws).cast("long").as(s"c_$l")

@@ -111,12 +111,7 @@ object Round5Queries {
         s.createDataFrame(
           java.util.Arrays.asList(agg.collect(): _*), agg.schema)
           .orderBy("lang")
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      } finally graft.engine.Pipeline.deleteRecursively(tmpPath)
     }),
 
     // JSON metadata column: extract a typed field from the events table's

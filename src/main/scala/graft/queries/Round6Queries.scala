@@ -221,12 +221,8 @@ object Round6Queries {
   // DuckDB twin of Portable.wsTokens (same regex as the other rounds).
   private val tokSql = raw"string_split_regex(trim(text), '\s+')"
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount)
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.engine.Pipeline.deleteRecursively(p)
 
   val oracleSql: Map[String, String] = Map(
 
@@ -243,22 +239,33 @@ object Round6Queries {
     "q94_corr_stats" -> {
       val x = centsSql("l_quantity")
       val y = centsSql("l_discount")
-      // mirror Stats.momentStats arithmetic EXACTLY (same ops, same order)
+      // mirror Stats.momentStats arithmetic EXACTLY (same ops, same
+      // order) INCLUDING the pairwise-complete null handling and the
+      // degenerate-group guards (n<2 / zero variance -> NULL, not a
+      // division) — the gate data has neither, but the oracle states the
+      // operator's full contract
       val nd = "CAST(n AS DOUBLE)"
       val cov = s"(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / $nd) / ($nd - 1.0)"
       val varx = s"(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / $nd) / ($nd - 1.0)"
       val vary = s"(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / $nd) / ($nd - 1.0)"
-      s"""WITH c AS (SELECT l_returnflag, $x AS x, $y AS y FROM lineitem),
-          g AS (SELECT l_returnflag, count(*) AS n,
+      s"""WITH c0 AS (SELECT l_returnflag, $x AS x0, $y AS y0
+                      FROM lineitem),
+          c AS (SELECT l_returnflag,
+                CASE WHEN x0 IS NOT NULL AND y0 IS NOT NULL THEN x0 END AS x,
+                CASE WHEN x0 IS NOT NULL AND y0 IS NOT NULL THEN y0 END AS y
+                FROM c0),
+          g AS (SELECT l_returnflag, count(x) AS n,
                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
                 CAST(sum(x*x) AS BIGINT) AS sxx,
                 CAST(sum(y*y) AS BIGINT) AS syy,
                 CAST(sum(x*y) AS BIGINT) AS sxy
                 FROM c GROUP BY 1)
           SELECT l_returnflag, n, sx, sy,
-                 $cov AS covar,
-                 sqrt($varx) AS stddev_x, sqrt($vary) AS stddev_y,
-                 $cov / (sqrt($varx) * sqrt($vary)) AS corr
+                 CASE WHEN n >= 2 THEN $cov END AS covar,
+                 sqrt(CASE WHEN n >= 2 THEN $varx END) AS stddev_x,
+                 sqrt(CASE WHEN n >= 2 THEN $vary END) AS stddev_y,
+                 CASE WHEN n >= 2 AND $varx > 0 AND $vary > 0
+                      THEN $cov / (sqrt($varx) * sqrt($vary)) END AS corr
           FROM g ORDER BY l_returnflag"""
     },
 
@@ -280,18 +287,22 @@ object Round6Queries {
           ORDER BY d.user_id, d.day_idx""",
 
     "q96_zscore_outliers" -> {
+      // mirrors Stats.withZScore including its guards: degenerate groups
+      // (n<2 / zero variance) give NULL z and FALSE flag
       val nd = "CAST(n AS DOUBLE)"
-      val z = s"(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / $nd) / " +
-        s"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / $nd) / ($nd - 1.0))"
+      val variance = s"(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / $nd) / ($nd - 1.0)"
+      val z = s"CASE WHEN n >= 2 AND $variance > 0 THEN " +
+        s"(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / $nd) / sqrt($variance) END"
       s"""WITH e AS (SELECT event_id, event_type,
                 ${centsSql("value")} AS x FROM events),
-          g AS (SELECT event_type, count(*) AS n,
+          g AS (SELECT event_type, count(x) AS n,
                 CAST(sum(x) AS BIGINT) AS sx,
                 CAST(sum(x*x) AS BIGINT) AS sxx
                 FROM e GROUP BY 1),
           j AS (SELECT event_id, e.event_type, $z AS z
                 FROM e JOIN g ON e.event_type = g.event_type)
-          SELECT event_id, event_type, z, abs(z) > 3.0 AS is_outlier
+          SELECT event_id, event_type, z,
+                 coalesce(abs(z) > 3.0, false) AS is_outlier
           FROM j ORDER BY event_id"""
     },
 

@@ -153,6 +153,52 @@ class Round6Suite extends SparkSpec {
     }
   }
 
+  describe("round-6 review edge cases") {
+    it("normalizeColumns never emits duplicate names (suffix collision)") {
+      val df = Seq((1, 2, 3)).toDF("a", "A ", "a_1")
+      val cols = graft.engine.Readers.normalizeColumns(df).columns.toSeq
+      assert(cols == Seq("a", "a_1", "a_1_1"))
+      assert(cols.distinct.size == cols.size)
+    }
+
+    it("cmsBounds gives a null key trivially-true flags, not NULL") {
+      val df = Seq(Some(1L), None, Some(1L)).toDF("k")
+      val rows = Sketches.cmsBounds(df, "k", 0.01, 0.99, 1)
+        .select("n_exact", "lower_ok", "upper_ok")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((2L, 1L, 1L), (1L, 1L, 1L)))
+    }
+
+    it("langId labels null text 'und', not the otherwise branch") {
+      val df = Seq((1L, null: String), (2L, "the of and is a"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.langId(df)
+        .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+      assert(got(1L) == "und" && got(2L) == "en")
+    }
+
+    it("quality scores empty text 0 alnum instead of dividing by zero") {
+      val df = Seq((1L, ""), (2L, "plain text here")).toDF("doc_id", "text")
+      val got = TextAnalysis.quality(df)
+        .select("doc_id", "alnum_ratio").as[(Long, Double)].collect().toMap
+      assert(got(1L) == 0.0 && got(2L) > 0.0)
+    }
+
+    it("slidingChunks rejects stride > window (silent coverage gaps)") {
+      val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+      intercept[IllegalArgumentException] {
+        TextAnalysis.slidingChunks(df, window = 32, stride = 64)
+      }
+    }
+
+    it("saltedJoin rejects a non-positive fan-out at the call site") {
+      val df = Seq((1L, "x")).toDF("k", "v")
+      intercept[IllegalArgumentException] {
+        graft.engine.Skew.saltedJoin(df, df, "k", 0)
+      }
+    }
+  }
+
   describe("Sketches.cmsBounds") {
     it("CMS estimates stay within [exact, exact + eps*N]") {
       val df = ((1L to 50L) ++ Seq.fill(100)(7L)).toDF("k")
