@@ -83,6 +83,41 @@ object Warehouse {
       .drop("__graft_rn")
   }
 
+  /** SCD-2 history build: turn a change log (key, version, attributes)
+    * into validity intervals — the dimension-history counterpart of
+    * [[upsertLatest]]'s latest-wins SCD-1. Consecutive versions whose
+    * tracked attributes are all unchanged are compressed into one
+    * interval; each surviving row gets `valid_from` (its version),
+    * `valid_to` (the NEXT change's version, null while current) and
+    * `is_current`.
+    *
+    * Scale: one hash shuffle on `keyCol`; the change-compression lag and
+    * the interval lead share the same partitioning AND ordering, so
+    * Catalyst plans a single Exchange + Sort and runs both Window
+    * operators over it. Versions must be distinct per key (a CDC log's
+    * LSN / commit timestamp is); attribute comparison is null-safe
+    * (`<=>`), so null→value and value→null transitions open intervals.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, versionCol: String,
+                  attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2History needs at least one tracked attribute")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keyCol).orderBy(versionCol)
+    val changed = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    // first row per key: every lag is null, so <=> is false and
+    // `changed` is true — the initial interval always opens
+    changes
+      .withColumn("__graft_chg", changed)
+      .filter(col("__graft_chg"))
+      .drop("__graft_chg")
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val path = java.nio.file.Paths.get(dir)

@@ -91,4 +91,21 @@ object Sampling {
       .filter(col(rn) <= n)
       .drop(rn)
   }
+
+  /** Token-budget greedy selection (the corpus-curation step after
+    * scoring: "take the best documents until the token budget is
+    * spent"): rows are taken in `sortCols` order, accumulating the
+    * LongType `tokensCol`, and a row is kept while the INCLUSIVE running
+    * total stays ≤ `budget` — i.e. the maximal score-ordered prefix that
+    * fits. Equivalent to filtering on
+    * `sum(tokens).over(Window.orderBy(sortCols)) <= budget`, but built on
+    * [[GlobalOrder.withRunningTotal]]'s range-partitioned prefix scan, so
+    * no single executor ever holds the global order. `sortCols` must
+    * include a unique tiebreaker or the selected set is not well-defined.
+    */
+  def selectWithinBudget(df: DataFrame, sortCols: Seq[Column],
+                         tokensCol: String, budget: Long,
+                         out: String = "running_tokens"): DataFrame =
+    GlobalOrder.withRunningTotal(df, sortCols, tokensCol, out)
+      .filter(col(out) <= budget)
 }

@@ -112,4 +112,51 @@ object Stats {
       .withColumn(flagOut, coalesce(abs(col(zOut)) > zThreshold, lit(false)))
       .drop("__n", "__sx", "__sxx")
   }
+
+  /** Empirical-CDF quantile transform (feature normalization into [0,1]):
+    * per-group `cume_dist` (fraction of rows ≤ this value, ties share a
+    * value) and `percent_rank` ((rank−1)/(n−1), 0 for singleton groups)
+    * over `orderCol`. Both are count ratios — one exactly-rounded IEEE
+    * division — so the doubles are engine-portable.
+    *
+    * Scale: one hash shuffle on `groupCol` + an in-partition sort; the
+    * groups must be numerous relative to executors (it's a per-GROUP
+    * window — for a GLOBAL cdf over 100 TB use
+    * [[GlobalOrder.withRowNumber]] / a count, not a global window).
+    */
+  def quantileTransform(df: DataFrame, groupCol: String, orderCol: Column,
+                        cdfOut: String = "cdf",
+                        prOut: String = "pr"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    df.withColumn(cdfOut, cume_dist().over(w))
+      .withColumn(prOut, percent_rank().over(w))
+  }
+
+  /** Robust per-group location/spread: exact median and MAD (median of
+    * absolute deviations from the group median) over an integer-cents
+    * measure. Integer inputs put every interpolated midpoint exactly ON
+    * the 0.5 grid, so the doubles are engine-portable with no rounding
+    * (the 2dp-boundary percentile trap does not apply).
+    *
+    * Scale: two passes over the fact table — medians per group, then a
+    * broadcast join back for the deviation pass (group cardinality is
+    * small by construction; the fact side is scanned twice and never
+    * shuffled beyond the two aggregates). Exact `percentile` holds each
+    * group's values in the aggregation buffer — correct while per-group
+    * row counts fit an executor (true for categorical groups); a
+    * quantile-sketch swap (`approx_percentile`) is the >10⁹-rows-per-group
+    * escape hatch.
+    */
+  def robustStats(df: DataFrame, groupCol: String,
+                  xCents: Column): DataFrame = {
+    val meds = df.groupBy(groupCol).agg(
+      count(xCents).as("n"),
+      percentile(xCents, lit(0.5)).as("med"))
+    df.join(broadcast(meds), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(first(col("n")).as("n"), first(col("med")).as("med"),
+        percentile(abs(xCents.cast("double") - col("med")), lit(0.5))
+          .as("mad"))
+  }
 }

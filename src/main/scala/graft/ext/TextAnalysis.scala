@@ -153,6 +153,75 @@ object TextAnalysis {
         frac(col("n_grams3"), col("n_uniq3")).as("dup_frac3"))
   }
 
+  /** Per-document n-gram novelty — the dedup-adjacent "how much of this
+    * document has the corpus already seen" signal used to down-weight
+    * boilerplate when ordering training data. For each document:
+    * the count of its DISTINCT word n-grams, and how many of those grams
+    * first occur in this document (first occurrence = minimum doc_id over
+    * the whole corpus; any total order over a unique id works).
+    *
+    * Scale: grams are reduced to the portable 60-bit md5 before any
+    * movement, so both exchanges carry (8-byte gram hash, 8-byte doc id)
+    * pairs — never gram strings. `array_distinct` runs per row BEFORE the
+    * explode, so within-document duplicate grams are dropped at the scan
+    * and the first exchange is already distinct-pair-sized; the
+    * first-occurrence min is a window over the gram hash (one shuffle)
+    * and the per-document rollup is the second. 60-bit collisions make
+    * two grams share a first-occurrence slot with probability ~n²/2⁶¹ —
+    * negligible against the novelty signal's own noise.
+    */
+  def gramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("__w"))
+      .select(col("doc_id"),
+        explode(array_distinct(grams(n))).as("gram"))
+      .select(col("doc_id"),
+        graft.functions.Portable.hash60(col("gram")).as("gram_h"))
+    pairs
+      .withColumn("first_doc",
+        min("doc_id").over(Window.partitionBy("gram_h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+  }
+
+  /** Bigram collocations by PMI lift: for every corpus bigram occurring
+    * at least `minCount` times, its count, the two unigram counts, and
+    * `lift = c_ab·N / (c_a·c_b)` — e^PMI, which ORDERS identically to
+    * PMI without evaluating a log (ln is the one common math op with no
+    * cross-platform exactness guarantee; ·, / are IEEE-exactly-rounded,
+    * so the lift double is bit-identical on any engine).
+    *
+    * Scale: one count aggregate per arity (map-side combined), then two
+    * joins of the bigram counts against the unigram vocabulary. The
+    * vocabulary is orders of magnitude smaller than the corpus but NOT
+    * driver-small at web scale, so the joins are left as plain equi-joins
+    * for AQE to pick the strategy; N is a 1-row aggregate crossJoined
+    * (broadcast) onto the result.
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long): DataFrame = {
+    val toks = docs.select(explode(wsTokens(col("text"))).as("word"))
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("c_w"))
+    val total = uni.agg(sum("c_w").cast("double").as("n_total"))
+    val bi = docs
+      .select(wsTokens(col("text")).as("__w"))
+      .select(explode(grams(2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    bi
+      .join(uni.select(col("word").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(total)
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast("double") * col("n_total") /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+          .as("lift"))
+  }
+
   /** Email-address pattern valid in both Java regex and RE2, so the same
     * redaction is reproducible in the DuckDB oracle.
     */
