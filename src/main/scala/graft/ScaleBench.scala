@@ -209,6 +209,76 @@ object ScaleBench {
             .agg(count(lit(1)), sum("n"), sum("value_cents")).collect()
         }
       },
+      "edit_distance_hot_prefix" -> { n =>
+        time {
+          // the adversarial blocking input: n/100 docs, HALF sharing one
+          // boilerplate prefix block. Uncapped, that single block emits
+          // (n/200)²/2 pair rows (1.25e11 at the big size — unrunnable,
+          // and AQE cannot split generated-row blowup); blockCap prunes
+          // it with an aggregate + anti-join before the self-join, so a
+          // linear per_row_ratio here proves the guard bounds the
+          // quadratic. The other half lands in healthy ~10-doc blocks
+          // that still exercise the per-pair DP.
+          val m = n / 100
+          val docs = spark.range(m).select(col("id").as("doc_id"),
+            lit("en").as("lang"),
+            when(col("id") % 2 === 0,
+              concat(lit("BOILERPLATE hdr "), col("id").cast("string")))
+              .otherwise(concat(
+                lpad(pmod(col("id"), lit(m / 20)).cast("string"), 8, "0"),
+                lit(" tail "), col("id").cast("string"))).as("text"))
+          graft.ext.Dedup.editDistancePairs(docs,
+            prefixLen = 8, cmpLen = 40, maxDist = 20, blockCap = 100)
+            .agg(count(lit(1)), sum("dist")).collect()
+        }
+      },
+      "gram_novelty_hot_gram" -> { n =>
+        time {
+          // n/10 docs, every one sharing a corpus-universal 3-gram plus
+          // two unique grams: the window-over-gram_h plan this operator
+          // used to have would buffer all n/10 hot-gram rows in ONE task;
+          // the groupBy(gram_h).agg(min) + join-back shape map-side
+          // combines the hot gram to one row per partition and AQE splits
+          // the join skew — linear per_row_ratio is the proof.
+          val docs = spark.range(n / 10).select(col("id").as("doc_id"),
+            concat(lit("the same gram u"), col("id").cast("string"),
+              lit(" v"), col("id").cast("string")).as("text"))
+          graft.ext.TextAnalysis.gramNovelty(docs, 3)
+            .agg(count(lit(1)), sum("novel_grams")).collect()
+        }
+      },
+      "semdedup_zipf_cells" -> { n =>
+        time {
+          // n/100 vectors (dim 8) over k = vectors/100 cells with a zipfy
+          // size distribution: 90% spread uniformly (~90/cell), 10%
+          // crowd into k/100 hot cells (~1100/cell, 11x average). Cell
+          // count grows WITH the corpus (the operator's documented knob),
+          // so per-cell quadratic work per row is bounded by the hot-cell
+          // constant and total pair rows grow linearly; AQE skew-join
+          // splitting spreads the hot cells across tasks. Vectors sit in
+          // a ±0.01 ball around their centroid (spacing 10), so IVF
+          // assignment reproduces the planted distribution exactly.
+          val m = n / 100
+          val k = math.max((m / 100).toInt, 10)
+          val cents = Seq.tabulate(k)(i => Seq.tabulate(8)(j =>
+            if (j == 0) i.toDouble * 10 else ((i * 31 + j * 17) % 7).toDouble))
+          val cell = when(pmod(hash(col("id")), lit(10)) < 1,
+            pmod(hash(col("id"), lit(3)), lit(math.max(k / 100, 1))))
+            .otherwise(pmod(hash(col("id"), lit(5)), lit(k)))
+          val vecs = spark.range(m)
+            .withColumn("__cell", cell)
+            .select(col("id").as("vec_id"),
+              transform(sequence(lit(0), lit(7)), j =>
+                (when(j === 0, col("__cell").cast("double") * 10.0)
+                  .otherwise(pmod(col("__cell") * 31 + j * 17, lit(7))
+                    .cast("double"))
+                  + pmod(hash(col("id"), j), lit(100)).cast("double")
+                    / 10000.0).cast("float")).as("embedding"))
+          graft.ext.SemDedup
+            .semanticDedup(spark, vecs, cents, threshold = 0.999)
+            .agg(count(lit(1)), sum("n_dup_lower")).collect()
+        }
+      },
       "dedup_groups_cc" -> { n =>
         time {
           // connected components over n/20 edges arranged as 8-node chains

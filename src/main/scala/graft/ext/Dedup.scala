@@ -60,13 +60,34 @@ object Dedup {
     *
     * At 100 TB the block-size distribution is the risk: a degenerate
     * block (e.g. a boilerplate prefix shared by millions of docs) turns
-    * quadratic. Production runs should cap block size (the `dfCap`
-    * discipline of [[jaccardPairs]]) or lengthen the prefix; AQE skew
-    * splitting does not help — the quadratic blowup is in generated pair
-    * ROWS, not input partition bytes.
+    * quadratic — the blowup is in generated pair ROWS, so AQE skew
+    * splitting cannot help. `blockCap` (opt-in, the `dfCap` discipline of
+    * [[jaccardPairs]]) drops every (lang, prefix) block larger than the
+    * cap BEFORE the self-join, via aggregate + anti-join — groupBy's
+    * partial aggregation collapses a hot block to one row per map
+    * partition, and the over-cap key set is tiny so AQE broadcasts the
+    * anti-join at runtime. Pairs inside a dropped block are lost by
+    * design: a block that degenerate is boilerplate, which near-dup
+    * curation handles with exact dedup, not pairwise DP. The default
+    * (`Int.MaxValue`) keeps exact semantics for the oracle gate;
+    * production corpora should set a cap (low thousands) or lengthen the
+    * prefix.
     */
   def editDistancePairs(docs: DataFrame, prefixLen: Int = 4,
-                        cmpLen: Int = 60, maxDist: Int = 10): DataFrame = {
+                        cmpLen: Int = 60, maxDist: Int = 10,
+                        blockCap: Int = Int.MaxValue): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, prefixLen).as("blk"),
+      substring(col("text"), 1, cmpLen).as("tc"))
+    val pruned =
+      if (blockCap == Int.MaxValue) base
+      else {
+        val hot = base.groupBy("lang", "blk")
+          .agg(count(lit(1)).as("block_sz"))
+          .filter(col("block_sz") > blockCap)
+          .select("lang", "blk")
+        base.join(hot, Seq("lang", "blk"), "left_anti")
+      }
     // The block join broadcasts the (small) right side, so the expensive
     // per-pair DP runs with the STREAM side's parallelism — which for a
     // compact corpus is one parquet split. Spreading the stream side
@@ -74,13 +95,11 @@ object Dedup {
     // distances) to sub-second across cores; at cluster scale the same
     // spread keeps the DP proportional to executors, not input files.
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
-      substring(col("text"), 1, prefixLen).as("blk"),
-      substring(col("text"), 1, cmpLen).as("ta"))
+    val a = pruned.select(col("doc_id").as("doc_a"), col("lang"),
+      col("blk"), col("tc").as("ta"))
       .repartition(p)
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
-      substring(col("text"), 1, prefixLen).as("blk"),
-      substring(col("text"), 1, cmpLen).as("tb"))
+    val b = pruned.select(col("doc_id").as("doc_b"), col("lang"),
+      col("blk"), col("tc").as("tb"))
     a.join(b, Seq("lang", "blk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -158,6 +177,87 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard pairs via PPJoin-style prefix filtering — the
+    * candidate-generation upgrade over [[jaccardPairs]]'s full inverted
+    * index. Shingles are put in a global canonical order (ascending
+    * document frequency, ties by shingle), and only each document's
+    * PREFIX — its `|d| − ⌈t·|d|⌉ + 1` rarest shingles — enters the
+    * self-join. The prefix-filter lemma makes this EXACT: two sets with
+    * `J ≥ t` must overlap in at least `⌈t·max(|A|,|B|)⌉` shingles, and
+    * sets that overlap that much must share a prefix shingle under any
+    * common total order. Candidates are then verified against the full
+    * shingle sets, so the output is identical to [[jaccardPairs]] — no
+    * dfCap trade-off.
+    *
+    * Scale: this is the principled form of df-pruning. Boilerplate
+    * shingles (the d²/2 pair bombs) sort LAST in the frequency order, so
+    * at t = 0.8 a 100-shingle document exposes only its 21 rarest
+    * shingles to the join — the hot shingle never generates candidates
+    * unless a document is almost nothing but boilerplate. Costs one
+    * extra aggregate (the df table) and a per-doc ranking window
+    * (bounded by per-document shingle count) over [[jaccardPairs]];
+    * candidate verification touches only candidate pairs' shingles.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
+                         n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs a threshold in (0, 1], got $threshold")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val sh = shingles(docs, n)
+      .withColumn("n_shingles", count(lit(1)).over(w))
+    val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfTab, Seq("shingle"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("shingle"))))
+    val prefix = ranked.filter(col("rnk") <=
+      col("n_shingles") - ceil(col("n_shingles") * threshold) + 1)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val aSide = sh.select(col("doc_id").as("doc_a"), col("shingle"),
+      col("n_shingles").as("n_a"))
+    val bSide = sh.select(col("doc_id").as("doc_b"), col("shingle"),
+      col("n_shingles").as("n_b"))
+    cand.join(aSide, Seq("doc_a"))
+      .join(bSide, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Containment (overlap-coefficient) near-dup pairs: for every (a < b)
+    * pair sharing a shingle, the fraction of EACH document's shingle set
+    * found in the other — `|A∩B|/|A|` and `|A∩B|/|B|` — kept when either
+    * direction reaches `threshold`. This is the asymmetric signal Jaccard
+    * misses: a short document quoted wholesale inside a long one has high
+    * containment but low Jaccard, and training-data curation usually
+    * wants the quote dropped. Same inverted-index join discipline (and
+    * the same hot-shingle caveat) as [[jaccardPairs]].
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val sh = shingles(docs, n)
+      .withColumn("n_shingles", count(lit(1)).over(w))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_shingles").as("n_a"), col("b.n_shingles").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("cont_a_in_b"),
+        (col("n_inter").cast("double") / col("n_b")).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
   }
 
   /** MinHash signature: numHashes min-hashes over word n-gram shingles via

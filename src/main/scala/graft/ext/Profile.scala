@@ -23,6 +23,17 @@ object Profile {
   /** Profile `cols` of `df`: (col_name, n_rows, n_nulls, n_distinct,
     * min_val, max_val) per column. `exact = false` switches distinct
     * counts to HLL sketches for the single-pass 100 TB shape.
+    *
+    * Rendering constraint: min/max stringification uses the engine's
+    * native double→string rule (Java `Double.toString`), which agrees
+    * with DuckDB's `CAST(... AS VARCHAR)` for plain-notation values but
+    * diverges in scientific-notation regimes (Spark `1.0E-7` vs DuckDB
+    * `1e-07`). The report is for humans, so the native rendering is kept;
+    * cross-engine hash comparison of a profile is only defined for
+    * columns whose extremes render in plain notation (integers, money,
+    * counts — every gated column here). A pipeline needing portable
+    * strings for sub-micro/astronomic doubles should pre-scale to
+    * integer cents ([[Stats.cents]]) before profiling.
     */
   def profile(df: DataFrame, cols: Seq[String],
               exact: Boolean = true): DataFrame = {

@@ -70,9 +70,14 @@ object Stats {
     val vary = (d("syy") - d("sy") * d("sy") / nd) / (nd - 1.0)
     // CaseWhen evaluates branches lazily per row, so the guarded
     // divisions never execute for degenerate groups (no ANSI throw).
+    // Variances are clamped at 0 INSIDE the guard (greatest outside it
+    // would eat the null): the moment formula can round to a tiny
+    // negative when sx² exceeds 2⁵³ and true variance is ~0, and
+    // sqrt(negative) is NaN on Spark but an ERROR on DuckDB — the clamp
+    // (mirrored in the oracle SQL) keeps both engines at 0.
     val covG = when(col("n") >= 2, cov)
-    val varxG = when(col("n") >= 2, varx)
-    val varyG = when(col("n") >= 2, vary)
+    val varxG = when(col("n") >= 2, greatest(varx, lit(0.0)))
+    val varyG = when(col("n") >= 2, greatest(vary, lit(0.0)))
     agg.select(col(groupCol), col("n"),
       col("sx"), col("sy"),
       covG.as("covar"),
@@ -144,19 +149,25 @@ object Stats {
     * small by construction; the fact side is scanned twice and never
     * shuffled beyond the two aggregates). Exact `percentile` holds each
     * group's values in the aggregation buffer — correct while per-group
-    * row counts fit an executor (true for categorical groups); a
-    * quantile-sketch swap (`approx_percentile`) is the >10⁹-rows-per-group
-    * escape hatch.
+    * row counts fit an executor (true for categorical groups);
+    * `exact = false` swaps in the `approx_percentile` quantile sketch
+    * (constant state per group, rank error ≤ n/`accuracy`) — the
+    * >10⁹-rows-per-group shape. The approx medians are actual corpus
+    * values (the GK sketch returns an element, not an interpolation),
+    * cast to double so both variants share one schema.
     */
-  def robustStats(df: DataFrame, groupCol: String,
-                  xCents: Column): DataFrame = {
+  def robustStats(df: DataFrame, groupCol: String, xCents: Column,
+                  exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else approx_percentile(c, lit(0.5), lit(accuracy)).cast("double")
     val meds = df.groupBy(groupCol).agg(
       count(xCents).as("n"),
-      percentile(xCents, lit(0.5)).as("med"))
+      med(xCents).as("med"))
     df.join(broadcast(meds), Seq(groupCol))
       .groupBy(groupCol)
       .agg(first(col("n")).as("n"), first(col("med")).as("med"),
-        percentile(abs(xCents.cast("double") - col("med")), lit(0.5))
+        med(abs(xCents.cast("double") - col("med")))
           .as("mad"))
   }
 }

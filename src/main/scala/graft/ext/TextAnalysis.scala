@@ -161,26 +161,30 @@ object TextAnalysis {
     * the whole corpus; any total order over a unique id works).
     *
     * Scale: grams are reduced to the portable 60-bit md5 before any
-    * movement, so both exchanges carry (8-byte gram hash, 8-byte doc id)
+    * movement, so the exchanges carry (8-byte gram hash, 8-byte doc id)
     * pairs — never gram strings. `array_distinct` runs per row BEFORE the
     * explode, so within-document duplicate grams are dropped at the scan
-    * and the first exchange is already distinct-pair-sized; the
-    * first-occurrence min is a window over the gram hash (one shuffle)
-    * and the per-document rollup is the second. 60-bit collisions make
+    * and every exchange is already distinct-pair-sized. The
+    * first-occurrence min is a `groupBy(gram_h).agg(min)` joined back —
+    * NOT a window over the gram hash: a window buffers and sorts each
+    * gram's full partition in one task, so a corpus-universal gram (every
+    * doc shares it) becomes one straggler task holding ~n_docs rows. The
+    * aggregate's map-side combine collapses a hot gram to one row per map
+    * partition, and AQE splits the join-back skew. 60-bit collisions make
     * two grams share a first-occurrence slot with probability ~n²/2⁶¹ —
     * negligible against the novelty signal's own noise.
     */
   def gramNovelty(docs: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = docs
       .select(col("doc_id"), wsTokens(col("text")).as("__w"))
       .select(col("doc_id"),
         explode(array_distinct(grams(n))).as("gram"))
       .select(col("doc_id"),
         graft.functions.Portable.hash60(col("gram")).as("gram_h"))
+    val firstDoc = pairs.groupBy("gram_h")
+      .agg(min("doc_id").as("first_doc"))
     pairs
-      .withColumn("first_doc",
-        min("doc_id").over(Window.partitionBy("gram_h")))
+      .join(firstDoc, Seq("gram_h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

@@ -262,8 +262,10 @@ object Round6Queries {
                 FROM c GROUP BY 1)
           SELECT l_returnflag, n, sx, sy,
                  CASE WHEN n >= 2 THEN $cov END AS covar,
-                 sqrt(CASE WHEN n >= 2 THEN $varx END) AS stddev_x,
-                 sqrt(CASE WHEN n >= 2 THEN $vary END) AS stddev_y,
+                 sqrt(CASE WHEN n >= 2 THEN greatest($varx, 0.0) END)
+                   AS stddev_x,
+                 sqrt(CASE WHEN n >= 2 THEN greatest($vary, 0.0) END)
+                   AS stddev_y,
                  CASE WHEN n >= 2 AND $varx > 0 AND $vary > 0
                       THEN $cov / (sqrt($varx) * sqrt($vary)) END AS corr
           FROM g ORDER BY l_returnflag"""

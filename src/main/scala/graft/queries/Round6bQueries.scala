@@ -30,10 +30,21 @@ object Round6bQueries {
 
     // SCD-2 dimension history: the events change log (user_id keyed,
     // micros version) compressed to event_type validity intervals.
+    // scd2History requires versions DISTINCT per key (lag/lead ordering
+    // is otherwise partition-order-dependent), and the micros version is
+    // a truncation of the nanos source (the oracle engine reads the
+    // parquet timestamp at micro resolution, so the version must live on
+    // the micros grid) — so the precondition is ENFORCED, not assumed: a
+    // same-microsecond pair aborts the query instead of silently
+    // producing a nondeterministic history.
     "q108_scd2_history" -> ((s, dir) => {
       val changes = Readers.eventsNanos(s, dir)
         .select(col("user_id"), expr("ts div 1000").as("ver_us"),
           col("event_type"))
+      val dup = changes.groupBy("user_id", "ver_us")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+      require(dup == 0L, "q108: duplicate (user_id, micros) version — " +
+        "SCD-2 lag/lead ordering would be nondeterministic")
       Warehouse.scd2History(changes, "user_id", "ver_us", Seq("event_type"))
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("is_current"))
@@ -175,8 +186,10 @@ object Round6bQueries {
     "q112_token_budget" ->
       s"""WITH q AS (
             SELECT doc_id, len($tokSql) AS n_tokens,
-                   length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g'))
-                     * 1.0 / length(text) AS alnum_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                     length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g'))
+                       * 1.0 / length(text)
+                   ELSE 0.0 END AS alnum_ratio,
                    len(list_filter($tokSql, t -> t IN $enIn))
                      * 1.0 / len($tokSql) AS stopword_ratio
             FROM documents),

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Readers, Warehouse}
+import graft.ext.{Dedup, Stats}
+import graft.queries.ExtensionQueries.shingleCte
+
+/** Round-7 batch: scale-guard variants of existing operators, each
+  * oracle-gated — the capped blocked edit-distance (the blockCap pruning
+  * reproduced by the oracle, the q73 dfCap pattern), bucketed-join parity
+  * (the shuffle-free layout must be result-invisible vs a plain join),
+  * and the approx-percentile robustStats escape hatch (exact stats
+  * hash-compared, sketch outputs asserted within documented bounds via
+  * TRUE flags, the q69/q107 pattern).
+  */
+object Round7Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  /** q115 params: prefix-1 blocking makes blocks big enough that at
+    * sf0.01 exactly one (lang, prefix) block exceeds the cap (38 docs vs
+    * cap 20) — so the gate exercises BOTH the pruning (result differs
+    * from uncapped: 37 vs 46 pairs) and the surviving blocks' DP.
+    */
+  private val CapPrefix = 1
+  private val CapCmpLen = 60
+  private val CapMaxDist = 35
+  private val BlockCap = 20
+
+  /** q117: GK-sketch rank error is n/accuracy (= ~2 of ~20k group rows at
+    * sf0.01), so the approx median/MAD must land within a tenth of the
+    * group MAD (+1 cent for degenerate zero-spread groups) of the exact
+    * values — orders of magnitude looser than the guarantee, tight enough
+    * that a broken sketch merge fails the flag.
+    */
+  private val ApproxTolFrac = 0.1
+
+  /** q118/q119 thresholds: at sf0.01 the corpus has 25 planted near-dup
+    * pairs, all with Jaccard ≥ 0.5 and both-way containment ≥ 0.8 — so
+    * slightly looser thresholds exercise the full candidate machinery
+    * while keeping the verified output identical to the exact join.
+    */
+  private val PrefixJaccardT = 0.4
+  private val ContainmentT = 0.7
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Capped blocked edit-distance: over-cap (lang, prefix) blocks are
+    // pruned by aggregate + anti-join BEFORE the self-join — the oracle
+    // reproduces the pruning, so the guard is part of the gated
+    // semantics, not an unobserved knob.
+    "q115_edit_distance_capped" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"),
+        CapPrefix, CapCmpLen, CapMaxDist, BlockCap)
+        .orderBy("doc_a", "doc_b")),
+
+    // Bucketed-join parity: lineitem and orders written bucketed on the
+    // join key, joined shuffle-free off the layout (Exchange-free plan
+    // asserted in WarehouseSuite), aggregated — the oracle is the PLAIN
+    // join, so any row the bucketed path drops, duplicates, or mis-routes
+    // across buckets fails the hash.
+    "q116_bucketed_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val (lt, rt) = ("q116_li_bucketed", "q116_ord_bucketed")
+      Warehouse.writeBucketed(li, lt, "l_orderkey", 8)
+      Warehouse.writeBucketed(ord, rt, "l_orderkey", 8)
+      try {
+        val agg = Warehouse.bucketedJoin(s, lt, rt, "l_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(Stats.cents(col("l_extendedprice"))).as("price_cents"),
+            round(sum("l_quantity"), 2).as("qty"))
+          .orderBy("o_orderpriority")
+        // materialize (5 rows) so the warehouse tables can be dropped now
+        s.createDataFrame(
+          java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+          .orderBy("o_orderpriority")
+      } finally Seq(lt, rt).foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+    }),
+
+    // robustStats approx escape hatch: exact median/MAD hash-compared
+    // (the q113 contract), the approx_percentile variant asserted within
+    // the documented bound via flags the oracle states as TRUE.
+    "q117_robust_stats_approx" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        Stats.cents(col("l_extendedprice")).as("c"))
+      val ex = Stats.robustStats(base, "l_returnflag", col("c"))
+      val ap = Stats.robustStats(base, "l_returnflag", col("c"),
+          exact = false)
+        .select(col("l_returnflag"),
+          col("med").as("med_a"), col("mad").as("mad_a"))
+      val tol = col("mad") * ApproxTolFrac + lit(1.0)
+      ex.join(ap, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("med"), col("mad"),
+          (abs(col("med_a") - col("med")) <= tol).as("approx_med_ok"),
+          (abs(col("mad_a") - col("mad")) <= tol).as("approx_mad_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // PPJoin-style prefix-filtered exact Jaccard: candidates generated
+    // only from each document's rarest shingles — the oracle is the
+    // PLAIN exact Jaccard join, so the prefix filter's exactness (no
+    // lost pairs) is part of the gated contract, not a paper citation.
+    "q118_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), PrefixJaccardT)
+        .orderBy("doc_a", "doc_b")),
+
+    // Containment (overlap-coefficient) pairs: the asymmetric
+    // quote-inside-a-longer-document signal Jaccard misses.
+    "q119_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), ContainmentT)
+        .orderBy("doc_a", "doc_b")),
+
+    // Snapshot reconciliation: two overlapping order snapshots
+    // full-outer-joined, rows classified added/removed/kept, per-status
+    // totals plus deterministic arg-max/arg-min order keys by price
+    // (max_by/min_by over a unique composite, so ties cannot make the
+    // answer partition-dependent).
+    "q120_full_outer_reconcile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cur = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("pa"))
+      val inc = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("pb"))
+      val uniq = Stats.cents(coalesce(col("pa"), col("pb"))) * lit(10000000L) +
+        col("k")
+      cur.join(inc, Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("pa").isNull, "added")
+            .when(col("pb").isNull, "removed")
+            .otherwise("kept").as("status"),
+          Stats.cents(coalesce(col("pa"), col("pb"))).as("price_cents"),
+          uniq.as("uniq"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("price_cents"),
+          max_by(col("k"), col("uniq")).as("top_key"),
+          min_by(col("k"), col("uniq")).as("bottom_key"))
+        .orderBy("status")
+    })
+  )
+
+  // Engine-portable integer cents: floor(x*100 + 0.5) — see Stats.cents.
+  private def centsSql(e: String): String =
+    s"CAST(floor($e * 100 + 0.5) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q115_edit_distance_capped" ->
+      s"""WITH d0 AS (SELECT doc_id, lang, substr(text, 1, $CapPrefix) AS blk,
+                 substr(text, 1, $CapCmpLen) AS tc FROM documents),
+          hot AS (SELECT lang, blk FROM d0
+                  GROUP BY 1, 2 HAVING count(*) > $BlockCap),
+          d AS (SELECT * FROM d0 ANTI JOIN hot USING (lang, blk))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(levenshtein(a.tc, b.tc) AS BIGINT) AS dist
+          FROM d a JOIN d b
+            ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.tc, b.tc) <= $CapMaxDist
+          ORDER BY doc_a, doc_b""",
+
+    "q116_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+                 CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT)
+                   AS price_cents,
+                 round(sum(l_quantity), 2) AS qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "q117_robust_stats_approx" ->
+      s"""WITH x AS (SELECT l_returnflag,
+                            ${centsSql("l_extendedprice")} AS c
+                     FROM lineitem),
+          m AS (SELECT l_returnflag, count(c) AS n, median(c) AS med
+                FROM x GROUP BY 1)
+          SELECT l_returnflag, n, med,
+                 median(abs(CAST(x.c AS DOUBLE) - m.med)) AS mad,
+                 TRUE AS approx_med_ok, TRUE AS approx_mad_ok
+          FROM x JOIN m USING (l_returnflag)
+          GROUP BY l_returnflag, n, med
+          ORDER BY l_returnflag""",
+
+    // the oracle is the PLAIN exact Jaccard join — prefix filtering must
+    // be result-invisible
+    "q118_jaccard_prefix" ->
+      s"""WITH $shingleCte,
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS i
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, i * 1.0 / (x.n + y.n - i) AS jaccard
+          FROM inter JOIN sz x ON x.doc_id = doc_a
+                     JOIN sz y ON y.doc_id = doc_b
+          WHERE i * 1.0 / (x.n + y.n - i) >= $PrefixJaccardT
+          ORDER BY doc_a, doc_b""",
+
+    "q119_containment" ->
+      s"""WITH $shingleCte,
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS i
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 i * 1.0 / x.n AS cont_a_in_b,
+                 i * 1.0 / y.n AS cont_b_in_a
+          FROM inter JOIN sz x ON x.doc_id = doc_a
+                     JOIN sz y ON y.doc_id = doc_b
+          WHERE greatest(i * 1.0 / x.n, i * 1.0 / y.n) >= $ContainmentT
+          ORDER BY doc_a, doc_b""",
+
+    "q120_full_outer_reconcile" ->
+      s"""WITH cur AS (SELECT o_orderkey AS k, o_totalprice AS pa
+                       FROM orders WHERE o_orderkey % 2 = 0),
+          inc AS (SELECT o_orderkey AS k, o_totalprice AS pb
+                  FROM orders WHERE o_orderkey % 3 = 0),
+          f AS (SELECT coalesce(cur.k, inc.k) AS k,
+                       CASE WHEN pa IS NULL THEN 'added'
+                            WHEN pb IS NULL THEN 'removed'
+                            ELSE 'kept' END AS status,
+                       ${centsSql("coalesce(pa, pb)")} AS price_cents
+                FROM cur FULL OUTER JOIN inc ON cur.k = inc.k)
+          SELECT status, count(*) AS n,
+                 CAST(sum(price_cents) AS BIGINT) AS price_cents,
+                 arg_max(k, price_cents * 10000000 + k) AS top_key,
+                 arg_min(k, price_cents * 10000000 + k) AS bottom_key
+          FROM f GROUP BY 1 ORDER BY status"""
+  )
+}

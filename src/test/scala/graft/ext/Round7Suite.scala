@@ -1,0 +1,180 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Round7Suite extends SparkSpec {
+  import spark.implicits._
+
+  describe("Dedup.editDistancePairs blockCap") {
+    val docs = Seq(
+      (1L, "en", "aaaa one"), (2L, "en", "aaaa two"), (3L, "en", "aaaa six"),
+      (4L, "en", "bbbb one"), (5L, "en", "bbbb one!")
+    ).toDF("doc_id", "lang", "text")
+
+    it("prunes over-cap blocks before the self-join") {
+      // block 'aaaa' has 3 docs > cap 2 -> all its pairs dropped; block
+      // 'bbbb' (2 docs) survives
+      val got = Dedup.editDistancePairs(docs, prefixLen = 4, cmpLen = 60,
+        maxDist = 5, blockCap = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((4L, 5L, 1L)))
+    }
+
+    it("default cap keeps exact semantics (every block joins)") {
+      val capped = Dedup.editDistancePairs(docs, 4, 60, 5, Int.MaxValue)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(capped.contains((1L, 2L, 3L)) && capped.contains((4L, 5L, 1L)))
+    }
+
+    it("at-cap blocks are kept (strictly-greater pruning)") {
+      val got = Dedup.editDistancePairs(docs, 4, 60, 5, blockCap = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      // 'aaaa' has exactly 3 docs = cap -> kept
+      assert(got.exists(_._1 == 1L))
+    }
+  }
+
+  describe("TextAnalysis.gramNovelty") {
+    it("counts first-occurrence grams by min doc_id") {
+      val docs = Seq(
+        (1L, "a b c d"),        // grams: "a b c", "b c d" -> both novel
+        (2L, "a b c e"),        // "a b c" seen (doc 1), "b c e" novel
+        (3L, "a b c d")         // both grams seen
+      ).toDF("doc_id", "text")
+      val full = TextAnalysis.gramNovelty(docs, 3)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(full(1L) == ((2L, 2L)))
+      assert(full(2L) == ((2L, 1L)))
+      assert(full(3L) == ((2L, 0L)))
+    }
+
+    it("plans the first-occurrence as a partial aggregate, not a window") {
+      val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      val plan = TextAnalysis.gramNovelty(docs, 3)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"hot-gram straggler shape resurfaced:\n$plan")
+      assert(plan.contains("HashAggregate"), plan)
+    }
+  }
+
+  describe("Stats.robustStats approx escape hatch") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L),
+      ("h", 10L), ("h", 20L), ("h", 30L)).toDF("grp", "c")
+
+    it("exact = false matches exact results when the sketch is lossless") {
+      // GK with accuracy >> n returns true order statistics
+      val ex = Stats.robustStats(df, "grp", col("c"))
+        .orderBy("grp").collect().map(_.toSeq)
+      val ap = Stats.robustStats(df, "grp", col("c"), exact = false)
+        .orderBy("grp").collect().map(_.toSeq)
+      // approx_percentile returns an ELEMENT (no interpolation): for the
+      // odd-sized groups the medians agree exactly; for even-sized the
+      // element is one of the two middle values — assert within one grid
+      // step of the interpolated exact value
+      ex.zip(ap).foreach { case (e, a) =>
+        assert(e(0) == a(0) && e(1) == a(1))
+        assert(math.abs(e(2).asInstanceOf[Double] -
+          a(2).asInstanceOf[Double]) <= 0.5 + 1e-9, s"$e vs $a")
+        assert(math.abs(e(3).asInstanceOf[Double] -
+          a(3).asInstanceOf[Double]) <= 1.0 + 1e-9, s"$e vs $a")
+      }
+    }
+
+    it("both variants share one schema") {
+      val ex = Stats.robustStats(df, "grp", col("c"))
+      val ap = Stats.robustStats(df, "grp", col("c"), exact = false)
+      assert(ex.schema == ap.schema)
+    }
+  }
+
+  describe("Dedup.jaccardPairsPrefix") {
+    it("equals the exact inverted-index join on a randomized corpus") {
+      // 40 docs over a tiny vocabulary => plenty of shared shingles,
+      // deterministic via seeded Random
+      val rnd = new scala.util.Random(7)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val docs = (1L to 40L).map { id =>
+        val len = 4 + rnd.nextInt(8)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.5, 0.8)) {
+        val exact = Dedup.jaccardPairs(docs, t)
+          .as[(Long, Long, Double)].collect().toSet
+        val pref = Dedup.jaccardPairsPrefix(docs, t)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(pref == exact, s"threshold $t: prefix filter lost/added pairs")
+      }
+    }
+
+    it("keeps a boilerplate-heavy pair only via its rare shingles") {
+      val docs = Seq(
+        (1L, "x y z p q r"),   // shingles: "x y z","y z p","z p q","p q r"
+        (2L, "x y z p q s"),   // shares 3 of its 4 ("p q s" differs)
+        (3L, "q r s t u v")
+      ).toDF("doc_id", "text")
+      val got = Dedup.jaccardPairsPrefix(docs, 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)))
+      assert(math.abs(got.head._3 - 3.0 / 5.0) < 1e-12)
+    }
+  }
+
+  describe("Dedup.containmentPairs") {
+    it("flags asymmetric containment that Jaccard misses") {
+      // doc 1's shingles are a strict subset of doc 2's
+      val docs = Seq(
+        (1L, "a b c d"),                 // grams: "a b c", "b c d"
+        (2L, "a b c d e f g h i j k l")  // contains both + 8 more
+      ).toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(docs, 0.9)
+        .as[(Long, Long, Double, Double)].collect()
+      assert(got.length == 1)
+      val (a, b, cab, cba) = got.head
+      assert((a, b) == ((1L, 2L)))
+      assert(cab == 1.0)               // all of doc 1 inside doc 2
+      assert(math.abs(cba - 0.2) < 1e-12)  // 2 of doc 2's 10 grams
+      // and Jaccard would NOT pair them at the same threshold
+      assert(Dedup.jaccardPairs(docs, 0.9).count() == 0)
+    }
+  }
+
+  describe("Round7Queries.q120 reconciliation") {
+    it("classifies added/removed/kept with deterministic arg-extremes") {
+      val dir = "/root/testdata/sf0.001"
+      val rows = graft.queries.Round7Queries
+        .queries("q120_full_outer_reconcile")(spark, dir)
+        .collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("added", "kept", "removed"))
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val even = o.filter(col("o_orderkey") % 2 === 0).count()
+      val third = o.filter(col("o_orderkey") % 3 === 0).count()
+      val both = o.filter(col("o_orderkey") % 6 === 0).count()
+      val byStatus = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStatus("kept") == both)
+      assert(byStatus("removed") == even - both)
+      assert(byStatus("added") == third - both)
+    }
+  }
+
+  describe("Round7Queries.q116 bucketed-join parity") {
+    it("bucketed aggregate equals the plain-join aggregate") {
+      val dir = "/root/testdata/sf0.001"
+      val got = graft.queries.Round7Queries
+        .queries("q116_bucketed_join")(spark, dir)
+        .collect().map(_.toSeq)
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val want = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(Stats.cents(col("l_extendedprice"))).as("price_cents"),
+          round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("o_orderpriority")
+        .collect().map(_.toSeq)
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+}
