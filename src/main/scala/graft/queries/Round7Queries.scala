@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Readers, Warehouse}
-import graft.ext.{Dedup, Stats}
+import graft.ext.{Dedup, Drift, Graph, Stats}
 import graft.queries.ExtensionQueries.shingleCte
+import graft.streaming.EventStream
 
 /** Round-7 batch: scale-guard variants of existing operators, each
   * oracle-gated — the capped blocked edit-distance (the blockCap pruning
@@ -142,6 +143,102 @@ object Round7Queries {
           max_by(col("k"), col("uniq")).as("top_key"),
           min_by(col("k"), col("uniq")).as("bottom_key"))
         .orderBy("status")
+    }),
+
+    // Hive-partitioned write + pruned read: the layout must be
+    // result-invisible — the oracle is the plain predicate on the source
+    // table, so a row mis-routed to the wrong partition directory (or a
+    // partition-value encoding bug) fails the hash. PartitionFilters
+    // pruning is asserted on the plan in Round7Suite.
+    "q121_partition_pruned" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q121_part")
+      try {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity",
+            "l_extendedprice")
+        Warehouse.writePartitioned(li, s"$tmp/li", "l_returnflag")
+        val agg = s.read.parquet(s"$tmp/li")
+          .filter(col("l_returnflag") === "R")
+          .agg(count(lit(1)).as("n"),
+            sum(Stats.cents(col("l_extendedprice"))).as("price_cents"),
+            round(sum("l_quantity"), 2).as("qty"),
+            countDistinct("l_orderkey").as("n_orders"))
+        // materialize (1 row) so the temp layout can be deleted now
+        s.createDataFrame(
+          java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+      } finally graft.engine.Pipeline.deleteRecursively(tmp)
+    }),
+
+    // Small-file compaction roundtrip: a fragmented Hive-partitioned
+    // corpus (16 files per partition) compacted in place must aggregate
+    // identically to the source — any row lost or duplicated by the
+    // temp+rename swap, or a partition value garbled through the
+    // per-partition rewrite, fails the hash.
+    "q122_compact_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q122_cmp")
+      try {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+        Warehouse.writePartitioned(li.repartition(16), s"$tmp/li",
+          "l_returnflag")
+        Warehouse.compact(s, s"$tmp/li")
+        val agg = s.read.parquet(s"$tmp/li")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("qty"),
+            countDistinct("l_orderkey").as("n_orders"))
+          .orderBy("l_returnflag")
+        s.createDataFrame(
+          java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+          .orderBy("l_returnflag")
+      } finally graft.engine.Pipeline.deleteRecursively(tmp)
+    }),
+
+    // Integer-exact PageRank over the customer↔supplier trade graph
+    // (both directions, so the graph is cyclic and every node's rank
+    // evolves): 3 fixed iterations in micro-units — bit-identical under
+    // any partitioning, reproduced by the oracle's unrolled CTEs.
+    "q123_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("sup"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
+        .unionAll(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      Graph.pagerankInt(edges, iterations = 3)
+        .orderBy("node")
+    }),
+
+    // Streaming SLIDING windows (1h every 15min — each event fans out to
+    // 4 windows), run bounded; the oracle restates the fan-out as an
+    // explicit 0..3 slide-offset cross join, so a missing or duplicated
+    // window assignment fails the hash.
+    "q124_streaming_sliding" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q124_events") { raw =>
+        val stream = raw
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val out = EventStream.runToMemory(
+          EventStream.slidingCounts(stream),
+          StreamingQueries.memName("q124_mem_"),
+          statePartitions = Some(8))
+        out.select(col("window_start"), col("event_type"), col("n"),
+          round(col("value_sum"), 2).as("value_sum"))
+          .orderBy("window_start", "event_type")
+      }),
+
+    // Snapshot distribution drift: per-bucket frequency deltas between
+    // the odd- and even-orderkey halves of lineitem — exact counts plus
+    // per-bucket L1/chi-square terms from one fixed IEEE formula (no
+    // cross-bucket float sum anywhere, so every row hash-compares).
+    "q125_snapshot_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      Drift.frequencyDrift(
+        li.filter(col("l_orderkey") % 2 === 1),
+        li.filter(col("l_orderkey") % 2 === 0),
+        floor(col("l_quantity") / 5).cast("long"))
+        .orderBy("bucket")
     })
   )
 
@@ -232,6 +329,89 @@ object Round7Queries {
                  CAST(sum(price_cents) AS BIGINT) AS price_cents,
                  arg_max(k, price_cents * 10000000 + k) AS top_key,
                  arg_min(k, price_cents * 10000000 + k) AS bottom_key
-          FROM f GROUP BY 1 ORDER BY status"""
+          FROM f GROUP BY 1 ORDER BY status""",
+
+    "q121_partition_pruned" ->
+      s"""SELECT count(*) AS n,
+                 CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT)
+                   AS price_cents,
+                 round(sum(l_quantity), 2) AS qty,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem WHERE l_returnflag = 'R'""",
+
+    "q122_compact_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(sum(l_quantity), 2) AS qty,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    // 3 unrolled iterations of the same integer formula (// is DuckDB
+    // floor division ≡ Spark `div` on the non-negative ranks here)
+    "q123_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.dst AS node,
+                      sum(($prev.rank // od.outdeg)) AS csum
+               FROM e JOIN $prev ON e.src = $prev.node
+                      JOIN od ON od.node = e.src
+               GROUP BY 1),
+           $cur AS (SELECT n.node,
+                      CAST(150000 + (85 * coalesce(c$cur.csum, 0)) // 100
+                        AS BIGINT) AS rank
+               FROM nodes n LEFT JOIN c$cur ON n.node = c$cur.node)"""
+      s"""WITH b AS (SELECT DISTINCT 'c:' || o_custkey AS c,
+                            's:' || l_suppkey AS sup
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, sup AS dst FROM b
+                UNION ALL
+                SELECT sup AS src, c AS dst FROM b),
+          nodes AS (SELECT DISTINCT src AS node FROM e
+                    UNION SELECT DISTINCT dst FROM e),
+          od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")}
+          SELECT node, rank FROM r3 ORDER BY node"""
+    },
+
+    // each event's 4 sliding windows stated explicitly: starts on the
+    // 15-min grid at offsets 0..3 slides back (900000000 us = 15 min)
+    "q124_streaming_sliding" ->
+      """SELECT make_timestamp(
+                  (epoch_us(ts) // 900000000 - k) * 900000000)
+                  AS window_start,
+                event_type, count(*) AS n,
+                round(sum(value), 2) AS value_sum
+         FROM events CROSS JOIN
+              (SELECT unnest(generate_series(0, 3)) AS k) g
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q125_snapshot_drift" ->
+      """WITH cur AS (SELECT CAST(floor(l_quantity / 5) AS BIGINT)
+                        AS bucket
+                      FROM lineitem WHERE l_orderkey % 2 = 1),
+          ref AS (SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket
+                  FROM lineitem WHERE l_orderkey % 2 = 0),
+          cc AS (SELECT bucket, count(*) AS n_cur FROM cur GROUP BY 1),
+          rc AS (SELECT bucket, count(*) AS n_ref FROM ref GROUP BY 1),
+          j AS (SELECT coalesce(cc.bucket, rc.bucket) AS bucket,
+                       CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+                       CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref
+                FROM cc FULL OUTER JOIN rc ON cc.bucket = rc.bucket),
+          t AS (SELECT (SELECT count(*) FROM cur) AS g_cur,
+                       (SELECT count(*) FROM ref) AS g_ref)
+          SELECT bucket, n_cur, n_ref,
+                 CAST(n_cur AS DOUBLE) / g_cur AS p_cur,
+                 CAST(n_ref AS DOUBLE) / g_ref AS p_ref,
+                 abs(CAST(n_cur AS DOUBLE) / g_cur
+                     - CAST(n_ref AS DOUBLE) / g_ref) AS l1_term,
+                 CASE WHEN n_ref > 0 THEN
+                   (CAST(n_cur AS DOUBLE) / g_cur
+                    - CAST(n_ref AS DOUBLE) / g_ref)
+                   * (CAST(n_cur AS DOUBLE) / g_cur
+                      - CAST(n_ref AS DOUBLE) / g_ref)
+                   / (CAST(n_ref AS DOUBLE) / g_ref)
+                 END AS chi2_term
+          FROM j CROSS JOIN t ORDER BY bucket"""
   )
 }

@@ -33,6 +33,22 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** SLIDING windows per event type: `size`-long windows starting every
+    * `slide` (an event lands in size/slide overlapping windows — the
+    * trending-now shape tumbling windows can't express). Same watermark
+    * discipline as [[hourlyCounts]]; state is (window, key)-partitioned
+    * and each event fans out to size/slide state rows, so the slide ratio
+    * is the state-volume knob at scale.
+    */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
   /** Session windows per user: events within a 30-minute gap fuse into one
     * session; emits per-session event count and value total.
     */

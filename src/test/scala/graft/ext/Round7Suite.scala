@@ -159,6 +159,68 @@ class Round7Suite extends SparkSpec {
     }
   }
 
+  describe("Drift.frequencyDrift") {
+    it("reports exact per-bucket terms and marks new buckets") {
+      val cur = Seq(1, 1, 2, 3).toDF("b") // 1->2, 2->1, 3->1 of 4
+      val ref = Seq(1, 2, 2, 2).toDF("b") // 1->1, 2->3 of 4
+      val got = Drift.frequencyDrift(cur, ref, col("b"))
+        .orderBy("bucket").collect()
+      assert(got.length == 3)
+      val b1 = got(0); val b2 = got(1); val b3 = got(2)
+      assert(b1.getLong(1) == 2 && b1.getLong(2) == 1)
+      assert(math.abs(b1.getDouble(5) - 0.25) < 1e-15)       // |0.5-0.25|
+      assert(math.abs(b1.getDouble(6) - 0.25) < 1e-15)       // 0.0625/0.25
+      assert(math.abs(b2.getDouble(6) - 0.25 / 0.75) < 1e-15)
+      // bucket 3 is NEW (absent from ref): chi2 is null, not infinity
+      assert(b3.getLong(2) == 0 && b3.isNullAt(6))
+      assert(math.abs(b3.getDouble(5) - 0.25) < 1e-15)
+    }
+  }
+
+  describe("Graph.pagerankInt") {
+    it("matches hand-computed integer ranks on a 3-node graph") {
+      // a→b, a→c, b→a: outdeg(a)=2, outdeg(b)=1, c dangling
+      val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"))
+        .toDF("src", "dst")
+      val got = Graph.pagerankInt(edges, 3)
+        .as[(String, Long)].collect().toMap
+      // r1: a=150000+850000, b=c=150000+85*500000/100
+      // r2: a=150000+85*575000//100=638750, b=c=575000
+      // r3: a=638750, b=c=150000+(85*(638750 div 2)) div 100=421468
+      assert(got == Map("a" -> 638750L, "b" -> 421468L, "c" -> 421468L))
+    }
+
+    it("total rank mass never exceeds the starting mass") {
+      val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+        .toDF("src", "dst")
+      val total = Graph.pagerankInt(edges, 4)
+        .agg(sum("rank")).as[Long].collect().head
+      // integer truncation only ever DROPS mass vs the ideal 3e6
+      assert(total <= 3L * Graph.Scale && total > 2L * Graph.Scale)
+    }
+  }
+
+  describe("Warehouse partitioned layout") {
+    it("pruned reads plan PartitionFilters on the partition column") {
+      val tmp = java.nio.file.Files.createTempDirectory("r7_part")
+      try {
+        val li = spark.read
+          .parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+        graft.engine.Warehouse.writePartitioned(li, s"$tmp/li",
+          "l_returnflag")
+        val q = spark.read.parquet(s"$tmp/li")
+          .filter(col("l_returnflag") === "R")
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters") &&
+          plan.matches("(?s).*PartitionFilters: \\[[^\\]]*l_returnflag[^\\]]*\\].*"),
+          s"expected a pushed partition filter in:\n$plan")
+        // and the pruned read matches the plain filter
+        assert(q.count() == li.filter(col("l_returnflag") === "R").count())
+      } finally graft.engine.Pipeline.deleteRecursively(tmp)
+    }
+  }
+
   describe("Round7Queries.q116 bucketed-join parity") {
     it("bucketed aggregate equals the plain-join aggregate") {
       val dir = "/root/testdata/sf0.001"
