@@ -118,6 +118,36 @@ object GlobalOrder {
       r => if (r.isNullAt(vi)) 0L else r.getLong(vi))._1
   }
 
+  /** Exact GLOBAL median of a LongType column at any scale — the order
+    * statistic `percentile(value, 0.5)` computes by buffering all values
+    * in one aggregation buffer, done distributed instead: global row
+    * numbers over (value, tiebreakers) by the range-shuffle recipe, then
+    * the mean of the two middle order statistics (one row for odd n —
+    * the mean degenerates to the value itself; integer inputs put the
+    * even-n midpoint exactly on the .5 grid, so the double is
+    * engine-portable). Returns one row: (n, median).
+    *
+    * `tieCols` must make (value, tieCols) a total order — the
+    * [[withRowNumber]] contract. Cost: the range shuffle plus the
+    * p-longs stats job, a filtered scan for 2 rows, and a 2-row
+    * aggregate — nothing ever holds more than a partition.
+    */
+  def medianOfLong(df: DataFrame, valueCol: String,
+                   tieCols: Seq[Column]): DataFrame = {
+    val vi = df.schema.fieldIndex(valueCol)
+    require(df.schema(vi).dataType == LongType,
+      s"medianOfLong needs a LongType value column; " +
+        s"$valueCol is ${df.schema(vi).dataType}")
+    val (rn, n) = numbered(df, col(valueCol) +: tieCols, "__graft_rn", 0)
+    require(n > 0, "medianOfLong needs a non-empty input")
+    val lo = (n + 1) / 2
+    val hi = (n + 2) / 2
+    rn.filter(col("__graft_rn") === lo || col("__graft_rn") === hi)
+      .agg(count(lit(1)).as("__k"), sum(col(valueCol)).as("__s"))
+      .select(lit(n).as("n"),
+        (col("__s").cast("double") / col("__k")).as("median"))
+  }
+
   /** Exact NTILE(k) over a total order, same semantics as
     * `ntile(k).over(Window.orderBy(sortCols))`: with n rows, the first
     * n % k buckets get one extra row. Distributed (no single-partition

@@ -40,32 +40,43 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-    val outdeg = edges.groupBy(col("src").as("node"))
+    // Persist the loop INVARIANTS — without this, every iteration
+    // re-evaluates the caller's edge lineage (for q123 that is a full
+    // orders⋈lineitem + distinct, three times per iteration via edges /
+    // nodes / outdeg): measured 19 s/run at sf0.1, ~3 s/run persisted.
+    // The connectedComponents discipline (DedupGroups.scala): persist
+    // inputs, checkpoint the evolving state, unpersist on exit.
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
+      .persist()
     val base = lit(Scale * (100 - dampingPct) / 100)
     var ranks = nodes.withColumn("rank", lit(Scale))
     var checkpointed: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
-      val contrib = edges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          expr("rank div outdeg").as("c"))
-        .groupBy("node").agg(sum("c").as("csum"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (base + expr(s"($dampingPct * coalesce(csum, 0L)) div 100"))
-            .as("rank"))
-        .localCheckpoint()
-      // free the PREVIOUS iteration's checkpoint blocks now that the new
-      // one is materialized — leaked checkpoint blocks pin storage
-      // memory for the rest of the session (the connectedComponents
-      // discipline, DedupGroups.scala)
-      checkpointed.foreach(_.unpersist())
-      checkpointed = Some(ranks)
+    try {
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outdeg.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("rank div outdeg").as("c"))
+          .groupBy("node").agg(sum("c").as("csum"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (base + expr(s"($dampingPct * coalesce(csum, 0L)) div 100"))
+              .as("rank"))
+          .localCheckpoint()
+        // free the PREVIOUS iteration's checkpoint blocks now that the
+        // new one is materialized — leaked checkpoint blocks pin storage
+        // memory for the rest of the session
+        checkpointed.foreach(_.unpersist())
+        checkpointed = Some(ranks)
+      }
+    } finally {
+      e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     }
     ranks
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Readers, Warehouse}
-import graft.ext.{Dedup, Drift, Graph, Stats}
+import graft.ext.{Dedup, Drift, GlobalOrder, Graph, Stats}
 import graft.queries.ExtensionQueries.shingleCte
 import graft.streaming.EventStream
 
@@ -239,7 +239,18 @@ object Round7Queries {
         li.filter(col("l_orderkey") % 2 === 0),
         floor(col("l_quantity") / 5).cast("long"))
         .orderBy("bucket")
-    })
+    }),
+
+    // Exact GLOBAL median without a global buffer: the range-shuffle
+    // global row number picks the two middle order statistics — the
+    // shape that still works when the column has 10¹² values and no
+    // single aggregation buffer (or partition) could hold them.
+    "q126_global_median" -> ((s, dir) =>
+      GlobalOrder.medianOfLong(
+        t(s, dir, "lineitem")
+          .select(Stats.cents(col("l_extendedprice")).as("c"),
+            col("l_orderkey"), col("l_linenumber")),
+        "c", Seq(col("l_orderkey"), col("l_linenumber"))))
   )
 
   // Engine-portable integer cents: floor(x*100 + 0.5) — see Stats.cents.
@@ -412,6 +423,11 @@ object Round7Queries {
                       - CAST(n_ref AS DOUBLE) / g_ref)
                    / (CAST(n_ref AS DOUBLE) / g_ref)
                  END AS chi2_term
-          FROM j CROSS JOIN t ORDER BY bucket"""
+          FROM j CROSS JOIN t ORDER BY bucket""",
+
+    "q126_global_median" ->
+      s"""SELECT count(*) AS n,
+                 median(${centsSql("l_extendedprice")}) AS median
+          FROM lineitem"""
   )
 }

@@ -159,6 +159,24 @@ class Round7Suite extends SparkSpec {
     }
   }
 
+  describe("GlobalOrder.medianOfLong") {
+    it("picks the middle order statistic for odd counts") {
+      val odd = Seq(5L, 1L, 9L, 3L, 7L).zipWithIndex
+        .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      val r = GlobalOrder.medianOfLong(odd, "v", Seq(col("id")))
+        .as[(Long, Double)].collect().head
+      assert(r == ((5L, 5.0)))
+    }
+
+    it("averages the two middle order statistics for even counts") {
+      val even = Seq(4L, 1L, 3L, 2L).zipWithIndex
+        .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      val r = GlobalOrder.medianOfLong(even, "v", Seq(col("id")))
+        .as[(Long, Double)].collect().head
+      assert(r == ((4L, 2.5)))
+    }
+  }
+
   describe("Drift.frequencyDrift") {
     it("reports exact per-bucket terms and marks new buckets") {
       val cur = Seq(1, 1, 2, 3).toDF("b") // 1->2, 2->1, 3->1 of 4
