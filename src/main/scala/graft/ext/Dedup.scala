@@ -195,10 +195,14 @@ object Dedup {
     * shingles (the d²/2 pair bombs) sort LAST in the frequency order, so
     * at t = 0.8 a 100-shingle document exposes only its 21 rarest
     * shingles to the join — the hot shingle never generates candidates
-    * unless a document is almost nothing but boilerplate. Costs one
-    * extra aggregate (the df table) and a per-doc ranking window
-    * (bounded by per-document shingle count) over [[jaccardPairs]];
-    * candidate verification touches only candidate pairs' shingles.
+    * unless a document is almost nothing but boilerplate. The constant
+    * factor is real: the shingle table is evaluated for the df
+    * aggregate, the ranking pass, and the two verification sides (~3
+    * corpus passes plus a per-doc window vs [[jaccardPairs]]' 2), so on
+    * a SMALL corpus the plain inverted index is faster — this operator
+    * wins when candidate generation, not scanning, is the bill, i.e.
+    * when boilerplate df makes the plain join's pair count explode.
+    * Candidate verification touches only candidate pairs' shingles.
     */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
                          n: Int = 3): DataFrame = {
