@@ -44,5 +44,5 @@ object SparkEntry {
     */
   def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
     Round2Queries.dynamicOracleSql ++ Round4Queries.dynamicOracleSql ++
-      Round6Queries.dynamicOracleSql
+      Round6Queries.dynamicOracleSql ++ Round7Queries.dynamicOracleSql
 }

@@ -264,6 +264,39 @@ object Dedup {
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
   }
 
+  /** Chunk-level duplication stats (the RefinedWeb/CCNet line-dedup
+    * signal at fixed granularity): split each document into
+    * non-overlapping `window`-token chunks
+    * ([[TextAnalysis.slidingChunks]] with stride = window), count for
+    * each chunk how many DISTINCT documents contain it, and roll up per
+    * document: total chunks, chunks shared with at least one other
+    * document, and the shared fraction — the signal that finds documents
+    * which are mostly templated/boilerplate even when no whole-document
+    * near-dup fires. `keep` flags documents under `maxSharedFrac`.
+    *
+    * Scale: chunk identity is a 16-byte md5 — the shuffles carry
+    * (digest, doc_id), never chunk text; the df count is a partial
+    * aggregate and the join-back is digest-keyed (AQE splits a hot
+    * boilerplate chunk's join skew — the [[jaccardPairs]] df discipline
+    * applies if a cap is ever needed, but unlike shingles a chunk's df
+    * only drives join fan-out, not a quadratic pair blowup).
+    */
+  def chunkDupStats(docs: DataFrame, window: Int,
+                    maxSharedFrac: Double): DataFrame = {
+    val chunks = TextAnalysis.slidingChunks(docs, window, window)
+    val df_ = chunks.groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("chunk_df"))
+    chunks.join(df_, Seq("chunk_md5"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_df") > 1, 1L).otherwise(0L))
+          .as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        (col("n_shared_chunks").cast("double") / col("n_chunks"))
+          .as("shared_frac"))
+      .withColumn("keep", col("shared_frac") < maxSharedFrac)
+  }
+
   /** MinHash signature: numHashes min-hashes over word n-gram shingles via
     * the affine family (one md5 per shingle, not per seed×shingle). One
     * shuffle (groupBy doc_id); signature width is constant.

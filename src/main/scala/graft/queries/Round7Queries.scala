@@ -250,12 +250,80 @@ object Round7Queries {
         t(s, dir, "lineitem")
           .select(Stats.cents(col("l_extendedprice")).as("c"),
             col("l_orderkey"), col("l_linenumber")),
-        "c", Seq(col("l_orderkey"), col("l_linenumber"))))
+        "c", Seq(col("l_orderkey"), col("l_linenumber")))),
+
+    // Chunk-level duplication stats (RefinedWeb/CCNet line-dedup at
+    // fixed 16-token granularity): per-document shared-chunk fraction —
+    // finds templated/boilerplate documents no whole-document near-dup
+    // catches.
+    "q127_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDupStats(t(s, dir, "documents"), window = 16,
+        maxSharedFrac = 0.5)
+        .orderBy("doc_id")),
+
+    // Corrupt-record ingest accounting: a JSONL corpus with 3 planted
+    // malformed lines read PERMISSIVE — bad lines must land in the
+    // corrupt column (never dropped, never parsed), good rows must
+    // aggregate exactly as the clean source does.
+    "q128_corrupt_records" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q128_jsonl")
+      try {
+        t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+          .select("l_orderkey", "l_quantity")
+          .coalesce(1).write.json(s"$tmp/corpus")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$tmp/corpus/part-bad.json"),
+          "{\"l_orderkey\": 1, \"l_quantity\": \n{broken\nnot json at all\n")
+        val read = s.read
+          .schema("l_orderkey BIGINT, l_quantity DOUBLE, _corrupt STRING")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(s"$tmp/corpus")
+        val agg = read.agg(
+          count_if(col("_corrupt").isNull).as("n_good"),
+          count_if(col("_corrupt").isNotNull).as("n_bad"),
+          round(sum(when(col("_corrupt").isNull, col("l_quantity"))), 2)
+            .as("qty"))
+        s.createDataFrame(
+          java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+      } finally graft.engine.Pipeline.deleteRecursively(tmp)
+    }),
+
+    // Per-cell representatives (coreset/diversity selection): for each
+    // IVF cell, the vector closest to its centroid (deterministic
+    // (dist², vec_id) tiebreak) plus the cell population — the pick-one-
+    // per-region step of diversity-aware data selection. Oracle is
+    // generated from the run's trained centroids (the q99 pattern).
+    "q129_cell_representatives" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      import org.apache.spark.sql.expressions.Window
+      val cents = Round2Queries.ivfCentroids(s, dir)
+      val assigned = graft.ext.IvfIndex
+        .fromCentroids(s, t(s, dir, "embeddings"), cents).assigned
+      val centDf = {
+        import s.implicits._
+        cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
+      }
+      val withDist = assigned.join(broadcast(centDf), "cell")
+        .select(col("cell").cast("long").as("cell"), col("vec_id"),
+          (col("v_n2") - lit(2.0) * dot(col("v"), col("cv"))
+            + dot(col("cv"), col("cv"))).as("dist2"))
+      val counts = withDist.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val w = Window.partitionBy("cell").orderBy(col("dist2"), col("vec_id"))
+      withDist.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .join(counts, Seq("cell"))
+        .select(col("cell"), col("n_vecs"), col("vec_id").as("rep_vec_id"),
+          col("dist2"))
+        .orderBy("cell")
+    })
   )
 
   // Engine-portable integer cents: floor(x*100 + 0.5) — see Stats.cents.
   private def centsSql(e: String): String =
     s"CAST(floor($e * 100 + 0.5) AS BIGINT)"
+
+  // DuckDB twin of Portable.wsTokens (same regex as the other rounds).
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
 
   val oracleSql: Map[String, String] = Map(
 
@@ -428,6 +496,71 @@ object Round7Queries {
     "q126_global_median" ->
       s"""SELECT count(*) AS n,
                  median(${centsSql("l_extendedprice")}) AS median
-          FROM lineitem"""
+          FROM lineitem""",
+
+    // same 16-token non-overlapping chunk rule as slidingChunks(16, 16)
+    "q127_chunk_dedup" ->
+      s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
+          s AS (SELECT doc_id, w,
+                unnest(generate_series(1, len(w), 16)) AS i FROM w),
+          ch AS (SELECT doc_id,
+                 md5(array_to_string(w[i:i+15], ' ')) AS chunk_md5 FROM s),
+          df AS (SELECT chunk_md5, count(DISTINCT doc_id) AS chunk_df
+                 FROM ch GROUP BY 1)
+          SELECT doc_id, count(*) AS n_chunks,
+                 CAST(sum(CASE WHEN chunk_df > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_shared_chunks,
+                 CAST(sum(CASE WHEN chunk_df > 1 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*) AS shared_frac,
+                 CAST(sum(CASE WHEN chunk_df > 1 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*) < 0.5 AS keep
+          FROM ch JOIN df USING (chunk_md5)
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q128_corrupt_records" ->
+      """SELECT count(*) AS n_good, CAST(3 AS BIGINT) AS n_bad,
+                round(sum(l_quantity), 2) AS qty
+         FROM lineitem WHERE l_orderkey % 100 = 0"""
   )
+
+  /** q129's oracle, generated from the run's trained centroids (the q99
+    * pattern): same assignment CTE, then per-cell argmin distance with
+    * the (dist², vec_id) tiebreak.
+    */
+  private def cellRepOracle(centroids: Seq[Seq[Double]]): String = {
+    val values = centroids.zipWithIndex.map { case (c, i) =>
+      c.map(x => s"'$x'::DOUBLE").mkString(s"($i, [", ", ", "])")
+    }.mkString(", ")
+    s"""WITH centroids(cell, cv) AS (VALUES $values),
+        cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cv_n2
+               FROM centroids),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        en AS (SELECT vec_id, v, list_dot_product(v, v) AS v_n2 FROM e),
+        assigned AS (
+          SELECT vec_id, v, v_n2, cell FROM (
+            SELECT en.vec_id, en.v, en.v_n2, cn.cell,
+                   row_number() OVER (PARTITION BY en.vec_id
+                     ORDER BY (en.v_n2 - 2 * list_dot_product(en.v, cn.cv)
+                               + cn.cv_n2) ASC,
+                              cn.cell ASC) AS arnk
+            FROM en CROSS JOIN cn) t
+          WHERE arnk = 1),
+        d AS (SELECT a.cell, a.vec_id,
+                     (a.v_n2 - 2 * list_dot_product(a.v, cn.cv)
+                      + list_dot_product(cn.cv, cn.cv)) AS dist2
+              FROM assigned a JOIN cn ON a.cell = cn.cell),
+        r AS (SELECT cell, vec_id, dist2,
+                     row_number() OVER (PARTITION BY cell
+                       ORDER BY dist2, vec_id) AS rnk FROM d),
+        c AS (SELECT cell, count(*) AS n_vecs FROM d GROUP BY 1)
+        SELECT CAST(r.cell AS BIGINT) AS cell, c.n_vecs,
+               r.vec_id AS rep_vec_id, r.dist2
+        FROM r JOIN c ON r.cell = c.cell
+        WHERE r.rnk = 1 ORDER BY cell"""
+  }
+
+  val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "q129_cell_representatives" -> ((s, dir) =>
+      cellRepOracle(Round2Queries.ivfCentroids(s, dir))))
 }

@@ -159,6 +159,30 @@ class Round7Suite extends SparkSpec {
     }
   }
 
+  describe("Dedup.chunkDupStats") {
+    it("counts cross-document shared chunks and flags heavy sharers") {
+      val docs = Seq(
+        (1L, "a b c d"), // 2-token chunks: [a b], [c d]
+        (2L, "a b x y"), // shares [a b] with doc 1
+        (3L, "p q r s")  // nothing shared
+      ).toDF("doc_id", "text")
+      val got = Dedup.chunkDupStats(docs, window = 2, maxSharedFrac = 0.5)
+        .as[(Long, Long, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got(1L) == ((1L, 2L, 1L, 0.5, false))) // 0.5 not < 0.5
+      assert(got(2L) == ((2L, 2L, 1L, 0.5, false)))
+      assert(got(3L) == ((3L, 2L, 0L, 0.0, true)))
+    }
+
+    it("within-document repeats alone are not shared chunks") {
+      val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+      val r = Dedup.chunkDupStats(docs, 2, 0.5)
+        .as[(Long, Long, Long, Double, Boolean)].collect().head
+      // both chunks are [a b] but chunk_df counts DISTINCT docs = 1
+      assert(r._3 == 0L && r._5)
+    }
+  }
+
   describe("GlobalOrder.medianOfLong") {
     it("picks the middle order statistic for odd counts") {
       val odd = Seq(5L, 1L, 9L, 3L, 7L).zipWithIndex
