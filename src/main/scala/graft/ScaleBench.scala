@@ -279,6 +279,36 @@ object ScaleBench {
             .agg(count(lit(1)), sum("n_dup_lower")).collect()
         }
       },
+      "chunk_dedup_hot_chunk" -> { n =>
+        time {
+          // n/10 docs, each = one corpus-universal 16-token boilerplate
+          // chunk plus one unique chunk: the hot digest's df row joins
+          // back onto EVERY doc. Map-side combine collapses the hot
+          // digest to one row per partition in the df aggregate and AQE
+          // splits the join-back skew — linear per_row_ratio proves the
+          // hot-chunk fan-out is bounded.
+          val fixed = (0 until 16).map(i => s"b$i").mkString(" ")
+          val tail = (1 until 16).map(i => s"f$i").mkString(" ")
+          val docs = spark.range(n / 10).select(col("id").as("doc_id"),
+            concat(lit(fixed + " u"), col("id").cast("string"),
+              lit(" " + tail)).as("text"))
+          graft.ext.Dedup.chunkDupStats(docs, 16, 0.6)
+            .agg(count(lit(1)), sum("n_shared_chunks")).collect()
+        }
+      },
+      "pagerank_chain" -> { n =>
+        time {
+          // n/20 edges in 8-node chains (the CC topology): 3 fixed
+          // iterations of join+agg over persisted invariants — cost must
+          // stay linear in edges, and the persist keeps the edge build
+          // from re-running every iteration.
+          val edges = spark.range(n / 20)
+            .filter(col("id") % 8 =!= 7)
+            .select(col("id").as("src"), (col("id") + 1).as("dst"))
+          graft.ext.Graph.pagerankInt(edges, 3)
+            .agg(count(lit(1)), sum("rank")).collect()
+        }
+      },
       "dedup_groups_cc" -> { n =>
         time {
           // connected components over n/20 edges arranged as 8-node chains

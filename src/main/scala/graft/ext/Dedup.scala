@@ -274,19 +274,36 @@ object Dedup {
     * which are mostly templated/boilerplate even when no whole-document
     * near-dup fires. `keep` flags documents under `maxSharedFrac`.
     *
-    * Scale: chunk identity is a 16-byte md5 — the shuffles carry
-    * (digest, doc_id), never chunk text; the df count is a partial
-    * aggregate and the join-back is digest-keyed (AQE splits a hot
-    * boilerplate chunk's join skew — the [[jaccardPairs]] df discipline
-    * applies if a cap is ever needed, but unlike shingles a chunk's df
-    * only drives join fan-out, not a quadratic pair blowup).
+    * Scale: chunk identity is reduced to a 60-bit truncation of the
+    * chunk md5 BEFORE any shuffle, so the df aggregate and the join-back
+    * move (8-byte hash, 8-byte doc id) rows — never digest strings, let
+    * alone chunk text. This is the [[graft.ext.TextAnalysis.gramNovelty]]
+    * lesson applied preemptively: with 32-char digest keys, a
+    * corpus-universal boilerplate chunk's join partition crossed a
+    * single-task memory cliff at 10M docs (measured superlinear,
+    * per-row ratio 2.3); with long keys the same planted-hot-chunk shape
+    * runs linear (`chunk_dedup_hot_chunk` in ScaleBench). The df count
+    * is a partial aggregate, AQE splits the join-back skew, and 60-bit
+    * collisions misattribute a chunk with probability ~n²/2⁶¹ —
+    * negligible against the boilerplate signal.
     */
   def chunkDupStats(docs: DataFrame, window: Int,
                     maxSharedFrac: Double): DataFrame = {
     val chunks = TextAnalysis.slidingChunks(docs, window, window)
-    val df_ = chunks.groupBy("chunk_md5")
-      .agg(countDistinct("doc_id").as("chunk_df"))
-    chunks.join(df_, Seq("chunk_md5"))
+      .select(col("doc_id"),
+        conv(substring(col("chunk_md5"), 1, 15), 16, 10).cast("long")
+          .as("chunk_h"))
+    // df = distinct docs per chunk — as distinct-PAIRS then a plain
+    // count, NOT countDistinct(doc_id): a count-distinct's dedup phase
+    // shuffles every (hot chunk, doc) pair to ONE reducer (partial
+    // aggregation cannot collapse distinct pairs, and AQE cannot split
+    // an aggregate's skewed partition the way it splits a join's). The
+    // pair-distinct exchanges on BOTH columns — balanced under any
+    // skew — and the count after it is map-side combinable.
+    val df_ = chunks.distinct()
+      .groupBy("chunk_h")
+      .agg(count(lit(1)).as("chunk_df"))
+    chunks.join(df_, Seq("chunk_h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("chunk_df") > 1, 1L).otherwise(0L))

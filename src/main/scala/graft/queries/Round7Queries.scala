@@ -504,8 +504,9 @@ object Round7Queries {
           s AS (SELECT doc_id, w,
                 unnest(generate_series(1, len(w), 16)) AS i FROM w),
           ch AS (SELECT doc_id,
-                 md5(array_to_string(w[i:i+15], ' ')) AS chunk_md5 FROM s),
-          df AS (SELECT chunk_md5, count(DISTINCT doc_id) AS chunk_df
+                 CAST('0x' || substr(md5(array_to_string(w[i:i+15], ' ')),
+                   1, 15) AS BIGINT) AS chunk_h FROM s),
+          df AS (SELECT chunk_h, count(DISTINCT doc_id) AS chunk_df
                  FROM ch GROUP BY 1)
           SELECT doc_id, count(*) AS n_chunks,
                  CAST(sum(CASE WHEN chunk_df > 1 THEN 1 ELSE 0 END)
@@ -514,7 +515,7 @@ object Round7Queries {
                    AS DOUBLE) / count(*) AS shared_frac,
                  CAST(sum(CASE WHEN chunk_df > 1 THEN 1 ELSE 0 END)
                    AS DOUBLE) / count(*) < 0.5 AS keep
-          FROM ch JOIN df USING (chunk_md5)
+          FROM ch JOIN df USING (chunk_h)
           GROUP BY doc_id ORDER BY doc_id""",
 
     "q128_corrupt_records" ->
