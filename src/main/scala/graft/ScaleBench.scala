@@ -38,6 +38,32 @@ object ScaleBench {
       col("id").as("partkey"),
       concat(lit("brand"), (col("id") % 50).cast("string")).as("brand"))
 
+    // Zipf-skewed IVF cells (shared by semdedup_zipf_cells and
+    // ivf_cell_representatives): m = n/100 vectors (dim 8) over
+    // k = m/100 cells — 90% spread uniformly (~90/cell), 10% crowd into
+    // k/100 hot cells (~1100/cell, 11x average). Vectors sit in a ±0.01
+    // ball around their centroid (spacing 10), so IVF assignment
+    // reproduces the planted distribution exactly.
+    def zipfCellVecs(n: Long): (DataFrame, Seq[Seq[Double]]) = {
+      val m = n / 100
+      val k = math.max((m / 100).toInt, 10)
+      val cents = Seq.tabulate(k)(i => Seq.tabulate(8)(j =>
+        if (j == 0) i.toDouble * 10 else ((i * 31 + j * 17) % 7).toDouble))
+      val cell = when(pmod(hash(col("id")), lit(10)) < 1,
+        pmod(hash(col("id"), lit(3)), lit(math.max(k / 100, 1))))
+        .otherwise(pmod(hash(col("id"), lit(5)), lit(k)))
+      val vecs = spark.range(m)
+        .withColumn("__cell", cell)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(7)), j =>
+            (when(j === 0, col("__cell").cast("double") * 10.0)
+              .otherwise(pmod(col("__cell") * 31 + j * 17, lit(7))
+                .cast("double"))
+              + pmod(hash(col("id"), j), lit(100)).cast("double")
+                / 10000.0).cast("float")).as("embedding"))
+      (vecs, cents)
+    }
+
     val shapes: Seq[(String, Long => Double)] = Seq(
       "hash_agg" -> { n =>
         time { lineitem(n).groupBy("flag")
@@ -249,34 +275,51 @@ object ScaleBench {
       },
       "semdedup_zipf_cells" -> { n =>
         time {
-          // n/100 vectors (dim 8) over k = vectors/100 cells with a zipfy
-          // size distribution: 90% spread uniformly (~90/cell), 10%
-          // crowd into k/100 hot cells (~1100/cell, 11x average). Cell
-          // count grows WITH the corpus (the operator's documented knob),
-          // so per-cell quadratic work per row is bounded by the hot-cell
-          // constant and total pair rows grow linearly; AQE skew-join
-          // splitting spreads the hot cells across tasks. Vectors sit in
-          // a ±0.01 ball around their centroid (spacing 10), so IVF
-          // assignment reproduces the planted distribution exactly.
-          val m = n / 100
-          val k = math.max((m / 100).toInt, 10)
-          val cents = Seq.tabulate(k)(i => Seq.tabulate(8)(j =>
-            if (j == 0) i.toDouble * 10 else ((i * 31 + j * 17) % 7).toDouble))
-          val cell = when(pmod(hash(col("id")), lit(10)) < 1,
-            pmod(hash(col("id"), lit(3)), lit(math.max(k / 100, 1))))
-            .otherwise(pmod(hash(col("id"), lit(5)), lit(k)))
-          val vecs = spark.range(m)
-            .withColumn("__cell", cell)
-            .select(col("id").as("vec_id"),
-              transform(sequence(lit(0), lit(7)), j =>
-                (when(j === 0, col("__cell").cast("double") * 10.0)
-                  .otherwise(pmod(col("__cell") * 31 + j * 17, lit(7))
-                    .cast("double"))
-                  + pmod(hash(col("id"), j), lit(100)).cast("double")
-                    / 10000.0).cast("float")).as("embedding"))
+          // zipf-cell distribution (see zipfCellVecs): cell count grows
+          // WITH the corpus (the operator's documented knob), so per-cell
+          // quadratic work per row is bounded by the hot-cell constant
+          // and total pair rows grow linearly; AQE skew-join splitting
+          // spreads the hot cells across tasks.
+          val (vecs, cents) = zipfCellVecs(n)
           graft.ext.SemDedup
             .semanticDedup(spark, vecs, cents, threshold = 0.999)
             .agg(count(lit(1)), sum("n_dup_lower")).collect()
+        }
+      },
+      "ivf_cell_representatives" -> { n =>
+        time {
+          // the same zipf-cell adversary pointed at the per-cell argmin:
+          // min(struct(dist2, vec_id)) is a combinable aggregate, so the
+          // hot cells (11x average population) collapse to one row per
+          // map partition before the shuffle. The Window.partitionBy(cell)
+          // formulation this operator USED to have buffers and sorts each
+          // hot cell in a single task — linear per_row_ratio here is the
+          // proof the straggler shape is gone.
+          val (vecs, cents) = zipfCellVecs(n)
+          val model = graft.ext.IvfIndex.fromCentroids(spark, vecs, cents)
+          graft.ext.IvfIndex.cellRepresentatives(model)
+            .agg(count(lit(1)), sum("n_vecs"), min("dist2")).collect()
+        }
+      },
+      "jaccard_prefix" -> { n =>
+        time {
+          // the same web-corpus adversary as jaccard_hot_shingle_capped
+          // (n/10 docs ALL sharing one boilerplate 3-gram, df = corpus
+          // size) measured through the prefix filter instead of dfCap:
+          // each doc's 4-shingle set exposes only its |d|-⌈t·|d|⌉+1 = 3
+          // RAREST shingles to the self-join, and those are the unique
+          // tail shingles — the universal shingle generates ZERO
+          // candidate pairs while exactness is kept (verification runs
+          // against full shingle sets). Uncapped jaccardPairs would emit
+          // (n/10)²/2 pairs from the hot shingle (5e13 at the big size —
+          // unrunnable); linear per_row_ratio proves the suppression at
+          // its ~3-corpus-pass constant cost.
+          val docs = spark.range(n / 10).select(col("id").as("doc_id"),
+            concat(lit("hdr one two u"), col("id").cast("string"),
+              lit(" v"), col("id").cast("string"),
+              lit(" w"), col("id").cast("string")).as("text"))
+          graft.ext.Dedup.jaccardPairsPrefix(docs, 0.5)
+            .agg(count(lit(1))).collect()
         }
       },
       "chunk_dedup_hot_chunk" -> { n =>

@@ -23,6 +23,12 @@ object DedupGroups {
   /** Connected components of an undirected pair list (doc_a, doc_b).
     * Returns (doc_id, component) where component = min doc_id reachable.
     *
+    * RETENTION: the returned DataFrame is the final round's
+    * `localCheckpoint` — one cached label table stays pinned per call
+    * until the caller passes it to [[Checkpoints.release]] (after which
+    * it must not be read again). Intermediate rounds are released inside
+    * the loop.
+    *
     * @throws IllegalStateException if labels have not stabilized after
     *         maxIter rounds (pathologically long chains — raise maxIter).
     */
@@ -81,7 +87,12 @@ object DedupGroups {
       } else {
         converged = !changedVsJoin(next, labels)
       }
+      // rotate: the seed labels are cache()'d (unpersist works), every
+      // later generation is a localCheckpoint (unpersist is a no-op —
+      // its blocks must be released at the RDD level or each round leaks
+      // one generation for the rest of the session)
       labels.unpersist()
+      Checkpoints.release(labels)
       labels = next
       iter += 1
     }

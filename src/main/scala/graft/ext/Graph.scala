@@ -34,6 +34,13 @@ object Graph {
     * (parallel edges should be pre-deduplicated if unwanted); returns
     * (node, rank) for every node appearing as src or dst, rank in
     * micro-units starting from 1.0 per node.
+    *
+    * RETENTION: the returned DataFrame is backed by the final iteration's
+    * `localCheckpoint` — one cached rank table (O(nodes) rows) stays
+    * pinned in storage memory for the rest of the session per call.
+    * `DataFrame.unpersist()` does NOT free it (checkpoint blocks live on
+    * the RDD, not in the CacheManager): long-lived sessions that are done
+    * reading the result must call [[releaseRanks]] on it.
     */
   def pagerankInt(edges: DataFrame, iterations: Int,
                   dampingPct: Int = 85): DataFrame = {
@@ -71,8 +78,10 @@ object Graph {
           .localCheckpoint()
         // free the PREVIOUS iteration's checkpoint blocks now that the
         // new one is materialized — leaked checkpoint blocks pin storage
-        // memory for the rest of the session
-        checkpointed.foreach(_.unpersist())
+        // memory for the rest of the session. Must go through
+        // Checkpoints.release: Dataset.unpersist() is a CacheManager
+        // no-op on checkpointed frames and frees nothing.
+        checkpointed.foreach(Checkpoints.release)
         checkpointed = Some(ranks)
       }
     } finally {
@@ -80,4 +89,11 @@ object Graph {
     }
     ranks
   }
+
+  /** Free the checkpoint blocks backing a [[pagerankInt]] result (see
+    * [[Checkpoints.release]]). The DataFrame must not be used after
+    * release: `localCheckpoint` truncated its lineage, so the rows cannot
+    * be recomputed.
+    */
+  def releaseRanks(ranks: DataFrame): Unit = Checkpoints.release(ranks)
 }

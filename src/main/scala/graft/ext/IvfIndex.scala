@@ -127,6 +127,39 @@ object IvfIndex {
     Model(centroidVecs, centroids, assigned)
   }
 
+  /** Per-cell representative (coreset / diversity selection): for each IVF
+    * cell, the vector closest to its centroid — deterministic
+    * (dist², vec_id) tiebreak — plus the cell population. This is the
+    * pick-one-per-region step of diversity-aware data selection
+    * (herding/coreset pruning over a coarse quantizer).
+    *
+    * Scale argument: the argmin is a COMBINABLE aggregate —
+    * `min(struct(dist2, vec_id))` — not a `Window.partitionBy(cell)`.
+    * Cell populations are zipf-skewed (the repo's own `semdedup_zipf_cells`
+    * shape plants 10% of vectors in 1% of cells), and a window over `cell`
+    * buffers and sorts each cell's rows in a single task: the hot cell
+    * becomes a straggler that scales with corpus size. Partial aggregation
+    * instead collapses every cell to ONE row per map partition before the
+    * shuffle, so the reduce side sees O(cells × partitions) rows no matter
+    * how hot a cell is — and the population count folds into the same pass
+    * (no separate counts aggregate + join). Struct min compares field-wise
+    * left-to-right, giving exactly the (dist2 ASC, vec_id ASC) order the
+    * row_number formulation had.
+    */
+  def cellRepresentatives(model: Model): DataFrame = {
+    val withDist = model.assigned.join(broadcast(model.centroids), "cell")
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+        (col("v_n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cv_n2"))
+          .as("dist2"))
+    withDist.groupBy("cell")
+      .agg(min(struct(col("dist2"), col("vec_id"))).as("best"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("cell"), col("n_vecs"),
+        col("best").getField("vec_id").as("rep_vec_id"),
+        col("best").getField("dist2").as("dist2"))
+      .orderBy("cell")
+  }
+
   /** Approximate top-k: probe the nProbe nearest cells per query, exact
     * cosine within the probed cells only.
     *

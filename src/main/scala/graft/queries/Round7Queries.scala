@@ -119,29 +119,31 @@ object Round7Queries {
 
     // Snapshot reconciliation: two overlapping order snapshots
     // full-outer-joined, rows classified added/removed/kept, per-status
-    // totals plus deterministic arg-max/arg-min order keys by price
-    // (max_by/min_by over a unique composite, so ties cannot make the
-    // answer partition-dependent).
+    // totals plus deterministic arg-max/arg-min order keys by price.
+    // The arg-extremes rank by the STRUCT (price_cents, k) — field-wise
+    // lexicographic, so the unique k breaks every price tie at ANY scale
+    // factor (the earlier arithmetic composite price*1e7+k was only
+    // injective while k < 1e7, i.e. below sf≈2; a wide-enough multiplier
+    // would overflow BIGINT).
     "q120_full_outer_reconcile" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val cur = o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("pa"))
       val inc = o.filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("pb"))
-      val uniq = Stats.cents(coalesce(col("pa"), col("pb"))) * lit(10000000L) +
-        col("k")
       cur.join(inc, Seq("k"), "full_outer")
         .select(col("k"),
           when(col("pa").isNull, "added")
             .when(col("pb").isNull, "removed")
             .otherwise("kept").as("status"),
-          Stats.cents(coalesce(col("pa"), col("pb"))).as("price_cents"),
-          uniq.as("uniq"))
+          Stats.cents(coalesce(col("pa"), col("pb"))).as("price_cents"))
         .groupBy("status")
         .agg(count(lit(1)).as("n"),
           sum(col("price_cents")).as("price_cents"),
-          max_by(col("k"), col("uniq")).as("top_key"),
-          min_by(col("k"), col("uniq")).as("bottom_key"))
+          max(struct(col("price_cents").as("p"), col("k").as("k")))
+            .getField("k").as("top_key"),
+          min(struct(col("price_cents").as("p"), col("k").as("k")))
+            .getField("k").as("bottom_key"))
         .orderBy("status")
     }),
 
@@ -293,28 +295,13 @@ object Round7Queries {
     // (dist², vec_id) tiebreak) plus the cell population — the pick-one-
     // per-region step of diversity-aware data selection. Oracle is
     // generated from the run's trained centroids (the q99 pattern).
+    // Delegates to IvfIndex.cellRepresentatives — a combinable
+    // min(struct) aggregate, NOT a Window over the (zipf-skewed) cell key.
     "q129_cell_representatives" -> ((s, dir) => {
-      import graft.functions.VectorFunctions.dot
-      import org.apache.spark.sql.expressions.Window
       val cents = Round2Queries.ivfCentroids(s, dir)
-      val assigned = graft.ext.IvfIndex
-        .fromCentroids(s, t(s, dir, "embeddings"), cents).assigned
-      val centDf = {
-        import s.implicits._
-        cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
-      }
-      val withDist = assigned.join(broadcast(centDf), "cell")
-        .select(col("cell").cast("long").as("cell"), col("vec_id"),
-          (col("v_n2") - lit(2.0) * dot(col("v"), col("cv"))
-            + dot(col("cv"), col("cv"))).as("dist2"))
-      val counts = withDist.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
-      val w = Window.partitionBy("cell").orderBy(col("dist2"), col("vec_id"))
-      withDist.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .join(counts, Seq("cell"))
-        .select(col("cell"), col("n_vecs"), col("vec_id").as("rep_vec_id"),
-          col("dist2"))
-        .orderBy("cell")
+      val model = graft.ext.IvfIndex
+        .fromCentroids(s, t(s, dir, "embeddings"), cents)
+      graft.ext.IvfIndex.cellRepresentatives(model)
     })
   )
 
@@ -406,8 +393,8 @@ object Round7Queries {
                 FROM cur FULL OUTER JOIN inc ON cur.k = inc.k)
           SELECT status, count(*) AS n,
                  CAST(sum(price_cents) AS BIGINT) AS price_cents,
-                 arg_max(k, price_cents * 10000000 + k) AS top_key,
-                 arg_min(k, price_cents * 10000000 + k) AS bottom_key
+                 max(struct_pack(p := price_cents, k := k))['k'] AS top_key,
+                 min(struct_pack(p := price_cents, k := k))['k'] AS bottom_key
           FROM f GROUP BY 1 ORDER BY status""",
 
     "q121_partition_pruned" ->

@@ -232,6 +232,24 @@ class Round7Suite extends SparkSpec {
       assert(got == Map("a" -> 638750L, "b" -> 421468L, "c" -> 421468L))
     }
 
+    it("rotates intermediate checkpoints and releaseRanks frees the last") {
+      // compare RDD-id SETS, not sizes: the ContextCleaner reaps earlier
+      // tests' unreferenced checkpoints on GC, so absolute counts race
+      val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val ranks = Graph.pagerankInt(edges, 3)
+      ranks.collect() // consume, then release
+      // in-loop rotation must go through Checkpoints.release —
+      // Dataset.unpersist() is a CacheManager no-op on checkpointed
+      // frames, so the naive rotation pins one generation per iteration
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(pinned.size == 1,
+        s"exactly the final rank checkpoint should be pinned, got $pinned")
+      Graph.releaseRanks(ranks)
+      assert((spark.sparkContext.getPersistentRDDs.keySet & pinned).isEmpty,
+        "releaseRanks must unpin the checkpoint blocks")
+    }
+
     it("total rank mass never exceeds the starting mass") {
       val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
         .toDF("src", "dst")
@@ -239,6 +257,21 @@ class Round7Suite extends SparkSpec {
         .agg(sum("rank")).as[Long].collect().head
       // integer truncation only ever DROPS mass vs the ideal 3e6
       assert(total <= 3L * Graph.Scale && total > 2L * Graph.Scale)
+    }
+  }
+
+  describe("DedupGroups.connectedComponents checkpoint rotation") {
+    it("pins only the final label table; Checkpoints.release frees it") {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+        .toDF("doc_a", "doc_b") // a chain -> multiple propagation rounds
+      val labels = DedupGroups.connectedComponents(pairs)
+      assert(labels.select("component").distinct().count() == 1)
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(pinned.size == 1,
+        s"intermediate rounds' checkpoints must be released in the loop, got $pinned")
+      Checkpoints.release(labels)
+      assert((spark.sparkContext.getPersistentRDDs.keySet & pinned).isEmpty)
     }
   }
 
@@ -260,6 +293,93 @@ class Round7Suite extends SparkSpec {
         // and the pruned read matches the plain filter
         assert(q.count() == li.filter(col("l_returnflag") === "R").count())
       } finally graft.engine.Pipeline.deleteRecursively(tmp)
+    }
+  }
+
+  describe("EventStream.slidingCounts fan-out edges") {
+    it("assigns a slide-boundary event to exactly 4 windows, end-exclusive") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.EventStream
+      implicit val sc = spark.sqlContext
+      val src = MemoryStream[EventStream.Event]
+      // ts sits EXACTLY on a 15-min slide boundary: the 1h/15min windows
+      // containing it are starts 09:30..10:15 — the window ENDING at
+      // 10:15 must exclude it (end-exclusive), the one STARTING at 10:15
+      // must include it.
+      src.addData(EventStream.Event(1L,
+        java.sql.Timestamp.valueOf("2026-01-01 10:15:00"), 1L, "click", 2.0))
+      val out = EventStream.runToMemory(
+        EventStream.slidingCounts(src.toDF()), "sliding_edge_test")
+      val starts = out.orderBy("window_start").collect()
+        .map(_.getAs[java.sql.Timestamp]("window_start").toString).toSeq
+      assert(starts == Seq("2026-01-01 09:30:00.0", "2026-01-01 09:45:00.0",
+        "2026-01-01 10:00:00.0", "2026-01-01 10:15:00.0"))
+      assert(out.collect().forall(r =>
+        r.getAs[Long]("n") == 1L && r.getAs[Double]("value_sum") == 2.0))
+    }
+  }
+
+  describe("PERMISSIVE corrupt-record accounting (q128 shape)") {
+    it("routes a schema-drift line (valid JSON, wrong type) to _corrupt") {
+      val tmp = java.nio.file.Files.createTempDirectory("r8_jsonl")
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$tmp/data.json"),
+          """{"l_orderkey": 1, "l_quantity": 2.5}
+            |{"l_orderkey": "not-a-number", "l_quantity": 3.0}
+            |{broken
+            |""".stripMargin)
+        val read = spark.read
+          .schema("l_orderkey BIGINT, l_quantity DOUBLE, _corrupt STRING")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(tmp.toString)
+        val rows = read.collect()
+        assert(rows.length == 3)
+        // drifted line: parses as JSON but fails the BIGINT cast -> raw
+        // text lands in _corrupt (counted bad, never silently dropped or
+        // half-parsed into the aggregate)
+        val bad = rows.filter(r => !r.isNullAt(2))
+        assert(bad.length == 2)
+        assert(bad.exists(_.getString(2).contains("not-a-number")))
+        assert(bad.exists(_.getString(2).contains("{broken")))
+        val good = rows.filter(_.isNullAt(2))
+        assert(good.length == 1 && good.head.getLong(0) == 1L &&
+          good.head.getDouble(1) == 2.5)
+      } finally graft.engine.Pipeline.deleteRecursively(tmp)
+    }
+  }
+
+  describe("IvfIndex.cellRepresentatives") {
+    // centroid 0 at origin, centroid 1 far away: ids 3 and 5 are BOTH at
+    // dist²=1 from centroid 0 — the deterministic tiebreak must pick the
+    // lower vec_id.
+    def model = {
+      val corpus = Seq(
+        (5L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)), (9L, Seq(0.5, 0.5)),
+        (2L, Seq(10.0, 10.0))
+      ).toDF("vec_id", "embedding")
+      IvfIndex.fromCentroids(spark, corpus,
+        Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    }
+
+    it("breaks distance ties by the lower vec_id") {
+      val got = IvfIndex.cellRepresentatives(model)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      // cell 0: ids {3,5,9}; 9 is closest (0.5) -> rep 9; cell 1: only 2
+      assert(got == Seq((0L, 3L, 9L, 0.5), (1L, 1L, 2L, 0.0)))
+      // force the tie: drop vector 9 so 3 and 5 tie at dist²=1
+      val tied = IvfIndex.cellRepresentatives(
+        model.copy(assigned = model.assigned.filter(col("vec_id") =!= 9L)))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(tied.head == ((0L, 2L, 3L, 1.0)))
+    }
+
+    it("plans the per-cell argmin as a partial aggregate, not a window") {
+      val plan = IvfIndex.cellRepresentatives(model)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"hot-cell straggler shape resurfaced:\n$plan")
+      assert(plan.contains("Aggregate"), plan)
     }
   }
 
