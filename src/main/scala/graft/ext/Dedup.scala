@@ -28,6 +28,51 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
 
+  /** Normalization-aware exact dedup (the CCNet discipline: lowercase +
+    * punctuation/whitespace collapse BEFORE hashing, so cosmetic variants
+    * of one document — capitalization, punctuation, spacing — fold into
+    * one identity). Returns a one-row summary: documents, distinct
+    * normalized identities, raw-exact distinct identities, and how many
+    * extra duplicates normalization exposed beyond raw md5 equality.
+    * Same digest-only shuffle discipline as [[exactGroups]] — the
+    * normalized text never leaves the map side, only its md5 does.
+    */
+  def normalizedDedupStats(docs: DataFrame): DataFrame =
+    docs.select(
+      md5(col("text")).as("raw_fp"),
+      md5(TextAnalysis.normalizeText(col("text"))).as("norm_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_fp")).as("n_raw_distinct"),
+        countDistinct(col("norm_fp")).as("n_norm_distinct"))
+      .select(col("n_docs"), col("n_raw_distinct"), col("n_norm_distinct"),
+        (col("n_raw_distinct") - col("n_norm_distinct"))
+          .as("n_extra_norm_dups"))
+
+  /** Shard-stitching boundary overlaps: pairs where document A's LAST
+    * `k` whitespace tokens equal document B's FIRST `k` tokens — the
+    * artifact left when a crawl splits one page across records (A's tail
+    * repeats as B's head). Whole-document dedup can't see it (the docs
+    * differ) and shingle Jaccard dilutes it (k shared shingles out of
+    * hundreds), so it gets its own operator. Each document contributes
+    * ONE md5 of its k-token suffix and ONE of its k-token prefix;
+    * candidate pairs come from a single equi-join on that digest —
+    * shuffle volume O(docs), and the token arrays never travel.
+    */
+  def boundaryPairs(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"boundary width must be >= 1, got $k")
+    val toks = wsTokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("__w"))
+      .filter(size(col("__w")) >= k)
+    val heads = base.select(col("doc_id").as("doc_b"),
+      md5(concat_ws(" ", slice(col("__w"), 1, k))).as("bnd"))
+    val tails = base.select(col("doc_id").as("doc_a"),
+      md5(concat_ws(" ",
+        slice(col("__w"), -k, k))).as("bnd"))
+    tails.join(heads, "bnd")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Incremental exact dedup for snapshot-over-snapshot ingest: from
     * `incoming`, keep one representative per content digest (min doc_id)
     * whose digest does NOT already exist in `existing`. This is the

@@ -90,6 +90,57 @@ object Graph {
     ranks
   }
 
+  /** Exact triangle count of an undirected graph, by degree-ordered edge
+    * orientation (the MapReduce-classic Suri–Vassilvitskii / Cohen
+    * scheme). Naive triangle enumeration joins the edge list with itself
+    * on shared endpoints — a hub of degree d contributes d² wedges, and
+    * web-scale graphs are power-law, so the wedge table explodes
+    * quadratically in the hottest degree. Orienting every edge from its
+    * lower-(degree, id) endpoint to the higher one makes each node's
+    * OUT-degree O(√m): wedges are built only from a node's out-edges
+    * (≤ out² per node, Σ out² = O(m^1.5) total regardless of skew), each
+    * triangle is generated by exactly one wedge (at its lowest-ranked
+    * apex), and the close-the-wedge step is a plain equi-join of wedges
+    * against oriented edges. Three shuffles total (degree agg, wedge
+    * self-join, closing join) — no iteration, no window.
+    *
+    * Input needs (src, dst) columns; self-loops and duplicate/reverse
+    * edges are cleaned first. Returns one row: (n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: a < b, no self-loops, distinct
+    val canon = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient from lower (deg, id) to higher — the rank is a total order
+    // because id breaks degree ties
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+    // wedges at apex u: unordered {v, w} pairs of out-neighbors
+    val e1 = oriented.select(col("u"), col("v").as("x"))
+    val e2 = oriented.select(col("u"), col("v").as("y"))
+    val wedges = e1.join(e2, "u").filter(col("x") < col("y"))
+    // close the wedge: {x, y} must be an edge — wedge pairs are ordered
+    // by id (x < y), which is exactly the canonical edge form, so the
+    // closing join runs against `canon` directly
+    wedges.join(canon.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Free the checkpoint blocks backing a [[pagerankInt]] result (see
     * [[Checkpoints.release]]). The DataFrame must not be used after
     * release: `localCheckpoint` truncated its lineage, so the rows cannot

@@ -118,6 +118,30 @@ object Stats {
       .drop("__n", "__sx", "__sxx")
   }
 
+  /** Per-group min-max scaling into EXACT integer micro-units:
+    * `scaled_micro = ((x − min) · 10⁶) div (max − min)` — feature
+    * normalization that stays on a hash-compared gate (the usual
+    * `(x − min) / (max − min)` double is an inexact quotient whose
+    * downstream float sums are partition-order-dependent; integer floor
+    * division is bit-identical everywhere). Degenerate groups
+    * (max = min) scale to null. Same shape as [[withZScore]]: one tiny
+    * per-group (min, max) aggregate broadcast back onto the facts — the
+    * fact side is never shuffled, no window.
+    */
+  def minMaxScaleMicro(df: DataFrame, groupCol: String, xCents: Column,
+                       out: String = "scaled_micro"): DataFrame = {
+    val stats = df.groupBy(groupCol)
+      .agg(min(xCents).as("__mn"), max(xCents).as("__mx"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("__x", xCents)
+      .withColumn(out,
+        when(col("__mx") > col("__mn"),
+          // `div` = true integer floor division — a double quotient cast
+          // to long can land one off at exactly-representable boundaries
+          expr("((__x - __mn) * 1000000L) div (__mx - __mn)")))
+      .drop("__mn", "__mx", "__x")
+  }
+
   /** Empirical-CDF quantile transform (feature normalization into [0,1]):
     * per-group `cume_dist` (fraction of rows ≤ this value, ties share a
     * value) and `percent_rank` ((rank−1)/(n−1), 0 for singleton groups)

@@ -226,6 +226,107 @@ object TextAnalysis {
           .as("lift"))
   }
 
+  /** BM25-shaped relevance of every document against a fixed query term
+    * set, one row per (doc, matched term). The idf factor is the RAW
+    * Robertson odds ratio `(N - df + 0.5) / (df + 0.5)` — deliberately
+    * WITHOUT the usual log: log is a monotone transform (per-term ranking
+    * is unchanged) and transcendental functions are not bit-reproducible
+    * across engines (java.lang.Math.log vs libm), which would break the
+    * hash-compared oracle. Every float here is one fixed IEEE formula
+    * (+, *, /) over exact integer aggregates, evaluated per row.
+    *
+    * Scale: one tokenize pass feeds both the per-(doc, term) tf aggregate
+    * (map-side combined; only query terms survive the filter, so the
+    * shuffle carries |queryTerms| × docs rows at most) and the per-doc
+    * length aggregate. df and the corpus constants (N, total tokens) are
+    * |queryTerms|-row / 1-row aggregates broadcast onto the result — no
+    * window, no skew-prone key (tf keys are (doc, term), dominated by the
+    * doc side).
+    */
+  def bm25Terms(docs: DataFrame, queryTerms: Seq[String],
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Terms needs at least one query term")
+    val toks = docs.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    val qt = toks.filter(col("tok").isin(queryTerms.map(_.asInstanceOf[Any]): _*))
+    val tf = qt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum("doc_len").as("total_tokens"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("tok"), col("tf"), col("doc_len"), col("df"),
+        // operand order mirrored exactly in the DuckDB oracle: IEEE
+        // +,*,/ are correctly rounded, so same order => same bits
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * (col("doc_len").cast("double") *
+              col("n_docs").cast("double") /
+              col("total_tokens").cast("double")))))
+          .as("score"))
+  }
+
+  /** Per-document token diversity via the collision (Simpson) index —
+    * the Rényi-2 alternative to Shannon entropy that stays exact on a
+    * hash-compared gate: `sum_c2 = Σ c_tok²` is an exact integer
+    * aggregate (order-independent, unlike a float Σ p·log p), and the
+    * collision probability `sum_c2 / n_tokens²` is one per-row IEEE
+    * division. Low collision ⇒ diverse vocabulary; near 1 ⇒ the document
+    * is one token repeated (the q81 repetition signal, but with a proper
+    * distribution-level statistic). One tokenize + two combinable
+    * aggregates, no window, no float sum.
+    */
+  def tokenDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("sum_c2"),
+        (col("sum_c2").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("collision"))
+
+  /** Per-document vocabulary rarity profile in EXACT integer arithmetic:
+    * each token's corpus document frequency is bucketed by its binary
+    * magnitude (`length(bin(df))` = ⌊log₂ df⌋ + 1 — an integer both
+    * engines compute identically, unlike float log), and the document
+    * aggregates the SUM of its tokens' buckets. Low mean bucket ⇒ rare
+    * vocabulary (specialist/garbage text), high ⇒ common-word text. The
+    * df table is vocabulary-sized (corpus-scale: still far smaller than
+    * the token stream) and joins the token stream on `tok` — a plain
+    * equi-join AQE can split if a stopword dominates; the final per-doc
+    * aggregate is map-side combinable. The only float is the per-row
+    * mean (sum / count) at the end.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("tok"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("df_bits", length(bin(col("df"))).cast("long"))
+    toks.join(df.select("tok", "df_bits"), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("df_bits").as("df_bits_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("df_bits_sum"),
+        (col("df_bits_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_df_bits"))
+  }
+
+  /** CCNet-style text normalization for normalization-aware dedup:
+    * lowercase, strip every non-alphanumeric run to a single space, trim.
+    * Byte-reproducible in any engine with regexp_replace (the pattern is
+    * RE2-safe), so normalized-identity dedup can be oracle-gated.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Email-address pattern valid in both Java regex and RE2, so the same
     * redaction is reproducible in the DuckDB oracle.
     */

@@ -43,4 +43,46 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("value_cents"), lit(0L)).as("value_cents"))
   }
+
+  /** Sweep-line interval concurrency: given intervals [startIdx, endIdx)
+    * in integer period units, the maximum number of simultaneously-open
+    * intervals per bucket (e.g. per month), plus the earliest period
+    * achieving that maximum.
+    *
+    * The classic formulation — `sum(delta) OVER (ORDER BY t)` — collapses
+    * the whole dataset onto one task; this uses [[GlobalOrder]]'s
+    * range-shuffle running total instead, so the sweep scales like any
+    * other shuffle. Each interval becomes a (+1 at start, −1 at end)
+    * event; the total order is (period, delta, tiebreak…) — delta −1
+    * sorts before +1, so intervals ENDING at t close before ones opening
+    * at t are counted (end-exclusive semantics, and a deterministic order
+    * even at heavy tie days). Per-bucket argmax of (concurrency, period)
+    * is a combinable `max(struct)` / `min(struct)` aggregate — no window
+    * anywhere.
+    *
+    * `tiebreak` must make the event order total (e.g. the interval's
+    * unique key columns); `bucketWidth` groups periods into buckets of
+    * `period div bucketWidth` (integer floor division — engine-portable).
+    */
+  def maxConcurrency(df: DataFrame, startIdx: Column, endIdx: Column,
+                     bucketWidth: Long,
+                     tiebreak: Seq[Column]): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val events = df.select(
+      (startIdx.as("t") +: lit(1L).as("delta") +: tiebreak): _*)
+      .unionAll(df.select(
+        (endIdx.as("t") +: lit(-1L).as("delta") +: tiebreak): _*))
+    val swept = GlobalOrder.withRunningTotal(events,
+      col("t") +: col("delta") +: tiebreak, "delta", out = "open")
+    swept
+      .groupBy(expr(s"t div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("open").as("c"), col("t").as("t")))
+          .getField("c").as("max_open"),
+        // earliest period achieving the max: min over (-open, t) flips
+        // the concurrency ordering while keeping period ascending
+        min(struct((-col("open")).as("nc"), col("t").as("t")))
+          .getField("t").as("peak_period"))
+      .orderBy("bucket")
+  }
 }

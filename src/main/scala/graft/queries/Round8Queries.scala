@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Readers
+import graft.ext.{Dedup, Graph, Stats, TextAnalysis, TimeSeries}
+
+/** Round-8 batch: retrieval scoring, exact-arithmetic text statistics,
+  * graph structure, and sweep-line concurrency — every float in a
+  * compared column is ONE fixed per-row IEEE (+, *, /) formula over
+  * exact integer aggregates (the q110 discipline); transcendental
+  * functions (log) are deliberately absent because they are not
+  * bit-reproducible across engines.
+  */
+object Round8Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  /** q130 query terms: mid-frequency corpus vocabulary, so tf/df vary
+    * across documents and all BM25 factors are exercised.
+    */
+  private val Bm25Terms = Seq("join", "vector", "stream", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** q134 boundary width (tokens shared between a doc's tail and the
+    * next record's head).
+    */
+  private val BoundaryK = 8
+
+  /** q134 synthesizes the shard-stitching artifact from the corpus
+    * itself: each document ≥ 32 tokens is split into two overlapping
+    * records — tokens [1, 20] and [13, 32] — so record 2i's 8-token tail
+    * IS record 2i+1's 8-token head and every split doc yields exactly
+    * one boundary pair for the operator to recover.
+    */
+  private def boundaryRecords(docs: DataFrame): DataFrame = {
+    val toks = graft.functions.Portable.wsTokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("__w"))
+      .filter(size(col("__w")) >= 32)
+    base.select((col("doc_id") * 2).as("doc_id"),
+      concat_ws(" ", slice(col("__w"), 1, 20)).as("text"))
+      .unionAll(base.select((col("doc_id") * 2 + 1).as("doc_id"),
+        concat_ws(" ", slice(col("__w"), 13, 20)).as("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25-shaped retrieval scoring (log-free odds-ratio idf — monotone
+    // in the standard idf, bit-reproducible): one row per (doc, matched
+    // query term).
+    "q130_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Terms(t(s, dir, "documents"), Bm25Terms,
+        Bm25K1, Bm25B)
+        .orderBy("doc_id", "tok")),
+
+    // Token diversity via the collision (Simpson) index — the exact-
+    // integer alternative to Shannon entropy (Σ c² is order-independent
+    // where Σ p·log p is a float sum).
+    "q131_token_diversity" -> ((s, dir) =>
+      TextAnalysis.tokenDiversity(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // Sweep-line interval concurrency of lineitem shipments in transit
+    // ([ship_day, ship_day + 1..14 transit days) in epoch days — the
+    // testdata has no receipt date, so transit is derived
+    // deterministically from the keys), bucketed by 30-day windows: max
+    // simultaneously-in-transit + earliest peak day, all on the
+    // GlobalOrder range-shuffle running total — the single-task
+    // `sum OVER (ORDER BY t)` shape distributed.
+    "q132_ship_concurrency" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("ship_day"))
+        .withColumn("receipt_day",
+          col("ship_day") + expr("l_orderkey % 14") + lit(1L))
+      TimeSeries.maxConcurrency(li, col("ship_day"), col("receipt_day"),
+        bucketWidth = 30L,
+        Seq(col("l_orderkey"), col("l_linenumber")))
+    }),
+
+    // Exact triangle count of the co-supplier graph (suppliers sharing
+    // an order), by degree-ordered orientation — O(m^1.5) wedges
+    // regardless of hub skew, one row out.
+    "q133_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val perOrder = li.distinct()
+      val edges = perOrder.as("x")
+        .join(perOrder.as("y"), "l_orderkey")
+        .filter(col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Graph.triangleCount(edges)
+    }),
+
+    // Shard-stitching boundary overlaps: tail-k == head-k pairs over the
+    // synthesized split-record corpus (one pair per split document).
+    "q134_boundary_overlap" -> ((s, dir) =>
+      Dedup.boundaryPairs(boundaryRecords(t(s, dir, "documents")),
+        BoundaryK)
+        .orderBy("doc_a", "doc_b")),
+
+    // Normalization-aware exact dedup summary: how many duplicate
+    // identities appear only after CCNet-style normalization.
+    "q135_normalized_dedup" -> ((s, dir) =>
+      Dedup.normalizedDedupStats(t(s, dir, "documents"))),
+
+    // Per-group min-max scaling in exact integer micro-units, aggregated
+    // back per group (sum/min/max of the scaled measure are integer-
+    // exact, so the gate catches an off-by-one anywhere in the scaling).
+    "q136_minmax_scale" -> ((s, dir) =>
+      Stats.minMaxScaleMicro(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            Stats.cents(col("l_extendedprice")).as("price_cents")),
+        "l_returnflag", col("price_cents"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("scaled_micro").as("scaled_sum"),
+          min("scaled_micro").as("scaled_min"),
+          max("scaled_micro").as("scaled_max"))
+        .orderBy("l_returnflag")),
+
+    // Vocabulary rarity profile: per-doc sum of ⌊log₂ df⌋+1 buckets —
+    // integer-exact log-frequency weighting (bin() length, no float log).
+    "q137_token_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(t(s, dir, "documents"))
+        .orderBy("doc_id"))
+  )
+
+  // DuckDB twin of Portable.wsTokens (same regex as the other rounds).
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
+
+  private def centsSql(e: String): String =
+    s"CAST(floor($e * 100 + 0.5) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q130_bm25" -> {
+      val terms = Bm25Terms.map(q => s"'$q'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS tok
+                       FROM documents),
+          dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+          tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                 WHERE tok IN ($terms) GROUP BY 1, 2),
+          df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+          corpus AS (SELECT count(*) AS n_docs,
+                            CAST(sum(doc_len) AS BIGINT) AS total_tokens
+                     FROM dl)
+          SELECT tf.doc_id, tf.tok, tf.tf, dl.doc_len, df.df,
+                 (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                   (CAST(df AS DOUBLE) + 0.5) *
+                   (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
+                   (CAST(tf AS DOUBLE) + $Bm25K1 *
+                     (${1.0 - Bm25B} + $Bm25B *
+                       (CAST(doc_len AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+                        CAST(total_tokens AS DOUBLE)))) AS score
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN df ON tf.tok = df.tok
+          CROSS JOIN corpus
+          ORDER BY tf.doc_id, tf.tok"""
+    },
+
+    "q131_token_diversity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS tok
+                       FROM documents),
+          c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct,
+                 CAST(sum(c * c) AS BIGINT) AS sum_c2,
+                 CAST(sum(c * c) AS DOUBLE) /
+                   (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+                   AS collision
+          FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    "q132_ship_concurrency" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+                epoch_us(l_shipdate) // 86400000000 AS ship_day,
+                epoch_us(l_shipdate) // 86400000000
+                  + l_orderkey % 14 + 1 AS receipt_day
+              FROM lineitem),
+          ev AS (SELECT ship_day AS t, CAST(1 AS BIGINT) AS delta,
+                        l_orderkey, l_linenumber FROM li
+                 UNION ALL
+                 SELECT receipt_day, -1, l_orderkey, l_linenumber FROM li),
+          sw AS (SELECT t, CAST(sum(delta) OVER (
+                   ORDER BY t, delta, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS open
+                 FROM ev)
+          SELECT t // 30 AS bucket, count(*) AS n_events,
+                 max(struct_pack(c := open, t := t))['c'] AS max_open,
+                 min(struct_pack(nc := -open, t := t))['t'] AS peak_period
+          FROM sw GROUP BY 1 ORDER BY bucket""",
+
+    "q133_triangles" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+          e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+                FROM po x JOIN po y ON x.l_orderkey = y.l_orderkey
+                WHERE x.l_suppkey < y.l_suppkey)
+          SELECT count(*) AS n_triangles
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""",
+
+    "q134_boundary_overlap" -> {
+      val k = BoundaryK
+      s"""WITH base AS (SELECT doc_id, $tokSql AS w FROM documents),
+          big AS (SELECT doc_id, w FROM base WHERE len(w) >= 32),
+          recs AS (SELECT doc_id * 2 AS doc_id,
+                          list_slice(w, 1, 20) AS w FROM big
+                   UNION ALL
+                   SELECT doc_id * 2 + 1, list_slice(w, 13, 32) FROM big),
+          ok AS (SELECT doc_id, w FROM recs WHERE len(w) >= $k),
+          tails AS (SELECT doc_id AS doc_a,
+                      md5(array_to_string(
+                        list_slice(w, len(w) - ${k - 1}, len(w)), ' '))
+                      AS bnd FROM ok),
+          heads AS (SELECT doc_id AS doc_b,
+                      md5(array_to_string(list_slice(w, 1, $k), ' '))
+                      AS bnd FROM ok)
+          SELECT doc_a, doc_b FROM tails JOIN heads USING (bnd)
+          WHERE doc_a <> doc_b ORDER BY doc_a, doc_b"""
+    },
+
+    "q135_normalized_dedup" ->
+      """WITH f AS (SELECT md5(text) AS raw_fp,
+                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS norm_fp
+              FROM documents)
+          SELECT count(*) AS n_docs,
+                 CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_distinct,
+                 CAST(count(DISTINCT norm_fp) AS BIGINT) AS n_norm_distinct,
+                 CAST(count(DISTINCT raw_fp) - count(DISTINCT norm_fp)
+                   AS BIGINT) AS n_extra_norm_dups
+          FROM f""",
+
+    "q136_minmax_scale" ->
+      s"""WITH x AS (SELECT l_returnflag,
+                ${centsSql("l_extendedprice")} AS pc FROM lineitem),
+          st AS (SELECT l_returnflag, min(pc) AS mn, max(pc) AS mx
+                 FROM x GROUP BY 1),
+          sc AS (SELECT x.l_returnflag,
+                        CASE WHEN mx > mn
+                             THEN ((pc - mn) * 1000000) // (mx - mn)
+                        END AS scaled_micro
+                 FROM x JOIN st ON x.l_returnflag = st.l_returnflag)
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(scaled_micro) AS BIGINT) AS scaled_sum,
+                 CAST(min(scaled_micro) AS BIGINT) AS scaled_min,
+                 CAST(max(scaled_micro) AS BIGINT) AS scaled_max
+          FROM sc GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q137_token_rarity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS tok
+                       FROM documents),
+          df AS (SELECT tok, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY 1),
+          b AS (SELECT tok, CAST(length(bin(df)) AS BIGINT) AS df_bits
+                FROM df)
+          SELECT tok.doc_id, count(*) AS n_tokens,
+                 CAST(sum(df_bits) AS BIGINT) AS df_bits_sum,
+                 CAST(sum(df_bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS mean_df_bits
+          FROM tok JOIN b ON tok.tok = b.tok
+          GROUP BY 1 ORDER BY doc_id"""
+  )
+}

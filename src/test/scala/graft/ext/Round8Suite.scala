@@ -1,0 +1,134 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Round8Suite extends SparkSpec {
+  import spark.implicits._
+
+  describe("TextAnalysis.bm25Terms") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+
+    it("matches the hand-computed odds-idf formula") {
+      val got = TextAnalysis.bm25Terms(docs, Seq("a", "c"))
+        .as[(Long, String, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r).toMap
+      assert(got.keySet == Set((1L, "a"), (2L, "c")))
+      // N=2, total=5: doc 1 "a": tf=2, dl=3, df=1
+      val idf = (2.0 - 1.0 + 0.5) / (1.0 + 0.5)
+      val want = idf * (2.0 * 2.2) /
+        (2.0 + 1.2 * (0.25 + 0.75 * (3.0 * 2.0 / 5.0)))
+      val (_, _, tf, dl, df, score) = got((1L, "a"))
+      assert((tf, dl, df) == ((2L, 3L, 1L)))
+      assert(math.abs(score - want) < 1e-15, s"$score vs $want")
+    }
+
+    it("only query terms appear, non-matching docs drop out") {
+      val got = TextAnalysis.bm25Terms(docs, Seq("z"))
+      assert(got.count() == 0)
+    }
+  }
+
+  describe("TextAnalysis.tokenDiversity") {
+    it("collision is 1 for one repeated token, 1/n for all-distinct") {
+      val docs = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+      val got = TextAnalysis.tokenDiversity(docs)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got(1L) == ((1L, 4L, 1L, 16L, 1.0)))
+      assert(got(2L) == ((2L, 4L, 4L, 4L, 0.25)))
+    }
+  }
+
+  describe("TextAnalysis.tokenRarity") {
+    it("buckets df by binary magnitude, exactly") {
+      // df(a)=3 -> bin "11" -> 2 bits; df(b)=1 -> 1 bit
+      val docs = Seq((1L, "a"), (2L, "a"), (3L, "a b")).toDF("doc_id", "text")
+      val got = TextAnalysis.tokenRarity(docs)
+        .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      assert(got(1L) == ((1L, 1L, 2L, 2.0)))
+      assert(got(3L) == ((3L, 2L, 3L, 1.5)))
+    }
+  }
+
+  describe("Graph.triangleCount") {
+    it("counts K4 as 4 triangles, chains as 0") {
+      val k4 = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+        .toDF("src", "dst")
+      assert(Graph.triangleCount(k4).as[Long].collect().head == 4L)
+      val chain = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+      assert(Graph.triangleCount(chain).as[Long].collect().head == 0L)
+    }
+
+    it("ignores duplicate, reversed, and self edges") {
+      val messy = Seq((1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3))
+        .toDF("src", "dst")
+      assert(Graph.triangleCount(messy).as[Long].collect().head == 1L)
+    }
+
+    it("a star hub yields no triangles (orientation bounds the wedges)") {
+      val star = (2 to 40).map(i => (1, i)).toDF("src", "dst")
+      assert(Graph.triangleCount(star).as[Long].collect().head == 0L)
+    }
+  }
+
+  describe("TimeSeries.maxConcurrency") {
+    it("sweeps overlapping intervals to the per-bucket max") {
+      val iv = Seq((1L, 0L, 10L), (2L, 5L, 15L), (3L, 10L, 20L))
+        .toDF("id", "s", "e")
+      val got = TimeSeries.maxConcurrency(iv, col("s"), col("e"),
+        bucketWidth = 100L, Seq(col("id")))
+        .as[(Long, Long, Long, Long)].collect()
+      // one bucket: 6 events, max 2 concurrent, first reached at t=5
+      assert(got.toSeq == Seq((0L, 6L, 2L, 5L)))
+    }
+
+    it("an interval ending at t closes before one opening at t") {
+      val iv = Seq((1L, 0L, 5L), (2L, 5L, 10L)).toDF("id", "s", "e")
+      val got = TimeSeries.maxConcurrency(iv, col("s"), col("e"),
+        bucketWidth = 100L, Seq(col("id")))
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got.head._3 == 1L, "end-exclusive semantics")
+    }
+  }
+
+  describe("Dedup.boundaryPairs") {
+    it("pairs a tail with the matching head, never with itself") {
+      val docs = Seq(
+        (1L, "w x y z a b c d"),
+        (2L, "a b c d q r s t"),
+        (3L, "short one")
+      ).toDF("doc_id", "text")
+      val got = Dedup.boundaryPairs(docs, k = 4)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)))
+    }
+  }
+
+  describe("Dedup.normalizedDedupStats") {
+    it("counts identities that fold together only after normalization") {
+      val docs = Seq(
+        (1L, "Hello, World!"), (2L, "hello world"), (3L, "unique")
+      ).toDF("doc_id", "text")
+      val got = Dedup.normalizedDedupStats(docs)
+        .as[(Long, Long, Long, Long)].collect().head
+      assert(got == ((3L, 3L, 2L, 1L)))
+    }
+  }
+
+  describe("Stats.minMaxScaleMicro") {
+    it("scales to exact micro-units with floor division") {
+      val df = Seq(("g", 10L), ("g", 20L), ("g", 30L), ("h", 7L))
+        .toDF("grp", "c")
+      val got = Stats.minMaxScaleMicro(df, "grp", col("c"))
+        .orderBy("grp", "c")
+        .select("grp", "c", "scaled_micro")
+        .collect()
+      assert(got(0).getLong(2) == 0L)
+      assert(got(1).getLong(2) == 500000L)
+      assert(got(2).getLong(2) == 1000000L)
+      // degenerate group: null, not a divide-by-zero
+      assert(got(3).isNullAt(2))
+    }
+  }
+}
