@@ -23,6 +23,11 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // diagnosis knob for ObjectHashAggregate's sort fallback (default
+      // 128 distinct groups per partition — relevant to every
+      // TypedImperativeAggregate shape)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "128"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -337,6 +342,68 @@ object ScaleBench {
               lit(" " + tail)).as("text"))
           graft.ext.Dedup.chunkDupStats(docs, 16, 0.6)
             .agg(count(lit(1)), sum("n_shared_chunks")).collect()
+        }
+      },
+      "triangle_hub" -> { n =>
+        time {
+          // the power-law adversary for triangle counting: n/50 edges =
+          // one degree-(n/500) hub star (zero triangles but a d² wedge
+          // bomb if wedges were built at the hub) + dense 10-node
+          // communities (the triangle mass). Degree-ordered orientation
+          // gives every star leaf out-degree 1 toward the hub and the
+          // hub out-degree 0, so the star contributes ZERO wedges — a
+          // naive shared-endpoint self-join would emit (n/500)²/2 rows
+          // from the hub alone (4e10 at the big size). Linear per_row
+          // ratio proves the orientation bound.
+          val m = n / 50
+          val star = spark.range(m / 10)
+            .select(lit(-1L).as("src"), col("id").as("dst"))
+          // communities: K10 cliques — node v emits edges to the higher
+          // 10-block members (sequence is ascending only when v%10 < 9)
+          val comm = spark.range(m / 5)
+            .select(col("id").as("v"),
+              explode(when(col("id") % 10 < 9,
+                sequence((col("id") % 10 + 1).cast("int"), lit(9)))
+                .otherwise(array())).as("j"))
+            .select((col("v") + 1000000L).as("src"),
+              (col("v") - (col("v") % 10) + col("j") + 1000000L).as("dst"))
+          graft.ext.Graph.triangleCount(star.unionAll(comm)).collect()
+        }
+      },
+      "sweep_concurrency" -> { n =>
+        time {
+          // n/10 intervals over a n/1000-wide time domain (~100 open at
+          // any instant): the sweep is 2 events/interval through the
+          // GlobalOrder range shuffle + one bucket aggregate. The
+          // single-task `sum OVER (ORDER BY t)` formulation would put
+          // all 2·(n/10) events on one executor; linear per_row_ratio
+          // here certifies the distributed scan.
+          val iv = spark.range(n / 10).select(col("id"),
+            (pmod(hash(col("id")), lit(n / 1000)).cast("long")).as("s"))
+            .withColumn("e", col("s") + pmod(hash(col("id"), lit(3)), lit(200))
+              .cast("long") + 1L)
+          graft.ext.TimeSeries.maxConcurrency(iv, col("s"), col("e"),
+            bucketWidth = 1000L, Seq(col("id")))
+            .agg(count(lit(1)), sum("max_open")).collect()
+        }
+      },
+      "topk_hot_group" -> { n =>
+        time {
+          // HALF of n rows in ONE group (the zipf adversary for any
+          // per-group ranking): row_number().over(partitionBy(grp))
+          // would buffer and sort n/2 rows in a single task; the
+          // TopKLongPairs aggregate prunes every map partition to k=10
+          // entries before the shuffle, so the reduce side sees
+          // O(k·partitions) rows for the hot group. Linear per_row_ratio
+          // certifies the bounded-state contract under maximal skew.
+          val rows = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(pmod(col("id"), lit(1000L))).as("grp"),
+            pmod(hash(col("id")), lit(1000000)).cast("long").as("k"),
+            col("id").as("uid"))
+          graft.functions.TopKFunctions.topkPerGroup(rows,
+            Seq(col("grp")), col("k"), col("uid"), 10)
+            .agg(count(lit(1)), sum("key")).collect()
         }
       },
       "pagerank_chain" -> { n =>

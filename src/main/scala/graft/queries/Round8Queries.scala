@@ -83,9 +83,17 @@ object Round8Queries {
 
     // Exact triangle count of the co-supplier graph (suppliers sharing
     // an order), by degree-ordered orientation — O(m^1.5) wedges
-    // regardless of hub skew, one row out.
+    // regardless of hub skew, one row out. Co-occurrence is restricted
+    // to rare high-quantity lines: the UNRESTRICTED graph densifies as
+    // orders grow over the fixed supplier set (near-complete at sf0.1 —
+    // measured 204 s, because a dense graph's m ≈ nodes² makes m^1.5
+    // the honest cost), while the filtered graph keeps average degree
+    // constant in sf (24 / 403 / 4387 edges at sf0.001/0.01/0.1) — the
+    // shape real co-occurrence graphs (co-citation, co-purchase) have.
     "q133_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
       val perOrder = li.distinct()
       val edges = perOrder.as("x")
         .join(perOrder.as("y"), "l_orderkey")
@@ -126,7 +134,23 @@ object Round8Queries {
     // integer-exact log-frequency weighting (bin() length, no float log).
     "q137_token_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(t(s, dir, "documents"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Per-group top-k via the native TopKLongPairs aggregate (bounded
+    // O(k) state, map-side pruned) — the window-free row_number<=k. The
+    // oracle IS the window formulation, so the gate proves the aggregate
+    // reproduces rank semantics exactly, ties and all.
+    "q138_topk_native" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          Stats.cents(col("l_extendedprice")).as("price_cents"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"))
+      graft.functions.TopKFunctions.topkPerGroup(li,
+        Seq(col("l_returnflag")), col("price_cents"), col("uid"), k = 5)
+        .select(col("l_returnflag"), col("rnk"),
+          col("key").as("price_cents"), col("id").as("uid"))
+        .orderBy("l_returnflag", "rnk")
+    })
   )
 
   // DuckDB twin of Portable.wsTokens (same regex as the other rounds).
@@ -195,7 +219,8 @@ object Round8Queries {
           FROM sw GROUP BY 1 ORDER BY bucket""",
 
     "q133_triangles" ->
-      """WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                     WHERE l_quantity >= 48),
           e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
                 FROM po x JOIN po y ON x.l_orderkey = y.l_orderkey
                 WHERE x.l_suppkey < y.l_suppkey)
@@ -263,6 +288,17 @@ object Round8Queries {
                  CAST(sum(df_bits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                    AS mean_df_bits
           FROM tok JOIN b ON tok.tok = b.tok
-          GROUP BY 1 ORDER BY doc_id"""
+          GROUP BY 1 ORDER BY doc_id""",
+
+    "q138_topk_native" ->
+      s"""WITH x AS (SELECT l_returnflag,
+                ${centsSql("l_extendedprice")} AS price_cents,
+                l_orderkey * 10 + l_linenumber AS uid FROM lineitem),
+          r AS (SELECT l_returnflag, price_cents, uid,
+                       row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY price_cents DESC, uid ASC) AS rnk
+                FROM x)
+          SELECT l_returnflag, rnk, price_cents, uid FROM r
+          WHERE rnk <= 5 ORDER BY l_returnflag, rnk"""
   )
 }

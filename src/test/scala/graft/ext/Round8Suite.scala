@@ -116,6 +116,55 @@ class Round8Suite extends SparkSpec {
     }
   }
 
+  describe("TopKFunctions.topkPerGroup (native bounded aggregate)") {
+    import graft.functions.TopKFunctions
+
+    it("reproduces row_number semantics including ties") {
+      val df = Seq(("g", 10L, 3L), ("g", 10L, 1L), ("g", 9L, 2L),
+        ("g", 11L, 4L), ("h", 5L, 9L))
+        .toDF("grp", "k", "id")
+      val got = TopKFunctions.topkPerGroup(df, Seq(col("grp")),
+        col("k"), col("id"), 3)
+        .orderBy("grp", "rnk")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      // (key DESC, id ASC): 11 first, then the 10-tie resolves to id 1
+      assert(got == Seq(("g", 1L, 11L, 4L), ("g", 2L, 10L, 1L),
+        ("g", 3L, 10L, 3L), ("h", 1L, 5L, 9L)))
+    }
+
+    it("groups smaller than k emit their full ranking") {
+      val df = Seq(("g", 1L, 1L), ("g", 2L, 2L)).toDF("grp", "k", "id")
+      assert(TopKFunctions.topkPerGroup(df, Seq(col("grp")),
+        col("k"), col("id"), 10).count() == 2)
+    }
+
+    it("survives the prune path and is partitioning-independent") {
+      // one hot group with 50k rows >> the 4k scratch: exercises
+      // sort-and-prune repeatedly AND partial-merge across partitions
+      val big = spark.range(50000).select(lit("hot").as("grp"),
+        pmod(col("id") * 37, lit(1000)).as("k"), col("id").as("id"))
+      val a = TopKFunctions.topkPerGroup(big, Seq(col("grp")),
+        col("k"), col("id"), 7).orderBy("rnk")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      val b = TopKFunctions.topkPerGroup(big.repartition(13),
+        Seq(col("grp")), col("k"), col("id"), 7).orderBy("rnk")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(a == b)
+      assert(a.length == 7 && a.head._3 == 999L)
+      // max key 999 hit by many ids -> lowest id wins rank 1
+      val minIdAt999 = (0L until 50000L).filter(i => i * 37 % 1000 == 999).min
+      assert(a.head._4 == minIdAt999)
+    }
+
+    it("plans as a partial aggregate, not a window") {
+      val df = Seq(("g", 1L, 1L)).toDF("grp", "k", "id")
+      val plan = TopKFunctions.topkPerGroup(df, Seq(col("grp")),
+        col("k"), col("id"), 3).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("Aggregate"), plan)
+    }
+  }
+
   describe("Stats.minMaxScaleMicro") {
     it("scales to exact micro-units with floor division") {
       val df = Seq(("g", 10L), ("g", 20L), ("g", 30L), ("h", 7L))
