@@ -54,4 +54,26 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** [[contaminated]] for benchmark sets too large to broadcast (a full
+    * eval-suite union can reach hundreds of millions of grams): a bloom
+    * filter built from the benchmark gram hashes prunes ~99% of corpus
+    * grams AT THE SCAN, so the unavoidable shuffle join moves only the
+    * surviving sliver of the corpus side. False positives are removed by
+    * the exact join that follows — the result is IDENTICAL to
+    * [[contaminated]] (the q100 BloomJoin discipline), which is exactly
+    * what the shared oracle asserts.
+    */
+  def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: Column, textCol: Column, n: Int,
+                        expectedBenchGrams: Long,
+                        fpp: Double = 0.01): DataFrame = {
+    val bench = ngramHashes(benchmark, idCol, textCol, n)
+      .select("gram_hash").distinct()
+    BloomJoin.prefilteredJoin(
+      ngramHashes(corpus, idCol, textCol, n), bench, "gram_hash",
+      expectedBenchGrams, fpp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

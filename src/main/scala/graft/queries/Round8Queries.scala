@@ -29,6 +29,20 @@ object Round8Queries {
     */
   private val BoundaryK = 8
 
+  /** q139: the q79 n-gram size (shared oracle — the bloom prefilter
+    * must be result-invisible).
+    */
+  private val DecontamN = 3
+
+  /** q140: threshold low enough that the synthetic corpus (shared
+    * vocabulary, so lexical cosine is high across the board) emits a
+    * bounded-but-nonempty pair set; dfCap high enough that no term is
+    * capped at sf0.01 (the cap is exercised by the hot-shingle scale
+    * shape, not the gate).
+    */
+  private val CosineT = 0.9
+  private val CosineDfCap = 1000L
+
   /** q134 synthesizes the shard-stitching artifact from the corpus
     * itself: each document ≥ 32 tokens is split into two overlapping
     * records — tokens [1, 20] and [13, 32] — so record 2i's 8-token tail
@@ -135,6 +149,30 @@ object Round8Queries {
     "q137_token_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(t(s, dir, "documents"))
         .orderBy("doc_id")),
+
+    // Bloom-prefiltered decontamination — the scale path for benchmark
+    // sets too large to broadcast. Bloom false positives are removed by
+    // the exact join, so the oracle is the SAME SQL as exact q79: the
+    // gate proves the prefilter is result-invisible.
+    "q139_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Decontaminate.contaminatedBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        col("doc_id"), col("text"), DecontamN,
+        expectedBenchGrams = 10000L)
+        .orderBy("doc_id")
+    }),
+
+    // Sparse TF-IDF cosine pairs over the inverted index: exact BIGINT
+    // dots/norms (integer log2 idf), one per-row IEEE sqrt+divide at the
+    // end — the lexical complement of the embedding-cosine near-dup.
+    "q140_sparse_cosine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      graft.ext.SparseSim.tfidfCosinePairs(docs, n, CosineT, CosineDfCap)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Per-group top-k via the native TopKLongPairs aggregate (bounded
     // O(k) state, map-side pruned) — the window-free row_number<=k. The
@@ -289,6 +327,53 @@ object Round8Queries {
                    AS mean_df_bits
           FROM tok JOIN b ON tok.tok = b.tok
           GROUP BY 1 ORDER BY doc_id""",
+
+    "q139_decontaminate_bloom" ->
+      s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
+          g AS (SELECT DISTINCT doc_id,
+                CAST('0x' || substr(md5(array_to_string(
+                     w[i:i+${DecontamN - 1}], ' ')), 1, 15) AS BIGINT) AS gh
+                FROM (SELECT doc_id, w,
+                      unnest(generate_series(1, len(w) - ${DecontamN - 1}))
+                        AS i FROM w)),
+          bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+          corp AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 <> 0)
+          SELECT doc_id, count(*) AS n_hits
+          FROM corp JOIN bench USING (gh) GROUP BY 1
+          ORDER BY doc_id""",
+
+    "q140_sparse_cosine" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS tok
+                       FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+          n AS (SELECT count(*) AS nd FROM documents),
+          df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+          w AS (SELECT doc_id, tf.tok, df.df,
+                       tf * CAST(length(bin(nd // df)) AS BIGINT) AS w
+                FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+          n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                 FROM w GROUP BY 1),
+          rare AS (SELECT doc_id, tok FROM w WHERE df <= $CosineDfCap),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM rare a JOIN rare b
+                     ON a.tok = b.tok AND a.doc_id < b.doc_id),
+          dots AS (SELECT doc_a, doc_b, CAST(sum(wa.w * wb.w) AS BIGINT)
+                     AS dot
+                   FROM cand
+                   JOIN w wa ON cand.doc_a = wa.doc_id
+                   JOIN w wb ON cand.doc_b = wb.doc_id
+                     AND wa.tok = wb.tok
+                   GROUP BY 1, 2)
+          SELECT doc_a, doc_b, dot,
+                 round(CAST(dot AS DOUBLE) /
+                   sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+                   AS cos
+          FROM dots JOIN n2 na ON dots.doc_a = na.doc_id
+                    JOIN n2 nb ON dots.doc_b = nb.doc_id
+          WHERE round(CAST(dot AS DOUBLE) /
+                  sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+                  >= $CosineT
+          ORDER BY doc_a, doc_b""",
 
     "q138_topk_native" ->
       s"""WITH x AS (SELECT l_returnflag,

@@ -165,6 +165,64 @@ class Round8Suite extends SparkSpec {
     }
   }
 
+  describe("Decontaminate.contaminatedBloom") {
+    it("is result-identical to the exact broadcast path") {
+      val docs = (1L to 60L).map { i =>
+        val tail = if (i % 5 == 0) "shared bench trigram here" else s"tail $i x"
+        (i, s"doc $i body $tail")
+      }.toDF("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val exact = Decontaminate.contaminated(corpus, bench,
+        col("doc_id"), col("text"), 3)
+        .as[(Long, Long)].collect().toSet
+      val bloom = Decontaminate.contaminatedBloom(corpus, bench,
+        col("doc_id"), col("text"), 3, expectedBenchGrams = 1000L)
+        .as[(Long, Long)].collect().toSet
+      assert(bloom == exact)
+      assert(exact.nonEmpty, "fixture must actually contaminate")
+    }
+  }
+
+  describe("SparseSim.tfidfCosinePairs") {
+    it("scores identical docs at 1.0 and disjoint docs not at all") {
+      val docs = Seq(
+        (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+        (3L, "delta epsilon zeta")
+      ).toDF("doc_id", "text")
+      val got = SparseSim.tfidfCosinePairs(docs, 3L, 0.5)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+      assert(got.head._4 == 1.0)
+    }
+
+    it("dfCap drops pairs whose only shared terms are corpus-universal") {
+      // "the" appears in all 4 docs (df=4 > cap 3); docs 1/2 share only it
+      val docs = Seq(
+        (1L, "the aaa"), (2L, "the bbb"),
+        (3L, "the ccc shared"), (4L, "the ddd shared")
+      ).toDF("doc_id", "text")
+      val got = SparseSim.tfidfCosinePairs(docs, 4L, 0.01, dfCap = 3L)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2)).toSet
+      assert(got == Set((3L, 4L)), s"got $got")
+    }
+
+    it("dot products stay exact over ALL shared terms of a candidate") {
+      // candidate found via rare term "xyz"; the capped "the" must still
+      // contribute to the dot product (exactness of scores)
+      val docs = Seq(
+        (1L, "the xyz"), (2L, "the xyz"), (3L, "the q"), (4L, "the r")
+      ).toDF("doc_id", "text")
+      val got = SparseSim.tfidfCosinePairs(docs, 4L, 0.5, dfCap = 3L)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(got.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)))
+      // identical docs: cosine exactly 1 even with the capped term in
+      // the norm — proves it entered both dot and norms
+      assert(got.head._4 == 1.0)
+    }
+  }
+
   describe("Stats.minMaxScaleMicro") {
     it("scales to exact micro-units with floor division") {
       val df = Seq(("g", 10L), ("g", 20L), ("g", 30L), ("h", 7L))
