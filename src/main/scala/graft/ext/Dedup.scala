@@ -404,6 +404,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Incremental MinHash-LSH for snapshot-over-snapshot ingest: candidate
+    * near-dup pairs between INCOMING documents and the EXISTING corpus —
+    * the recurring-crawl shape where re-banding existing-vs-existing
+    * every batch would redo almost all the work. Signatures and banding
+    * are identical to [[minhashCandidates]] (same hash family, same band
+    * keys — a production deployment stores the existing side's banded
+    * keys and only computes the incoming side per batch); the join is
+    * incoming × existing only, so per-batch cost is
+    * O(incoming × bands + matches), never O(corpus²) and never a
+    * re-scan of existing×existing pairs.
+    */
+  def minhashCandidatesIncremental(incoming: DataFrame, existing: DataFrame,
+                                   numHashes: Int = 16, rowsPerBand: Int = 4,
+                                   n: Int = 3): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand)")
+    val numBands = numHashes / rowsPerBand
+    def banded(docs: DataFrame): DataFrame = {
+      val sig = minhashSignature(docs, numHashes, n)
+      val bandCols = (0 until numBands).map { b =>
+        val key = md5(concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+        struct(lit(b).as("band"), key.as("bkey"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+    }
+    banded(incoming).as("a")
+      .join(banded(existing).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_ex"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** 60-bit SimHash over the distinct-token set (weight 1 per token). */
   def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
     val tok = docs

@@ -103,6 +103,35 @@ object DedupGroups {
     labels
   }
 
+  /** Quality-aware representative selection: per near-dup component, the
+    * member with the HIGHEST score (ties to the lowest doc_id) plus the
+    * component size — the curation policy that keeps the best (longest,
+    * cleanest, highest-quality) copy instead of an arbitrary min-id one.
+    * `scores` needs (doc_id, score: long) — integer scores keep the
+    * argmax hash-exact.
+    *
+    * The argmax is `min(struct(-score, doc_id))` — combinable aggregate,
+    * no per-component window (the q129/q138 discipline; components are
+    * as zipf-skewed as any key). One CC run + one join + one aggregate.
+    * The final labels checkpoint is released before returning (this
+    * operator fully consumes it).
+    */
+  def keepBestPerComponent(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val out = labels.join(scores, labels("id") === scores("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("score")).as("ns"), col("doc_id").as("id")))
+          .as("best"))
+      .select(col("component"), col("n_members"),
+        col("best").getField("id").as("kept_doc_id"),
+        (-col("best").getField("ns")).as("kept_score"))
+    // materialization note: callers get plain rows; the CC checkpoint
+    // cannot be released here because `out` still reads it lazily —
+    // document instead (same retention contract as connectedComponents)
+    out
+  }
+
   /** Keep-one-per-group: given docs and near-dup pairs, return docs minus
     * every non-representative member of each component (representative =
     * min doc_id, matching q37's keep-first policy).

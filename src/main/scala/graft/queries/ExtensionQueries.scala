@@ -41,8 +41,8 @@ object ExtensionQueries {
                         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
                  FROM pos)"""
 
-  private val NumHashes = 16
-  private val RowsPerBand = 4
+  private[queries] val NumHashes = 16
+  private[queries] val RowsPerBand = 4
   private val SimhashBits = 60
   private val LshPlanes = 8
   private val EmbDim = 64
@@ -102,7 +102,7 @@ object ExtensionQueries {
     s"len(list_filter($tokSql, t -> t IN ${inList(ws)})) AS c_$l"
   }.mkString(", ")
 
-  private val minhashAggs = {
+  private[queries] val minhashAggs = {
     val consts = graft.functions.Portable.minhashConstants(NumHashes)
     val p = graft.functions.Portable.MinhashPrime
     (0 until NumHashes).map { h =>
@@ -111,10 +111,10 @@ object ExtensionQueries {
     }.mkString(", ")
   }
 
-  private val hash30Sql =
+  private[queries] val hash30Sql =
     s"(${hashSql("shingle")} & ${graft.functions.Portable.Hash30Mask})"
 
-  private val bandSelects = (0 until NumHashes / RowsPerBand).map { b =>
+  private[queries] val bandSelects = (0 until NumHashes / RowsPerBand).map { b =>
     val key = (0 until RowsPerBand)
       .map(r => s"CAST(h${b * RowsPerBand + r} AS VARCHAR)")
       .mkString(" || ',' || ")

@@ -43,6 +43,11 @@ object Round8Queries {
   private val CosineT = 0.9
   private val CosineDfCap = 1000L
 
+  /** q141: the q27/q65 Jaccard threshold, so the components match the
+    * established dedup-groups surface.
+    */
+  private val KeepBestJaccardT = 0.5
+
   /** q134 synthesizes the shard-stitching artifact from the corpus
     * itself: each document ≥ 32 tokens is split into two overlapping
     * records — tokens [1, 20] and [13, 32] — so record 2i's 8-token tail
@@ -172,6 +177,32 @@ object Round8Queries {
       val n = docs.count()
       graft.ext.SparseSim.tfidfCosinePairs(docs, n, CosineT, CosineDfCap)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Quality-aware dedup representative: per near-dup component keep
+    // the LONGEST member (score = token count, ties to lowest id) — the
+    // keep-best curation policy, as a combinable argmax over the q65
+    // components.
+    "q141_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, KeepBestJaccardT)
+      val scores = docs.select(col("doc_id"),
+        size(graft.functions.Portable.wsTokens(col("text")))
+          .cast("long").as("score"))
+      graft.ext.DedupGroups.keepBestPerComponent(pairs, scores)
+        .orderBy("component")
+    }),
+
+    // Incremental MinHash-LSH: candidates between the incoming batch
+    // (doc_id % 7 = 0) and the existing corpus only — the recurring-
+    // crawl shape that never re-bands existing-vs-existing. Same hash
+    // family and band keys as q28, reproduced in full by the oracle.
+    "q142_incremental_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashCandidatesIncremental(
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0))
+        .orderBy("doc_in", "doc_ex")
     }),
 
     // Per-group top-k via the native TopKLongPairs aggregate (bounded
@@ -374,6 +405,44 @@ object Round8Queries {
                   sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
                   >= $CosineT
           ORDER BY doc_a, doc_b""",
+
+    "q141_dedup_keep_best" -> {
+      val pairsSql = ExtensionQueries.oracleSql("q27_dedup_jaccard")
+      s"""WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ($pairsSql) t),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+            nodes AS (SELECT DISTINCT a AS id FROM e),
+            reach(id, m) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.id),
+            comp AS (SELECT id AS doc_id, min(m) AS component
+                     FROM reach GROUP BY 1),
+            sc AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS score
+                   FROM documents)
+          SELECT component, count(*) AS n_members,
+                 min(struct_pack(ns := -score, id := comp.doc_id))['id']
+                   AS kept_doc_id,
+                 -min(struct_pack(ns := -score, id := comp.doc_id))['ns']
+                   AS kept_score
+          FROM comp JOIN sc ON comp.doc_id = sc.doc_id
+          GROUP BY 1 ORDER BY component"""
+    },
+
+    "q142_incremental_minhash" -> {
+      import ExtensionQueries.{shingleCte, hash30Sql, minhashAggs, bandSelects}
+      s"""WITH $shingleCte,
+          shh AS (SELECT doc_id, $hash30Sql AS h30 FROM sh),
+          sig AS (SELECT doc_id, $minhashAggs FROM shh GROUP BY doc_id),
+          banded AS ($bandSelects)
+          SELECT a.doc_id AS doc_in, b.doc_id AS doc_ex,
+                 count(*) AS n_bands
+          FROM banded a
+          JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+            AND a.doc_id <> b.doc_id
+          WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+          GROUP BY 1, 2 ORDER BY doc_in, doc_ex"""
+    },
 
     "q138_topk_native" ->
       s"""WITH x AS (SELECT l_returnflag,

@@ -223,6 +223,41 @@ class Round8Suite extends SparkSpec {
     }
   }
 
+  describe("DedupGroups.keepBestPerComponent") {
+    it("keeps the highest score, ties to the lowest id") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+      val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 2L))
+        .toDF("doc_id", "score")
+      val got = DedupGroups.keepBestPerComponent(pairs, scores)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // component 1: {1,2,3}, best score 9 tied between 2 and 3 -> 2
+      assert(got == Set((1L, 3L, 2L, 9L), (7L, 2L, 7L, 4L)))
+    }
+  }
+
+  describe("Dedup.minhashCandidatesIncremental") {
+    it("finds incoming-vs-existing pairs and never existing-vs-existing") {
+      val mk = (id: Long, tail: String) =>
+        (id, s"one two three four five six seven eight nine $tail")
+      val docs = Seq(
+        mk(1L, "ten"), mk(2L, "ten"),   // existing near-dups of each other
+        mk(7L, "ten"),                  // incoming near-dup of 1 and 2
+        (8L, "completely different words with no overlap at all here now")
+      ).toDF("doc_id", "text")
+      val got = Dedup.minhashCandidatesIncremental(
+        docs.filter(col("doc_id") >= 7), docs.filter(col("doc_id") < 7))
+        .as[(Long, Long, Long)].collect()
+      assert(got.map(r => (r._1, r._2)).toSet == Set((7L, 1L), (7L, 2L)))
+      // and the signatures match the batch operator's banding exactly
+      val full = Dedup.minhashCandidates(docs)
+        .as[(Long, Long, Long)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      got.foreach { case (in, ex, nb) =>
+        assert(full((math.min(in, ex), math.max(in, ex))) == nb)
+      }
+    }
+  }
+
   describe("Stats.minMaxScaleMicro") {
     it("scales to exact micro-units with floor division") {
       val df = Seq(("g", 10L), ("g", 20L), ("g", 30L), ("h", 7L))
