@@ -90,6 +90,40 @@ object Graph {
     ranks
   }
 
+  /** Bounded-round k-core peeling: iteratively remove nodes of degree
+    * < k (and their edges) for a FIXED number of rounds, returning the
+    * surviving (node, degree-in-subgraph) set — the standard graph-
+    * quality signal (spam/link-farm cores, well-connected doc clusters).
+    * A full k-core decomposition runs rounds until fixpoint (O(diameter)
+    * worst case); fixing the round budget bounds cost the same way
+    * [[pagerankInt]] fixes iterations, makes the result deterministic,
+    * and is how the signal is used in practice (most peeling happens in
+    * the first rounds). Each round is one degree aggregate + two
+    * semi-joins — shuffle O(edges), AQE handles hub skew, no windows.
+    * Rounds are monotone (the survivor set only shrinks), so a caller
+    * wanting the exact fixpoint can raise `rounds` until two consecutive
+    * budgets agree.
+    */
+  def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // symmetric distinct edge list (also drops self-loops)
+    var e = edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"))
+        .filter(col("a") =!= col("b")))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("a")
+      e = e.join(keep, "a")
+        .join(keep.select(col("a").as("b")), "b")
+        .select("a", "b")
+    }
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
   /** Exact triangle count of an undirected graph, by degree-ordered edge
     * orientation (the MapReduce-classic Suri–Vassilvitskii / Cohen
     * scheme). Naive triangle enumeration joins the edge list with itself

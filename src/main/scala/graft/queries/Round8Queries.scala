@@ -48,6 +48,13 @@ object Round8Queries {
     */
   private val KeepBestJaccardT = 0.5
 
+  /** q143: degree threshold + fixed peeling budget (see kcoreRounds —
+    * bounded like pagerank's iterations); 3 rounds peel the sparsified
+    * co-supplier graph measurably at sf0.01 without emptying it.
+    */
+  private val KcoreK = 3
+  private val KcoreRounds = 3
+
   /** q134 synthesizes the shard-stitching artifact from the corpus
     * itself: each document ≥ 32 tokens is split into two overlapping
     * records — tokens [1, 20] and [13, 32] — so record 2i's 8-token tail
@@ -177,6 +184,23 @@ object Round8Queries {
       val n = docs.count()
       graft.ext.SparseSim.tfidfCosinePairs(docs, n, CosineT, CosineDfCap)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Bounded-round k-core peeling of the sparsified co-supplier graph
+    // (q133's edges): surviving nodes + in-subgraph degree after
+    // KcoreRounds removal rounds at threshold KcoreK — the graph-quality
+    // signal, budgeted like pagerank's fixed iterations and reproduced
+    // by the oracle's unrolled round CTEs.
+    "q143_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+      val perOrder = li.distinct()
+      val edges = perOrder.as("x")
+        .join(perOrder.as("y"), "l_orderkey")
+        .filter(col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Graph.kcoreRounds(edges, KcoreK, KcoreRounds)
     }),
 
     // Quality-aware dedup representative: per near-dup component keep
@@ -405,6 +429,27 @@ object Round8Queries {
                   sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
                   >= $CosineT
           ORDER BY doc_a, doc_b""",
+
+    "q143_kcore" -> {
+      val base =
+        """e0 AS (SELECT a, b FROM (
+                SELECT x.l_suppkey AS a, y.l_suppkey AS b
+                FROM po x JOIN po y ON x.l_orderkey = y.l_orderkey
+                WHERE x.l_suppkey <> y.l_suppkey) GROUP BY 1, 2)"""
+      val roundCtes = (1 to KcoreRounds).map { r =>
+        s"""d${r - 1} AS (SELECT a, count(*) AS c FROM e${r - 1} GROUP BY 1),
+            k${r - 1} AS (SELECT a FROM d${r - 1} WHERE c >= $KcoreK),
+            e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+                    JOIN k${r - 1} x ON e.a = x.a
+                    JOIN k${r - 1} y ON e.b = y.a)"""
+      }.mkString(",\n")
+      s"""WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                      WHERE l_quantity >= 48),
+          $base,
+          $roundCtes
+          SELECT a AS node, count(*) AS deg FROM e$KcoreRounds
+          GROUP BY 1 ORDER BY node"""
+    },
 
     "q141_dedup_keep_best" -> {
       val pairsSql = ExtensionQueries.oracleSql("q27_dedup_jaccard")

@@ -72,6 +72,26 @@ class Round8Suite extends SparkSpec {
     }
   }
 
+  describe("Graph.kcoreRounds") {
+    it("peels a pendant chain off a K4 core") {
+      // K4 on {1,2,3,4} + chain 4-5-6: at k=3 the chain peels (node 5
+      // loses 6 in round 1, then 4 loses nothing — deg(4)=3 survives)
+      val edges = (Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)) ++
+        Seq((4, 5), (5, 6))).toDF("src", "dst")
+      val got = Graph.kcoreRounds(edges, 3, 3)
+        .as[(Int, Long)].collect().toMap
+      assert(got == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    }
+
+    it("peeling cascades across rounds") {
+      // chain 1-2-3-4 at k=2: ends peel first, interior follows —
+      // after 2+ rounds nothing survives
+      val chain = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+      assert(Graph.kcoreRounds(chain, 2, 1).count() == 2) // interior survives r1
+      assert(Graph.kcoreRounds(chain, 2, 3).count() == 0)
+    }
+  }
+
   describe("TimeSeries.maxConcurrency") {
     it("sweeps overlapping intervals to the per-bucket max") {
       val iv = Seq((1L, 0L, 10L), (2L, 5L, 15L), (3L, 10L, 20L))
