@@ -186,6 +186,32 @@ object Round8Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Z-order clustered layout roundtrip: lineitem written range-
+    // partitioned + sorted on the Morton code of (partkey, suppkey)
+    // mod 1024, read back through a 2-D rectangle predicate, aggregated
+    // per z-bucket. The STORED z values cross the gate (so the bit
+    // interleave is hash-proven against the SQL twin) and the layout is
+    // proven result-invisible (the q121/q122 pattern); per-file z-span
+    // disjointness is asserted in Round8Suite.
+    "q144_zorder" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q144_z")
+      try {
+        val li = t(s, dir, "lineitem").select(
+          (col("l_partkey") % 1024).as("pk"),
+          (col("l_suppkey") % 1024).as("sk"),
+          Stats.cents(col("l_quantity")).as("qty_cents"))
+        graft.ext.ZOrder.writeZOrdered(li, s"$tmp/z", col("pk"), col("sk"),
+          bits = 10, partitions = 8)
+        val agg = s.read.parquet(s"$tmp/z")
+          .filter(col("pk").between(100, 400) && col("sk").between(20, 60))
+          .groupBy(expr("z div 65536").as("z_bucket"))
+          .agg(count(lit(1)).as("n"), sum("qty_cents").as("qty_cents"))
+          .orderBy("z_bucket")
+        s.createDataFrame(
+          java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+      } finally graft.engine.Pipeline.deleteRecursively(tmp)
+    }),
+
     // Bounded-round k-core peeling of the sparsified co-supplier graph
     // (q133's edges): surviving nodes + in-subgraph degree after
     // KcoreRounds removal rounds at threshold KcoreK — the graph-quality
@@ -429,6 +455,17 @@ object Round8Queries {
                   sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
                   >= $CosineT
           ORDER BY doc_a, doc_b""",
+
+    "q144_zorder" -> {
+      val z = graft.ext.ZOrder.zValueSql("pk", "sk", 10)
+      s"""WITH x AS (SELECT l_partkey % 1024 AS pk, l_suppkey % 1024 AS sk,
+                ${centsSql("l_quantity")} AS qty_cents FROM lineitem),
+          zz AS (SELECT pk, sk, qty_cents, $z AS z FROM x)
+          SELECT CAST(z // 65536 AS BIGINT) AS z_bucket, count(*) AS n,
+                 CAST(sum(qty_cents) AS BIGINT) AS qty_cents
+          FROM zz WHERE pk BETWEEN 100 AND 400 AND sk BETWEEN 20 AND 60
+          GROUP BY 1 ORDER BY z_bucket"""
+    },
 
     "q143_kcore" -> {
       val base =

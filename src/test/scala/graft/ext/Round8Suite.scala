@@ -72,6 +72,39 @@ class Round8Suite extends SparkSpec {
     }
   }
 
+  describe("ZOrder") {
+    it("interleaves bits exactly") {
+      // x=0b101 (bits 0,2 -> positions 0,4), y=0b011 (bits 0,1 -> 1,3)
+      val got = Seq((5L, 3L)).toDF("x", "y")
+        .select(ZOrder.zValue(col("x"), col("y"), 4).as("z"))
+        .as[Long].collect().head
+      assert(got == ((1L << 0) | (1L << 4) | (1L << 1) | (1L << 3)))
+    }
+
+    it("writes range-disjoint z-spans per file (the skipping property)") {
+      val tmp = java.nio.file.Files.createTempDirectory("r8_zorder")
+      try {
+        val df = spark.range(20000).select(
+          (col("id") % 512).as("x"), ((col("id") * 7) % 512).as("y"))
+        ZOrder.writeZOrdered(df, s"$tmp/z", col("x"), col("y"),
+          bits = 9, partitions = 8)
+        val spans = spark.read.parquet(s"$tmp/z")
+          .groupBy(input_file_name().as("f"))
+          .agg(min("z").as("lo"), max("z").as("hi"))
+          .orderBy("lo")
+          .as[(String, Long, Long)].collect()
+        assert(spans.length == 8)
+        spans.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 < b._2,
+            s"overlapping file z-spans: $a vs $b")
+          case _ =>
+        }
+        // layout is result-invisible
+        assert(spark.read.parquet(s"$tmp/z").count() == 20000)
+      } finally graft.engine.Pipeline.deleteRecursively(tmp)
+    }
+  }
+
   describe("Graph.kcoreRounds") {
     it("peels a pendant chain off a K4 core") {
       // K4 on {1,2,3,4} + chain 4-5-6: at k=3 the chain peels (node 5
