@@ -90,6 +90,7 @@ object Bench {
     var go = true
     while (go) {
       val sweepT0 = System.nanoTime()
+      var done = 0
       for ((name, fn) <- selected
            if sweep == 1 || !isStreaming(name)
            if times.getOrElse(name, 0.0) >= 0.0) {
@@ -102,6 +103,12 @@ object Bench {
             // failures are -1, never a (fast-looking) elapsed time
             times(name) = -1.0
         }
+        done += 1
+        // mid-sweep checkpoints during the FIRST sweep only: if the
+        // harness kills the process before any sweep completes, a
+        // partial-but-parseable artifact (not-yet-run queries report -1)
+        // still beats rc-124-and-nothing
+        if (sweep == 1 && done % 30 == 0) emit()
       }
       sweepTotals += (System.nanoTime() - sweepT0) / 1e9
       emit() // cumulative artifact after EVERY sweep — kill-safe

@@ -113,13 +113,24 @@ object Graph {
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b"))
         .filter(col("a") =!= col("b")))
       .distinct()
+    // each round references the previous round's edge table TWICE (degree
+    // aggregate + the filtered join), so the LAZY plan doubles per round
+    // — checkpoint each survivor set and rotate (the connectedComponents
+    // discipline), or a raised round budget explodes planning time
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("a").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("a")
       e = e.join(keep, "a")
         .join(keep.select(col("a").as("b")), "b")
         .select("a", "b")
+        .localCheckpoint()
+      prev.foreach(Checkpoints.release)
+      prev = Some(e)
     }
+    // the final aggregate reads the last checkpoint lazily — same
+    // retention contract as connectedComponents (release via
+    // Checkpoints.release once consumed; blocks are O(surviving edges))
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy("node")
   }
