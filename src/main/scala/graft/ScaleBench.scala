@@ -406,6 +406,51 @@ object ScaleBench {
             .agg(count(lit(1)), sum("key")).collect()
         }
       },
+      "kcore_peel" -> { n =>
+        time {
+          // n/20 edges: a degree-(n/2000) hub star (peels in round 1 at
+          // k=3: every leaf has degree 1) + K10 cliques (survive all
+          // rounds) + 8-node chains (cascade-peel over rounds). Each
+          // round is a degree aggregate + two semi-joins on the
+          // SHRINKING survivor set, checkpoint-rotated — linear
+          // per_row_ratio proves rounds stay O(edges) and the plan
+          // doesn't compound.
+          val m = n / 20
+          val star = spark.range(m / 100)
+            .select(lit(-1L).as("src"), col("id").as("dst"))
+          val cliques = spark.range(m / 2)
+            .select(col("id").as("v"),
+              explode(when(col("id") % 10 < 9,
+                sequence((col("id") % 10 + 1).cast("int"), lit(9)))
+                .otherwise(array())).as("j"))
+            .select((col("v") + 1000000000L).as("src"),
+              (col("v") - (col("v") % 10) + col("j") + 1000000000L).as("dst"))
+          val chains = spark.range(m / 2)
+            .filter(col("id") % 8 =!= 7)
+            .select((col("id") + 2000000000L).as("src"),
+              (col("id") + 2000000001L).as("dst"))
+          graft.ext.Graph
+            .kcoreRounds(star.unionAll(cliques).unionAll(chains), 3, 3)
+            .agg(count(lit(1)), sum("deg")).collect()
+        }
+      },
+      "sparse_cosine_hot_term" -> { n =>
+        time {
+          // n/100 docs, every one sharing a boilerplate token (df =
+          // corpus size) plus 3 unique tokens: uncapped, the hot term
+          // alone would emit (n/100)²/2 candidate pairs; dfCap excludes
+          // it from candidate generation (scores of surviving pairs
+          // still include it — exactness), so the pair table stays
+          // empty and the cost is the linear tf/df/weight passes.
+          val docs = spark.range(n / 100).select(col("id").as("doc_id"),
+            concat(lit("common u"), col("id").cast("string"),
+              lit(" v"), col("id").cast("string"),
+              lit(" w"), col("id").cast("string")).as("text"))
+          graft.ext.SparseSim
+            .tfidfCosinePairs(docs, n / 100, 0.5, dfCap = 100)
+            .agg(count(lit(1))).collect()
+        }
+      },
       "pagerank_chain" -> { n =>
         time {
           // n/20 edges in 8-node chains (the CC topology): 3 fixed
@@ -435,14 +480,21 @@ object ScaleBench {
         }
       })
 
+    // min over `reps` measurements per size: this box's 10-100 s ambient
+    // host stalls are one-sided (they only ADD time), so a single
+    // measurement can report a 4x-inflated big_sec and a fake
+    // superlinearity (observed: the same kcore shape measured 32 s and
+    // 266 s run-to-run). The minimum estimates the plan's true cost —
+    // the Bench.scala methodology applied here.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val results = shapes
       .filter { case (name, _) => onlyShapes.forall(_.contains(name)) }
       .map { case (name, run) =>
       // per-shape warm-up: an untimed small run absorbs codegen/JIT for
       // THIS shape, so the ratio measures scaling, not warm-up
       run(small)
-      val tSmall = run(small)
-      val tBig = run(big)
+      val tSmall = (1 to reps).map(_ => run(small)).min
+      val tBig = (1 to reps).map(_ => run(big)).min
       val scaling = tBig / tSmall / (big.toDouble / small)
       (name, tSmall, tBig, scaling)
     }

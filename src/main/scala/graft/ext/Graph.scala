@@ -107,32 +107,44 @@ object Graph {
   def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // symmetric distinct edge list (also drops self-loops)
-    var e = edges.select(col("src").as("a"), col("dst").as("b"))
+    // symmetric distinct edge list (also drops self-loops), materialized
+    // ONCE — every round re-reads it, and leaving it lazy would
+    // re-evaluate the union+distinct per consumer
+    val base = edges.select(col("src").as("a"), col("dst").as("b"))
       .filter(col("a") =!= col("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b"))
         .filter(col("a") =!= col("b")))
       .distinct()
-    // each round references the previous round's edge table TWICE (degree
-    // aggregate + the filtered join), so the LAZY plan doubles per round
-    // — checkpoint each survivor set and rotate (the connectedComponents
-    // discipline), or a raised round budget explodes planning time
-    var prev: Option[DataFrame] = None
+      .localCheckpoint()
+    // Rotate survivor NODE sets, not edge sets: the induced subgraph of
+    // round r is base ⋈ keep_r ⋈ keep_r (both endpoints surviving), so
+    // each round is one pass over base + a degree aggregate, and the
+    // only rotated state is a node list — ~|E|/avg-degree rows instead
+    // of the 2|E| rows an edge-set checkpoint would re-materialize per
+    // round (the first cut did exactly that: 22.5M-row checkpoints per
+    // round tipped the 100M-row kcore_peel shape into memory-pressure
+    // superlinearity, ratio 2.6).
+    var keep: Option[DataFrame] = None // None = all nodes survive so far
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy("a").agg(count(lit(1)).as("deg"))
+      val induced = keep match {
+        case None => base
+        case Some(kp) =>
+          base.join(kp, "a").join(kp.select(col("a").as("b")), "b")
+      }
+      val next = induced.groupBy("a").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("a")
-      e = e.join(keep, "a")
-        .join(keep.select(col("a").as("b")), "b")
-        .select("a", "b")
         .localCheckpoint()
-      prev.foreach(Checkpoints.release)
-      prev = Some(e)
+      keep.foreach(Checkpoints.release)
+      keep = Some(next)
     }
-    // the final aggregate reads the last checkpoint lazily — same
-    // retention contract as connectedComponents (release via
-    // Checkpoints.release once consumed; blocks are O(surviving edges))
-    e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val kp = keep.get
+    val out = base.join(kp, "a").join(kp.select(col("a").as("b")), "b")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy("node")
+    // the returned frame reads base + the final keep lazily — same
+    // retention contract as connectedComponents (release both via
+    // Checkpoints.release once consumed)
+    out
   }
 
   /** Exact triangle count of an undirected graph, by degree-ordered edge
