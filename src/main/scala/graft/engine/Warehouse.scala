@@ -35,6 +35,39 @@ object Warehouse {
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** CDC changelog application (the MERGE INTO / Debezium-apply shape):
+    * fold a changelog of (key, version, op ∈ I/U/D, payload…) rows into a
+    * base snapshot — keys without changes keep their base row, changed
+    * keys take the payload of their HIGHEST-version change, and keys
+    * whose latest op is 'D' disappear (earlier D's overridden by later
+    * upserts resurrect the key — the standard changelog semantics).
+    *
+    * Versions must be unique per key (the SCD2/q108 contract) so the
+    * latest-change argmax `max_by(payload, version)` is deterministic.
+    *
+    * Scale shape: ONE combinable aggregate collapses the changelog to a
+    * row per changed key (map-side combined — a billion-row changelog
+    * with a hot key never buffers in one task), then an anti-join +
+    * union against the base. The base is never shuffled wider than its
+    * join; at warehouse scale, bucket both sides on `key`
+    * ([[writeBucketed]]) and the anti-join plans Exchange-free too.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keyCol: String,
+                     versionCol: String, opCol: String,
+                     payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val latest = changes.groupBy(keyCol)
+      .agg(max_by(struct((opCol +: payloadCols).map(col): _*),
+        col(versionCol)).as("__c"))
+      .select(col(keyCol) +:
+        (opCol +: payloadCols).map(c => col(s"__c.$c").as(c)): _*)
+    val untouched = base.select((keyCol +: payloadCols).map(col): _*)
+      .join(latest.select(keyCol), Seq(keyCol), "left_anti")
+    untouched.unionByName(
+      latest.filter(col(opCol) =!= "D")
+        .select((keyCol +: payloadCols).map(col): _*))
+  }
+
   /** Hive-style partitioned layout: one directory per distinct value of
     * `partitionCol`. Queries filtering on the partition column prune whole
     * directories at planning time (PartitionFilters in the scan, zero I/O

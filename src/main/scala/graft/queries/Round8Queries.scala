@@ -186,6 +186,30 @@ object Round8Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // CDC changelog apply: orders snapshot + a three-version changelog
+    // (v1 upsert, v2 delete, v3 resurrecting upsert on overlapping key
+    // sets), folded with one combinable latest-change aggregate +
+    // anti-join + union. Keys divisible by 12 see U → D → U, so the
+    // gate proves version ordering, delete semantics, AND resurrection.
+    "q145_changelog_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          Stats.cents(col("o_totalprice")).as("price_cents"))
+      val changes =
+        base.filter(col("k") % 2 === 0)
+          .select(col("k"), lit(1L).as("version"), lit("U").as("op"),
+            (col("price_cents") + 10000L).as("price_cents"))
+          .unionByName(base.filter(col("k") % 6 === 0)
+            .select(col("k"), lit(2L).as("version"), lit("D").as("op"),
+              lit(null).cast("long").as("price_cents")))
+          .unionByName(base.filter(col("k") % 4 === 0)
+            .select(col("k"), lit(3L).as("version"), lit("U").as("op"),
+              (col("price_cents") + 20000L).as("price_cents")))
+      graft.engine.Warehouse.applyChangelog(base, changes,
+        "k", "version", "op", Seq("price_cents"))
+        .orderBy("k")
+    }),
+
     // Z-order clustered layout roundtrip: lineitem written range-
     // partitioned + sorted on the Morton code of (partkey, suppkey)
     // mod 1024, read back through a 2-D rectangle predicate, aggregated
@@ -455,6 +479,28 @@ object Round8Queries {
                   sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
                   >= $CosineT
           ORDER BY doc_a, doc_b""",
+
+    "q145_changelog_apply" ->
+      s"""WITH base AS (SELECT o_orderkey AS k,
+                ${centsSql("o_totalprice")} AS price_cents FROM orders),
+          changes AS (
+            SELECT k, 1 AS version, 'U' AS op,
+                   price_cents + 10000 AS price_cents
+            FROM base WHERE k % 2 = 0
+            UNION ALL
+            SELECT k, 2, 'D', NULL FROM base WHERE k % 6 = 0
+            UNION ALL
+            SELECT k, 3, 'U', price_cents + 20000
+            FROM base WHERE k % 4 = 0),
+          latest AS (SELECT k, arg_max(op, version) AS op,
+                            CAST(arg_max(price_cents, version) AS BIGINT)
+                              AS price_cents
+                     FROM changes GROUP BY 1)
+          SELECT k, price_cents FROM base
+          WHERE k NOT IN (SELECT k FROM latest)
+          UNION ALL
+          SELECT k, price_cents FROM latest WHERE op <> 'D'
+          ORDER BY k""",
 
     "q144_zorder" -> {
       val z = graft.ext.ZOrder.zValueSql("pk", "sk", 10)

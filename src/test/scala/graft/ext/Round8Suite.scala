@@ -72,6 +72,21 @@ class Round8Suite extends SparkSpec {
     }
   }
 
+  describe("Warehouse.applyChangelog") {
+    it("applies latest-version semantics: upsert, delete, resurrect") {
+      val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      val changes = Seq(
+        (2L, 1L, "U", 21L), (2L, 2L, "D", 0L),              // 2: deleted
+        (3L, 1L, "D", 0L), (3L, 2L, "U", 33L),              // 3: resurrected
+        (9L, 1L, "I", 99L)                                  // 9: new key
+      ).toDF("k", "version", "op", "v")
+      val got = graft.engine.Warehouse
+        .applyChangelog(base, changes, "k", "version", "op", Seq("v"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (3L, 33L), (9L, 99L)))
+    }
+  }
+
   describe("ZOrder") {
     it("interleaves bits exactly") {
       // x=0b101 (bits 0,2 -> positions 0,4), y=0b011 (bits 0,1 -> 1,3)
