@@ -440,6 +440,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** MinHash estimator validation: for every LSH candidate pair, the
+    * signature-agreement Jaccard ESTIMATE (agreeing hash slots / total —
+    * the textbook unbiased estimator) next to the EXACT shingle Jaccard.
+    * This is the sketch-quality audit a pipeline runs before trusting
+    * banded MinHash at a new threshold: the output is a per-pair
+    * (estimate, exact, |error|) table, integer-exact except for two
+    * per-row divisions.
+    *
+    * Cost: candidates come from the banded join (never all pairs);
+    * signatures are re-joined per candidate (2×|candidates| signature
+    * rows), and the exact Jaccard runs the inverted-index intersection
+    * ONLY for candidate pairs — the verification pattern of
+    * [[jaccardPairsPrefix]].
+    */
+  def minhashEstimateVsExact(docs: DataFrame, numHashes: Int = 16,
+                             rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, numHashes, rowsPerBand, n)
+      .select("doc_a", "doc_b")
+    val sig = minhashSignature(docs, numHashes, n)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+    val sh = shingles(docs, n)
+      .withColumn("n_shingles", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val aSide = sh.select(col("doc_id").as("doc_a"), col("shingle"),
+      col("n_shingles").as("n_a"))
+    val bSide = sh.select(col("doc_id").as("doc_b"), col("shingle"),
+      col("n_shingles").as("n_b"))
+    val exact = cand.join(aSide, Seq("doc_a"))
+      .join(bSide, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree").cast("double") / numHashes).as("est"),
+        col("jaccard"),
+        round(abs(col("n_agree").cast("double") / numHashes -
+          col("jaccard")), 6).as("abs_err"))
+  }
+
   /** 60-bit SimHash over the distinct-token set (weight 1 per token). */
   def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
     val tok = docs

@@ -186,6 +186,14 @@ object Round8Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // MinHash estimator audit: per LSH-candidate pair, the signature
+    // Jaccard estimate next to the exact shingle Jaccard and |error| —
+    // the sketch-quality validation a pipeline runs before trusting
+    // banded MinHash at a new threshold, as a gated artifact.
+    "q146_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimateVsExact(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
+
     // CDC changelog apply: orders snapshot + a three-version changelog
     // (v1 upsert, v2 delete, v3 resurrecting upsert on overlapping key
     // sets), folded with one combinable latest-change aggregate +
@@ -479,6 +487,47 @@ object Round8Queries {
                   sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
                   >= $CosineT
           ORDER BY doc_a, doc_b""",
+
+    "q146_minhash_estimate" -> {
+      import ExtensionQueries.{shingleCte, hash30Sql, minhashAggs, bandSelects}
+      val agreeSum = (0 until ExtensionQueries.NumHashes)
+        .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+          shh AS (SELECT doc_id, $hash30Sql AS h30 FROM sh),
+          sig AS (SELECT doc_id, $minhashAggs FROM shh GROUP BY doc_id),
+          banded AS ($bandSelects),
+          cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM banded a JOIN banded b
+                     ON a.band = b.band AND a.bkey = b.bkey
+                       AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+          agree AS (SELECT doc_a, doc_b,
+                           CAST($agreeSum AS BIGINT) AS n_agree
+                    FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                              JOIN sig sb ON cand.doc_b = sb.doc_id),
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS i
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle
+                      AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          ex AS (SELECT c.doc_a, c.doc_b,
+                        i * 1.0 / (x.n + y.n - i) AS jaccard
+                 FROM cand c
+                 JOIN inter ON c.doc_a = inter.doc_a
+                   AND c.doc_b = inter.doc_b
+                 JOIN sz x ON x.doc_id = c.doc_a
+                 JOIN sz y ON y.doc_id = c.doc_b)
+          SELECT g.doc_a, g.doc_b, n_agree,
+                 CAST(n_agree AS DOUBLE) / ${ExtensionQueries.NumHashes}
+                   AS est,
+                 jaccard,
+                 round(abs(CAST(n_agree AS DOUBLE) /
+                   ${ExtensionQueries.NumHashes} - jaccard), 6) AS abs_err
+          FROM agree g JOIN ex ON g.doc_a = ex.doc_a AND g.doc_b = ex.doc_b
+          ORDER BY g.doc_a, g.doc_b"""
+    },
 
     "q145_changelog_apply" ->
       s"""WITH base AS (SELECT o_orderkey AS k,

@@ -72,6 +72,30 @@ class Round8Suite extends SparkSpec {
     }
   }
 
+  describe("Dedup.minhashEstimateVsExact") {
+    it("estimates 1.0 for identical docs and tracks exact Jaccard") {
+      val docs = Seq(
+        (1L, "one two three four five six seven"),
+        (2L, "one two three four five six seven"),   // identical to 1
+        (3L, "one two three four five nine ten"),    // near-dup of 1
+        (4L, "totally different text with no shared shingles here")
+      ).toDF("doc_id", "text")
+      val got = Dedup.minhashEstimateVsExact(docs)
+        .as[(Long, Long, Long, Double, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> r).toMap
+      val identical = got((1L, 2L))
+      assert(identical._3 == 16L && identical._4 == 1.0 &&
+        identical._5 == 1.0 && identical._6 == 0.0)
+      // candidates never include the unrelated doc
+      assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+      // estimate stays a valid probability and error is |est - exact|
+      got.values.foreach { r =>
+        assert(r._4 >= 0.0 && r._4 <= 1.0)
+        assert(math.abs(r._6 - math.abs(r._4 - r._5)) < 1e-6)
+      }
+    }
+  }
+
   describe("Warehouse.applyChangelog") {
     it("applies latest-version semantics: upsert, delete, resurrect") {
       val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
