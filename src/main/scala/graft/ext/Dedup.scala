@@ -453,6 +453,11 @@ object Dedup {
     * rows), and the exact Jaccard runs the inverted-index intersection
     * ONLY for candidate pairs — the verification pattern of
     * [[jaccardPairsPrefix]].
+    *
+    * Candidates with ZERO shared shingles (band-key/minhash collisions)
+    * are kept with exact Jaccard 0.0 — the exact side is LEFT-joined,
+    * not inner-joined, because those are precisely the maximum-error
+    * pairs a sketch-quality audit exists to surface.
     */
   def minhashEstimateVsExact(docs: DataFrame, numHashes: Int = 16,
                              rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
@@ -480,12 +485,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
-    est.join(exact, Seq("doc_a", "doc_b"))
+    est.join(exact, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("n_agree"),
         (col("n_agree").cast("double") / numHashes).as("est"),
-        col("jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
         round(abs(col("n_agree").cast("double") / numHashes -
-          col("jaccard")), 6).as("abs_err"))
+          coalesce(col("jaccard"), lit(0.0))), 6).as("abs_err"))
   }
 
   /** 60-bit SimHash over the distinct-token set (weight 1 per token). */

@@ -113,8 +113,14 @@ object DedupGroups {
     * The argmax is `min(struct(-score, doc_id))` — combinable aggregate,
     * no per-component window (the q129/q138 discipline; components are
     * as zipf-skewed as any key). One CC run + one join + one aggregate.
-    * The final labels checkpoint is released before returning (this
-    * operator fully consumes it).
+    *
+    * RETENTION: the result is `localCheckpoint`'d here (one row per
+    * component — far smaller than the O(nodes) label table, which this
+    * operator fully consumes and releases before returning). The
+    * returned frame therefore pins ONE small checkpoint until the
+    * caller passes it to [[Checkpoints.release]], after which it must
+    * not be read again — the [[connectedComponents]] contract, at
+    * component granularity instead of node granularity.
     */
   def keepBestPerComponent(pairs: DataFrame, scores: DataFrame): DataFrame = {
     val labels = connectedComponents(pairs)
@@ -126,9 +132,11 @@ object DedupGroups {
       .select(col("component"), col("n_members"),
         col("best").getField("id").as("kept_doc_id"),
         (-col("best").getField("ns")).as("kept_score"))
-    // materialization note: callers get plain rows; the CC checkpoint
-    // cannot be released here because `out` still reads it lazily —
-    // document instead (same retention contract as connectedComponents)
+      // eager checkpoint materializes the per-component rows NOW, so the
+      // O(nodes) labels checkpoint can be released here instead of
+      // pinning one label table per call for the rest of the session
+      .localCheckpoint()
+    Checkpoints.release(labels)
     out
   }
 

@@ -103,6 +103,12 @@ object Graph {
     * Rounds are monotone (the survivor set only shrinks), so a caller
     * wanting the exact fixpoint can raise `rounds` until two consecutive
     * budgets agree.
+    *
+    * RETENTION: the result is an eager `localCheckpoint` of the final
+    * (node, deg) aggregate — O(survivors) rows; all intermediate
+    * checkpoints (the 2|E| edge table, survivor sets) are released
+    * before returning. Callers free the result via
+    * [[Checkpoints.release]] once consumed.
     */
   def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -141,9 +147,17 @@ object Graph {
     val out = base.join(kp, "a").join(kp.select(col("a").as("b")), "b")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy("node")
-    // the returned frame reads base + the final keep lazily — same
-    // retention contract as connectedComponents (release both via
-    // Checkpoints.release once consumed)
+      // eager checkpoint materializes the (node, deg) aggregate — one
+      // row per SURVIVING node — so the 2|E| symmetric edge table and
+      // the final survivor set can be released here instead of pinning
+      // per call (a bench loop calling this 2×reps+warmup times was
+      // accumulating both per invocation).
+      .localCheckpoint()
+    Checkpoints.release(base)
+    Checkpoints.release(kp)
+    // RETENTION: the returned frame pins ONE O(survivors) checkpoint;
+    // callers release it via Checkpoints.release once consumed (and
+    // must not read it afterwards).
     out
   }
 

@@ -63,6 +63,17 @@ object TimeSeries {
     * `tiebreak` must make the event order total (e.g. the interval's
     * unique key columns); `bucketWidth` groups periods into buckets of
     * `period div bucketWidth` (integer floor division — engine-portable).
+    *
+    * Semantics note: the per-bucket max is the max over WITHIN-BUCKET
+    * event points, evaluated at post-event levels (event-sweep
+    * semantics). Concurrency carried INTO a bucket is observed only at
+    * that bucket's first event's post-event level — a bucket whose first
+    * event is a close (−1) never records the carried-in peak — and
+    * buckets spanned by open intervals but containing no events are
+    * absent from the output entirely. Callers wanting true
+    * interval-max-per-bucket must add a synthetic bucket-boundary probe
+    * event per bucket; for the monitoring signal this operator serves,
+    * the event-sweep statistic is the standard one.
     */
   def maxConcurrency(df: DataFrame, startIdx: Column, endIdx: Column,
                      bucketWidth: Long,

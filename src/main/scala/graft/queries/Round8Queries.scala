@@ -522,10 +522,12 @@ object Round8Queries {
           SELECT g.doc_a, g.doc_b, n_agree,
                  CAST(n_agree AS DOUBLE) / ${ExtensionQueries.NumHashes}
                    AS est,
-                 jaccard,
+                 coalesce(jaccard, 0.0) AS jaccard,
                  round(abs(CAST(n_agree AS DOUBLE) /
-                   ${ExtensionQueries.NumHashes} - jaccard), 6) AS abs_err
-          FROM agree g JOIN ex ON g.doc_a = ex.doc_a AND g.doc_b = ex.doc_b
+                   ${ExtensionQueries.NumHashes} - coalesce(jaccard, 0.0)),
+                   6) AS abs_err
+          FROM agree g LEFT JOIN ex
+            ON g.doc_a = ex.doc_a AND g.doc_b = ex.doc_b
           ORDER BY g.doc_a, g.doc_b"""
     },
 
