@@ -1,4 +1,5 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver benchmark: times every registered query at SPARK_GRAFT_SF_DIR and
@@ -6,6 +7,21 @@ import org.apache.spark.sql.SparkSession
   * final cumulative result — earlier lines make a harness kill non-fatal:
   * whatever sweep finished last is still a parseable artifact, which is how
   * round 7's rc-124 timeout loss is prevented).
+  *
+  * Stall defense is layered, because this box freezes the guest for
+  * 10–100 s at random points and a stall is strictly one-sided (it only
+  * ADDS time):
+  *  1. min over INTERLEAVED sweeps when the wall-clock budget admits them;
+  *  2. an OUTLIER-RETRY pass after every sweep — even when the budget is
+  *     spent (round 8: one sweep ran 848 s, so no second sweep started and
+  *     every query kept exactly ONE unguarded measurement; eight stalled
+  *     queries carried ~366 s of phantom time that 13 s of re-measurement
+  *     corrected). Retrying only the inflated tail costs a fraction of a
+  *     sweep, so it gets its own small always-available budget;
+  *  3. a [[StallMeter]] heartbeat as the witness: per query the artifact
+  *     reports the largest clock gap observed DURING the reported (min)
+  *     measurement — "this number includes a 40 s freeze" becomes evidence
+  *     in the JSON instead of an after-the-fact argument.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,13 +39,19 @@ object Bench {
     // the driver timeout.
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "270").toDouble
+    // The retry pass has its OWN budget so it runs even after a stall-bloated
+    // sweep has eaten the sweep budget (that is exactly when it is needed).
+    val retryBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SEC", "90").toDouble
     val maxSweeps = 3
+    val maxMeasPerQuery = 4
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StallMeter.start()
     // absorb one-time JVM/codegen/scan-setup cost outside the timed loop
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
@@ -44,48 +66,134 @@ object Bench {
     def isStreaming(name: String): Boolean = name.contains("stream")
     // materialize the ALREADY-optimized plan: .count() would re-optimize
     // with a count aggregate on top, pruning every unused projection and
-    // dropping sorts — q02's "full export" would time a bare row count
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // dropping sorts — q02's "full export" would time a bare row count.
+    // Returns (elapsed, largest stall observed inside the measurement).
+    // After timing, release any localCheckpoint the query pinned
+    // (Checkpoints.release is a no-op for plans without a LogicalRDD
+    // leaf): q65/q123/q141/q143 pin one generation per run by documented
+    // contract, so a 3-sweep bench would otherwise hold ~12 dead tables.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      StallMeter.mark()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-      (System.nanoTime() - t0) / 1e9
+      val df = fn(spark, sfDir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val t = (System.nanoTime() - t0) / 1e9
+      val stall = StallMeter.gapSec()
+      graft.ext.Checkpoints.release(df)
+      (t, stall)
     }
     // min over INTERLEAVED sweeps (was median of 3 back-to-back runs):
-    // host-side stalls on this box freeze the guest for 10-100 s at
-    // random points — measured: the SAME query set totals 66 s or 207 s
-    // run-to-run, with untouched sub-second queries spiking to 20 s+.
-    // Stall noise is strictly one-sided (it only ADDS time), so the
-    // minimum estimates the plan's true cost (the timeit rule); and the
-    // repetitions of one query are separated by a full sweep, so a
-    // single multi-second stall cannot poison all of them the way it
-    // poisoned back-to-back medians (observed: a min-of-3 back-to-back
-    // run still reported 31.8 s for a 1 s query). Streaming queries are
-    // timed in sweep 1 only: their cost is fixed harness overhead (already
-    // split out as streaming_sec) and doesn't benefit from min-of-N.
+    // stall noise is strictly one-sided, so the minimum estimates the
+    // plan's true cost (the timeit rule); and the repetitions of one query
+    // are separated by a full sweep, so a single multi-second stall cannot
+    // poison all of them the way it poisoned back-to-back medians
+    // (observed: a min-of-3 back-to-back run still reported 31.8 s for a
+    // 1 s query). Streaming queries are timed in sweep 1 only: their cost
+    // is fixed harness overhead (already split out as streaming_sec) and
+    // doesn't benefit from min-of-N.
     val times = scala.collection.mutable.Map.empty[String, Double]
+    // stall gap observed during the measurement that PRODUCED times(name)
+    val stallAtMin = scala.collection.mutable.Map.empty[String, Double]
+    val meas = scala.collection.mutable.Map.empty[String, Int]
+    val retried = scala.collection.mutable.Set.empty[String]
     val sweepTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    def short(name: String): String = name.takeWhile(_ != '_')
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      try {
+        val (t, stall) = once(fn)
+        if (t < times.getOrElse(name, Double.MaxValue)) {
+          times(name) = t
+          stallAtMin(name) = stall
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          // failures are -1, never a (fast-looking) elapsed time
+          times(name) = -1.0
+          stallAtMin(name) = 0.0
+      }
+      meas(name) = meas.getOrElse(name, 0) + 1
+    }
     // The harness captures a bounded stdout tail and r2's full-precision
     // line overflowed it (head truncated -> unparseable artifact): keep each
     // line small with 3-decimal seconds AND short keys — "qNN" is the
-    // unique prefix of every query name (129 full names would push the line
-    // back toward the observed truncation zone)
+    // unique prefix of every query name (146 full names would push the line
+    // back toward the observed truncation zone). The stall/measurement
+    // evidence maps are bounded the same way: `stalls` lists only queries
+    // whose REPORTED measurement contained a >=0.1 s freeze (empty on a
+    // clean run), `slow_meas` lists measurement counts only for queries
+    // reporting > 5 s (the ones whose numbers matter to the total).
     def emit(): Unit = {
       val results = selected.map { case (name, _) =>
         name -> times.getOrElse(name, -1.0)
       }
       val qs = results.map { case (k, v) =>
-        s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+        s"\"" + short(k) + "\":" + fmt(v)
       }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       val streaming = results.collect {
         case (k, v) if isStreaming(k) && v >= 0 => v
       }.sum
       val sweeps = sweepTotals.map(fmt).mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"queries":$qs,"sf":"$sfDir"}""")
+      val stallEvidence = results.collect {
+        case (k, v) if v >= 0 && stallAtMin.getOrElse(k, 0.0) >= 0.1 =>
+          s"\"" + short(k) + "\":" + fmt(stallAtMin(k))
+      }.mkString("{", ",", "}")
+      val slowMeas = results.collect {
+        case (k, v) if v > 5.0 =>
+          s"\"" + short(k) + "\":" + meas.getOrElse(k, 0)
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"max_stall_sec":${fmt(StallMeter.runMaxGapSec())},"retried":${retried.size},"stalls":$stallEvidence,"slow_meas":$slowMeas,"queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
     }
     val benchT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - benchT0) / 1e9
+    // Outlier-retry: a stall can inflate a measurement but never deflate
+    // one, so a single clean re-measurement corrects it at a fraction of a
+    // sweep's cost. Targets, most-inflated first: anything past
+    // max(5 s, 4x the sweep's median) — the shape of stall damage, since
+    // no legitimate query here is 4x its cohort median AND tens of
+    // seconds — plus anything whose reported measurement the StallMeter
+    // caught freezing (>=0.5 s gap), regardless of magnitude. Up to 3
+    // passes (a retry can itself stall), bounded per-query by
+    // maxMeasPerQuery and overall by its own budget.
+    def retryOutliers(): Unit = {
+      val deadline = elapsed() + retryBudgetSec
+      var pass = 0
+      var go = true
+      while (go && pass < 3 && elapsed() < deadline) {
+        val ts = times.collect {
+          case (k, v) if v >= 0 && !isStreaming(k) => v
+        }.toSeq.sorted
+        if (ts.isEmpty) { go = false }
+        else {
+          val med = ts(ts.size / 2)
+          val thresh = math.max(5.0, 4.0 * med)
+          val targets = times.toSeq
+            .filter { case (k, v) =>
+              v >= 0 && !isStreaming(k) &&
+                meas.getOrElse(k, 0) < maxMeasPerQuery &&
+                (v > thresh ||
+                  (v > 1.0 && stallAtMin.getOrElse(k, 0.0) >= 0.5))
+            }
+            .sortBy(-_._2)
+          if (targets.isEmpty) go = false
+          else {
+            val byName = selected.toMap
+            for ((name, _) <- targets if elapsed() < deadline) {
+              measure(name, byName(name))
+              retried += name
+            }
+            emit() // kill-safe checkpoint after each retry pass
+          }
+        }
+        pass += 1
+      }
+    }
     var sweep = 1
     var go = true
     while (go) {
@@ -94,15 +202,7 @@ object Bench {
       for ((name, fn) <- selected
            if sweep == 1 || !isStreaming(name)
            if times.getOrElse(name, 0.0) >= 0.0) {
-        try {
-          val t = once(fn)
-          times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            // failures are -1, never a (fast-looking) elapsed time
-            times(name) = -1.0
-        }
+        measure(name, fn)
         done += 1
         // mid-sweep checkpoints during the FIRST sweep only: if the
         // harness kills the process before any sweep completes, a
@@ -112,9 +212,11 @@ object Bench {
       }
       sweepTotals += (System.nanoTime() - sweepT0) / 1e9
       emit() // cumulative artifact after EVERY sweep — kill-safe
+      retryOutliers()
       sweep += 1
-      go = sweep <= maxSweeps && (System.nanoTime() - benchT0) / 1e9 < budgetSec
+      go = sweep <= maxSweeps && elapsed() < budgetSec
     }
+    emit()
     spark.stop()
   }
 }
