@@ -464,6 +464,79 @@ object ScaleBench {
             .agg(count(lit(1)), sum("rank")).collect()
         }
       },
+      "boundary_hot_bnd" -> { n =>
+        time {
+          // the templated-corpus adversary for shard-boundary stitching:
+          // n/50 records, HALF both starting AND ending with one
+          // corpus-universal 8-token boilerplate footer (so the hot
+          // boundary digest lands on both join sides — (n/100)² pairs
+          // uncapped, 1e12 at the big size), half forming genuine
+          // tail==head chains (2 real pairs per chain of 3). bndCap
+          // prunes the hot digest on both sides before the equi-join
+          // via the aggregate + anti-join guard, so a linear
+          // per_row_ratio proves the quadratic is bounded while the
+          // chain pairs still exercise the join output path.
+          val m = n / 50
+          val footer = (0 until 8).map(i => s"f$i").mkString(" ")
+          val pad = "p1 p2 p3 p4 p5 p6 p7"
+          val docs = spark.range(m).select(col("id").as("doc_id"),
+            when(col("id") % 2 === 0,
+              concat(lit(footer + " mid u"), col("id").cast("string"),
+                lit(" " + footer)))
+              .otherwise(concat(
+                lit("b"), (col("id") / 6L * 2L + col("id") % 6 / 2)
+                  .cast("string"),
+                lit(" " + pad + " mid b"),
+                (col("id") / 6L * 2L + col("id") % 6 / 2 + 1)
+                  .cast("string"),
+                lit(" " + pad))).as("text"))
+          graft.ext.Dedup.boundaryPairs(docs, 8, bndCap = 100)
+            .agg(count(lit(1))).collect()
+        }
+      },
+      "changelog_hot_key" -> { n =>
+        time {
+          // the retry-storm CDC adversary: n changelog rows, HALF of them
+          // versions of ONE key (a producer stuck re-emitting the same
+          // row). The latest-change argmax is a combinable max_by, so the
+          // hot key collapses to one row per map partition before the
+          // shuffle — the topk_hot_group discipline applied to MERGE. A
+          // window-over-key formulation would buffer and sort n/2 rows
+          // in a single task; linear per_row_ratio certifies the
+          // combinable path under maximal version skew.
+          val base = spark.range(n / 10).select(col("id").as("k"),
+            (col("id") % 97L).as("v"))
+          val changes = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % (n / 10)).as("k"),
+            col("id").as("ver"),
+            when(col("id") % 1000 === 999, lit("D"))
+              .otherwise(lit("U")).as("op"),
+            (col("id") % 89L).as("v"))
+          graft.engine.Warehouse
+            .applyChangelog(base, changes, "k", "ver", "op", Seq("v"))
+            .agg(count(lit(1)), sum("v")).collect()
+        }
+      },
+      "cooccur_hot_group" -> { n =>
+        time {
+          // the degenerate-basket adversary for co-occurrence graphs:
+          // n/10 events, HALF in ONE group (a crawler session touching
+          // n/20 distinct items — (n/20)²/2 edges uncapped, 1.25e13 at
+          // the big size), half in healthy ~5-item groups supplying the
+          // real edge mass. maxPerGroup drops the degenerate group via
+          // aggregate + anti-join before the per-group self-join; linear
+          // per_row_ratio proves the edge blowup is bounded at its
+          // linear scan cost.
+          val ev = spark.range(n / 10).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") / 10L + 1L).as("grp"),
+            col("id").as("item"))
+          graft.ext.Graph.cooccurrenceEdges(ev, "grp", "item",
+            maxPerGroup = 100)
+            .agg(count(lit(1))).collect()
+        }
+      },
       "dedup_groups_cc" -> { n =>
         time {
           // connected components over n/20 edges arranged as 8-node chains
@@ -487,24 +560,35 @@ object ScaleBench {
     // 266 s run-to-run). The minimum estimates the plan's true cost —
     // the Bench.scala methodology applied here.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    StallMeter.start()
+    // (time, largest heartbeat gap during the measurement) — the stall
+    // witness rides along so a host freeze that survives min-of-reps is
+    // visible in the artifact instead of reading as superlinearity
+    def timed(run: Long => Double, n: Long): (Double, Double) = {
+      StallMeter.mark()
+      val t = run(n)
+      (t, StallMeter.gapSec())
+    }
     val results = shapes
       .filter { case (name, _) => onlyShapes.forall(_.contains(name)) }
       .map { case (name, run) =>
       // per-shape warm-up: an untimed small run absorbs codegen/JIT for
       // THIS shape, so the ratio measures scaling, not warm-up
       run(small)
-      val tSmall = (1 to reps).map(_ => run(small)).min
-      val tBig = (1 to reps).map(_ => run(big)).min
+      val (tSmall, sSmall) = (1 to reps).map(_ => timed(run, small)).minBy(_._1)
+      val (tBig, sBig) = (1 to reps).map(_ => timed(run, big)).minBy(_._1)
       val scaling = tBig / tSmall / (big.toDouble / small)
-      (name, tSmall, tBig, scaling)
+      (name, tSmall, tBig, scaling, math.max(sSmall, sBig))
     }
     def d3(x: Double): String = // Locale-independent (f"" uses default locale)
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val qs = results.map { case (n, a, b, s) =>
-      s""""$n":{"small_sec":${d3(a)},"big_sec":${d3(b)},"per_row_ratio":${d3(s)}}"""
+    val qs = results.map { case (n, a, b, s, st) =>
+      s""""$n":{"small_sec":${d3(a)},"big_sec":${d3(b)},"per_row_ratio":${d3(s)},"stall_sec":${d3(st)}}"""
     }.mkString("{", ",", "}")
-    // per_row_ratio ~1.0 => linear scaling; <1 => fixed costs amortizing
-    println(s"""{"metric":"scaling","rows_small":$small,"rows_big":$big,"shapes":$qs}""")
+    // per_row_ratio ~1.0 => linear scaling; <1 => fixed costs amortizing;
+    // a shape whose reported (min) measurements contained a heartbeat gap
+    // reports it in stall_sec — treat its ratio as contaminated evidence
+    println(s"""{"metric":"scaling","rows_small":$small,"rows_big":$big,"max_stall_sec":${d3(StallMeter.runMaxGapSec())},"shapes":$qs}""")
     spark.stop()
   }
 

@@ -57,8 +57,26 @@ object Dedup {
     * ONE md5 of its k-token suffix and ONE of its k-token prefix;
     * candidate pairs come from a single equi-join on that digest —
     * shuffle volume O(docs), and the token arrays never travel.
+    *
+    * The equi-join needs the same hot-key guard as every sibling
+    * candidate generator (jaccardPairs' dfCap, editDistancePairs'
+    * blockCap): a boundary appearing t times as a tail and h times as a
+    * head emits t·h pairs, and templated corpora DO share boilerplate
+    * boundaries — a standard footer as the last k tokens of millions of
+    * shards turns the join quadratic, in generated pair ROWS that AQE
+    * skew splitting cannot absorb. `bndCap` drops every boundary digest
+    * whose combined tail+head occurrence count exceeds the cap BEFORE
+    * the join (aggregate + anti-join — the digest aggregate map-side
+    * combines a hot boundary to one row per partition, and the over-cap
+    * set is tiny so AQE broadcasts the anti-joins), bounding pairs per
+    * surviving boundary at cap²/4. Pairs inside a dropped boundary are
+    * lost by design: a boundary that common is boilerplate, not a shard
+    * split — exact dedup's territory. The default (`Int.MaxValue`)
+    * keeps exact semantics; production corpora should set a cap (tens
+    * to low hundreds).
     */
-  def boundaryPairs(docs: DataFrame, k: Int = 8): DataFrame = {
+  def boundaryPairs(docs: DataFrame, k: Int = 8,
+                    bndCap: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"boundary width must be >= 1, got $k")
     val toks = wsTokens(col("text"))
     val base = docs.select(col("doc_id"), toks.as("__w"))
@@ -68,7 +86,17 @@ object Dedup {
     val tails = base.select(col("doc_id").as("doc_a"),
       md5(concat_ws(" ",
         slice(col("__w"), -k, k))).as("bnd"))
-    tails.join(heads, "bnd")
+    val (tailsKept, headsKept) =
+      if (bndCap == Int.MaxValue) (tails, heads)
+      else {
+        val hot = tails.select("bnd").unionAll(heads.select("bnd"))
+          .groupBy("bnd").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > bndCap)
+          .select("bnd")
+        (tails.join(hot, Seq("bnd"), "left_anti"),
+          heads.join(hot, Seq("bnd"), "left_anti"))
+      }
+    tailsKept.join(headsKept, "bnd")
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
   }

@@ -161,6 +161,52 @@ object Graph {
     out
   }
 
+  /** Co-occurrence edges: one (src, dst) row with src < dst for every
+    * unordered item pair sharing a group — the standard graph
+    * construction over transactional data (co-purchase, co-citation,
+    * co-supplier), feeding [[triangleCount]] / [[kcoreRounds]] /
+    * [[pagerankInt]]. Items are first made distinct per group; an edge
+    * appears once PER shared group (parallel edges preserved — every
+    * downstream graph operator here canonicalizes/dedupes anyway, and
+    * multiplicity is signal for weighted uses).
+    *
+    * DENSIFICATION — why `maxPerGroup` is not optional: a group with d
+    * distinct items emits d·(d−1)/2 edges, so edge count is Σ d²/2 over
+    * groups — quadratic in the HOTTEST group, and the blowup is in
+    * generated rows, which AQE skew splitting cannot absorb. Worse, when
+    * the item universe is fixed while groups accumulate (q133's lesson:
+    * suppliers are ~sf·10k while orders grow ~sf·1.5M), the UNION of
+    * group cliques densifies toward the complete graph — measured 204 s
+    * for triangle counting at sf0.1 on the unrestricted co-supplier
+    * graph, because a dense graph's m ≈ nodes² makes the downstream
+    * O(m^1.5) honest-but-huge. Healthy co-occurrence graphs come from
+    * groups of bounded size; the cap enforces that contract by DROPPING
+    * over-cap groups before the self-join (aggregate + anti-join — the
+    * dfCap/blockCap/bndCap discipline: the per-group count map-side
+    * combines, and the over-cap key set is tiny so AQE broadcasts the
+    * anti-join). A group that hot is a degenerate basket (a crawler
+    * session touching everything), not co-occurrence signal. Callers
+    * additionally restricting the EVENT (q133 keeps only rare
+    * high-quantity lines) control density at the source; the cap is the
+    * backstop that keeps the operator safe when the event filter is
+    * miscalibrated.
+    */
+  def cooccurrenceEdges(events: DataFrame, groupCol: String,
+                        itemCol: String, maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 2, s"maxPerGroup must be >= 2, got $maxPerGroup")
+    val g = events
+      .select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .distinct()
+    val hot = g.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPerGroup)
+      .select("__g")
+    val kept = g.join(hot, Seq("__g"), "left_anti")
+    kept.select(col("__g"), col("__i").as("src"))
+      .join(kept.select(col("__g"), col("__i").as("dst")), "__g")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+  }
+
   /** Exact triangle count of an undirected graph, by degree-ordered edge
     * orientation (the MapReduce-classic Suri–Vassilvitskii / Cohen
     * scheme). Naive triangle enumeration joins the edge list with itself

@@ -29,6 +29,23 @@ object Round8Queries {
     */
   private val BoundaryK = 8
 
+  /** q134 hot-boundary cap: low enough that the planted boilerplate
+    * footer (one shared 8-token boundary across every synthesized
+    * footer record — hundreds of occurrences at sf0.01) is dropped
+    * before the join at every bundled sf, so the guard is gated
+    * semantics, not dead configuration.
+    */
+  private val BoundaryCap = 64
+
+  /** q134 planted boilerplate: exactly [[BoundaryK]] tokens, so each
+    * footer record's head digest == tail digest == one corpus-universal
+    * boundary — the templated-corpus adversary (a standard footer as the
+    * last k tokens of many shards) that would emit quadratic pairs
+    * without [[BoundaryCap]].
+    */
+  private val BoundaryFooter =
+    "standard legal notice revision contact footer terms end"
+
   /** q139: the q79 n-gram size (shared oracle — the bloom prefilter
     * must be result-invisible).
     */
@@ -55,11 +72,25 @@ object Round8Queries {
   private val KcoreK = 3
   private val KcoreRounds = 3
 
+  /** q133/q143 co-supplier graph: per-order distinct-supplier cap for
+    * [[graft.ext.Graph.cooccurrenceEdges]]. TPC-H orders carry 1–7
+    * lineitems, so 8 never drops a group at any bundled sf (the gate
+    * hash is the rare-event-filtered graph, unchanged) — the cap is the
+    * operator's densification backstop, mirrored in both oracles so the
+    * gated semantics are "co-occurrence over groups of ≤ 8 items".
+    */
+  private val CoSupplierCap = 8
+
   /** q134 synthesizes the shard-stitching artifact from the corpus
     * itself: each document ≥ 32 tokens is split into two overlapping
     * records — tokens [1, 20] and [13, 32] — so record 2i's 8-token tail
     * IS record 2i+1's 8-token head and every split doc yields exactly
-    * one boundary pair for the operator to recover.
+    * one boundary pair for the operator to recover. Each base doc ALSO
+    * contributes one [[BoundaryFooter]] record: those share a single
+    * hot boundary digest that [[BoundaryCap]] must drop (the capped
+    * result contains exactly the split-doc pairs and none of the
+    * quadratic footer pairs — reproduced by the oracle, so the guard
+    * itself is hash-gated).
     */
   private def boundaryRecords(docs: DataFrame): DataFrame = {
     val toks = graft.functions.Portable.wsTokens(col("text"))
@@ -69,6 +100,8 @@ object Round8Queries {
       concat_ws(" ", slice(col("__w"), 1, 20)).as("text"))
       .unionAll(base.select((col("doc_id") * 2 + 1).as("doc_id"),
         concat_ws(" ", slice(col("__w"), 13, 20)).as("text")))
+      .unionAll(base.select((col("doc_id") * 2 + 1000000000L).as("doc_id"),
+        lit(BoundaryFooter).as("text")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -116,23 +149,18 @@ object Round8Queries {
     // the honest cost), while the filtered graph keeps average degree
     // constant in sf (24 / 403 / 4387 edges at sf0.001/0.01/0.1) — the
     // shape real co-occurrence graphs (co-citation, co-purchase) have.
-    "q133_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 48)
-        .select("l_orderkey", "l_suppkey")
-      val perOrder = li.distinct()
-      val edges = perOrder.as("x")
-        .join(perOrder.as("y"), "l_orderkey")
-        .filter(col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      Graph.triangleCount(edges)
-    }),
+    "q133_triangles" -> ((s, dir) =>
+      Graph.triangleCount(Graph.cooccurrenceEdges(
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+        "l_orderkey", "l_suppkey", CoSupplierCap))),
 
     // Shard-stitching boundary overlaps: tail-k == head-k pairs over the
-    // synthesized split-record corpus (one pair per split document).
+    // synthesized split-record corpus (one pair per split document); the
+    // planted boilerplate-footer boundary is dropped by bndCap before
+    // the join — both the recovery and the guard are oracle-gated.
     "q134_boundary_overlap" -> ((s, dir) =>
       Dedup.boundaryPairs(boundaryRecords(t(s, dir, "documents")),
-        BoundaryK)
+        BoundaryK, bndCap = BoundaryCap)
         .orderBy("doc_a", "doc_b")),
 
     // Normalization-aware exact dedup summary: how many duplicate
@@ -249,17 +277,11 @@ object Round8Queries {
     // KcoreRounds removal rounds at threshold KcoreK — the graph-quality
     // signal, budgeted like pagerank's fixed iterations and reproduced
     // by the oracle's unrolled round CTEs.
-    "q143_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 48)
-        .select("l_orderkey", "l_suppkey")
-      val perOrder = li.distinct()
-      val edges = perOrder.as("x")
-        .join(perOrder.as("y"), "l_orderkey")
-        .filter(col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      Graph.kcoreRounds(edges, KcoreK, KcoreRounds)
-    }),
+    "q143_kcore" -> ((s, dir) =>
+      Graph.kcoreRounds(Graph.cooccurrenceEdges(
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+        "l_orderkey", "l_suppkey", CoSupplierCap),
+        KcoreK, KcoreRounds)),
 
     // Quality-aware dedup representative: per near-dup component keep
     // the LONGEST member (score = token count, ties to lowest id) — the
@@ -370,10 +392,14 @@ object Round8Queries {
           FROM sw GROUP BY 1 ORDER BY bucket""",
 
     "q133_triangles" ->
-      """WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-                     WHERE l_quantity >= 48),
+      s"""WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                      WHERE l_quantity >= 48),
+          ok AS (SELECT l_orderkey FROM po GROUP BY 1
+                 HAVING count(*) <= $CoSupplierCap),
+          pok AS (SELECT po.l_orderkey, po.l_suppkey
+                  FROM po JOIN ok USING (l_orderkey)),
           e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-                FROM po x JOIN po y ON x.l_orderkey = y.l_orderkey
+                FROM pok x JOIN pok y ON x.l_orderkey = y.l_orderkey
                 WHERE x.l_suppkey < y.l_suppkey)
           SELECT count(*) AS n_triangles
           FROM e e1 JOIN e e2 ON e1.b = e2.a
@@ -386,7 +412,10 @@ object Round8Queries {
           recs AS (SELECT doc_id * 2 AS doc_id,
                           list_slice(w, 1, 20) AS w FROM big
                    UNION ALL
-                   SELECT doc_id * 2 + 1, list_slice(w, 13, 32) FROM big),
+                   SELECT doc_id * 2 + 1, list_slice(w, 13, 32) FROM big
+                   UNION ALL
+                   SELECT doc_id * 2 + 1000000000,
+                          string_split('$BoundaryFooter', ' ') FROM big),
           ok AS (SELECT doc_id, w FROM recs WHERE len(w) >= $k),
           tails AS (SELECT doc_id AS doc_a,
                       md5(array_to_string(
@@ -394,9 +423,13 @@ object Round8Queries {
                       AS bnd FROM ok),
           heads AS (SELECT doc_id AS doc_b,
                       md5(array_to_string(list_slice(w, 1, $k), ' '))
-                      AS bnd FROM ok)
+                      AS bnd FROM ok),
+          hot AS (SELECT bnd FROM (SELECT bnd FROM tails
+                                   UNION ALL SELECT bnd FROM heads) u
+                  GROUP BY bnd HAVING count(*) > $BoundaryCap)
           SELECT doc_a, doc_b FROM tails JOIN heads USING (bnd)
-          WHERE doc_a <> doc_b ORDER BY doc_a, doc_b"""
+          WHERE bnd NOT IN (SELECT bnd FROM hot) AND doc_a <> doc_b
+          ORDER BY doc_a, doc_b"""
     },
 
     "q135_normalized_dedup" ->
@@ -568,7 +601,7 @@ object Round8Queries {
       val base =
         """e0 AS (SELECT a, b FROM (
                 SELECT x.l_suppkey AS a, y.l_suppkey AS b
-                FROM po x JOIN po y ON x.l_orderkey = y.l_orderkey
+                FROM pok x JOIN pok y ON x.l_orderkey = y.l_orderkey
                 WHERE x.l_suppkey <> y.l_suppkey) GROUP BY 1, 2)"""
       val roundCtes = (1 to KcoreRounds).map { r =>
         s"""d${r - 1} AS (SELECT a, count(*) AS c FROM e${r - 1} GROUP BY 1),
@@ -579,6 +612,10 @@ object Round8Queries {
       }.mkString(",\n")
       s"""WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
                       WHERE l_quantity >= 48),
+          ok AS (SELECT l_orderkey FROM po GROUP BY 1
+                 HAVING count(*) <= $CoSupplierCap),
+          pok AS (SELECT po.l_orderkey, po.l_suppkey
+                  FROM po JOIN ok USING (l_orderkey)),
           $base,
           $roundCtes
           SELECT a AS node, count(*) AS deg FROM e$KcoreRounds

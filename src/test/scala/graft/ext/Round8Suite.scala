@@ -195,6 +195,46 @@ class Round8Suite extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(got == Set((1L, 2L)))
     }
+
+    it("bndCap drops a boilerplate boundary but keeps genuine splits") {
+      // five docs ending in one shared footer (and one starting with it):
+      // the hot boundary has 6 occurrences; cap 5 drops every pair it
+      // would generate while the unrelated split pair survives
+      val footer = "f1 f2 f3 f4"
+      val docs = (1L to 5L).map(i => (i, s"u$i x y z $footer")) ++ Seq(
+        (6L, s"$footer tail goes here"),
+        (7L, "w x y z a b c d"),
+        (8L, "a b c d q r s t")
+      )
+      val capped = Dedup.boundaryPairs(docs.toDF("doc_id", "text"), k = 4,
+        bndCap = 5).as[(Long, Long)].collect().toSet
+      assert(capped == Set((7L, 8L)))
+      // uncapped, the footer boundary pairs each of docs 1-5 with doc 6
+      val full = Dedup.boundaryPairs(docs.toDF("doc_id", "text"), k = 4)
+        .as[(Long, Long)].collect().toSet
+      assert(full == Set((7L, 8L)) ++ (1L to 5L).map((_, 6L)))
+    }
+  }
+
+  describe("Graph.cooccurrenceEdges") {
+    it("emits per-group ordered pairs and drops over-cap groups") {
+      val events = Seq(
+        (10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L), // dup event collapses
+        (20L, 4L), (20L, 5L),
+        (30L, 6L), (30L, 7L), (30L, 8L), (30L, 9L) // 4 items > cap 3
+      ).toDF("grp", "item")
+      val got = Graph.cooccurrenceEdges(events, "grp", "item",
+        maxPerGroup = 3).as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    }
+
+    it("keeps one parallel edge per shared group for weighted uses") {
+      val events = Seq((1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L))
+        .toDF("grp", "item")
+      val got = Graph.cooccurrenceEdges(events, "grp", "item", 8)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == Seq((7L, 8L), (7L, 8L)))
+    }
   }
 
   describe("Dedup.normalizedDedupStats") {
