@@ -161,6 +161,11 @@ object Bench {
     // caught freezing (>=0.5 s gap), regardless of magnitude. Up to 3
     // passes (a retry can itself stall), bounded per-query by
     // maxMeasPerQuery and overall by its own budget.
+    // queries whose retry CONFIRMED the recorded time (the re-measurement
+    // landed near the min, so it is plan cost, not a stall) — no further
+    // retries; without this, an honestly-7-s query would be re-measured
+    // every pass up to maxMeasPerQuery for nothing
+    val confirmed = scala.collection.mutable.Set.empty[String]
     def retryOutliers(): Unit = {
       val deadline = elapsed() + retryBudgetSec
       var pass = 0
@@ -175,7 +180,7 @@ object Bench {
           val thresh = math.max(5.0, 4.0 * med)
           val targets = times.toSeq
             .filter { case (k, v) =>
-              v >= 0 && !isStreaming(k) &&
+              v >= 0 && !isStreaming(k) && !confirmed.contains(k) &&
                 meas.getOrElse(k, 0) < maxMeasPerQuery &&
                 (v > thresh ||
                   (v > 1.0 && stallAtMin.getOrElse(k, 0.0) >= 0.5))
@@ -184,9 +189,13 @@ object Bench {
           if (targets.isEmpty) go = false
           else {
             val byName = selected.toMap
-            for ((name, _) <- targets if elapsed() < deadline) {
+            for ((name, before) <- targets if elapsed() < deadline) {
               measure(name, byName(name))
               retried += name
+              // the min only moves DOWN: if the retry shaved <25% off,
+              // the original measurement was honest — stop retrying
+              if (times.getOrElse(name, -1.0) > 0.75 * before)
+                confirmed += name
             }
             emit() // kill-safe checkpoint after each retry pass
           }

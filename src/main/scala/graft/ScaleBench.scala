@@ -537,6 +537,28 @@ object ScaleBench {
             .agg(count(lit(1))).collect()
         }
       },
+      "sessionize_hot_user" -> { n =>
+        time {
+          // the bot-account adversary for sessionization: n events, HALF
+          // on ONE user. The q38 window formulation
+          // (lag/sum over partitionBy(user)) buffers and sorts the hot
+          // user's n/2 events in a single task; withSessionId range-
+          // partitions (user, ts) so the hot timeline spreads across
+          // partitions, stitched by 2p boundary longs at the driver.
+          // Linear per_row_ratio certifies the distributed path under
+          // maximal key skew.
+          val ev = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("user_id"),
+            (pmod(hash(col("id")), lit(1000000)).cast("long") * 7L)
+              .as("tsu"),
+            col("id").as("event_id"))
+          graft.ext.GlobalOrder
+            .withSessionId(ev, "user_id", "tsu", gap = 100L,
+              Seq(col("event_id")))
+            .agg(count(lit(1)), max("session_id")).collect()
+        }
+      },
       "dedup_groups_cc" -> { n =>
         time {
           // connected components over n/20 edges arranged as 8-node chains

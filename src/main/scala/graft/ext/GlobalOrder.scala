@@ -118,6 +118,110 @@ object GlobalOrder {
       r => if (r.isNullAt(vi)) 0L else r.getLong(vi))._1
   }
 
+  /** Gap sessionization over a total order, hot-key-safe: append a
+    * 1-based GLOBAL session id in (key, ts, tieCols) order, incrementing
+    * whenever the key changes or the time since the same key's previous
+    * event exceeds `gap` (strictly; an event exactly `gap` after the
+    * previous one continues the session).
+    *
+    * The standard formulation — `lag`/`sum` over
+    * `Window.partitionBy(key).orderBy(ts)` (q38) — buffers and sorts
+    * each key's whole timeline in one task, so a hot key (a bot account
+    * with half the event log) becomes the straggler no config can fix.
+    * Here the timeline is range-partitioned on (key, ts, tie) instead: a
+    * hot key's events stay CONTIGUOUS in range order but spread over
+    * many partitions, and the session numbering distributes by the
+    * [[withRowNumber]] recipe — per partition, job 1 reports the
+    * boundary rows (first/last key and timestamp) plus the count of
+    * interior session breaks; the driver resolves each partition-
+    * boundary break and prefix-sums break counts into per-partition
+    * session-id offsets (2p longs of global state); job 2 re-scans and
+    * assigns ids with a reused JoinedRow + UnsafeProjection. Same
+    * uncached two-job-one-shuffle discipline as [[withRowNumber]] (see
+    * the object doc for why NOT caching the sorted rows is load-bearing).
+    *
+    * `keyCol`/`tsCol` must be non-null LongType (hash or dictionary-
+    * encode other key types; convert timestamps with `unix_micros`);
+    * (key, ts, tieCols) must be a total order. Session ids are dense,
+    * global, and deterministic: numbering follows the range order, so
+    * key k's sessions all precede key k+1's.
+    */
+  def withSessionId(df: DataFrame, keyCol: String, tsCol: String, gap: Long,
+                    tieCols: Seq[Column], out: String = "session_id",
+                    partitions: Int = 0): DataFrame = {
+    require(gap >= 0, s"gap must be >= 0, got $gap")
+    val ki = df.schema.fieldIndex(keyCol)
+    val ti = df.schema.fieldIndex(tsCol)
+    require(df.schema(ki).dataType == LongType,
+      s"withSessionId needs a LongType key column; " +
+        s"$keyCol is ${df.schema(ki).dataType}")
+    require(df.schema(ti).dataType == LongType,
+      s"withSessionId needs a LongType time column; " +
+        s"$tsCol is ${df.schema(ti).dataType}")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+    else spark.sessionState.conf.numShufflePartitions
+    val sortCols = col(keyCol) +: col(tsCol) +: tieCols
+    val sorted = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rdd0 = sorted.queryExecution.toRdd
+    // job 1: per-partition boundary rows + interior break count. The
+    // break status of each partition's FIRST row depends on the previous
+    // partition's last row, which only the driver sees — everything else
+    // is partition-local.
+    val stats = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var seen = false
+      var fk = 0L; var ft = 0L; var pk = 0L; var pt = 0L; var inner = 0L
+      it.foreach { r =>
+        val k = r.getLong(ki); val t = r.getLong(ti)
+        if (!seen) { fk = k; ft = t; seen = true }
+        else if (k != pk || t - pt > gap) inner += 1
+        pk = k; pt = t
+      }
+      Iterator((i, seen, fk, ft, pk, pt, inner))
+    }.collect().sortBy(_._1)
+    // driver: resolve boundary breaks in range order, prefix-sum break
+    // counts into 1-based session-id offsets
+    val firstBreak = Array.ofDim[Boolean](stats.length)
+    val offsets = Array.ofDim[Long](stats.length)
+    var acc = 0L
+    var prev: Option[(Long, Long)] = None // last (key, ts) so far
+    for (((_, seen, fk, ft, lk, lt, inner), i) <- stats.zipWithIndex) {
+      offsets(i) = acc
+      if (seen) {
+        val fb = prev match {
+          case None => true // very first event starts session 1
+          case Some((pk2, pt2)) => fk != pk2 || ft - pt2 > gap
+        }
+        firstBreak(i) = fb
+        acc += inner + (if (fb) 1L else 0L)
+        prev = Some((lk, lt))
+      }
+    }
+    // job 2: per-partition re-scan assigning ids from the offset
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var sid = offsets(i)
+      var seen = false
+      var pk = 0L; var pt = 0L
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(schema)
+      it.map { row =>
+        val k = row.getLong(ki); val t = row.getLong(ti)
+        val brk =
+          if (!seen) firstBreak(i)
+          else k != pk || t - pt > gap
+        if (brk) sid += 1
+        seen = true; pk = k; pt = t
+        extra.update(0, sid)
+        proj(joined(row, extra)): InternalRow
+      }
+    }
+    GraftShim.internalCreateDataFrame(spark, rdd, schema)
+  }
+
   /** Exact GLOBAL median of a LongType column at any scale — the order
     * statistic `percentile(value, 0.5)` computes by buffering all values
     * in one aggregation buffer, done distributed instead: global row

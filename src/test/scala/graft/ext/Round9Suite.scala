@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class Round9Suite extends SparkSpec {
+  import spark.implicits._
+
+  describe("GlobalOrder.withSessionId") {
+    it("numbers gap sessions globally in (key, ts) order") {
+      val ev = Seq(
+        (1L, 0L, 100L), (1L, 10L, 101L), (1L, 25L, 102L),
+        (2L, 5L, 103L), (2L, 100L, 104L)
+      ).toDF("user_id", "tsu", "event_id")
+      // partitions=3 forces partition-boundary stitching on 5 rows
+      val got = GlobalOrder
+        .withSessionId(ev, "user_id", "tsu", gap = 10L,
+          Seq(col("event_id")), partitions = 3)
+        .select("event_id", "session_id")
+        .as[(Long, Long)].collect().toMap
+      // u1: [0,10] one session (gap exactly 10 continues), 25 breaks;
+      // u2: both events break (new key, then gap 95)
+      assert(got == Map(100L -> 1L, 101L -> 1L, 102L -> 2L,
+        103L -> 3L, 104L -> 4L))
+    }
+
+    it("matches the window formulation on a skewed timeline") {
+      // 300 events, half on one hot user — the shape the range-shuffle
+      // path exists for; ids must equal the per-user-window + global-
+      // running-sum formulation exactly
+      val ev = spark.range(300).select(
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(col("id") % 7L).as("user_id"),
+        (pmod(hash(col("id")), lit(1000)).cast("long") * 3L).as("tsu"),
+        col("id").as("event_id"))
+      val got = GlobalOrder
+        .withSessionId(ev, "user_id", "tsu", gap = 50L,
+          Seq(col("event_id")), partitions = 5)
+        .select("event_id", "session_id")
+        .as[(Long, Long)].collect().toMap
+      val byUser = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val glob = Window.orderBy("user_id", "tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = ev
+        .withColumn("brk",
+          when(lag(col("tsu"), 1).over(byUser).isNull ||
+            col("tsu") - lag(col("tsu"), 1).over(byUser) > 50L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(glob))
+        .select("event_id", "sid")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
+
+    it("rejects non-long key/time columns") {
+      val ev = Seq((1, 2L, 3L)).toDF("user_id", "tsu", "event_id")
+      assertThrows[IllegalArgumentException] {
+        GlobalOrder.withSessionId(ev, "user_id", "tsu", 10L,
+          Seq(col("event_id")))
+      }
+    }
+  }
+}
