@@ -537,6 +537,33 @@ object ScaleBench {
             .agg(count(lit(1))).collect()
         }
       },
+      "interval_overlap_binned" -> { n =>
+        time {
+          // n/10 short left intervals (len ~50) over an n/10-wide
+          // domain vs n/10000 right intervals (len 500, spaced 1000)
+          // PLUS one domain-spanning right interval: the spanning row
+          // explodes into every bin (n/10000 copies — linear in the
+          // domain) and genuinely overlaps every left row (n/10 output
+          // rows — that blowup IS the output), while per-bin candidate
+          // products stay density-bounded. Linear per_row_ratio
+          // certifies the binned equi-join never approaches the
+          // O(|L|·|R|) nested loop Spark would plan for the bare
+          // overlap predicate.
+          val dom = n / 10
+          val l = spark.range(n / 10).select(col("id").as("lid"),
+            (pmod(hash(col("id")), lit(dom)).cast("long")).as("ls"))
+            .withColumn("le", col("ls") + 50L)
+          val shortR = spark.range(n / 10000).select(col("id").as("rid"),
+            (col("id") * 1000L).as("rs"))
+            .withColumn("re", col("rs") + 500L)
+          val r = shortR.unionAll(spark.range(1).select(
+            lit(-1L).as("rid"), lit(0L).as("rs"),
+            lit(dom).cast("long").as("re")))
+          graft.ext.RangeJoin
+            .intervalOverlap(l, r, "ls", "le", "rs", "re", binUs = 1000L)
+            .agg(count(lit(1))).collect()
+        }
+      },
       "sessionize_hot_user" -> { n =>
         time {
           // the bot-account adversary for sessionization: n events, HALF

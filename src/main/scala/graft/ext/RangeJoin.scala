@@ -39,4 +39,40 @@ object RangeJoin {
     p.join(i, Seq("__bin")).drop("__bin")
       .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))
   }
+
+  /** Interval × interval overlap join — every (left, right) pair whose
+    * `[ls, le) × [rs, re)` intervals intersect, by the same binning
+    * trick: both sides explode to the bins they span, candidates meet on
+    * the bin key, and the exact predicate (`ls < re AND rs < le`)
+    * re-filters. A pair overlapping across several shared bins would
+    * match in each of them, so each surviving pair is attributed to
+    * exactly ONE bin — the bin containing the overlap's start
+    * (`greatest(ls, rs)`), which both sides span by construction — and
+    * every other bin's copy is dropped. No distinct, no window: the
+    * dedup is a per-row predicate.
+    *
+    * Scale: work is O(Σ len/bin) explode rows + per-bin candidate
+    * products. Degenerate long intervals (a right row spanning the whole
+    * domain) cost their bin span LINEARLY and pair with everything they
+    * genuinely overlap — that blowup is the OUTPUT, not an artifact.
+    * The artifact risk is crowded bins (candidates that fail the
+    * predicate); keep `binUs` near the typical interval length so per-bin
+    * membership tracks overlap density. Column names must be disjoint
+    * across the two sides; empty intervals (`e <= s`) are dropped.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      ls: String, le: String, rs: String, re: String,
+                      binUs: Long): DataFrame = {
+    require(binUs > 0, s"bin width must be positive, got $binUs")
+    val l = left.filter(col(le) > col(ls))
+      .withColumn("__bin", explode(sequence(
+        expr(s"$ls div $binUs"), expr(s"($le - 1) div $binUs"))))
+    val r = right.filter(col(re) > col(rs))
+      .withColumn("__bin", explode(sequence(
+        expr(s"$rs div $binUs"), expr(s"($re - 1) div $binUs"))))
+    l.join(r, Seq("__bin"))
+      .filter(col(ls) < col(re) && col(rs) < col(le))
+      .filter(col("__bin") === expr(s"greatest($ls, $rs) div $binUs"))
+      .drop("__bin")
+  }
 }

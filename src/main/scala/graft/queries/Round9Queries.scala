@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Readers
-import graft.ext.{GlobalOrder, Stats}
+import graft.ext.{Dedup, DedupGroups, GlobalOrder, RangeJoin, Sampling, Stats}
 
 /** Round-9 batch: hot-key-safe formulations of per-key timeline
   * operators. Floats in compared columns follow the q110 discipline
@@ -23,6 +23,18 @@ object Round9Queries {
 
   /** q147 session gap (30 min in epoch micros — q38's constant). */
   private val SessionGapUs = 30L * 60 * 1000000
+
+  /** q148 bin width in days — near the typical interval length (transit
+    * 1–14 days, promos 30), the [[RangeJoin]] contract.
+    */
+  private val OverlapBinDays = 16L
+
+  /** q149 near-dup threshold — the q27/q65/q141 Jaccard surface. */
+  private val LeakageJaccardT = 0.5
+
+  /** q149 split recipe (q47's 80/10/10, assigned per COMPONENT). */
+  private val LeakageSplits =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -44,6 +56,51 @@ object Round9Queries {
           min("tsu").as("start_us"), max("tsu").as("end_us"),
           sum("value_cents").as("value_cents"))
         .orderBy("session_id")
+    }),
+
+    // Interval × interval overlap join via binning: rare-line transit
+    // windows (q132's derived [ship_day, receipt_day)) against 30-day
+    // promo windows, as pair rows — the binned equi-join Spark plans a
+    // bare overlap predicate as a broadcast-nested-loop for.
+    "q148_interval_overlap" -> ((s, dir) => {
+      val tr = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("sd"))
+        .withColumn("ed", col("sd") + expr("l_orderkey % 14") + lit(1L))
+      val pr = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("promo_key"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("ps"))
+        .withColumn("pe", col("ps") + lit(30L))
+      RangeJoin.intervalOverlap(tr, pr, "sd", "ed", "ps", "pe",
+        OverlapBinDays)
+        .select("l_orderkey", "l_linenumber", "promo_key")
+        .orderBy("l_orderkey", "l_linenumber", "promo_key")
+    }),
+
+    // Leakage-free dataset split: train/val/test assigned per NEAR-DUP
+    // COMPONENT (q27 pairs -> connected components; singletons are their
+    // own component), so near-duplicates can never straddle a split — the
+    // contamination mode a per-document split (q47) cannot prevent.
+    // Distinct-before-count for the component tally (3 hot split keys).
+    "q149_leakage_free_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = DedupGroups
+        .connectedComponents(Dedup.jaccardPairs(docs, LeakageJaccardT))
+        .withColumnRenamed("id", "doc_id")
+      val comp = docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val split = comp.withColumn("split",
+        Sampling.splitAssign(col("component"), LeakageSplits))
+      val nDocs = split.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      val nComp = split.select("split", "component").distinct()
+        .groupBy("split").agg(count(lit(1)).as("n_components"))
+      nDocs.join(nComp, "split").orderBy("split")
     })
   )
 
@@ -67,6 +124,50 @@ object Round9Queries {
           SELECT session_id, user_id, count(*) AS n_events,
                  min(tsu) AS start_us, max(tsu) AS end_us,
                  CAST(sum(value_cents) AS BIGINT) AS value_cents
-          FROM s GROUP BY 1, 2 ORDER BY session_id"""
+          FROM s GROUP BY 1, 2 ORDER BY session_id""",
+
+    "q148_interval_overlap" ->
+      """WITH tr AS (SELECT l_orderkey, l_linenumber,
+                epoch_us(l_shipdate) // 86400000000 AS sd,
+                epoch_us(l_shipdate) // 86400000000
+                  + l_orderkey % 14 + 1 AS ed
+              FROM lineitem WHERE l_quantity >= 49),
+          pr AS (SELECT o_orderkey AS promo_key,
+                epoch_us(o_orderdate) // 86400000000 AS ps,
+                epoch_us(o_orderdate) // 86400000000 + 30 AS pe
+              FROM orders WHERE o_orderkey % 997 = 0)
+          SELECT l_orderkey, l_linenumber, promo_key
+          FROM tr JOIN pr ON sd < pe AND ps < ed
+          ORDER BY l_orderkey, l_linenumber, promo_key""",
+
+    "q149_leakage_free_split" -> {
+      val pairsSql = ExtensionQueries.oracleSql("q27_dedup_jaccard")
+      s"""WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ($pairsSql) t),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+            nodes AS (SELECT DISTINCT a AS id FROM e),
+            reach(id, m) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.id),
+            comp0 AS (SELECT id AS doc_id, min(m) AS component
+                      FROM reach GROUP BY 1),
+            comp AS (SELECT d.doc_id,
+                            coalesce(c.component, d.doc_id) AS component
+                     FROM documents d
+                     LEFT JOIN comp0 c ON d.doc_id = c.doc_id),
+            sp AS (SELECT component,
+                     CASE WHEN CAST(('0x' ||
+                         substr(md5(CAST(component AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 10000 < 8000 THEN 'train'
+                       WHEN CAST(('0x' ||
+                         substr(md5(CAST(component AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 10000 < 9000 THEN 'val'
+                       ELSE 'test' END AS split
+                   FROM comp)
+          SELECT split, count(*) AS n_docs,
+                 CAST(count(DISTINCT component) AS BIGINT) AS n_components
+          FROM sp GROUP BY 1 ORDER BY split"""
+    }
   )
 }

@@ -61,4 +61,24 @@ class Round9Suite extends SparkSpec {
       }
     }
   }
+
+  describe("RangeJoin.intervalOverlap") {
+    it("emits each overlapping pair exactly once regardless of bin span") {
+      // intervals spanning several shared bins must not duplicate; the
+      // brute-force quadratic join is the semantics oracle
+      val l = spark.range(40).select(col("id").as("lid"),
+        (col("id") * 7L % 100L).as("ls"))
+        .withColumn("le", col("ls") + (col("lid") % 30L) + 1L)
+      val r = spark.range(25).select(col("id").as("rid"),
+        (col("id") * 11L % 90L).as("rs"))
+        .withColumn("re", col("rs") + (col("rid") % 40L) + 1L)
+      val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+        binUs = 8L)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      val want = l.join(r, col("ls") < col("re") && col("rs") < col("le"))
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want && want.nonEmpty)
+      assert(got.distinct == got)
+    }
+  }
 }
