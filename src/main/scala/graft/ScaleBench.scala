@@ -586,6 +586,27 @@ object ScaleBench {
             .agg(count(lit(1)), max("session_id")).collect()
         }
       },
+      "fill_forward_hot_user" -> { n =>
+        time {
+          // the sessionize_hot_user adversary pointed at LOCF: n events,
+          // HALF on one user, ~10% non-null observations. The
+          // last(ignoreNulls)-over-partitionBy(user) window serializes
+          // the hot user's timeline into one task; withFillForward
+          // range-partitions it and stitches carries through 4p driver
+          // longs. Linear per_row_ratio certifies the distributed fill.
+          val ev = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("user_id"),
+            (pmod(hash(col("id")), lit(1000000)).cast("long") * 7L)
+              .as("tsu"),
+            col("id").as("event_id"),
+            when(col("id") % 10 === 3, col("id")).as("v"))
+          graft.ext.GlobalOrder
+            .withFillForward(ev, "user_id", "tsu", "v",
+              Seq(col("event_id")))
+            .agg(count(lit(1)), sum("filled")).collect()
+        }
+      },
       "dedup_groups_cc" -> { n =>
         time {
           // connected components over n/20 edges arranged as 8-node chains

@@ -222,6 +222,90 @@ object GlobalOrder {
     GraftShim.internalCreateDataFrame(spark, rdd, schema)
   }
 
+  /** Distributed fill-forward (last observation carried forward): append
+    * `out` = the most recent non-null `valueCol` of the SAME key at or
+    * before each row in (key, ts, tieCols) order; rows before a key's
+    * first observation stay null. Same semantics as
+    * `last(value, ignoreNulls).over(Window.partitionBy(key).orderBy(ts))`
+    * — and the same hot-key problem: a sensor/user emitting half the
+    * rows serializes its whole timeline into one window task. Same cure
+    * as [[withSessionId]]: range-partition on (key, ts, tie), resolve
+    * partition boundaries with a per-partition stats job (the carry into
+    * partition i is the last non-null of i−1's LAST key, which only
+    * applies while i still reads that key), then fill in one Tungsten
+    * re-scan. `keyCol`/`tsCol` non-null LongType; `valueCol` nullable
+    * LongType; (key, ts, tieCols) must be a total order.
+    */
+  def withFillForward(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, tieCols: Seq[Column],
+                      out: String = "filled",
+                      partitions: Int = 0): DataFrame = {
+    val ki = df.schema.fieldIndex(keyCol)
+    val ti = df.schema.fieldIndex(tsCol)
+    val vi = df.schema.fieldIndex(valueCol)
+    for ((c, i) <- Seq(keyCol -> ki, tsCol -> ti, valueCol -> vi))
+      require(df.schema(i).dataType == LongType,
+        s"withFillForward needs LongType columns; " +
+          s"$c is ${df.schema(i).dataType}")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+    else spark.sessionState.conf.numShufflePartitions
+    val sortCols = col(keyCol) +: col(tsCol) +: tieCols
+    val sorted = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = true))
+    val rdd0 = sorted.queryExecution.toRdd
+    // job 1: per partition — first key, last key, and the last non-null
+    // value observed for the last key WITHIN the partition (if any)
+    val stats = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var seen = false
+      var fk = 0L; var lk = 0L; var lv = 0L; var lvSet = false
+      it.foreach { r =>
+        val k = r.getLong(ki)
+        if (!seen) { fk = k; seen = true }
+        else if (k != lk) { lv = 0L; lvSet = false }
+        lk = k
+        if (!r.isNullAt(vi)) { lv = r.getLong(vi); lvSet = true }
+      }
+      Iterator((i, seen, fk, lk, lv, lvSet))
+    }.collect().sortBy(_._1)
+    // driver: thread the carry (key, last non-null) across partitions in
+    // range order. A partition whose last key saw no non-null either
+    // extends an incoming carry for that same key (single-key partition)
+    // or kills it (the key started inside this partition).
+    val carryKey = Array.ofDim[Long](stats.length)
+    val carryVal = Array.ofDim[Long](stats.length)
+    val carrySet = Array.ofDim[Boolean](stats.length)
+    var ck = 0L; var cv = 0L; var cs = false
+    for (((_, seen, fk, lk, lv, lvSet), i) <- stats.zipWithIndex) {
+      carryKey(i) = ck; carryVal(i) = cv; carrySet(i) = cs
+      if (seen) {
+        if (lvSet) { ck = lk; cv = lv; cs = true }
+        else if (!(cs && ck == fk && lk == fk)) cs = false
+      }
+    }
+    // job 2: per-partition fill seeded with the carry
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var curKey = carryKey(i)
+      var curVal = carryVal(i)
+      var curSet = carrySet(i)
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(schema)
+      it.map { row =>
+        val k = row.getLong(ki)
+        if (!curSet || k != curKey) { curKey = k; curSet = false }
+        if (!row.isNullAt(vi)) {
+          curVal = row.getLong(vi); curSet = true; curKey = k
+        }
+        if (curSet) extra.update(0, curVal) else extra.setNullAt(0)
+        proj(joined(row, extra)): InternalRow
+      }
+    }
+    GraftShim.internalCreateDataFrame(spark, rdd, schema)
+  }
+
   /** Exact GLOBAL median of a LongType column at any scale — the order
     * statistic `percentile(value, 0.5)` computes by buffering all values
     * in one aggregation buffer, done distributed instead: global row

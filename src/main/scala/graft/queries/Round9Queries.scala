@@ -101,6 +101,26 @@ object Round9Queries {
       val nComp = split.select("split", "component").distinct()
         .groupBy("split").agg(count(lit(1)).as("n_components"))
       nDocs.join(nComp, "split").orderBy("split")
+    }),
+
+    // Distributed fill-forward: each event carries the same user's most
+    // recent purchase value (null before the first purchase) — q39's
+    // as-of signal, computed WITHOUT the per-user window so a hot user
+    // cannot serialize into one task. Aggregated per user in exact
+    // integer cents so every filled row contributes to the hash.
+    "q150_fill_forward" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"),
+        when(col("event_type") === "purchase",
+          Stats.cents(col("value"))).as("v"))
+      GlobalOrder.withFillForward(ev, "user_id", "tsu", "v",
+        Seq(col("event_id")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("filled")).as("n_filled"),
+          sum("filled").as("filled_cents"))
+        .orderBy("user_id")
     })
   )
 
@@ -168,6 +188,23 @@ object Round9Queries {
           SELECT split, count(*) AS n_docs,
                  CAST(count(DISTINCT component) AS BIGINT) AS n_components
           FROM sp GROUP BY 1 ORDER BY split"""
-    }
+    },
+
+    "q150_fill_forward" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 END AS v
+               FROM events),
+          f AS (SELECT user_id,
+                  last_value(v IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY tsu, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS filled
+                FROM e)
+          SELECT user_id, count(*) AS n_events,
+                 count(filled) AS n_filled,
+                 CAST(sum(filled) AS BIGINT) AS filled_cents
+          FROM f GROUP BY 1 ORDER BY user_id"""
   )
 }

@@ -62,6 +62,48 @@ class Round9Suite extends SparkSpec {
     }
   }
 
+  describe("GlobalOrder.withFillForward") {
+    it("carries the last non-null per key across partition boundaries") {
+      val ev = Seq(
+        (1L, 0L, 100L, Some(7L)), (1L, 10L, 101L, None),
+        (1L, 20L, 102L, None), (1L, 30L, 103L, Some(9L)),
+        (1L, 40L, 104L, None),
+        (2L, 5L, 105L, None), // leading null stays null
+        (2L, 15L, 106L, Some(3L)), (2L, 25L, 107L, None)
+      ).toDF("user_id", "tsu", "event_id", "v")
+      val got = GlobalOrder
+        .withFillForward(ev, "user_id", "tsu", "v", Seq(col("event_id")),
+          partitions = 4)
+        .select("event_id", "filled")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got == Map(100L -> Some(7L), 101L -> Some(7L),
+        102L -> Some(7L), 103L -> Some(9L), 104L -> Some(9L),
+        105L -> None, 106L -> Some(3L), 107L -> Some(3L)))
+    }
+
+    it("matches the window formulation on a skewed sparse timeline") {
+      // half the events on one hot user, ~10% non-null observations
+      val ev = spark.range(400).select(
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(col("id") % 5L).as("user_id"),
+        (pmod(hash(col("id")), lit(1000)).cast("long") * 3L).as("tsu"),
+        col("id").as("event_id"),
+        when(col("id") % 10 === 3, col("id")).as("v"))
+      val got = GlobalOrder
+        .withFillForward(ev, "user_id", "tsu", "v", Seq(col("event_id")),
+          partitions = 7)
+        .select("event_id", "filled")
+        .as[(Long, Option[Long])].collect().toMap
+      val byUser = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = ev
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(byUser))
+        .select("event_id", "filled")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got == want)
+    }
+  }
+
   describe("RangeJoin.intervalOverlap") {
     it("emits each overlapping pair exactly once regardless of bin span") {
       // intervals spanning several shared bins must not duplicate; the
