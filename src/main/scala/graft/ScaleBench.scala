@@ -607,6 +607,24 @@ object ScaleBench {
             .agg(count(lit(1)), sum("filled")).collect()
         }
       },
+      "group_median_hot_group" -> { n =>
+        time {
+          // half of n rows in ONE group: percentile(v, 0.5) per group
+          // would buffer n/2 values in one aggregation buffer, a rank
+          // window would sort them in one task. groupMedianOfLong's
+          // global-rank + rank-equi-join plan shuffles the hot group's
+          // rows by UNIFORM global rank; linear per_row_ratio certifies
+          // the skew immunity.
+          val rows = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(pmod(col("id"), lit(1000L))).as("grp"),
+            pmod(hash(col("id")), lit(1000000)).cast("long").as("v"),
+            col("id").as("uid"))
+          graft.ext.GlobalOrder
+            .groupMedianOfLong(rows, "grp", "v", Seq(col("uid")))
+            .agg(count(lit(1)), sum("n")).collect()
+        }
+      },
       "dedup_groups_cc" -> { n =>
         time {
           // connected components over n/20 edges arranged as 8-node chains

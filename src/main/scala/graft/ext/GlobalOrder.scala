@@ -336,6 +336,49 @@ object GlobalOrder {
         (col("__s").cast("double") / col("__k")).as("median"))
   }
 
+  /** Exact PER-GROUP median of a LongType column, hot-group-safe.
+    *
+    * The direct routes both break under skew: `percentile(v, 0.5)` per
+    * group buffers a whole group's values in one aggregation buffer, and
+    * a rank window (`row_number over partitionBy(grp) orderBy v`) sorts
+    * a whole group in one task — a group holding half the input is a
+    * single-task straggler either way. Distributed instead via GLOBAL
+    * ranks: range-sort on (group, value, tie) and number rows with
+    * [[withRowNumber]] (groups are contiguous in the total order, so a
+    * group's rows occupy the global rank interval [lo, lo+n)); a
+    * combinable aggregate yields each group's `lo` and `n`; the two
+    * middle order statistics sit at KNOWN global ranks, so picking them
+    * is an equi-join ON THE RANK — unique and uniformly distributed, so
+    * the hot group's rows shuffle evenly instead of onto one reducer.
+    * The median is the mean of the (one or two) picked values — integer
+    * inputs put the even-n midpoint exactly on the .5 grid, so the
+    * double is engine-portable ([[medianOfLong]]'s argument, per group).
+    *
+    * Returns (groupCol, n, median). `(group, value, tieCols)` must be a
+    * total order.
+    */
+  def groupMedianOfLong(df: DataFrame, groupCol: String, valueCol: String,
+                        tieCols: Seq[Column]): DataFrame = {
+    val vi = df.schema.fieldIndex(valueCol)
+    require(df.schema(vi).dataType == LongType,
+      s"groupMedianOfLong needs a LongType value column; " +
+        s"$valueCol is ${df.schema(vi).dataType}")
+    val rn = withRowNumber(df,
+      col(groupCol) +: col(valueCol) +: tieCols, "__rn")
+    val bounds = rn.groupBy(groupCol)
+      .agg(min(col("__rn")).as("__lo"), count(lit(1)).as("n"))
+    // global ranks of the group's middle order statistics (1 row for odd
+    // n — the two middles coincide and distinct() folds them)
+    val picks = bounds.select(col(groupCol), col("n"),
+      explode(array(expr("__lo + (n - 1) div 2"),
+        expr("__lo + n div 2"))).as("__rn"))
+      .distinct()
+    picks.join(rn.select(col("__rn"), col(valueCol)), "__rn")
+      .groupBy(groupCol)
+      .agg(min(col("n")).as("n"),
+        (sum(col(valueCol)).cast("double") / count(lit(1))).as("median"))
+  }
+
   /** Exact NTILE(k) over a total order, same semantics as
     * `ntile(k).over(Window.orderBy(sortCols))`: with n rows, the first
     * n % k buckets get one extra row. Distributed (no single-partition

@@ -121,6 +121,19 @@ object Round9Queries {
           count(col("filled")).as("n_filled"),
           sum("filled").as("filled_cents"))
         .orderBy("user_id")
+    }),
+
+    // Exact per-group median under group skew: global ranks over
+    // (group, value, tie) + a rank-equi-join for the middle order
+    // statistics — no per-group percentile buffer, no per-group window
+    // sort (l_returnflag is 3 hot groups, the adversary).
+    "q151_group_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        Stats.cents(col("l_extendedprice")).as("pc"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"))
+      GlobalOrder.groupMedianOfLong(li, "l_returnflag", "pc",
+        Seq(col("uid")))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -205,6 +218,14 @@ object Round9Queries {
           SELECT user_id, count(*) AS n_events,
                  count(filled) AS n_filled,
                  CAST(sum(filled) AS BIGINT) AS filled_cents
-          FROM f GROUP BY 1 ORDER BY user_id"""
+          FROM f GROUP BY 1 ORDER BY user_id""",
+
+    "q151_group_median" ->
+      """WITH x AS (SELECT l_returnflag,
+                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+              FROM lineitem)
+          SELECT l_returnflag, count(*) AS n,
+                 quantile_cont(pc, 0.5) AS median
+          FROM x GROUP BY 1 ORDER BY l_returnflag"""
   )
 }

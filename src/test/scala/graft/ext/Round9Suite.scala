@@ -104,6 +104,27 @@ class Round9Suite extends SparkSpec {
     }
   }
 
+  describe("GlobalOrder.groupMedianOfLong") {
+    it("matches exact percentile(0.5) per group, odd and even counts") {
+      val rows = spark.range(501).select(
+        when(col("id") % 2 === 0, lit("hot")) // 251 rows (odd count)
+          .otherwise(concat(lit("g"), (col("id") % 5).cast("string")))
+          .as("grp"),
+        pmod(hash(col("id")), lit(10000)).cast("long").as("v"),
+        col("id").as("uid"))
+      val got = GlobalOrder
+        .groupMedianOfLong(rows, "grp", "v", Seq(col("uid")))
+        .select("grp", "n", "median")
+        .as[(String, Long, Double)].collect().toSet
+      val want = rows.groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(v, 0.5)").as("median"))
+        .select("grp", "n", "median")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == want && want.size == 6)
+    }
+  }
+
   describe("RangeJoin.intervalOverlap") {
     it("emits each overlapping pair exactly once regardless of bin span") {
       // intervals spanning several shared bins must not duplicate; the
