@@ -125,6 +125,27 @@ class Round9Suite extends SparkSpec {
     }
   }
 
+  describe("round-9 plan shapes") {
+    it("timeline and median operators plan no per-key Window") {
+      // the contract these operators exist for: no WindowExec anywhere,
+      // at any key skew — the work is range shuffles + aggregates/joins
+      val ev = spark.range(50).select(
+        (col("id") % 3L).as("user_id"), col("id").as("tsu"),
+        col("id").as("event_id"), when(col("id") % 5 === 0, col("id")).as("v"))
+      val plans = Seq(
+        GlobalOrder.withSessionId(ev, "user_id", "tsu", 10L,
+          Seq(col("event_id"))),
+        GlobalOrder.withFillForward(ev, "user_id", "tsu", "v",
+          Seq(col("event_id"))),
+        GlobalOrder.groupMedianOfLong(
+          ev.select(col("user_id"), col("tsu"), col("event_id")),
+          "user_id", "tsu", Seq(col("event_id"))))
+        .map(_.queryExecution.executedPlan.toString)
+      plans.foreach(p => assert(!p.contains("Window"),
+        s"expected a window-free plan, got:\n$p"))
+    }
+  }
+
   describe("RangeJoin.intervalOverlap") {
     it("emits each overlapping pair exactly once regardless of bin span") {
       // intervals spanning several shared bins must not duplicate; the
