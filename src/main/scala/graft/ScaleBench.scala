@@ -607,6 +607,28 @@ object ScaleBench {
             .agg(count(lit(1)), sum("filled")).collect()
         }
       },
+      "asof_hot_key" -> { n =>
+        time {
+          // the asof_join shape with maximal key skew: n probes, HALF on
+          // ONE key, against n/10 reference rows. leftAsof's per-key
+          // window would sort the hot key's whole interleaved timeline
+          // (n/2 + its reference rows) in one task; leftAsofBig's
+          // fill-forward range shuffle spreads it. Linear per_row_ratio
+          // certifies the distributed as-of under skew.
+          val left = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            (col("id") * 7L % 1000000L).as("t"),
+            col("id").as("payload"))
+          val right = spark.range(n / 10).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            (col("id") * 13L % 1000000L).as("rt")).distinct()
+            .withColumn("v", col("rt") + 1L)
+          graft.ext.AsofJoin.leftAsofBig(left, right, "k", "t", "rt", "v")
+            .agg(count(lit(1)), sum("v")).collect()
+        }
+      },
       "group_median_hot_group" -> { n =>
         time {
           // half of n rows in ONE group: percentile(v, 0.5) per group

@@ -100,20 +100,25 @@ object Warehouse {
     */
   /** SCD-1 upsert (CDC apply): latest version per key across
     * base ∪ updates — the MERGE-INTO-by-key pattern without a table
-    * format. One shuffle on the key; per-key state is a window
-    * row_number, so skewed keys are split by AQE like any windowed
-    * aggregate. Versions must be distinct per key (a CDC log's LSN /
-    * batch id is): ties would make "latest" partition-order-dependent.
+    * format. ONE combinable aggregate (`max_by(struct(payload),
+    * version)` — the [[applyChangelog]] argmax): a hot key collapses to
+    * one row per map partition before the shuffle, where the original
+    * window-row_number formulation buffered and sorted the hot key's
+    * whole row set in a single task (the banned
+    * `Window.partitionBy(hotableKey)` shape; `changelog_hot_key` in
+    * ScaleBench measures this exact plan under half-the-input-one-key
+    * skew). Versions must be distinct per key (a CDC log's LSN / batch
+    * id is): ties would make "latest" partition-order-dependent.
     */
   def upsertLatest(base: DataFrame, updates: DataFrame, keyCol: String,
                    versionCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val w = Window.partitionBy(keyCol).orderBy(col(versionCol).desc)
-    base.unionByName(updates)
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+    val all = base.unionByName(updates)
+    val payload = all.columns.filter(_ != keyCol)
+    all.groupBy(keyCol)
+      .agg(max_by(struct(payload.map(col): _*), col(versionCol)).as("__r"))
+      .select(all.columns.map(c =>
+        if (c == keyCol) col(keyCol) else col(s"__r.$c").as(c)): _*)
   }
 
   /** SCD-2 history build: turn a change log (key, version, attributes)

@@ -65,4 +65,39 @@ object AsofJoin {
       .select(col("__k").as(key) +: col("__t").as(leftTime) +:
         (lp.map(col) ++ rightValues.map(col)): _*)
   }
+
+  /** Hot-key-safe left as-of join for a single LongType payload.
+    *
+    * [[leftAsof]]'s union-interleave still runs one WINDOW per key, so a
+    * hot key (half the probe rows on one entity) buffers and sorts its
+    * whole interleaved timeline in a single task. This variant feeds the
+    * same interleave through [[GlobalOrder.withFillForward]] instead:
+    * the right payload fills forward over the (key, time, side) range
+    * order — which IS the as-of match — with the hot key spread across
+    * range partitions and stitched by O(p) driver state
+    * (`asof_hot_key` in ScaleBench). Same inclusive `<=` semantics
+    * (right sorts before left on time ties) and the same
+    * unique-per-(key, time) right-side contract; additionally `key`,
+    * both time columns, and `rightValue` must be non-null LongType
+    * (dictionary-encode wider payloads, or call once per column).
+    */
+  def leftAsofBig(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String,
+                  rightValue: String): DataFrame = {
+    val lp = left.columns.filterNot(c => c == key || c == leftTime).toSeq
+    val l = left.select(
+      col(key).as("__k") +: col(leftTime).as("__t") +:
+        lit(1L).as("__side") +:
+        (lp.map(col) :+ lit(null).cast("long").as("__v")): _*)
+    val r = right.select(
+      col(key).as("__k") +: col(rightTime).as("__t") +:
+        lit(0L).as("__side") +:
+        (lp.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          col(rightValue).as("__v")): _*)
+    GlobalOrder.withFillForward(l.unionByName(r), "__k", "__t", "__v",
+      Seq(col("__side")), out = "__f")
+      .filter(col("__side") === 1)
+      .select(col("__k").as(key) +: col("__t").as(leftTime) +:
+        (lp.map(col) :+ col("__f").as(rightValue)): _*)
+  }
 }

@@ -134,6 +134,22 @@ object Round9Queries {
       GlobalOrder.groupMedianOfLong(li, "l_returnflag", "pc",
         Seq(col("uid")))
         .orderBy("l_returnflag")
+    }),
+
+    // Hot-key-safe as-of join (q54's semantics through the fill-forward
+    // range shuffle instead of the per-key window): every purchase gets
+    // the same user's latest click id at-or-before it.
+    "q152_asof_scalable" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("click_us"))
+        .agg(max("event_id").as("click_id"))
+      graft.ext.AsofJoin.leftAsofBig(purchases, clicks, "user_id",
+        "ts_us", "click_us", "click_id")
+        .select("event_id", "user_id", "ts_us", "click_id")
+        .orderBy("event_id")
     })
   )
 
@@ -226,6 +242,19 @@ object Round9Queries {
               FROM lineitem)
           SELECT l_returnflag, count(*) AS n,
                  quantile_cont(pc, 0.5) AS median
-          FROM x GROUP BY 1 ORDER BY l_returnflag"""
+          FROM x GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q152_asof_scalable" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_us(ts) AS ts_us FROM events),
+            p AS (SELECT event_id, user_id, ts_us
+                  FROM e WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts_us AS click_us,
+                         CAST(max(event_id) AS BIGINT) AS click_id
+                  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_id
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts_us >= c.click_us
+         ORDER BY p.event_id"""
   )
 }

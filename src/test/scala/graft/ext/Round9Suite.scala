@@ -125,6 +125,26 @@ class Round9Suite extends SparkSpec {
     }
   }
 
+  describe("AsofJoin.leftAsofBig") {
+    it("matches the window-based leftAsof, inclusive ties and misses") {
+      val left = spark.range(200).select(
+        (col("id") % 4L).as("k"), (col("id") * 7L % 300L).as("t"),
+        col("id").as("payload"))
+      val right = spark.range(60).select(
+        (col("id") % 4L).as("k"), (col("id") * 13L % 300L).as("rt"))
+        .distinct()
+        .withColumn("v", col("rt") * 100L + col("k"))
+      val got = AsofJoin.leftAsofBig(left, right, "k", "t", "rt", "v")
+        .select("k", "t", "payload", "v")
+        .as[(Long, Long, Long, Option[Long])].collect().sorted.toSeq
+      val want = AsofJoin.leftAsof(left, right, "k", "t", "rt", Seq("v"))
+        .select("k", "t", "payload", "v")
+        .as[(Long, Long, Long, Option[Long])].collect().sorted.toSeq
+      assert(got == want && want.exists(_._4.isEmpty)
+        && want.exists(_._4.nonEmpty))
+    }
+  }
+
   describe("round-9 plan shapes") {
     it("timeline and median operators plan no per-key Window") {
       // the contract these operators exist for: no WindowExec anywhere,
