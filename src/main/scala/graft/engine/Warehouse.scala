@@ -135,6 +135,13 @@ object Warehouse {
     * operators over it. Versions must be distinct per key (a CDC log's
     * LSN / commit timestamp is); attribute comparison is null-safe
     * (`<=>`), so null→value and value→null transitions open intervals.
+    *
+    * SKEW CAVEAT: per-key windows sort a key's whole version chain in
+    * one task. Dimension keys have bounded histories by nature, so this
+    * is the right plan HERE; a retry-storm changelog (millions of
+    * versions of one key — `changelog_hot_key`) should be collapsed
+    * through [[applyChangelog]]'s combinable argmax first, not fed to a
+    * history build whose output would be that chain anyway.
     */
   def scd2History(changes: DataFrame, keyCol: String, versionCol: String,
                   attrCols: Seq[String]): DataFrame = {

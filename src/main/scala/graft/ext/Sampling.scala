@@ -77,10 +77,19 @@ object Sampling {
 
   /** Class-balanced cap: keep at most `n` rows per group, chosen by a
     * deterministic order (window row_number — one shuffle on the group
-    * key; for heavily skewed groups, AQE splits the hot partitions).
-    * `orderCol` ties are broken by a hash of the whole row, so the kept
-    * set is stable across runs/partitionings even for non-unique order
-    * columns (row_number alone would tie-break by arrival order).
+    * key). `orderCol` ties are broken by a hash of the whole row, so the
+    * kept set is stable across runs/partitionings even for non-unique
+    * order columns (row_number alone would tie-break by arrival order).
+    *
+    * SKEW CAVEAT: a window sort cannot be split — a group holding half
+    * the input sorts in one task (AQE skew handling applies to joins,
+    * not window partitions). Curation groups (source, lang) are
+    * few-and-large but BOUNDED in count, not in size: when the hot-group
+    * risk is real and the order column is numeric, use
+    * [[graft.functions.TopKFunctions.topkPerGroup]] (bounded O(k)
+    * per-partition state, `topk_hot_group` shape 0.16) and join the
+    * survivors back — the trade is its (key, id) row identity vs this
+    * operator's arbitrary-row exactness under hash-tie collisions.
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
                   n: Int): DataFrame = {
