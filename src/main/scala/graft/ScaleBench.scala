@@ -607,6 +607,24 @@ object ScaleBench {
             .agg(count(lit(1)), sum("filled")).collect()
         }
       },
+      "batch_hot_band" -> { n =>
+        time {
+          // the uniform-length corpus: EVERY row in one band (plus a
+          // thin tail of other lengths). The per-band window would sort
+          // all n rows in a single task; the range-shuffle rewrite
+          // spreads the band across partitions with per-band offsets
+          // broadcast back. Linear per_row_ratio certifies it.
+          val docs = spark.range(n).select(col("id"),
+            when(col("id") % 100 === 0,
+              pmod(hash(col("id")), lit(1000)).cast("long") + 1000L)
+              .otherwise(lit(512L)).as("len"))
+          graft.ext.Batching
+            .lengthBucketedBatches(docs, col("id"), col("len"),
+              bandWidth = 64L, capTokens = 8192L)
+            .agg(count(lit(1)), sum("batch_in_bucket"), max("pos_in_bucket"))
+            .collect()
+        }
+      },
       "asof_hot_key" -> { n =>
         time {
           // the asof_join shape with maximal key skew: n probes, HALF on

@@ -46,10 +46,17 @@ object Batching {
     * enough for inference scheduling, and the rule stays a pure column
     * program both engines agree on bit-for-bit).
     *
-    * The window is PARTITIONED by bucket — per-task state is one band,
-    * so this scales with bands x band size rather than corpus size, and
-    * the output order within a band is deterministic under any
-    * partitioning.
+    * HOT-BAND SAFETY: a per-band window would sort a band's whole row
+    * set in one task, and real corpora concentrate length (a
+    * uniform-length corpus is ONE band). Bands are contiguous in the
+    * (size_bucket, len, id) GLOBAL order, so the within-band numbers
+    * derive from two [[GlobalOrder]] range-shuffle scans instead: the
+    * global inclusive running total and global row number, minus each
+    * band's offsets (a combinable per-band aggregate, broadcast back —
+    * one row per band). Bit-identical to the window formulation
+    * (asserted in Round9Suite) with no task ever holding more than a range
+    * partition; `batch_hot_band` in ScaleBench measures the
+    * all-rows-one-band adversary.
     */
   def lengthBucketedBatches(df: DataFrame, idCol: Column, lenCol: Column,
                             bandWidth: Long, capTokens: Long): DataFrame = {
@@ -58,12 +65,21 @@ object Batching {
     val banded = df
       .withColumn("__len", lenCol.cast("long"))
       .withColumn("size_bucket", expr(s"__len div $bandWidth"))
-    val w = Window.partitionBy("size_bucket").orderBy(col("__len"), idCol)
-    banded
-      .withColumn("__cum", sum(col("__len")).over(w))
+    val order = Seq(col("size_bucket"), col("__len"), idCol)
+    val cum = GlobalOrder.withRunningTotal(banded, order, "__len", "__gcum")
+    val rn = GlobalOrder.withRowNumber(cum, order, "__grn")
+    // per-band offsets: the first row's (gcum - len) is the total BEFORE
+    // the band, its grn the band's first global row number
+    val offs = rn.groupBy("size_bucket").agg(
+      min(col("__gcum") - col("__len")).as("__coff"),
+      min(col("__grn")).as("__roff"))
+    rn.join(broadcast(offs), "size_bucket")
       // `div` = exact integer division (Column./ would round-trip double)
-      .withColumn("batch_in_bucket", expr(s"(__cum - __len) div $capTokens"))
-      .withColumn("pos_in_bucket", row_number().over(w).cast("long"))
-      .drop("__cum", "__len")
+      .withColumn("batch_in_bucket",
+        expr(s"(__gcum - __coff - __len) div $capTokens"))
+      .withColumn("pos_in_bucket",
+        (col("__grn") - col("__roff") + 1L).cast("long"))
+      .select(df.columns.map(col) ++ Seq(col("size_bucket"),
+        col("batch_in_bucket"), col("pos_in_bucket")): _*)
   }
 }

@@ -145,6 +145,28 @@ class Round9Suite extends SparkSpec {
     }
   }
 
+  describe("Batching.lengthBucketedBatches (range-shuffle rewrite)") {
+    it("matches the per-band window formulation bit-for-bit") {
+      val df = spark.range(300).select(col("id"),
+        (pmod(hash(col("id")), lit(200)).cast("long") + 1L).as("len"))
+      val got = Batching.lengthBucketedBatches(df, col("id"), col("len"),
+        bandWidth = 64L, capTokens = 256L)
+        .select("id", "size_bucket", "batch_in_bucket", "pos_in_bucket")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("size_bucket").orderBy(col("__len"), col("id"))
+      val want = df
+        .withColumn("__len", col("len"))
+        .withColumn("size_bucket", expr("__len div 64"))
+        .withColumn("__cum", sum(col("__len")).over(w))
+        .withColumn("batch_in_bucket", expr("(__cum - __len) div 256"))
+        .withColumn("pos_in_bucket", row_number().over(w).cast("long"))
+        .select("id", "size_bucket", "batch_in_bucket", "pos_in_bucket")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want)
+    }
+  }
+
   describe("round-9 plan shapes") {
     it("timeline and median operators plan no per-key Window") {
       // the contract these operators exist for: no WindowExec anywhere,
