@@ -607,6 +607,36 @@ object ScaleBench {
             .agg(count(lit(1)), sum("filled")).collect()
         }
       },
+      "rolling_hot_key" -> { n =>
+        time {
+          // the q153 composition under maximal skew: n per-(key, t) rows,
+          // HALF on ONE key; rolling total = per-key running total
+          // (boundary-stitch scan) minus its as-of probe at t-7. Both
+          // legs are range shuffles — the per-key-window formulation
+          // would sort the hot key's n/2 rows in one task twice.
+          val daily = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 999L + 1L).as("k"),
+            when(col("id") % 2 === 0, expr("id div 2"))
+              .otherwise(col("id")).as("t"),
+            (col("id") % 97L).as("v"))
+          // cum is deliberately UNCACHED: the as-of leg's jobs re-read
+          // its shuffle files (constant-factor re-sort, measured ratio
+          // ~1.15 — GC-bound at local[32], stall-free), while
+          // checkpointing the 100M-row scan made storage compete with
+          // the range sorters and measured ratio 3.19 (the GlobalOrder
+          // lessons 1-2 cliff, re-confirmed for compositions).
+          val cum = graft.ext.GlobalOrder
+            .withRunningTotalPerKey(daily, "k", "t", "v", Seq.empty, "cum")
+          val probes = cum.select(col("k"), (col("t") - 7L).as("pt"),
+            col("cum"))
+          val ref = cum.select(col("k"), col("t").as("rt"),
+            col("cum").as("rc"))
+          graft.ext.AsofJoin.leftAsofBig(probes, ref, "k", "pt", "rt", "rc")
+            .agg(count(lit(1)),
+              sum(col("cum") - coalesce(col("rc"), lit(0L)))).collect()
+        }
+      },
       "batch_hot_band" -> { n =>
         time {
           // the uniform-length corpus: EVERY row in one band (plus a

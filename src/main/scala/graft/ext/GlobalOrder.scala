@@ -336,6 +336,87 @@ object GlobalOrder {
         (col("__s").cast("double") / col("__k")).as("median"))
   }
 
+  /** Per-key inclusive running total, hot-key-safe: append `out` = the
+    * sum of `valueCol` over the SAME key's rows at or before each row in
+    * (key, ts, tieCols) order — the
+    * `sum(v).over(Window.partitionBy(key).orderBy(ts))` semantics
+    * without the hot-key single-task sort. Third member of the
+    * boundary-stitch family ([[withSessionId]], [[withFillForward]]):
+    * job 1 reports each partition's first/last key and the last key's
+    * within-partition value total, the driver threads the carry (a carry
+    * extends only while a single-key partition continues its own key),
+    * job 2 re-scans and accumulates. Combined with
+    * [[graft.ext.AsofJoin.leftAsofBig]] this gives rolling-window
+    * aggregates (rolling = T(t) − T(t−W) via an as-of probe) at any key
+    * skew. `keyCol`/`tsCol` non-null LongType; `valueCol` LongType,
+    * nulls count as 0 (SQL SUM).
+    */
+  def withRunningTotalPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                             valueCol: String, tieCols: Seq[Column],
+                             out: String = "running_total",
+                             partitions: Int = 0): DataFrame = {
+    val ki = df.schema.fieldIndex(keyCol)
+    val ti = df.schema.fieldIndex(tsCol)
+    val vi = df.schema.fieldIndex(valueCol)
+    for ((c, i) <- Seq(keyCol -> ki, tsCol -> ti, valueCol -> vi))
+      require(df.schema(i).dataType == LongType,
+        s"withRunningTotalPerKey needs LongType columns; " +
+          s"$c is ${df.schema(i).dataType}")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+    else spark.sessionState.conf.numShufflePartitions
+    val sortCols = col(keyCol) +: col(tsCol) +: tieCols
+    val sorted = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rdd0 = sorted.queryExecution.toRdd
+    // job 1: per partition — first/last key and the value total of the
+    // LAST key's rows within this partition
+    val stats = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var seen = false
+      var fk = 0L; var lk = 0L; var tot = 0L
+      it.foreach { r =>
+        val k = r.getLong(ki)
+        if (!seen) { fk = k; seen = true }
+        else if (k != lk) tot = 0L
+        lk = k
+        if (!r.isNullAt(vi)) tot += r.getLong(vi)
+      }
+      Iterator((i, seen, fk, lk, tot))
+    }.collect().sortBy(_._1)
+    // driver: thread the carry (key, total-so-far) across partitions
+    val carryKey = Array.ofDim[Long](stats.length)
+    val carryTot = Array.ofDim[Long](stats.length)
+    val carrySet = Array.ofDim[Boolean](stats.length)
+    var ck = 0L; var ct = 0L; var cs = false
+    for (((_, seen, fk, lk, tot), i) <- stats.zipWithIndex) {
+      carryKey(i) = ck; carryTot(i) = ct; carrySet(i) = cs
+      if (seen) {
+        val carryIn = if (cs && ck == fk) ct else 0L
+        if (lk == fk) { ck = lk; ct = carryIn + tot; cs = true }
+        else { ck = lk; ct = tot; cs = true }
+      }
+    }
+    // job 2: per-partition accumulation seeded with the carry
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var curKey = carryKey(i)
+      var acc = if (carrySet(i)) carryTot(i) else 0L
+      var curSet = carrySet(i)
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(schema)
+      it.map { row =>
+        val k = row.getLong(ki)
+        if (!curSet || k != curKey) { curKey = k; acc = 0L; curSet = true }
+        if (!row.isNullAt(vi)) acc += row.getLong(vi)
+        extra.update(0, acc)
+        proj(joined(row, extra)): InternalRow
+      }
+    }
+    GraftShim.internalCreateDataFrame(spark, rdd, schema)
+  }
+
   /** Exact PER-GROUP median of a LongType column, hot-group-safe.
     *
     * The direct routes both break under skew: `percentile(v, 0.5)` per

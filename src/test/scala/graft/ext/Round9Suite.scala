@@ -125,6 +125,28 @@ class Round9Suite extends SparkSpec {
     }
   }
 
+  describe("GlobalOrder.withRunningTotalPerKey") {
+    it("matches the per-key window running sum under skew") {
+      val rows = spark.range(400).select(
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(col("id") % 7L).as("k"),
+        col("id").as("t"),
+        when(col("id") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 97L).as("v"))
+      val got = GlobalOrder
+        .withRunningTotalPerKey(rows, "k", "t", "v", Seq.empty,
+          partitions = 6)
+        .select("t", "running_total")
+        .as[(Long, Long)].collect().toMap
+      val w = Window.partitionBy("k").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = rows
+        .withColumn("rt", coalesce(sum("v").over(w), lit(0L)))
+        .select("t", "rt").as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
+  }
+
   describe("AsofJoin.leftAsofBig") {
     it("matches the window-based leftAsof, inclusive ties and misses") {
       val left = spark.range(200).select(
