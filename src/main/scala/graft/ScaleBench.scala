@@ -637,6 +637,45 @@ object ScaleBench {
               sum(col("cum") - coalesce(col("rc"), lit(0L)))).collect()
         }
       },
+      "rolling_distinct_hot" -> { n =>
+        time {
+          // the q154 decomposition under maximal skew: ONE sweep key
+          // (event types are always few) and HALF the events on ONE
+          // user — the per-(key, user) day arrays stay CALENDAR-bounded
+          // (3650-day domain) no matter the event volume, the ±1 delta
+          // sweep rides the boundary-stitch running total on the single
+          // hot key, and the probe leg is the hot-key-safe as-of join.
+          val W = 6L
+          val ed = spark.range(n).select(
+            lit(0L).as("k"),
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % (n / 1000)).as("u"),
+            (col("id") % 3650L).as("day"))
+            .distinct()
+          val runs = ed.groupBy("k", "u")
+            .agg(sort_array(collect_set(col("day"))).as("ds"))
+          val starts = runs.select(col("k"),
+            explode(filter(col("ds"), (d, i) =>
+              i === 0 || d > get(col("ds"), i - 1) + W)).as("day"),
+            lit(1L).as("delta"))
+          val ends = runs.select(col("k"),
+            explode(transform(filter(col("ds"), (d, i) =>
+                i === size(col("ds")) - 1 ||
+                  get(col("ds"), i + 1) > d + W),
+              d => d + W + 1)).as("day"),
+            lit(-1L).as("delta"))
+          val deltas = starts.union(ends)
+            .groupBy("k", "day").agg(sum("delta").as("delta"))
+          val cover = graft.ext.GlobalOrder.withRunningTotalPerKey(
+            deltas, "k", "day", "delta", Seq.empty, "cover")
+          val probes = ed.select("k", "day").distinct()
+          graft.ext.AsofJoin.leftAsofBig(probes,
+              cover.select(col("k"), col("day").as("rd"), col("cover")),
+              "k", "day", "rd", "cover")
+            .agg(count(lit(1)), sum(coalesce(col("cover"), lit(0L))))
+            .collect()
+        }
+      },
       "batch_hot_band" -> { n =>
         time {
           // the uniform-length corpus: EVERY row in one band (plus a

@@ -181,6 +181,66 @@ object Round9Queries {
           (col("cum_cents") - coalesce(col("cum_ref"), lit(0L)))
             .as("rolling7_cents"))
         .orderBy("user_id", "day")
+    }),
+
+    // Rolling 7-day DISTINCT active users (WAU) per event type. A
+    // rolling distinct looks like it needs the full window's id set as
+    // state, but decomposes into bounded-state passes: a user counts at
+    // day t iff some event day d ∈ [t−6, t], i.e. iff the union of that
+    // user's coverage intervals [d, d+6] contains t. (1) merge each
+    // (type, user)'s event days into disjoint intervals — an array fold
+    // whose state is bounded by the CALENDAR (distinct days), never by
+    // event volume; (2) explode intervals to ±1 boundary deltas and
+    // sweep them with the per-key running total (the key is the event
+    // type — few and therefore always hot, exactly what the
+    // boundary-stitch scan tolerates); (3) read the coverage count at
+    // each observed (type, day) with the hot-key-safe as-of join.
+    // No per-key window, no distinct-set state. Join-based oracle.
+    "q154_rolling_wau" -> ((s, dir) => {
+      val W = 6L
+      val ed = events(s, dir).select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      // dense long ids for the sweep key: event types are tiny by
+      // contract (an enum), so the distinct set collects to the driver
+      // (the sanctioned tiny-aggregate materialization — no global
+      // window, deterministic via the sort).
+      val types = ed.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      val dim = broadcast(s.createDataFrame(
+        types.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toSeq)
+        .toDF("event_type", "etype_id"))
+      val edi = ed.join(dim, "event_type")
+        .select(col("etype_id"), col("user_id"), col("day"))
+      val runs = edi.groupBy("etype_id", "user_id")
+        .agg(sort_array(collect_set(col("day"))).as("ds"))
+      // run starts: first day, or a day more than W after its
+      // predecessor; run ends: last day (+W = interval end). Kept
+      // intervals never overlap within a user, so coverage counts each
+      // user at most once per day.
+      val starts = runs.select(col("etype_id"),
+        explode(filter(col("ds"),
+          (d, i) => i === 0 || d > get(col("ds"), i - 1) + W)).as("day"),
+        lit(1L).as("delta"))
+      val ends = runs.select(col("etype_id"),
+        explode(transform(filter(col("ds"),
+            (d, i) => i === size(col("ds")) - 1 ||
+              get(col("ds"), i + 1) > d + W),
+          d => d + W + 1)).as("day"),
+        lit(-1L).as("delta"))
+      val deltas = starts.union(ends)
+        .groupBy("etype_id", "day").agg(sum("delta").as("delta"))
+      val cover = GlobalOrder.withRunningTotalPerKey(deltas, "etype_id",
+        "day", "delta", Seq.empty, out = "cover")
+      val probes = edi.select("etype_id", "day").distinct()
+      graft.ext.AsofJoin.leftAsofBig(probes,
+          cover.select(col("etype_id"), col("day").as("ref_day"),
+            col("cover")),
+          "etype_id", "day", "ref_day", "cover")
+        .join(dim, "etype_id")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cover"), lit(0L)).as("wau7"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -298,6 +358,18 @@ object Round9Queries {
                 CAST(sum(daily_cents) OVER (PARTITION BY user_id
                   ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS rolling7_cents
-         FROM daily ORDER BY user_id, day"""
+         FROM daily ORDER BY user_id, day""",
+
+    "q154_rolling_wau" ->
+      """WITH ed AS (
+           SELECT DISTINCT event_type, user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         d AS (SELECT DISTINCT event_type, day FROM ed)
+         SELECT d.event_type, d.day,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau7
+         FROM d JOIN ed e ON e.event_type = d.event_type
+           AND e.day BETWEEN d.day - 6 AND d.day
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -147,6 +147,50 @@ class Round9Suite extends SparkSpec {
     }
   }
 
+  describe("rolling distinct via interval sweep (q154 decomposition)") {
+    it("matches the brute-force windowed distinct count under skew") {
+      val W = 6L
+      // 600 (type, user, day) events: half on one hot (type, user)
+      val ed = spark.range(600).select(
+        (col("id") % 3L).as("etype_id"),
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(col("id") % 11L).as("user_id"),
+        (pmod(hash(col("id")), lit(40)).cast("long")).as("day"))
+        .distinct()
+      val runs = ed.groupBy("etype_id", "user_id")
+        .agg(sort_array(collect_set(col("day"))).as("ds"))
+      val starts = runs.select(col("etype_id"),
+        explode(filter(col("ds"),
+          (d, i) => i === 0 || d > get(col("ds"), i - 1) + W)).as("day"),
+        lit(1L).as("delta"))
+      val ends = runs.select(col("etype_id"),
+        explode(transform(filter(col("ds"),
+            (d, i) => i === size(col("ds")) - 1 ||
+              get(col("ds"), i + 1) > d + W),
+          d => d + W + 1)).as("day"),
+        lit(-1L).as("delta"))
+      val deltas = starts.union(ends)
+        .groupBy("etype_id", "day").agg(sum("delta").as("delta"))
+      val cover = GlobalOrder.withRunningTotalPerKey(deltas, "etype_id",
+        "day", "delta", Seq.empty, out = "cover", partitions = 5)
+      val probes = ed.select("etype_id", "day").distinct()
+      val got = AsofJoin.leftAsofBig(probes,
+          cover.select(col("etype_id"), col("day").as("ref_day"),
+            col("cover")),
+          "etype_id", "day", "ref_day", "cover")
+        .select(col("etype_id"), col("day"),
+          coalesce(col("cover"), lit(0L)).as("wau"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = probes.as("d")
+        .join(ed.as("e"), col("e.etype_id") === col("d.etype_id") &&
+          col("e.day").between(col("d.day") - W, col("d.day")))
+        .groupBy(col("d.etype_id"), col("d.day"))
+        .agg(countDistinct(col("e.user_id")).as("wau"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want)
+    }
+  }
+
   describe("AsofJoin.leftAsofBig") {
     it("matches the window-based leftAsof, inclusive ties and misses") {
       val left = spark.range(200).select(
