@@ -247,7 +247,16 @@ class Round9Suite extends SparkSpec {
           Seq(col("event_id"))),
         GlobalOrder.groupMedianOfLong(
           ev.select(col("user_id"), col("tsu"), col("event_id")),
-          "user_id", "tsu", Seq(col("event_id"))))
+          "user_id", "tsu", Seq(col("event_id"))),
+        GlobalOrder.withRunningTotalPerKey(
+          ev.select(col("user_id"), col("tsu"),
+            coalesce(col("v"), lit(0L)).as("v")),
+          "user_id", "tsu", "v", Seq.empty),
+        AsofJoin.leftAsofBig(
+          ev.select(col("user_id"), col("tsu")),
+          ev.select(col("user_id"), col("tsu").as("rt"),
+            col("event_id").as("rv")),
+          "user_id", "tsu", "rt", "rv"))
         .map(_.queryExecution.executedPlan.toString)
       plans.foreach(p => assert(!p.contains("Window"),
         s"expected a window-free plan, got:\n$p"))
