@@ -637,6 +637,26 @@ object ScaleBench {
               sum(col("cum") - coalesce(col("rc"), lit(0L)))).collect()
         }
       },
+      "lag_hot_key" -> { n =>
+        time {
+          // the q155 window-nav shape under maximal skew: HALF of n
+          // events on ONE user; per-key lag via the boundary-stitch
+          // scan — the window formulation sorts the hot user's n/2
+          // rows in one task.
+          val ev = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("user_id"),
+            (pmod(hash(col("id")), lit(1000000)).cast("long") * 7L)
+              .as("tsu"),
+            col("id").as("event_id"))
+          graft.ext.GlobalOrder
+            .withLagPerKey(ev, "user_id", "tsu", "tsu",
+              Seq(col("event_id")), out = "prev")
+            .agg(count(lit(1)),
+              sum(col("tsu") - coalesce(col("prev"), col("tsu"))))
+            .collect()
+        }
+      },
       "rolling_distinct_hot" -> { n =>
         time {
           // the q154 decomposition under maximal skew: ONE sweep key

@@ -417,6 +417,88 @@ object GlobalOrder {
     GraftShim.internalCreateDataFrame(spark, rdd, schema)
   }
 
+  /** Per-key LAG(1), hot-key-safe: append `out` = the IMMEDIATELY
+    * previous row's `valueCol` within the same key in (key, ts, tieCols)
+    * order, null for each key's first row — the
+    * `lag(value, 1).over(Window.partitionBy(key).orderBy(ts))` window-nav
+    * semantics without the hot-key single-task sort. Fourth member of
+    * the boundary-stitch family ([[withSessionId]], [[withFillForward]],
+    * [[withRunningTotalPerKey]]) and the simplest carry of all: job 1
+    * reports each partition's final row (key, value, null-ness), the
+    * driver threads it forward (a carry survives empty partitions and is
+    * consulted only while the next partition continues the same key),
+    * job 2 re-scans holding one previous row. Unlike fill-forward the
+    * carried value may itself be null — lag of a null is null, not the
+    * previous non-null. `keyCol`/`tsCol` non-null LongType; `valueCol`
+    * nullable LongType; (key, ts, tieCols) must be a total order.
+    */
+  def withLagPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, tieCols: Seq[Column],
+                    out: String = "lagged",
+                    partitions: Int = 0): DataFrame = {
+    val ki = df.schema.fieldIndex(keyCol)
+    val ti = df.schema.fieldIndex(tsCol)
+    val vi = df.schema.fieldIndex(valueCol)
+    for ((c, i) <- Seq(keyCol -> ki, tsCol -> ti, valueCol -> vi))
+      require(df.schema(i).dataType == LongType,
+        s"withLagPerKey needs LongType columns; " +
+          s"$c is ${df.schema(i).dataType}")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+    else spark.sessionState.conf.numShufflePartitions
+    val sortCols = col(keyCol) +: col(tsCol) +: tieCols
+    val sorted = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = true))
+    val rdd0 = sorted.queryExecution.toRdd
+    // job 1: per partition — the FINAL row's (key, value, value-null)
+    val stats = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var seen = false
+      var lk = 0L; var lv = 0L; var lvNull = true
+      it.foreach { r =>
+        seen = true
+        lk = r.getLong(ki)
+        lvNull = r.isNullAt(vi)
+        lv = if (lvNull) 0L else r.getLong(vi)
+      }
+      Iterator((i, seen, lk, lv, lvNull))
+    }.collect().sortBy(_._1)
+    // driver: the carry into partition i is the final row of the nearest
+    // non-empty partition before it
+    val carryKey = Array.ofDim[Long](stats.length)
+    val carryVal = Array.ofDim[Long](stats.length)
+    val carryNull = Array.ofDim[Boolean](stats.length)
+    val carrySet = Array.ofDim[Boolean](stats.length)
+    var ck = 0L; var cv = 0L; var cn = true; var cs = false
+    for (((_, seen, lk, lv, lvNull), i) <- stats.zipWithIndex) {
+      carryKey(i) = ck; carryVal(i) = cv; carryNull(i) = cn
+      carrySet(i) = cs
+      if (seen) { ck = lk; cv = lv; cn = lvNull; cs = true }
+    }
+    // job 2: per-partition scan holding one previous row
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var havePrev = carrySet(i)
+      var pk = carryKey(i)
+      var pv = carryVal(i)
+      var pvNull = carryNull(i)
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(schema)
+      it.map { row =>
+        val k = row.getLong(ki)
+        if (havePrev && pk == k && !pvNull) extra.update(0, pv)
+        else extra.setNullAt(0)
+        havePrev = true
+        pk = k
+        pvNull = row.isNullAt(vi)
+        pv = if (pvNull) 0L else row.getLong(vi)
+        proj(joined(row, extra)): InternalRow
+      }
+    }
+    GraftShim.internalCreateDataFrame(spark, rdd, schema)
+  }
+
   /** Exact PER-GROUP median of a LongType column, hot-group-safe.
     *
     * The direct routes both break under skew: `percentile(v, 0.5)` per

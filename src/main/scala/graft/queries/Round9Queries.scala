@@ -241,6 +241,21 @@ object Round9Queries {
         .select(col("event_type"), col("day"),
           coalesce(col("cover"), lit(0L)).as("wau7"))
         .orderBy("event_type", "day")
+    }),
+
+    // Inter-event gap per user (time since the user's previous event) —
+    // the window-nav LAG that serializes a hot user's timeline into one
+    // task — via the boundary-stitch per-key lag. (ts, event_id) breaks
+    // exact-timestamp ties identically on both sides.
+    "q155_event_gaps" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      GlobalOrder.withLagPerKey(ev, "user_id", "ts_us",
+          "ts_us", Seq(col("event_id")), out = "prev_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          (col("ts_us") - col("prev_us")).as("gap_us"))
+        .orderBy("event_id")
     })
   )
 
@@ -370,6 +385,14 @@ object Round9Queries {
                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau7
          FROM d JOIN ed e ON e.event_type = d.event_type
            AND e.day BETWEEN d.day - 6 AND d.day
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q155_event_gaps" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events)
+         SELECT event_id, user_id, ts_us,
+                ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS gap_us
+         FROM e ORDER BY event_id"""
   )
 }

@@ -91,6 +91,21 @@ class GlobalOrderPropertySuite extends SparkSpec {
     }
   }
 
+  it("withLagPerKey matches the lag window on random tied data") {
+    for (seed <- 17L to 20L; p <- Seq(1, 2, 3, 7)) {
+      val df = rows(seed, 120).zipWithIndex
+        .map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+        .toDF("k", "t", "v", "id")
+      val got = GlobalOrder
+        .withLagPerKey(df, "k", "t", "v", Seq(col("id")), partitions = p)
+        .select("id", "lagged").as[(Long, Option[Long])].collect().toMap
+      val w = Window.partitionBy("k").orderBy("t", "id")
+      val want = df.withColumn("lg", lag("v", 1).over(w))
+        .select("id", "lg").as[(Long, Option[Long])].collect().toMap
+      assert(got == want, s"seed=$seed partitions=$p")
+    }
+  }
+
   it("leftAsofBig matches leftAsof on random probe/ref tables") {
     for (seed <- 13L to 16L) {
       val lg = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 20L))

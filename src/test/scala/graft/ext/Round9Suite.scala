@@ -252,6 +252,8 @@ class Round9Suite extends SparkSpec {
           ev.select(col("user_id"), col("tsu"),
             coalesce(col("v"), lit(0L)).as("v")),
           "user_id", "tsu", "v", Seq.empty),
+        GlobalOrder.withLagPerKey(ev, "user_id", "tsu", "v",
+          Seq(col("event_id"))),
         AsofJoin.leftAsofBig(
           ev.select(col("user_id"), col("tsu")),
           ev.select(col("user_id"), col("tsu").as("rt"),
