@@ -90,6 +90,69 @@ object Graph {
     ranks
   }
 
+  /** Fixed-iteration integer PERSONALIZED PageRank: teleport mass flows
+    * only to `seeds` (a one-column DataFrame of node ids), so ranks
+    * measure proximity/influence relative to the seed set — the
+    * trusted-seed quality-propagation signal of corpus curation (score
+    * documents by random-walk closeness to a vetted seed set, e.g. over
+    * a near-dup or citation graph). Identical loop shape, arithmetic,
+    * and scale discipline as [[pagerankInt]]: seeds start at [[Scale]]
+    * micro-units (non-seeds at 0) and receive the
+    * `Scale*(100-dampingPct)/100` teleport each iteration; the result
+    * is the |seeds|-scaled personalization vector (a relative signal —
+    * callers wanting the probability-normalized PPR divide by |seeds|).
+    * Exact 64-bit integer ops throughout: bit-identical under any
+    * partitioning and engine.
+    *
+    * RETENTION: as [[pagerankInt]] — the result is backed by the final
+    * iteration's `localCheckpoint`; call [[releaseRanks]] when done.
+    */
+  def personalizedPagerankInt(edges: DataFrame, seeds: DataFrame,
+                              iterations: Int,
+                              dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    val e = edges.persist()
+    val seedSet = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().withColumn("__seed", lit(true))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__seed"), lit(false)).as("is_seed"))
+      .persist()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist()
+    val base = lit(Scale * (100 - dampingPct) / 100)
+    var ranks = nodes.select(col("node"), col("is_seed"),
+      when(col("is_seed"), lit(Scale)).otherwise(lit(0L)).as("rank"))
+    var checkpointed: Option[DataFrame] = None
+    try {
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(ranks.select(col("node").as("src"), col("rank")), "src")
+          .join(outdeg.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("rank div outdeg").as("c"))
+          .groupBy("node").agg(sum("c").as("csum"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"), col("is_seed"),
+            (when(col("is_seed"), base).otherwise(lit(0L)) +
+              expr(s"($dampingPct * coalesce(csum, 0L)) div 100"))
+              .as("rank"))
+          .localCheckpoint()
+        checkpointed.foreach(Checkpoints.release)
+        checkpointed = Some(ranks)
+      }
+    } finally {
+      e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    }
+    ranks.drop("is_seed")
+  }
+
   /** Bounded-round k-core peeling: iteratively remove nodes of degree
     * < k (and their edges) for a FIXED number of rounds, returning the
     * surviving (node, degree-in-subgraph) set — the standard graph-

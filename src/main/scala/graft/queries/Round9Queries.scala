@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Readers
-import graft.ext.{Dedup, DedupGroups, GlobalOrder, RangeJoin, Sampling, Stats}
+import graft.ext.{Dedup, DedupGroups, GlobalOrder, Graph, RangeJoin, Sampling, Stats}
 
 /** Round-9 batch: hot-key-safe formulations of per-key timeline
   * operators. Floats in compared columns follow the q110 discipline
@@ -256,6 +256,25 @@ object Round9Queries {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           (col("ts_us") - col("prev_us")).as("gap_us"))
         .orderBy("event_id")
+    }),
+
+    // Personalized PageRank over the q123 trade graph, seeded at every
+    // 20th customer — the trusted-seed quality-propagation signal
+    // (random-walk proximity to a vetted set). Same integer micro-unit
+    // arithmetic as q123; the oracle unrolls the seeded recursion.
+    "q156_seeded_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("sup"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
+        .unionAll(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      val seeds = o.filter(col("o_custkey") % 20 === 0)
+        .select(concat(lit("c:"), col("o_custkey")).as("node"))
+      Graph.personalizedPagerankInt(edges, seeds, iterations = 3)
+        .orderBy("node")
     })
   )
 
@@ -393,6 +412,41 @@ object Round9Queries {
          SELECT event_id, user_id, ts_us,
                 ts_us - lag(ts_us) OVER (PARTITION BY user_id
                   ORDER BY ts_us, event_id) AS gap_us
-         FROM e ORDER BY event_id"""
+         FROM e ORDER BY event_id""",
+
+    "q156_seeded_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.dst AS node,
+                      sum(($prev.rank // od.outdeg)) AS csum
+               FROM e JOIN $prev ON e.src = $prev.node
+                      JOIN od ON od.node = e.src
+               GROUP BY 1),
+           $cur AS (SELECT n.node,
+                      CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+                        + (85 * coalesce(c$cur.csum, 0)) // 100
+                        AS BIGINT) AS rank
+               FROM n2 n LEFT JOIN c$cur ON n.node = c$cur.node)"""
+      s"""WITH b AS (SELECT DISTINCT 'c:' || o_custkey AS c,
+                            's:' || l_suppkey AS sup
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, sup AS dst FROM b
+                UNION ALL
+                SELECT sup AS src, c AS dst FROM b),
+          nodes AS (SELECT DISTINCT src AS node FROM e
+                    UNION SELECT DISTINCT dst FROM e),
+          od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+          sd AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
+                 WHERE o_custkey % 20 = 0),
+          n2 AS (SELECT n.node, sd.node IS NOT NULL AS is_seed
+                 FROM nodes n LEFT JOIN sd ON n.node = sd.node),
+          r0 AS (SELECT node,
+                   CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END
+                     AS BIGINT) AS rank
+                 FROM n2),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")}
+          SELECT node, rank FROM r3 ORDER BY node"""
+    }
   )
 }

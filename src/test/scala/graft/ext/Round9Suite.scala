@@ -284,4 +284,58 @@ class Round9Suite extends SparkSpec {
       assert(got.distinct == got)
     }
   }
+
+  describe("Graph.personalizedPagerankInt") {
+    it("matches hand-computed seeded ranks on a 3-node graph") {
+      // a→b, b→a, b→c; seeds={a}. outdeg(a)=1, outdeg(b)=2, c dangling
+      val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"))
+        .toDF("src", "dst")
+      val seeds = Seq("a").toDF("node")
+      val got = Graph.personalizedPagerankInt(edges, seeds, iterations = 2)
+        .as[(String, Long)].collect().toMap
+      // r0: a=1000000, b=c=0
+      // r1: a=150000 (seed base, no inbound), b=850000, c=0
+      // r2: a=150000+85*(850000 div 2) div 100=511250,
+      //     b=85*150000 div 100=127500, c=85*425000 div 100=361250
+      assert(got == Map("a" -> 511250L, "b" -> 127500L, "c" -> 361250L))
+      Graph.releaseRanks(
+        Graph.personalizedPagerankInt(edges, seeds, iterations = 1))
+    }
+
+    it("gives zero rank to nodes unreachable from the seed set") {
+      // two components; seeding only the first must leave the second
+      // at exactly 0 in every iteration (no global teleport mass)
+      val edges = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+        .toDF("src", "dst")
+      val ranks = Graph.personalizedPagerankInt(
+        edges, Seq("a").toDF("n"), iterations = 4)
+      val byNode = ranks.as[(String, Long)].collect().toMap
+      assert(byNode("x") == 0L && byNode("y") == 0L)
+      assert(byNode("a") > 0L && byNode("b") > 0L)
+      Graph.releaseRanks(ranks)
+    }
+
+    it("rotates checkpoints; releaseRanks frees the final one") {
+      val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val ranks = Graph.personalizedPagerankInt(
+        edges, Seq("a").toDF("n"), iterations = 3)
+      ranks.collect()
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(pinned.size == 1,
+        s"exactly the final rank checkpoint should be pinned, got $pinned")
+      Graph.releaseRanks(ranks)
+      assert((spark.sparkContext.getPersistentRDDs.keySet & pinned).isEmpty)
+    }
+
+    it("total mass never exceeds |seeds| times the starting mass") {
+      val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+        .toDF("src", "dst")
+      val ranks = Graph.personalizedPagerankInt(
+        edges, Seq("a", "b").toDF("n"), iterations = 4)
+      val total = ranks.agg(sum("rank")).as[Long].collect().head
+      assert(total <= 2L * Graph.Scale && total > Graph.Scale)
+      Graph.releaseRanks(ranks)
+    }
+  }
 }
