@@ -494,6 +494,30 @@ object ScaleBench {
             .agg(count(lit(1))).collect()
         }
       },
+      "segment_dedup_hot" -> { n =>
+        time {
+          // the universal-boilerplate adversary for corpus-level segment
+          // dedup: n/20 docs of 4 two-token segments, HALF carrying one
+          // corpus-universal footer segment. A plain anti-join on the
+          // segment hash sends every hot-segment row to ONE task
+          // (n/40 rows serialized); saltedLeftAnti spreads them over f
+          // tasks, so a linear per_row_ratio certifies the filter
+          // parallelizes under maximal segment skew. Reassembly state
+          // stays bounded at 4 segments/doc.
+          val m = n / 20
+          val docs = spark.range(m).select(col("id").as("doc_id"),
+            concat(lit("a"), col("id").cast("string"),
+              lit(" b"), col("id").cast("string"),
+              when(col("id") % 2 === 0, lit(" foot er same old"))
+                .otherwise(concat(lit(" c"), col("id").cast("string"),
+                  lit(" d"), col("id").cast("string"),
+                  lit(" e"), col("id").cast("string"),
+                  lit(" f"), col("id").cast("string")))).as("text"))
+          graft.ext.TextAnalysis
+            .dedupSegments(docs, segTokens = 2, minDocs = 2)
+            .agg(count(lit(1)), sum("segs_removed")).collect()
+        }
+      },
       "changelog_hot_key" -> { n =>
         time {
           // the retry-storm CDC adversary: n changelog rows, HALF of them

@@ -48,4 +48,29 @@ object Skew {
       explode(sequence(lit(0), lit(f - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** LEFT ANTI join of `large` (skewed on `key`) against a one-or-more
+    * column key set, keeping only rows whose `key` is ABSENT from
+    * `keys`. A plain shuffle anti-join sends every probe row with the
+    * same key value to one task — a corpus-universal key (the exact
+    * shape membership filters meet: one boilerplate hash carried by
+    * half the rows) serializes the whole filter. Here the probe side
+    * gets a deterministic whole-row salt and `keys` is replicated once
+    * per salt value, so the anti-join runs on (key, salt): a row
+    * survives iff its key matches NO replica — semantics identical to
+    * `large.join(keys, key, "left_anti")` — while any single key's
+    * probe rows spread over `f` tasks. Cost: f× the key set, the
+    * explicit trade; when most probe rows miss, a bloom prefilter
+    * (the q139 `Decontaminate` pattern) composes in front to shrink
+    * the joined fraction further.
+    */
+  def saltedLeftAnti(large: DataFrame, keys: DataFrame, key: String,
+                     f: Int): DataFrame = {
+    require(f > 0, s"salt fan-out must be positive, got $f")
+    val saltCols = large.columns.map(col).toSeq
+    val l = large.withColumn("__salt", salt(f, saltCols: _*))
+    val r = keys.select(col(key))
+      .withColumn("__salt", explode(sequence(lit(0), lit(f - 1))))
+    l.join(r, Seq(key, "__salt"), "left_anti").drop("__salt")
+  }
 }

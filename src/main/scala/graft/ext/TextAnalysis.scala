@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Skew
 import graft.functions.Portable.wsTokens
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -57,6 +58,63 @@ object TextAnalysis {
         md5(concat_ws(" ",
           slice(col("__toks"), col("__start"), lit(window))))
           .as("chunk_md5"))
+  }
+
+  /** Corpus-level segment dedup — the C4/RefinedWeb "remove any line
+    * that repeats across the corpus" boilerplate rule, re-expressed for
+    * delimiter-free text: cut each document into fixed `segTokens`-token
+    * segments (the deterministic stand-in for lines), drop every segment
+    * whose content occurs in >= `minDocs` DISTINCT documents (shared
+    * headers/footers/license blocks), and reassemble the survivors in
+    * document order. Returns (doc_id, clean_text, segs_kept,
+    * segs_removed) — one row per input document, fully-boilerplate
+    * documents included with an empty clean_text.
+    *
+    * Scale shape: segmentation is a pure projection (no shuffle);
+    * document frequency is pair-distinct + a combinable count (never
+    * `countDistinct` grouped by a hotable hash — the q127 rule); the
+    * repeated-segment filter is [[Skew.saltedLeftAnti]], because the
+    * exact adversarial input this operator exists for — ONE boilerplate
+    * segment carried by half the corpus — would serialize a plain
+    * anti-join's hot hash into a single task. Reassembly state is
+    * bounded by single-document length (`collect_list` per doc_id),
+    * never by corpus size.
+    */
+  def dedupSegments(docs: DataFrame, segTokens: Int, minDocs: Long,
+                    saltF: Int = 32): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        (expr(s"(size(__toks) - 1) div $segTokens") + 1)
+          .cast("long").as("n_segs"))
+    val segs = base.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(n_segs as int) - 1),
+              i -> array_join(slice(__toks, i * $segTokens + 1,
+                                    $segTokens), ' '))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_id"),
+        col("col").as("seg"), md5(col("col")).as("h"))
+    val hot = segs.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("h")
+    val kept = Skew.saltedLeftAnti(segs, hot, "h", saltF)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("segs_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+          x => x.getField("seg")),
+        " ").as("clean_text"))
+    base.select(col("doc_id"), col("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("segs_kept"), lit(0L)).as("segs_kept"),
+        (col("n_segs") - coalesce(col("segs_kept"), lit(0L)))
+          .as("segs_removed"))
   }
 
   /** Token counts: whitespace tokens and BPE-ish word/symbol pieces. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Readers
-import graft.ext.{Dedup, DedupGroups, GlobalOrder, Graph, RangeJoin, Sampling, Stats}
+import graft.ext.{Dedup, DedupGroups, GlobalOrder, Graph, RangeJoin, Sampling, Stats, TextAnalysis}
 
 /** Round-9 batch: hot-key-safe formulations of per-key timeline
   * operators. Floats in compared columns follow the q110 discipline
@@ -275,7 +275,14 @@ object Round9Queries {
         .select(concat(lit("c:"), col("o_custkey")).as("node"))
       Graph.personalizedPagerankInt(edges, seeds, iterations = 3)
         .orderBy("node")
-    })
+    }),
+
+    // C4-style corpus-level boilerplate removal: drop every 3-token
+    // segment shared by >= 2 documents, reassemble the survivors.
+    "q157_segment_dedup" -> ((s, dir) =>
+      TextAnalysis.dedupSegments(t(s, dir, "documents"),
+          segTokens = 3, minDocs = 2)
+        .orderBy("doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -447,6 +454,34 @@ object Round9Queries {
           ${iter("r1", "r2")},
           ${iter("r2", "r3")}
           SELECT node, rank FROM r3 ORDER BY node"""
-    }
+    },
+
+    "q157_segment_dedup" ->
+      raw"""WITH w AS (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS w
+                 FROM documents),
+          b AS (SELECT doc_id, w, (len(w) - 1) // 3 + 1 AS n_segs FROM w),
+          s AS (SELECT doc_id, i AS seg_id,
+                       array_to_string(w[i*3+1 : i*3+3], ' ') AS seg
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(0,
+                               CAST(n_segs - 1 AS BIGINT))) AS i
+                      FROM b)),
+          hot AS (SELECT h
+                  FROM (SELECT DISTINCT md5(seg) AS h, doc_id FROM s)
+                  GROUP BY h HAVING count(*) >= 2),
+          kept AS (SELECT s.doc_id, s.seg_id, s.seg
+                   FROM s LEFT JOIN hot ON md5(s.seg) = hot.h
+                   WHERE hot.h IS NULL),
+          r AS (SELECT doc_id, count(*) AS segs_kept,
+                       string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+                FROM kept GROUP BY doc_id)
+          SELECT b.doc_id,
+                 coalesce(r.clean_text, '') AS clean_text,
+                 CAST(coalesce(r.segs_kept, 0) AS BIGINT) AS segs_kept,
+                 CAST(b.n_segs - coalesce(r.segs_kept, 0) AS BIGINT)
+                   AS segs_removed
+          FROM b LEFT JOIN r ON b.doc_id = r.doc_id
+          ORDER BY b.doc_id"""
   )
 }

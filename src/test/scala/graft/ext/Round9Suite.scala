@@ -285,6 +285,63 @@ class Round9Suite extends SparkSpec {
     }
   }
 
+  describe("Skew.saltedLeftAnti") {
+    it("matches a plain left_anti under a corpus-universal key") {
+      import graft.engine.Skew
+      val large = spark.range(500).select(col("id"),
+        when(col("id") % 2 === 0, lit("hot")) // half the rows, one key
+          .otherwise(concat(lit("k"), col("id"))).as("k"))
+      val keys = Seq("hot", "k3", "k777", "absent").toDF("k")
+      val got = Skew.saltedLeftAnti(large, keys, "k", f = 7)
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = large.join(keys, Seq("k"), "left_anti")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == want && want.nonEmpty && want.size < 500)
+    }
+  }
+
+  describe("TextAnalysis.dedupSegments") {
+    it("removes cross-document segments and reassembles in order") {
+      // K=2 segments; "x y" is shared by docs 1 and 2 (boilerplate),
+      // doc 3 is ENTIRELY boilerplate, doc 4 repeats a segment only
+      // WITHIN itself (must survive: df counts distinct docs)
+      val docs = Seq(
+        (1L, "a b x y c d"),
+        (2L, "x y e f"),
+        (3L, "x y"),
+        (4L, "g h g h")
+      ).toDF("doc_id", "text")
+      val got = TextAnalysis.dedupSegments(docs, segTokens = 2,
+          minDocs = 2, saltF = 3)
+        .orderBy("doc_id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(got == Seq(
+        (1L, "a b c d", 2L, 1L),
+        (2L, "e f", 1L, 1L),
+        (3L, "", 0L, 1L),
+        (4L, "g h g h", 2L, 0L)))
+    }
+
+    it("keeps everything when no segment crosses the minDocs bar") {
+      val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+      val got = TextAnalysis.dedupSegments(docs, segTokens = 3,
+          minDocs = 2)
+        .orderBy("doc_id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(got == Seq((1L, "a b c", 1L, 0L), (2L, "d e f", 1L, 0L)))
+    }
+
+    it("plans no Window and no per-corpus countDistinct") {
+      val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      val plan = TextAnalysis.dedupSegments(docs, 2, 2)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"))
+      // df must be pair-distinct + count, never a distinct-aggregate
+      // keyed by the (hotable) segment hash
+      assert(!plan.toLowerCase.contains("count(distinct"))
+    }
+  }
+
   describe("Graph.personalizedPagerankInt") {
     it("matches hand-computed seeded ranks on a 3-node graph") {
       // a→b, b→a, b→c; seeds={a}. outdeg(a)=1, outdeg(b)=2, c dangling
