@@ -494,6 +494,30 @@ object ScaleBench {
             .agg(count(lit(1))).collect()
         }
       },
+      "label_prop_celebrity" -> { n =>
+        time {
+          // the celebrity adversary for label propagation: n/10 edges,
+          // HALF pointing at ONE node from distinct labeled seeds (the
+          // quality-hub every citation/near-dup graph has). The
+          // majority vote is per-(node,label) count + min(struct)
+          // argmax — both combinable, so the hot node's n/20 votes
+          // partial-aggregate map-side; a per-node window formulation
+          // would buffer them in one task. 2 rounds, linear
+          // per_row_ratio certifies the combinable path under skew.
+          val m = n / 10
+          val edges = spark.range(m).select(
+            concat(lit("s"), col("id").cast("string")).as("src"),
+            when(col("id") % 2 === 0, lit("hub"))
+              .otherwise(concat(lit("t"), (col("id") % 1000L)
+                .cast("string"))).as("dst"))
+          val seeds = spark.range(m).select(
+            concat(lit("s"), col("id").cast("string")).as("node"),
+            concat(lit("L"), (col("id") % 7L).cast("string")).as("label"))
+          val out = graft.ext.Graph.labelPropagation(edges, seeds, 2)
+          out.agg(count(lit(1))).collect()
+          graft.ext.Graph.releaseRanks(out)
+        }
+      },
       "segment_dedup_hot" -> { n =>
         time {
           // the universal-boilerplate adversary for corpus-level segment

@@ -153,6 +153,66 @@ object Graph {
     ranks.drop("is_seed")
   }
 
+  /** Fixed-round synchronous label propagation: spread labels from a
+    * seed set (node, label) along edges for `rounds` iterations — the
+    * semi-supervised curation move (a few thousand human-labeled
+    * documents labeling a whole near-dup/citation/co-trade graph by
+    * proximity). Each round, every non-seed node adopts the MAJORITY
+    * label among its in-neighbors' current labels (ties broken by the
+    * lexicographically smallest label — deterministic under any
+    * partitioning); seed nodes stay clamped; nodes with no labeled
+    * in-neighbor stay null. Updates are synchronous (round i+1 reads
+    * only round i), so the result is engine-independent.
+    *
+    * Scale shape: one equi-join + two COMBINABLE aggregates per round
+    * (per-(node,label) count, then a `min(struct(-cnt, label))` argmax
+    * — never a per-node window), so a celebrity node with 10^8 labeled
+    * in-neighbors partial-aggregates map-side. Label tables are O(V),
+    * rotated through `localCheckpoint` and released via
+    * [[Checkpoints.release]] each round.
+    *
+    * RETENTION: the returned frame is backed by the final round's
+    * checkpoint — call [[releaseRanks]] once consumed.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.persist()
+    val sd = seeds
+      .select(col(seeds.columns.head).as("node"),
+        col(seeds.columns(1)).as("__seed_label"))
+      .groupBy("node").agg(min("__seed_label").as("__seed_label"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(sd, Seq("node"), "left")
+      .persist()
+    var cur = nodes.select(col("node"), col("__seed_label").as("label"))
+    var checkpointed: Option[DataFrame] = None
+    try {
+      for (_ <- 1 to rounds) {
+        val votes = e
+          .join(cur.filter(col("label").isNotNull)
+            .select(col("node").as("src"), col("label")), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("node")
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+            .as("w"))
+          .select(col("node"), col("w.l").as("__vote"))
+        cur = nodes.join(votes, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__seed_label"), col("__vote")).as("label"))
+          .localCheckpoint()
+        checkpointed.foreach(Checkpoints.release)
+        checkpointed = Some(cur)
+      }
+    } finally {
+      e.unpersist(); nodes.unpersist()
+    }
+    cur
+  }
+
   /** Bounded-round k-core peeling: iteratively remove nodes of degree
     * < k (and their edges) for a FIXED number of rounds, returning the
     * surviving (node, degree-in-subgraph) set — the standard graph-

@@ -282,7 +282,26 @@ object Round9Queries {
     "q157_segment_dedup" -> ((s, dir) =>
       TextAnalysis.dedupSegments(t(s, dir, "documents"),
           segTokens = 3, minDocs = 2)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Semi-supervised label propagation over the co-trade graph: every
+    // 10th customer is "human-labeled" with its market segment; two
+    // synchronous majority-vote rounds label suppliers, then the rest.
+    "q158_label_propagation" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("sup"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
+        .unionAll(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(concat(lit("c:"), col("c_custkey")).as("node"),
+          col("c_mktsegment").as("label"))
+      Graph.labelPropagation(edges, seeds, rounds = 2).orderBy("node")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -482,6 +501,36 @@ object Round9Queries {
                  CAST(b.n_segs - coalesce(r.segs_kept, 0) AS BIGINT)
                    AS segs_removed
           FROM b LEFT JOIN r ON b.doc_id = r.doc_id
-          ORDER BY b.doc_id"""
+          ORDER BY b.doc_id""",
+
+    "q158_label_propagation" -> {
+      def round(prev: String, cur: String): String =
+        s"""v$cur AS (SELECT e.dst AS node, $prev.label AS label,
+                      count(*) AS cnt
+               FROM e JOIN $prev ON e.src = $prev.node
+               WHERE $prev.label IS NOT NULL GROUP BY 1, 2),
+           w$cur AS (SELECT node,
+                      (min(struct_pack(a := -cnt, b := label))).b AS vote
+               FROM v$cur GROUP BY 1),
+           $cur AS (SELECT n2.node, coalesce(n2.slabel, w$cur.vote) AS label
+               FROM n2 LEFT JOIN w$cur ON n2.node = w$cur.node)"""
+      s"""WITH b AS (SELECT DISTINCT 'c:' || o_custkey AS c,
+                            's:' || l_suppkey AS sup
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, sup AS dst FROM b
+                UNION ALL
+                SELECT sup AS src, c AS dst FROM b),
+          nodes AS (SELECT DISTINCT src AS node FROM e
+                    UNION SELECT DISTINCT dst FROM e),
+          sd AS (SELECT 'c:' || c_custkey AS node,
+                        min(c_mktsegment) AS slabel
+                 FROM customer WHERE c_custkey % 10 = 0 GROUP BY 1),
+          n2 AS (SELECT n.node, sd.slabel
+                 FROM nodes n LEFT JOIN sd ON n.node = sd.node),
+          r0 AS (SELECT node, slabel AS label FROM n2),
+          ${round("r0", "r1")},
+          ${round("r1", "r2")}
+          SELECT node, label FROM r2 ORDER BY node"""
+    }
   )
 }

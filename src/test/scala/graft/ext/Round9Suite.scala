@@ -342,6 +342,52 @@ class Round9Suite extends SparkSpec {
     }
   }
 
+  describe("Graph.labelPropagation") {
+    it("spreads labels synchronously with clamped seeds and lex ties") {
+      // a(X), b(Y) seeded; c hears both (tie -> lex-min X); d hears
+      // only c, so it stays null in round 1 (synchronous: round 1
+      // reads round 0) and adopts c's X in round 2; b->a must NOT
+      // relabel the clamped seed a
+      val edges = Seq(("a", "c"), ("b", "c"), ("c", "d"), ("b", "a"))
+        .toDF("src", "dst")
+      val seeds = Seq(("a", "X"), ("b", "Y")).toDF("node", "label")
+      val r1 = Graph.labelPropagation(edges, seeds, rounds = 1)
+        .as[(String, Option[String])].collect().toMap
+      assert(r1 == Map("a" -> Some("X"), "b" -> Some("Y"),
+        "c" -> Some("X"), "d" -> None))
+      val r2 = Graph.labelPropagation(edges, seeds, rounds = 2)
+        .as[(String, Option[String])].collect().toMap
+      assert(r2("d").contains("X") && r2("a").contains("X"))
+      Graph.releaseRanks(
+        Graph.labelPropagation(edges, seeds, rounds = 1))
+    }
+
+    it("majority count beats lexicographic order") {
+      // two Z voters vs one A voter: count wins, lex only breaks ties
+      val edges = Seq(("p", "m"), ("q", "m"), ("r", "m"))
+        .toDF("src", "dst")
+      val seeds = Seq(("p", "Z"), ("q", "Z"), ("r", "A"))
+        .toDF("node", "label")
+      val got = Graph.labelPropagation(edges, seeds, rounds = 1)
+        .as[(String, Option[String])].collect().toMap
+      assert(got("m").contains("Z"))
+    }
+
+    it("rotates checkpoints and plans no Window") {
+      val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+      val seeds = Seq(("a", "X")).toDF("node", "label")
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val out = Graph.labelPropagation(edges, seeds, rounds = 3)
+      assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+      out.collect()
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(pinned.size == 1,
+        s"exactly the final label checkpoint should be pinned, got $pinned")
+      Graph.releaseRanks(out)
+      assert((spark.sparkContext.getPersistentRDDs.keySet & pinned).isEmpty)
+    }
+  }
+
   describe("Graph.personalizedPagerankInt") {
     it("matches hand-computed seeded ranks on a 3-node graph") {
       // a→b, b→a, b→c; seeds={a}. outdeg(a)=1, outdeg(b)=2, c dangling
