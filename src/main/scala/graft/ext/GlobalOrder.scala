@@ -542,6 +542,39 @@ object GlobalOrder {
         (sum(col(valueCol)).cast("double") / count(lit(1))).as("median"))
   }
 
+  /** Exact PER-GROUP discrete quantile of a LongType column,
+    * hot-group-safe — [[groupMedianOfLong]]'s machinery generalized to
+    * any percentile (the p95/p99 latency- or length-distribution
+    * feature): global ranks over the (group, value, tie) total order, a
+    * combinable (lo, n) aggregate per group, then ONE equi-join on the
+    * picked global rank `lo + ((n-1)*pPct) div 100` — the 0-based
+    * lower-interpolation order statistic, exact in integers, no window,
+    * no per-group buffering. A group holding half the input costs the
+    * same as any other: its rows shuffle by unique rank, not by group.
+    *
+    * Returns (groupCol, n, <out> BIGINT — the picked value, making the
+    * result bit-portable where an interpolated double would not be).
+    */
+  def groupQuantileOfLong(df: DataFrame, groupCol: String,
+                          valueCol: String, pPct: Int,
+                          tieCols: Seq[Column],
+                          out: String = "q"): DataFrame = {
+    require(pPct >= 0 && pPct <= 100,
+      s"pPct must be in [0, 100], got $pPct")
+    val vi = df.schema.fieldIndex(valueCol)
+    require(df.schema(vi).dataType == LongType,
+      s"groupQuantileOfLong needs a LongType value column; " +
+        s"$valueCol is ${df.schema(vi).dataType}")
+    val rn = withRowNumber(df,
+      col(groupCol) +: col(valueCol) +: tieCols, "__rn")
+    val picks = rn.groupBy(groupCol)
+      .agg(min(col("__rn")).as("__lo"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"),
+        expr(s"__lo + ((n - 1) * $pPct) div 100").as("__rn"))
+    picks.join(rn.select(col("__rn"), col(valueCol)), "__rn")
+      .select(col(groupCol), col("n"), col(valueCol).as(out))
+  }
+
   /** Exact NTILE(k) over a total order, same semantics as
     * `ntile(k).over(Window.orderBy(sortCols))`: with n rows, the first
     * n % k buckets get one extra row. Distributed (no single-partition

@@ -301,6 +301,18 @@ object Round9Queries {
         .select(concat(lit("c:"), col("c_custkey")).as("node"),
           col("c_mktsegment").as("label"))
       Graph.labelPropagation(edges, seeds, rounds = 2).orderBy("node")
+    }),
+
+    // Exact per-type p95 of the event value (cents), hot-group-safe:
+    // global ranks + one equi-join on the picked rank — no per-group
+    // window, no percentile buffer.
+    "q159_group_p95" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        Stats.cents(col("value")).as("value_cents"),
+        col("event_id"))
+      GlobalOrder.groupQuantileOfLong(ev, "event_type", "value_cents",
+          pPct = 95, Seq(col("event_id")), out = "p95_cents")
+        .orderBy("event_type")
     })
   )
 
@@ -531,6 +543,21 @@ object Round9Queries {
           ${round("r0", "r1")},
           ${round("r1", "r2")}
           SELECT node, label FROM r2 ORDER BY node"""
-    }
+    },
+
+    "q159_group_p95" ->
+      """WITH e AS (SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                 event_id
+               FROM events),
+          r AS (SELECT event_type, value_cents,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value_cents, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM e)
+          SELECT event_type, CAST(n AS BIGINT) AS n,
+                 value_cents AS p95_cents
+          FROM r WHERE rn = ((n - 1) * 95) // 100 + 1
+          ORDER BY event_type"""
   )
 }

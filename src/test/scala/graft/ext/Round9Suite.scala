@@ -248,6 +248,9 @@ class Round9Suite extends SparkSpec {
         GlobalOrder.groupMedianOfLong(
           ev.select(col("user_id"), col("tsu"), col("event_id")),
           "user_id", "tsu", Seq(col("event_id"))),
+        GlobalOrder.groupQuantileOfLong(
+          ev.select(col("user_id"), col("tsu"), col("event_id")),
+          "user_id", "tsu", 95, Seq(col("event_id"))),
         GlobalOrder.withRunningTotalPerKey(
           ev.select(col("user_id"), col("tsu"),
             coalesce(col("v"), lit(0L)).as("v")),
@@ -282,6 +285,37 @@ class Round9Suite extends SparkSpec {
         .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
       assert(got == want && want.nonEmpty)
       assert(got.distinct == got)
+    }
+  }
+
+  describe("GlobalOrder.groupQuantileOfLong") {
+    it("matches the rank-window formulation on a skewed input") {
+      // 400 rows, half in one hot group; ties on value forced by %50
+      val rows = spark.range(400).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 7L)
+          .as("grp"),
+        (col("id") % 50L).as("v"), col("id").as("uid"))
+      for (p <- Seq(0, 50, 95, 100)) {
+        val got = GlobalOrder
+          .groupQuantileOfLong(rows, "grp", "v", p, Seq(col("uid")))
+          .as[(Long, Long, Long)].collect().toSet
+        val w = Window.partitionBy("grp").orderBy(col("v"), col("uid"))
+        val want = rows
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy("grp")))
+          .filter(col("rn") === expr(s"((n - 1) * $p) div 100") + 1L)
+          .select(col("grp"), col("n"), col("v"))
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == want, s"p=$p")
+        // p=0 is the min, p=100 the max — sanity-pin the endpoints
+        if (p == 0 || p == 100) {
+          val ext = rows.groupBy("grp")
+            .agg((if (p == 0) min("v") else max("v")).as("x"))
+            .as[(Long, Long)].collect().toMap
+          got.foreach { case (g, _, v) => assert(v == ext(g)) }
+        }
+      }
     }
   }
 
