@@ -494,6 +494,44 @@ object ScaleBench {
             .agg(count(lit(1))).collect()
         }
       },
+      "cap_hot_group" -> { n =>
+        time {
+          // capPerGroupBig's adversary: n rows, HALF in one group. The
+          // per-group rank is the boundary-stitch running count (range
+          // shuffle on (grp, ord, uid)), so the hot group spreads over
+          // the range partitions; capPerGroup's window would sort n/2
+          // rows in one task. Linear per_row_ratio certifies the rank
+          // path under maximal group skew.
+          val rows = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(pmod(col("id"), lit(1000L))).as("grp"),
+            pmod(hash(col("id")), lit(1000000)).cast("long").as("ord"),
+            col("id").as("uid"))
+          graft.ext.Sampling
+            .capPerGroupBig(rows, "grp", "ord", 100, Seq(col("uid")))
+            .agg(count(lit(1)), sum("ord")).collect()
+        }
+      },
+      "scd2_hot_key" -> { n =>
+        time {
+          // scd2HistoryBig's adversary: the changelog_hot_key shape fed
+          // to a FULL history build — half of n versions belong to one
+          // key. Ranks come from two boundary-stitch scans and
+          // prev/next attach by (key, rank) equi-joins whose composite
+          // key is unique, so the hot chain shuffles uniformly; the
+          // window build would sort n/2 rows in one task. The attr
+          // alternates, so the change filter keeps most rows and the
+          // second rank pass is exercised at scale too.
+          val changes = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(pmod(col("id"), lit(n / 10))).as("k"),
+            col("id").as("ver"),
+            (col("id") % 3L).as("attr"))
+          graft.engine.Warehouse
+            .scd2HistoryBig(changes, "k", "ver", Seq("attr"))
+            .agg(count(lit(1)), sum("valid_from")).collect()
+        }
+      },
       "label_prop_celebrity" -> { n =>
         time {
           // the celebrity adversary for label propagation: n/10 edges,

@@ -140,8 +140,10 @@ object Warehouse {
     * one task. Dimension keys have bounded histories by nature, so this
     * is the right plan HERE; a retry-storm changelog (millions of
     * versions of one key — `changelog_hot_key`) should be collapsed
-    * through [[applyChangelog]]'s combinable argmax first, not fed to a
-    * history build whose output would be that chain anyway.
+    * through [[applyChangelog]]'s combinable argmax first — or, when
+    * the full history of a hot key is genuinely wanted and key/version
+    * are LongType, built with [[scd2HistoryBig]] (boundary-stitch
+    * ranks + uniform (key, rank) self-joins, no per-key window).
     */
   def scd2History(changes: DataFrame, keyCol: String, versionCol: String,
                   attrCols: Seq[String]): DataFrame = {
@@ -161,6 +163,59 @@ object Warehouse {
       .withColumn("valid_from", col(versionCol))
       .withColumn("valid_to", lead(col(versionCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** [[scd2History]] re-expressed hot-key-safe: identical semantics
+    * (change detection by null-safe attr comparison against the
+    * previous version, `valid_to` = next CHANGE's version), built
+    * without any per-key window. Rank-within-key comes from
+    * [[graft.ext.GlobalOrder.withRunningTotalPerKey]]'s range shuffle
+    * (running count in (key, version) order), and "previous"/"next"
+    * rows attach via equi-joins on (key, rank) — a key whose rank
+    * values are UNIQUE, so a version chain of 10^8 rows for one hot key
+    * shuffles uniformly instead of sorting in one task. Two rank
+    * passes + two joins, all linear.
+    *
+    * Requires LongType key and version columns (the stitch contract)
+    * and unique (key, version) pairs — same precondition the window
+    * formulation needs for a deterministic history.
+    */
+  def scd2HistoryBig(changes: DataFrame, keyCol: String,
+                     versionCol: String,
+                     attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty,
+      "scd2HistoryBig needs at least one tracked attribute")
+    import org.apache.spark.sql.functions._
+    import graft.ext.GlobalOrder
+    val ranked = GlobalOrder.withRunningTotalPerKey(
+        changes.withColumn("__graft_one", lit(1L)), keyCol, versionCol,
+        "__graft_one", Seq.empty, out = "__graft_rk")
+      .drop("__graft_one")
+    // previous version's attrs, re-keyed to the follower's rank; the
+    // left join leaves rank-1 rows with all-null prevs — exactly what
+    // lag() yields, so the <=> change test matches the window build
+    // bit-for-bit (including all-null-attr edge cases)
+    val prev = ranked.select(
+      col(keyCol) +: (col("__graft_rk") + 1L).as("__graft_rk") +:
+        attrCols.map(a => col(a).as(s"__graft_prev_$a")): _*)
+    val changed = attrCols
+      .map(a => !(col(a) <=> col(s"__graft_prev_$a")))
+      .reduce(_ || _)
+    val ch = ranked.join(prev, Seq(keyCol, "__graft_rk"), "left")
+      .filter(changed)
+      .drop("__graft_rk" +: attrCols.map(a => s"__graft_prev_$a"): _*)
+    val ranked2 = GlobalOrder.withRunningTotalPerKey(
+        ch.withColumn("__graft_one", lit(1L)), keyCol, versionCol,
+        "__graft_one", Seq.empty, out = "__graft_rk")
+      .drop("__graft_one")
+    val next = ranked2.select(col(keyCol),
+      (col("__graft_rk") - 1L).as("__graft_rk"),
+      col(versionCol).as("__graft_next_ver"))
+    ranked2.join(next, Seq(keyCol, "__graft_rk"), "left")
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", col("__graft_next_ver"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__graft_rk", "__graft_next_ver")
   }
 
   def compact(spark: SparkSession, dir: String,

@@ -85,11 +85,14 @@ object Sampling {
     * the input sorts in one task (AQE skew handling applies to joins,
     * not window partitions). Curation groups (source, lang) are
     * few-and-large but BOUNDED in count, not in size: when the hot-group
-    * risk is real and the order column is numeric, use
+    * risk is real and group/order columns are LongType, use
+    * [[capPerGroupBig]] (the boundary-stitch rank, no window at all);
+    * for numeric order columns
     * [[graft.functions.TopKFunctions.topkPerGroup]] (bounded O(k)
-    * per-partition state, `topk_hot_group` shape 0.16) and join the
-    * survivors back — the trade is its (key, id) row identity vs this
-    * operator's arbitrary-row exactness under hash-tie collisions.
+    * per-partition state, `topk_hot_group` shape 0.16) plus a
+    * join-back also applies — the trade is its (key, id) row identity
+    * vs this operator's arbitrary-row exactness under hash-tie
+    * collisions.
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
                   n: Int): DataFrame = {
@@ -99,6 +102,27 @@ object Sampling {
     df.withColumn(rn, row_number().over(w))
       .filter(col(rn) <= n)
       .drop(rn)
+  }
+
+  /** Hot-group-safe exact per-group cap: keep the first `n` rows of
+    * each group in (group, order, tie) order — [[capPerGroup]]'s
+    * semantics without its per-group window. Rank-within-group is the
+    * inclusive running COUNT from
+    * [[GlobalOrder.withRunningTotalPerKey]]'s range shuffle +
+    * per-partition boundary stats + O(p) driver stitch, so a group
+    * holding half the corpus spreads over the range partitions instead
+    * of sorting in one task. Requires LongType group/order columns (the
+    * stitch contract); `tieCols` must make (group, order, tie) a total
+    * order or the kept set is not well-defined.
+    */
+  def capPerGroupBig(df: DataFrame, groupCol: String, orderCol: String,
+                     n: Int, tieCols: Seq[Column]): DataFrame = {
+    require(n >= 0, s"cap must be >= 0, got $n")
+    GlobalOrder.withRunningTotalPerKey(
+        df.withColumn("__graft_one", lit(1L)), groupCol, orderCol,
+        "__graft_one", tieCols, out = "__graft_rank")
+      .filter(col("__graft_rank") <= n)
+      .drop("__graft_one", "__graft_rank")
   }
 
   /** Token-budget greedy selection (the corpus-curation step after

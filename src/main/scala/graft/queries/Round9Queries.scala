@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.Readers
+import graft.engine.{Readers, Warehouse}
 import graft.ext.{Dedup, DedupGroups, GlobalOrder, Graph, RangeJoin, Sampling, Stats, TextAnalysis}
 
 /** Round-9 batch: hot-key-safe formulations of per-key timeline
@@ -313,6 +313,31 @@ object Round9Queries {
       GlobalOrder.groupQuantileOfLong(ev, "event_type", "value_cents",
           pPct = 95, Seq(col("event_id")), out = "p95_cents")
         .orderBy("event_type")
+    }),
+
+    // First 20 events per user, hot-user-safe: rank = boundary-stitch
+    // running count, no per-group window (capPerGroup's caveat closed).
+    "q160_cap_per_user" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"),
+        col("event_type"))
+      Sampling.capPerGroupBig(ev, "user_id", "tsu", n = 20,
+          Seq(col("event_id")))
+        .orderBy("user_id", "tsu", "event_id")
+    }),
+
+    // SCD-2 history via boundary-stitch ranks + uniform (key, rank)
+    // self-joins — q108's semantics with no per-key window; the oracle
+    // IS q108's window formulation.
+    "q161_scd2_big" -> ((s, dir) => {
+      val changes = Readers.eventsNanos(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ver_us"),
+          col("event_type"))
+      Warehouse.scd2HistoryBig(changes, "user_id", "ver_us",
+          Seq("event_type"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from")
     })
   )
 
@@ -558,6 +583,29 @@ object Round9Queries {
           SELECT event_type, CAST(n AS BIGINT) AS n,
                  value_cents AS p95_cents
           FROM r WHERE rn = ((n - 1) * 95) // 100 + 1
-          ORDER BY event_type"""
+          ORDER BY event_type""",
+
+    "q160_cap_per_user" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                 event_type FROM events),
+          r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY tsu, event_id) AS rn FROM e)
+          SELECT user_id, tsu, event_id, event_type
+          FROM r WHERE rn <= 20
+          ORDER BY user_id, tsu, event_id""",
+
+    "q161_scd2_big" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ver_us, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts)) AS prev
+                    FROM events),
+          ch AS (SELECT user_id, ver_us, event_type FROM c
+                 WHERE prev IS NULL OR prev <> event_type)
+          SELECT user_id, event_type, ver_us AS valid_from,
+                 lead(ver_us) OVER (PARTITION BY user_id ORDER BY ver_us)
+                   AS valid_to,
+                 lead(ver_us) OVER (PARTITION BY user_id ORDER BY ver_us)
+                   IS NULL AS is_current
+          FROM ch ORDER BY user_id, valid_from"""
   )
 }

@@ -257,6 +257,9 @@ class Round9Suite extends SparkSpec {
           "user_id", "tsu", "v", Seq.empty),
         GlobalOrder.withLagPerKey(ev, "user_id", "tsu", "v",
           Seq(col("event_id"))),
+        Sampling.capPerGroupBig(
+          ev.select(col("user_id"), col("tsu"), col("event_id")),
+          "user_id", "tsu", 3, Seq(col("event_id"))),
         AsofJoin.leftAsofBig(
           ev.select(col("user_id"), col("tsu")),
           ev.select(col("user_id"), col("tsu").as("rt"),
@@ -316,6 +319,52 @@ class Round9Suite extends SparkSpec {
           got.foreach { case (g, _, v) => assert(v == ext(g)) }
         }
       }
+    }
+  }
+
+  describe("Sampling.capPerGroupBig") {
+    it("matches the window formulation under a hot group") {
+      val rows = spark.range(500).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 9L)
+          .as("grp"),
+        (col("id") % 40L).as("ord"), col("id").as("uid"))
+      val got = Sampling.capPerGroupBig(rows, "grp", "ord", 7,
+          Seq(col("uid")))
+        .as[(Long, Long, Long)].collect().toSet
+      val w = Window.partitionBy("grp").orderBy(col("ord"), col("uid"))
+      val want = rows.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 7).drop("rn")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
+  describe("Warehouse.scd2HistoryBig") {
+    it("matches scd2History bit-for-bit, null attrs included") {
+      import graft.engine.Warehouse
+      // hot key 0 carries half the versions; attr nulls exercise the
+      // <=> change test (null -> null must NOT open a new interval)
+      val changes = spark.range(400).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 5L)
+          .as("k"),
+        col("id").as("ver"),
+        when(col("id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("v"), (col("id") % 3L).cast("string")))
+          .as("attr"))
+      val cols = Seq("k", "attr", "valid_from", "valid_to", "is_current")
+      val got = Warehouse.scd2HistoryBig(changes, "k", "ver", Seq("attr"))
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Option[String], Long, Option[Long], Boolean)]
+        .collect().toSet
+      val want = Warehouse.scd2History(changes, "k", "ver", Seq("attr"))
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Option[String], Long, Option[Long], Boolean)]
+        .collect().toSet
+      assert(got == want && want.size > 10)
+      // and the Big build must plan no Window at all
+      val plan = Warehouse.scd2HistoryBig(changes, "k", "ver", Seq("attr"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"))
     }
   }
 
