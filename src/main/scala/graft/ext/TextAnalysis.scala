@@ -117,6 +117,41 @@ object TextAnalysis {
           .as("segs_removed"))
   }
 
+  /** Exact corpus vocabulary: the `topV` most frequent whitespace
+    * tokens, ties broken by the lexicographically smaller token. One
+    * combinable count aggregate, then a global top-V — Spark plans
+    * `TakeOrderedAndProject`, which keeps O(topV) state per partition
+    * and never materializes the full sorted token table, so the cost at
+    * 100 TB is the token-count shuffle alone. Returns (tok, cnt).
+    */
+  def vocabulary(docs: DataFrame, topV: Int): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    docs.select(explode(wsTokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(topV)
+  }
+
+  /** Per-document out-of-vocabulary rate against a (small) vocabulary —
+    * the tokenizer-coverage signal curation pipelines threshold on
+    * (high OOV = wrong language, encoding damage, or boilerplate the
+    * tokenizer will shred). `vocab` must expose a `tok` column and is
+    * BROADCAST (a vocabulary is tens of thousands of rows — never big
+    * enough to justify shuffling the corpus tokens). Emits (doc_id,
+    * n_tokens, n_oov, oov_pct); oov_pct is one IEEE division over
+    * exact integer aggregates, so it is bit-portable.
+    */
+  def oovStats(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .join(broadcast(vocab.select(col("tok"))
+        .withColumn("__in_vocab", lit(true))), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_pct",
+        (col("n_oov") * 100).cast("double") / col("n_tokens"))
+
   /** Token counts: whitespace tokens and BPE-ish word/symbol pieces. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(

@@ -21,6 +21,9 @@ object Round9Queries {
     Readers.eventsNanos(s, dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** DuckDB twin of [[graft.functions.Portable.wsTokens]]. */
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
+
   /** q147 session gap (30 min in epoch micros — q38's constant). */
   private val SessionGapUs = 30L * 60 * 1000000
 
@@ -338,6 +341,14 @@ object Round9Queries {
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("is_current"))
         .orderBy("user_id", "valid_from")
+    }),
+
+    // Top-25 corpus vocabulary + per-document OOV rate (the tokenizer-
+    // coverage curation signal); vocab is broadcast, never shuffled.
+    "q162_vocab_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.oovStats(docs, TextAnalysis.vocabulary(docs, 25))
+        .orderBy("doc_id")
     })
   )
 
@@ -606,6 +617,21 @@ object Round9Queries {
                    AS valid_to,
                  lead(ver_us) OVER (PARTITION BY user_id ORDER BY ver_us)
                    IS NULL AS is_current
-          FROM ch ORDER BY user_id, valid_from"""
+          FROM ch ORDER BY user_id, valid_from""",
+
+    "q162_vocab_oov" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS tok
+                        FROM documents),
+          vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt
+                    FROM toks GROUP BY 1)
+                    ORDER BY cnt DESC, tok LIMIT 25),
+          j AS (SELECT t.doc_id, v.tok AS vtok
+                FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oov,
+                 CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) * 100
+                   AS DOUBLE) / count(*) AS oov_pct
+          FROM j GROUP BY doc_id ORDER BY doc_id"""
   )
 }
