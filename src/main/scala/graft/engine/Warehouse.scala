@@ -154,10 +154,14 @@ object Warehouse {
     val changed = attrCols
       .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
       .reduce(_ || _)
-    // first row per key: every lag is null, so <=> is false and
-    // `changed` is true — the initial interval always opens
+    // each key's FIRST version always opens the initial interval — and
+    // that must be detected off the lag of the (non-null by contract)
+    // VERSION column, not the attr comparison: a first version whose
+    // tracked attrs are all null would make every null<=>null true and
+    // silently drop the key's opening interval otherwise
+    val isFirst = lag(col(versionCol), 1).over(w).isNull
     changes
-      .withColumn("__graft_chg", changed)
+      .withColumn("__graft_chg", isFirst || changed)
       .filter(col("__graft_chg"))
       .drop("__graft_chg")
       .withColumn("valid_from", col(versionCol))
@@ -193,8 +197,9 @@ object Warehouse {
       .drop("__graft_one")
     // previous version's attrs, re-keyed to the follower's rank; the
     // left join leaves rank-1 rows with all-null prevs — exactly what
-    // lag() yields, so the <=> change test matches the window build
-    // bit-for-bit (including all-null-attr edge cases)
+    // lag() yields. Rank 1 is kept UNCONDITIONALLY ([[scd2History]]'s
+    // isFirst): an all-null-attr first version would otherwise make
+    // every null<=>null true and drop the key's opening interval.
     val prev = ranked.select(
       col(keyCol) +: (col("__graft_rk") + 1L).as("__graft_rk") +:
         attrCols.map(a => col(a).as(s"__graft_prev_$a")): _*)
@@ -202,7 +207,7 @@ object Warehouse {
       .map(a => !(col(a) <=> col(s"__graft_prev_$a")))
       .reduce(_ || _)
     val ch = ranked.join(prev, Seq(keyCol, "__graft_rk"), "left")
-      .filter(changed)
+      .filter(col("__graft_rk") === 1L || changed)
       .drop("__graft_rk" +: attrCols.map(a => s"__graft_prev_$a"): _*)
     val ranked2 = GlobalOrder.withRunningTotalPerKey(
         ch.withColumn("__graft_one", lit(1L)), keyCol, versionCol,

@@ -42,8 +42,10 @@ object AsofJoin {
   def leftAsof(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightValues: Seq[String]): DataFrame = {
+    requireUnreserved(left, right, Seq("__k", "__t", "__side"))
     // left payload = left columns minus the key/time already lifted out
     val lp = left.columns.filterNot(c => c == key || c == leftTime).toSeq
+    requireDisjointPayload(lp, rightValues, key, leftTime)
     // one unified schema: key, ts, side tag, left payload, right payload
     val l = left.select(
       col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
@@ -84,7 +86,9 @@ object AsofJoin {
   def leftAsofBig(left: DataFrame, right: DataFrame, key: String,
                   leftTime: String, rightTime: String,
                   rightValue: String): DataFrame = {
+    requireUnreserved(left, right, Seq("__k", "__t", "__side", "__v", "__f"))
     val lp = left.columns.filterNot(c => c == key || c == leftTime).toSeq
+    requireDisjointPayload(lp, Seq(rightValue), key, leftTime)
     val l = left.select(
       col(key).as("__k") +: col(leftTime).as("__t") +:
         lit(1L).as("__side") +:
@@ -99,5 +103,30 @@ object AsofJoin {
       .filter(col("__side") === 1)
       .select(col("__k").as(key) +: col("__t").as(leftTime) +:
         (lp.map(col) :+ col("__f").as(rightValue)): _*)
+  }
+
+  /** Fail-at-call-site guards (the saltedJoin style): the interleave
+    * builds its unified schema under reserved `__`-prefixed names, so an
+    * input column reusing one would be silently shadowed; a left payload
+    * column sharing a right value's name (or a right value reusing the
+    * key/time names) would make the final select ambiguous or wrong.
+    */
+  private def requireUnreserved(left: DataFrame, right: DataFrame,
+                                reserved: Seq[String]): Unit = {
+    val clash = reserved.filter(c =>
+      left.columns.contains(c) || right.columns.contains(c))
+    require(clash.isEmpty,
+      s"as-of inputs carry reserved column(s) ${clash.mkString(", ")} — " +
+        "rename them before calling")
+  }
+
+  private def requireDisjointPayload(leftPayload: Seq[String],
+                                     rightValues: Seq[String], key: String,
+                                     leftTime: String): Unit = {
+    val overlap = rightValues.filter(v =>
+      leftPayload.contains(v) || v == key || v == leftTime)
+    require(overlap.isEmpty,
+      s"right value column(s) ${overlap.mkString(", ")} collide with left " +
+        "columns — alias one side before calling")
   }
 }

@@ -89,12 +89,27 @@ object GlobalOrder {
                        partitions: Int): (DataFrame, Long) =
     scanAppend(df, sortCols, out, partitions, _ => 1L)
 
+  /** Reject inputs that already carry an output / internal working column
+    * name: the append would otherwise produce a duplicate or ambiguous
+    * column and fail far from the call site (or, worse, silently resolve
+    * to the wrong one in a downstream select). Fail-at-call-site, the
+    * [[graft.engine.Skew.saltedJoin]] style.
+    */
+  private[ext] def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already contains reserved column(s) ${clash.mkString(", ")}" +
+        " — rename them (or pass a different `out`) before calling")
+  }
+
   /** Append a 1-based global row number in the total order of `sortCols`.
     * Scales: no single-partition window; ordering work is a range shuffle.
     */
   def withRowNumber(df: DataFrame, sortCols: Seq[Column],
-                    out: String = "rn", partitions: Int = 0): DataFrame =
+                    out: String = "rn", partitions: Int = 0): DataFrame = {
+    requireFresh(df, out)
     numbered(df, sortCols, out, partitions)._1
+  }
 
   /** Append an inclusive running total of the LongType column `valueCol`
     * in the total order of `sortCols` — same semantics as
@@ -110,6 +125,7 @@ object GlobalOrder {
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
                        out: String = "running_total",
                        partitions: Int = 0): DataFrame = {
+    requireFresh(df, out)
     val vi = df.schema.fieldIndex(valueCol)
     require(df.schema(vi).dataType == LongType,
       s"withRunningTotal needs a LongType value column; " +
@@ -149,6 +165,7 @@ object GlobalOrder {
   def withSessionId(df: DataFrame, keyCol: String, tsCol: String, gap: Long,
                     tieCols: Seq[Column], out: String = "session_id",
                     partitions: Int = 0): DataFrame = {
+    requireFresh(df, out)
     require(gap >= 0, s"gap must be >= 0, got $gap")
     val ki = df.schema.fieldIndex(keyCol)
     val ti = df.schema.fieldIndex(tsCol)
@@ -240,6 +257,7 @@ object GlobalOrder {
                       valueCol: String, tieCols: Seq[Column],
                       out: String = "filled",
                       partitions: Int = 0): DataFrame = {
+    requireFresh(df, out)
     val ki = df.schema.fieldIndex(keyCol)
     val ti = df.schema.fieldIndex(tsCol)
     val vi = df.schema.fieldIndex(valueCol)
@@ -322,6 +340,7 @@ object GlobalOrder {
     */
   def medianOfLong(df: DataFrame, valueCol: String,
                    tieCols: Seq[Column]): DataFrame = {
+    requireFresh(df, "__graft_rn")
     val vi = df.schema.fieldIndex(valueCol)
     require(df.schema(vi).dataType == LongType,
       s"medianOfLong needs a LongType value column; " +
@@ -355,6 +374,7 @@ object GlobalOrder {
                              valueCol: String, tieCols: Seq[Column],
                              out: String = "running_total",
                              partitions: Int = 0): DataFrame = {
+    requireFresh(df, out)
     val ki = df.schema.fieldIndex(keyCol)
     val ti = df.schema.fieldIndex(tsCol)
     val vi = df.schema.fieldIndex(valueCol)
@@ -436,6 +456,7 @@ object GlobalOrder {
                     valueCol: String, tieCols: Seq[Column],
                     out: String = "lagged",
                     partitions: Int = 0): DataFrame = {
+    requireFresh(df, out)
     val ki = df.schema.fieldIndex(keyCol)
     val ti = df.schema.fieldIndex(tsCol)
     val vi = df.schema.fieldIndex(valueCol)
@@ -522,6 +543,7 @@ object GlobalOrder {
     */
   def groupMedianOfLong(df: DataFrame, groupCol: String, valueCol: String,
                         tieCols: Seq[Column]): DataFrame = {
+    requireFresh(df, "__rn", "__lo", "n")
     val vi = df.schema.fieldIndex(valueCol)
     require(df.schema(vi).dataType == LongType,
       s"groupMedianOfLong needs a LongType value column; " +
@@ -561,6 +583,7 @@ object GlobalOrder {
                           out: String = "q"): DataFrame = {
     require(pPct >= 0 && pPct <= 100,
       s"pPct must be in [0, 100], got $pPct")
+    requireFresh(df, out, "__rn", "__lo", "n")
     val vi = df.schema.fieldIndex(valueCol)
     require(df.schema(vi).dataType == LongType,
       s"groupQuantileOfLong needs a LongType value column; " +
@@ -582,6 +605,7 @@ object GlobalOrder {
     */
   def withNtile(df: DataFrame, k: Int, sortCols: Seq[Column],
                 out: String = "bucket", partitions: Int = 0): DataFrame = {
+    requireFresh(df, out, "__graft_rn")
     require(k > 0, s"ntile bucket count must be positive, got $k")
     val (rn, n) = numbered(df, sortCols, "__graft_rn", partitions)
     val base = n / k

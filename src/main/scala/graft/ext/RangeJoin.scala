@@ -21,21 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact FLOOR division on longs, in pure integer arithmetic. Spark's
+    * `div` truncates toward zero, which with negative coordinates makes
+    * "bin 0" span 2·binUs−1 values — results stay correct (bin ids are
+    * still monotonic and consistent between sides), but the per-bin
+    * candidate density the docs tell callers to tune `binUs` against
+    * silently doubles around the origin. `pmod(x, b)` is always in
+    * [0, b), so x − pmod(x, b) is the greatest multiple of b at or below
+    * x; the `div` then divides exactly. Uniform bin width at any sign,
+    * no double-precision detour.
+    */
+  private def floorDivSql(x: String, b: Long): String =
+    s"(($x - pmod($x, ${b}L)) div ${b}L)"
+
   /** Match every point to every interval containing it — `[start, end)`
-    * semantics over long microsecond columns. Intervals with
-    * `end <= start` are dropped (empty by definition; also keeps the
-    * descending-`sequence` footgun out: Spark generates a DESCENDING range
-    * when the upper bin sorts below the lower one).
+    * semantics over long microsecond columns; coordinates may be
+    * negative (floor-division binning keeps every bin the same width).
+    * Intervals with `end <= start` are dropped (empty by definition;
+    * also keeps the descending-`sequence` footgun out: Spark generates a
+    * DESCENDING range when the upper bin sorts below the lower one).
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointUs: String, startUs: String, endUs: String,
                       binUs: Long): DataFrame = {
     require(binUs > 0, s"bin width must be positive, got $binUs")
-    val p = points.withColumn("__bin", expr(s"$pointUs div $binUs"))
+    val p = points.withColumn("__bin", expr(floorDivSql(pointUs, binUs)))
     val i = intervals
       .filter(col(endUs) > col(startUs))
       .withColumn("__bin", explode(sequence(
-        expr(s"$startUs div $binUs"), expr(s"($endUs - 1) div $binUs"))))
+        expr(floorDivSql(startUs, binUs)),
+        expr(floorDivSql(s"($endUs - 1)", binUs)))))
     p.join(i, Seq("__bin")).drop("__bin")
       .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))
   }
@@ -58,7 +73,8 @@ object RangeJoin {
     * The artifact risk is crowded bins (candidates that fail the
     * predicate); keep `binUs` near the typical interval length so per-bin
     * membership tracks overlap density. Column names must be disjoint
-    * across the two sides; empty intervals (`e <= s`) are dropped.
+    * across the two sides; empty intervals (`e <= s`) are dropped;
+    * coordinates may be negative (floor-division binning).
     */
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       ls: String, le: String, rs: String, re: String,
@@ -66,13 +82,13 @@ object RangeJoin {
     require(binUs > 0, s"bin width must be positive, got $binUs")
     val l = left.filter(col(le) > col(ls))
       .withColumn("__bin", explode(sequence(
-        expr(s"$ls div $binUs"), expr(s"($le - 1) div $binUs"))))
+        expr(floorDivSql(ls, binUs)), expr(floorDivSql(s"($le - 1)", binUs)))))
     val r = right.filter(col(re) > col(rs))
       .withColumn("__bin", explode(sequence(
-        expr(s"$rs div $binUs"), expr(s"($re - 1) div $binUs"))))
+        expr(floorDivSql(rs, binUs)), expr(floorDivSql(s"($re - 1)", binUs)))))
     l.join(r, Seq("__bin"))
       .filter(col(ls) < col(re) && col(rs) < col(le))
-      .filter(col("__bin") === expr(s"greatest($ls, $rs) div $binUs"))
+      .filter(col("__bin") === expr(floorDivSql(s"greatest($ls, $rs)", binUs)))
       .drop("__bin")
   }
 }

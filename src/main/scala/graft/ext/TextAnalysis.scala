@@ -137,13 +137,16 @@ object TextAnalysis {
     * (high OOV = wrong language, encoding damage, or boilerplate the
     * tokenizer will shred). `vocab` must expose a `tok` column and is
     * BROADCAST (a vocabulary is tens of thousands of rows — never big
-    * enough to justify shuffling the corpus tokens). Emits (doc_id,
-    * n_tokens, n_oov, oov_pct); oov_pct is one IEEE division over
-    * exact integer aggregates, so it is bit-portable.
+    * enough to justify shuffling the corpus tokens). The vocab is
+    * deduplicated first: a repeated `tok` row would otherwise MULTIPLY
+    * matching token rows through the join, inflating n_tokens and
+    * deflating oov_pct — and the distinct is free at vocab size. Emits
+    * (doc_id, n_tokens, n_oov, oov_pct); oov_pct is one IEEE division
+    * over exact integer aggregates, so it is bit-portable.
     */
   def oovStats(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
-      .join(broadcast(vocab.select(col("tok"))
+      .join(broadcast(vocab.select(col("tok")).distinct()
         .withColumn("__in_vocab", lit(true))), Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

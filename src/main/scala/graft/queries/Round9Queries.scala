@@ -607,11 +607,14 @@ object Round9Queries {
 
     "q161_scd2_big" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS ver_us, event_type,
-                           lag(event_type) OVER (PARTITION BY user_id
-                             ORDER BY epoch_us(ts)) AS prev
-                    FROM events),
+                           lag(event_type) OVER w AS prev,
+                           lag(epoch_us(ts)) OVER w AS prev_ver
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts))),
           ch AS (SELECT user_id, ver_us, event_type FROM c
-                 WHERE prev IS NULL OR prev <> event_type)
+                 WHERE prev_ver IS NULL
+                    OR prev IS DISTINCT FROM event_type)
           SELECT user_id, event_type, ver_us AS valid_from,
                  lead(ver_us) OVER (PARTITION BY user_id ORDER BY ver_us)
                    AS valid_to,
