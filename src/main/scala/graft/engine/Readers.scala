@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
 
 /** Sources (SURVEY.md §2.1).
   *
@@ -74,10 +75,18 @@ object Readers {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table scan. events.parquet carries TIMESTAMP(NANOS),
-    * which Spark cannot represent natively — the session-wide legacy conf
-    * reads it as a nanos long instead (consumers convert with
+  /** The events table scan, normalized to the engine-wide contract that
+    * `ts` is a NANOSECOND epoch long (consumers convert with
     * `timestamp_micros(ts div 1000)` where they need a timestamp).
+    *
+    * The physical column has shipped as both TIMESTAMP(NANOS) — which
+    * Spark cannot represent natively; the session-wide legacy conf reads
+    * it as a nanos long — and TIMESTAMP(MICROS), which reads as
+    * TIMESTAMP_NTZ (or TIMESTAMP). This helper absorbs the difference so
+    * every consumer sees the same nanos-long column whichever vintage of
+    * the table it scans: the micros instant is exact under the UTC
+    * session timezone, and ×1000 stays far inside Long range
+    * (~1.7e18 for current epochs).
     *
     * The conf is intentionally set here and NOT restored: it is a global
     * session mutation, and scattering per-query set calls (the previous
@@ -90,14 +99,40 @@ object Readers {
     */
   def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
     enableNanosAsLong(spark)
-    table(spark, dir, "events")
+    toNanosLong(table(spark, dir, "events"), "ts")
   }
+
+  /** Normalize an epoch column to the nanos-long representation, whatever
+    * physical type it was read as. `withColumn` replaces in place, so the
+    * column order callers pattern-match on is preserved.
+    */
+  def toNanosLong(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          unix_micros(col(tsCol).cast("timestamp")) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"$tsCol has unsupported epoch type $other")
+    }
 
   /** Streaming events readers (which must pass an explicit schema) call
     * this before `readStream` — same invariant as [[eventsNanos]].
     */
   def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** The type Spark reads this directory's events.ts as — LongType for the
+    * TIMESTAMP(NANOS) vintage (under nanosAsLong), Timestamp(NTZ)Type for
+    * the TIMESTAMP(MICROS) one. Streaming readers need it to declare a
+    * schema that matches the files; one footer read, no data scan.
+    */
+  def eventsNanosPhysicalTsType(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.types.DataType = {
+    enableNanosAsLong(spark)
+    table(spark, dir, "events").schema("ts").dataType
+  }
 
   /** Schema-evolution scan: one DataFrame over parquet written under
     * EVOLVING schemas (a column added mid-corpus), reconciled by column

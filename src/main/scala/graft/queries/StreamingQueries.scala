@@ -15,13 +15,23 @@ import graft.streaming.EventStream
   */
 object StreamingQueries {
 
-  private[queries] val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), // ts read as long (nanosAsLong)
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** The stream's declared schema must match the parquet's PHYSICAL ts
+    * type (a file stream source does no implicit cast), and events has
+    * shipped as both TIMESTAMP(NANOS) — read as long under nanosAsLong —
+    * and TIMESTAMP(MICROS). A one-footer batch read resolves which
+    * vintage this directory carries; [[graft.engine.Readers.toNanosLong]]
+    * then restores the engine-wide nanos-long contract downstream.
+    */
+  private[queries] def eventsSchema(s: SparkSession, dir: String): StructType = {
+    val tsType = graft.engine.Readers.eventsNanosPhysicalTsType(s, dir)
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   /** The bounded-events-stream harness every streaming gate query shares
     * (previously copy-pasted six times): the file stream source needs a
@@ -46,8 +56,9 @@ object StreamingQueries {
       java.nio.file.Files.createSymbolicLink(l, target)
       l
     }
-    try use(
-      s.readStream.schema(eventsSchema).parquet(streamDir.toString))
+    try use(graft.engine.Readers.toNanosLong(
+      s.readStream.schema(eventsSchema(s, dir)).parquet(streamDir.toString),
+      "ts"))
     finally {
       links.foreach(java.nio.file.Files.deleteIfExists(_))
       java.nio.file.Files.deleteIfExists(streamDir)
