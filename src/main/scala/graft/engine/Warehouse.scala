@@ -282,4 +282,40 @@ object Warehouse {
       .forEach(p => java.nio.file.Files.delete(p))
     finally walk2.close()
   }
+
+  /** Incremental maintenance of an ADDITIVE aggregate (materialized-view
+    * refresh): fold a delta's partial aggregate into the standing
+    * aggregate without touching the base data. Both inputs carry
+    * (keyCols..., aggCols...) where every agg column is additive — counts
+    * and sums, the class closed under union (averages refresh as
+    * sum+count pairs; min/max do NOT belong here, a retraction can lower
+    * a max and only a rescan recovers it). Retractions arrive as
+    * NEGATIVE contributions; groups whose refreshed count column (if
+    * `countCol` is given) reaches 0 are dropped, so a fully-retracted
+    * key disappears exactly as a recompute would drop it.
+    *
+    * Scale shape: the refresh cost is O(|standing| + |delta partials|) —
+    * one union + one combinable groupBy on the keys, NEVER a rescan of
+    * the base fact table. This is the contract that makes a 100 TB fact
+    * table's dashboard aggregate maintainable from a per-batch changelog:
+    * each refresh moves rows proportional to the AGGREGATE's cardinality,
+    * not the fact table's.
+    */
+  def refreshAdditiveAgg(standing: DataFrame, deltaPartials: DataFrame,
+                         keyCols: Seq[String], aggCols: Seq[String],
+                         countCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(standing.columns.sameElements(deltaPartials.columns),
+      "standing and delta partials must share one schema; got " +
+        s"${standing.columns.mkString(",")} vs " +
+        s"${deltaPartials.columns.mkString(",")}")
+    countCol.foreach(c => require(aggCols.contains(c),
+      s"countCol $c must be one of the additive agg columns"))
+    val merged = standing.unionByName(deltaPartials)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggCols.head -> "sum", aggCols.tail.map(_ -> "sum"): _*)
+      .select((keyCols.map(col) ++
+        aggCols.map(a => col(s"sum($a)").as(a))): _*)
+    countCol.fold(merged)(c => merged.filter(col(c) =!= 0L))
+  }
 }

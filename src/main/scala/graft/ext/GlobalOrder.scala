@@ -37,14 +37,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GlobalOrder {
 
-  /** Range-sort `df` on `sortCols`, then append `out` = the running total
-    * of `step(row)` in sort order (inclusive). Returns the appended
-    * DataFrame and the grand total (free — it falls out of the
-    * per-partition stats job). `step` must be cheap and deterministic.
+  /** Range-sort `df` on `sortCols`, then append `out` = the inclusive
+    * prefix fold of `step(row)` under the commutative-associative monoid
+    * `(zero, op)` in sort order. Returns the appended DataFrame and the
+    * grand fold (free — it falls out of the per-partition stats job).
+    * `step`/`op` must be cheap and deterministic. The prefix-scan
+    * distribution recipe is monoid-generic: job 1 folds each partition,
+    * the driver prefix-folds the p partials into per-partition seeds,
+    * job 2 re-scans each partition from its seed.
     */
-  private def scanAppend(df: DataFrame, sortCols: Seq[Column], out: String,
-                         partitions: Int,
-                         step: InternalRow => Long): (DataFrame, Long) = {
+  private def scanAppendFold(df: DataFrame, sortCols: Seq[Column],
+                             out: String, partitions: Int, zero: Long,
+                             step: InternalRow => Long,
+                             op: (Long, Long) => Long): (DataFrame, Long) = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
     else spark.sessionState.conf.numShufflePartitions
@@ -61,13 +66,13 @@ object GlobalOrder {
     // UNABLE_TO_ACQUIRE_MEMORY, while the double re-sort is a few percent
     // of the pass and needs no storage at all.
     val rdd0 = sorted.queryExecution.toRdd
-    // job 1: per-partition totals -> contiguous prefix offsets in range
+    // job 1: per-partition folds -> per-partition seed values in range
     // order (p longs to the driver — the only global state)
     val stats = rdd0
       .mapPartitionsWithIndex((i, it) =>
-        Iterator((i, it.foldLeft(0L)((acc, r) => acc + step(r)))))
+        Iterator((i, it.foldLeft(zero)((acc, r) => op(acc, step(r))))))
       .collect().sortBy(_._1).map(_._2)
-    val offsets = stats.scanLeft(0L)(_ + _)
+    val offsets = stats.scanLeft(zero)(op)
     // job 2: per-partition prefix scan seeded with the offset; the scan
     // value rides in a reused 1-field row joined onto the input row
     val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
@@ -76,13 +81,20 @@ object GlobalOrder {
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(schema)
       it.map { row =>
-        acc += step(row)
+        acc = op(acc, step(row))
         extra.update(0, acc)
         proj(joined(row, extra)): InternalRow
       }
     }
-    (GraftShim.internalCreateDataFrame(spark, rdd, schema), stats.sum)
+    (GraftShim.internalCreateDataFrame(spark, rdd, schema),
+      stats.foldLeft(zero)(op))
   }
+
+  /** [[scanAppendFold]] under the (0, +) monoid: running totals. */
+  private def scanAppend(df: DataFrame, sortCols: Seq[Column], out: String,
+                         partitions: Int,
+                         step: InternalRow => Long): (DataFrame, Long) =
+    scanAppendFold(df, sortCols, out, partitions, 0L, step, _ + _)
 
   /** [[scanAppend]] counting rows: 1-based global row numbers. */
   private def numbered(df: DataFrame, sortCols: Seq[Column], out: String,
@@ -132,6 +144,33 @@ object GlobalOrder {
         s"$valueCol is ${df.schema(vi).dataType}")
     scanAppend(df, sortCols, out, partitions,
       r => if (r.isNullAt(vi)) 0L else r.getLong(vi))._1
+  }
+
+  /** Append an inclusive running MAXIMUM of the LongType column
+    * `valueCol` in the total order of `sortCols` — the semantics of
+    * `max(valueCol).over(Window.orderBy(sortCols))`, distributed by the
+    * same monoid prefix-scan as [[withRunningTotal]] (max is
+    * commutative-associative, so the per-partition-fold + driver-seed
+    * recipe applies unchanged). The primitive behind dominance /
+    * frontier analyses ([[Analytics.skyline2D]]): "best value seen so
+    * far in sort order" with no single-partition window.
+    *
+    * Nulls in `valueCol` are ignored (SQL MAX); rows before the first
+    * non-null value carry `Long.MinValue` — filter on it if the leading
+    * prefix matters (the appended column is non-nullable by
+    * construction).
+    */
+  def withRunningMax(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                     out: String = "running_max",
+                     partitions: Int = 0): DataFrame = {
+    requireFresh(df, out)
+    val vi = df.schema.fieldIndex(valueCol)
+    require(df.schema(vi).dataType == LongType,
+      s"withRunningMax needs a LongType value column; " +
+        s"$valueCol is ${df.schema(vi).dataType}")
+    scanAppendFold(df, sortCols, out, partitions, Long.MinValue,
+      r => if (r.isNullAt(vi)) Long.MinValue else r.getLong(vi),
+      math.max)._1
   }
 
   /** Gap sessionization over a total order, hot-key-safe: append a

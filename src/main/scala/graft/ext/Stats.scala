@@ -194,4 +194,48 @@ object Stats {
         med(abs(xCents.cast("double") - col("med")))
           .as("mad"))
   }
+
+  /** Exact pairwise covariance matrix of the first `dims` dimensions of
+    * an embedding column (upper triangle, i ≤ j) — the input to PCA
+    * whitening / decorrelation diagnostics over a vector corpus.
+    *
+    * Determinism: each coordinate is fixed-point encoded
+    * (`floor(x·scale + 0.5)`, the [[cents]] grid), so the per-pair sums
+    * (n, Σx, Σy, Σxy) are EXACT integers under any partitioning, and the
+    * covariance is one fixed double formula over them — bit-identical on
+    * every engine, unlike a float `covar_samp` whose partial-sum order
+    * varies. `cov` is in ORIGINAL units (the scale² divides back out);
+    * quantization error is bounded by the grid, not by row count.
+    *
+    * Scale shape: two chained `posexplode`s fan each row into
+    * dims·(dims+1)/2 pair rows — a local projection, no shuffle, no
+    * join — and ONE map-side-combined groupBy over dims² groups does all
+    * the summing. Overflow budget: |x·scale|² × rows < 9.2e18 (at 2¹⁶
+    * and unit-norm embeddings that is ~10⁹ rows; shrink `scale` or sum
+    * as DECIMAL(38,0) beyond).
+    */
+  def embeddingCovariance(df: DataFrame, idCol: String, vecCol: String,
+                          dims: Int, scale: Int = 65536): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val xi = df
+      .select(col(idCol), slice(col(vecCol), 1, dims).as("__v"))
+      .select(col(idCol), col("__v"),
+        posexplode(col("__v")).as(Seq("i", "x")))
+    val pairs = xi
+      .select(col("i"), col("x"), posexplode(col("__v")).as(Seq("j", "y")))
+      .filter(col("j") >= col("i"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        cents(col("x").cast("double"), scale).as("xc"),
+        cents(col("y").cast("double"), scale).as("yc"))
+    val agg = pairs.groupBy("i", "j").agg(
+      count(lit(1)).as("n"),
+      sum("xc").as("sx"), sum("yc").as("sy"),
+      sum(col("xc") * col("yc")).as("sxy"))
+    val nd = col("n").cast("double")
+    val covCents = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / nd) / (nd - 1.0)
+    agg.select(col("i"), col("j"), col("n"),
+      when(col("n") >= 2,
+        covCents / (scale.toDouble * scale.toDouble)).as("cov"))
+  }
 }

@@ -155,6 +155,37 @@ object TextAnalysis {
       .withColumn("oov_pct",
         (col("n_oov") * 100).cast("double") / col("n_tokens"))
 
+  /** Inverted index with CAPPED posting lists: per distinct whitespace
+    * token, its exact document frequency and the `k` lowest doc_ids that
+    * contain it, rank-numbered — the retrieval-index build step, shaped
+    * so stopword-grade tokens cannot melt it.
+    *
+    * Scale design: the (tok, doc) incidence is deduplicated once (one
+    * shuffle), then BOTH outputs come from bounded-state combinable
+    * aggregates over it — `count` for df, and the native
+    * [[graft.functions.TopKLongPairs]] aggregate for the postings, which
+    * prunes every map partition's contribution to k rows BEFORE the
+    * shuffle. A `collect_list`-then-slice (or a per-token row_number
+    * window) would buffer a hot token's entire posting set in one task —
+    * exactly the hot-group straggler the top-k aggregate exists to kill.
+    * The df count and the postings shuffle on the same token key, so the
+    * final join is co-partitioned. Emits (tok, df, rnk, doc_id), k rows
+    * max per token.
+    */
+  def invertedIndex(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"posting cap must be >= 1, got $k")
+    val pairs = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .distinct()
+    val dfc = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+    // TopKLongPairs keeps the k LARGEST by (key DESC, id ASC); negating
+    // doc_id turns that into the k smallest doc_ids in ascending order
+    val postings = graft.functions.TopKFunctions.topkPerGroup(
+      pairs, Seq(col("tok")), -col("doc_id"), col("doc_id"), k)
+    postings.join(dfc, "tok")
+      .select(col("tok"), col("df"), col("rnk"), col("id").as("doc_id"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish word/symbol pieces. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(

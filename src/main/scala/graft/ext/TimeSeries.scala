@@ -96,4 +96,44 @@ object TimeSeries {
           .getField("t").as("peak_period"))
       .orderBy("bucket")
   }
+
+  /** OHLC-style downsampling: per (group, bucket), the bucket's
+    * first/last/max/min value plus the row count — the open/high/low/
+    * close financial resample, generalized to any keyed series.
+    *
+    * Scale design: `open`/`close` are `min_by`/`max_by` argmin/argmax
+    * over a FIXED-WIDTH ZERO-PADDED string ordering key — combinable
+    * aggregates with O(1) state per group, map-side combined before the
+    * one shuffle. The standard formulation (`first_value`/`last_value`
+    * over a per-key ordered window) buffers and sorts whole partitions;
+    * this one never sorts anything. The ordering key is built from
+    * (tsUs, unique id) with `lpad`, which both Spark and DuckDB compare
+    * bytewise — total order, so argmin/argmax are deterministic; `tsUs`
+    * and the id must be non-negative (the zero-pad trick breaks on a
+    * minus sign).
+    *
+    * `value` doubles pass through untouched (open/high/low/close are
+    * SELECTIONS, not arithmetic), so results are bit-portable.
+    */
+  def ohlcResample(df: DataFrame, groupCols: Seq[Column], tsUs: Column,
+                   uniqueId: Column, value: Column,
+                   bucketWidthUs: Long): DataFrame = {
+    require(bucketWidthUs >= 1,
+      s"bucketWidthUs must be >= 1, got $bucketWidthUs")
+    val ord = concat(
+      lpad(tsUs.cast("string"), 20, "0"),
+      lpad(uniqueId.cast("string"), 12, "0"))
+    // exact long bucketing: subtract the pmod remainder so the double
+    // division divides an exact multiple (no truncation edge cases)
+    val t = tsUs.cast("long")
+    val bucket =
+      ((t - pmod(t, lit(bucketWidthUs))) / lit(bucketWidthUs)).cast("long")
+    df.groupBy((groupCols :+ bucket.as("bucket")): _*)
+      .agg(
+        min_by(value, ord).as("open"),
+        max(value).as("high"),
+        min(value).as("low"),
+        max_by(value, ord).as("close"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Readers, Warehouse}
+import graft.ext.{Analytics, GlobalOrder, Stats, TextAnalysis, TimeSeries}
+
+/** Round-10 batch: retrieval/BI analyses composed from the scalable
+  * primitives — capped inverted index, OHLC resampling, cohort
+  * retention, Markov transitions, Pareto skyline, incremental aggregate
+  * refresh, and a fixed-point covariance matrix. Floats in compared
+  * columns follow the q110 discipline (exact integer aggregates, or
+  * pure selection/one final IEEE formula).
+  */
+object Round10Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  /** DuckDB twin of [[graft.functions.Portable.wsTokens]]. */
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
+
+  /** q163 posting-list cap. */
+  private val PostingsK = 10
+
+  /** q164 resample bucket (1 hour in epoch micros). */
+  private val OhlcBucketUs = 3600000000L
+
+  /** q169 covariance: leading dims and the fixed-point grid. */
+  private val CovDims = 8
+  private val CovScale = 65536
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Inverted index with capped postings: df via combinable count,
+    // postings via the native bounded-state top-k aggregate (map-side
+    // pruned to k before the shuffle) — never a collect_list or a
+    // per-token window, so a stopword token costs O(k) state, not its
+    // whole posting set in one task. Oracle = the window formulation.
+    "q163_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), PostingsK)
+        .orderBy("tok", "rnk")),
+
+    // OHLC downsample of the events stream: open/close are min_by/max_by
+    // argmin/argmax over a zero-padded (ts, event_id) string key —
+    // combinable O(1)-state aggregates, vs the first_value/last_value
+    // window that buffers and sorts each (type, hour) partition. The
+    // doubles are SELECTED, never summed, so they are bit-portable.
+    "q164_ohlc_resample" -> ((s, dir) => {
+      val ev = Readers.eventsNanos(s, dir).select(
+        col("event_type"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("value"))
+      TimeSeries.ohlcResample(ev, Seq(col("event_type")), col("ts_us"),
+          col("event_id"), col("value"), OhlcBucketUs)
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Cohort retention triangle over orders: cohort = first active
+    // epoch-month per customer (combinable min), activity deduplicated
+    // to (customer, month) BEFORE the join so the matrix is a plain
+    // count — both shuffles are on the customer key (co-partitioned),
+    // and no count(distinct) ever touches the fact table.
+    "q165_cohort_retention" -> ((s, dir) => {
+      val midx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+        - 1).cast("long")
+      Analytics.cohortRetention(
+          t(s, dir, "orders").select(col("o_custkey"), midx.as("midx")),
+          "o_custkey", col("midx"))
+        .orderBy("cohort", "periods_since")
+    }),
+
+    // Per-user event-type transition counts (the first-order Markov
+    // chain of the event log). The predecessor comes from the
+    // boundary-stitch per-key LAG — a hot user costs a range shuffle,
+    // never a one-task window sort; the string alphabet is dictionary-
+    // encoded through a broadcast dimension built with the scalable
+    // global row number (no window anywhere).
+    "q166_markov_transitions" -> ((s, dir) => {
+      val ev = Readers.eventsNanos(s, dir).select(
+        col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      val dim = GlobalOrder.withRowNumber(
+        ev.select("event_type").distinct(), Seq(col("event_type")),
+        out = "code")
+      val enc = ev.join(broadcast(dim), "event_type")
+        .select("user_id", "ts_us", "event_id", "code")
+      Analytics.transitionCounts(enc, "user_id", "ts_us", "code",
+          Seq(col("event_id")))
+        .join(broadcast(dim.select(col("code").as("prev_code"),
+          col("event_type").as("prev_type"))), "prev_code")
+        .join(broadcast(dim), "code")
+        .select(col("prev_type"), col("event_type"), col("n"))
+        .orderBy("prev_type", "event_type")
+    }),
+
+    // Pareto frontier of parts (minimize price, maximize size): the
+    // quadratic NOT-EXISTS dominance test collapsed to a prefix-maximum
+    // in price order — one combinable per-price max, one range-shuffle
+    // running max, one stitch lag, one co-partitioned join back. The
+    // oracle is the window prefix-max formulation.
+    "q167_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        Stats.cents(col("p_retailprice")).as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+      Analytics.skyline2D(p, "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    }),
+
+    // Incremental materialized-view refresh: the standing aggregate
+    // (90% of lineitem) is folded with the delta batch's PARTIAL
+    // aggregate — refresh cost is O(aggregate cardinality), the base
+    // facts are never rescanned. The oracle recomputes from scratch, so
+    // the gate proves refresh ≡ recompute.
+    "q168_agg_refresh" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_orderkey"), Stats.cents(col("l_quantity")).as("qc"))
+      def aggOf(d: DataFrame): DataFrame =
+        d.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
+          sum("qc").as("qty_cents_sum"))
+      Warehouse.refreshAdditiveAgg(
+          aggOf(li.filter(col("l_orderkey") % 10 =!= 0)),
+          aggOf(li.filter(col("l_orderkey") % 10 === 0)),
+          Seq("l_returnflag"), Seq("n", "qty_cents_sum"), Some("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Upper-triangle covariance matrix of the leading embedding dims on
+    // the fixed-point grid: per-pair integer sums are exact under any
+    // partitioning, one final IEEE formula — bit-identical to the
+    // oracle's sequential evaluation, where a float covar_samp would
+    // diverge in the low bits by partial-sum order.
+    "q169_embed_covariance" -> ((s, dir) =>
+      Stats.embeddingCovariance(t(s, dir, "embeddings"), "vec_id",
+          "embedding", CovDims, CovScale)
+        .orderBy("i", "j"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q163_inverted_index" ->
+      s"""WITH pairs AS (SELECT DISTINCT doc_id, unnest($tokSql) AS tok
+                         FROM documents),
+               r AS (SELECT tok, doc_id,
+                            row_number() OVER (PARTITION BY tok
+                                               ORDER BY doc_id) AS rnk,
+                            count(*) OVER (PARTITION BY tok) AS df
+                     FROM pairs)
+          SELECT tok, CAST(df AS BIGINT) AS df, CAST(rnk AS BIGINT) AS rnk,
+                 doc_id
+          FROM r WHERE rnk <= $PostingsK ORDER BY tok, rnk""",
+
+    "q164_ohlc_resample" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+                            value
+                     FROM events),
+               k AS (SELECT *,
+                            lpad(CAST(ts_us AS VARCHAR), 20, '0') ||
+                              lpad(CAST(event_id AS VARCHAR), 12, '0')
+                              AS ord,
+                            (ts_us - ts_us % $OhlcBucketUs)
+                              // $OhlcBucketUs AS bucket
+                     FROM e)
+          SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                 arg_min(value, ord) AS open, max(value) AS high,
+                 min(value) AS low, arg_max(value, ord) AS close,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM k GROUP BY 1, 2 ORDER BY event_type, bucket""",
+
+    "q165_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS e,
+                           CAST(year(o_orderdate) * 12 +
+                                month(o_orderdate) - 1 AS BIGINT) AS p
+                    FROM orders),
+              c AS (SELECT e, min(p) AS cohort FROM a GROUP BY e)
+          SELECT c.cohort, a.p - c.cohort AS periods_since,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM a JOIN c USING (e)
+          GROUP BY 1, 2 ORDER BY cohort, periods_since""",
+
+    "q166_markov_transitions" ->
+      """WITH l AS (SELECT user_id, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS prev
+                    FROM events)
+          SELECT prev AS prev_type, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM l WHERE prev IS NOT NULL
+          GROUP BY 1, 2 ORDER BY prev_type, event_type""",
+
+    "q167_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+                           CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                             AS price_cents,
+                           CAST(p_size AS BIGINT) AS p_size
+                    FROM part),
+              g AS (SELECT price_cents, max(p_size) AS gmax
+                    FROM p GROUP BY 1),
+              m AS (SELECT price_cents, gmax,
+                           max(gmax) OVER (ORDER BY price_cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prevmax
+                    FROM g)
+          SELECT p.p_partkey, p.price_cents, p.p_size
+          FROM p JOIN m USING (price_cents)
+          WHERE p.p_size = m.gmax
+            AND (m.prevmax IS NULL OR m.gmax > m.prevmax)
+          ORDER BY price_cents, p_partkey""",
+
+    "q168_agg_refresh" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS qty_cents_sum
+          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q169_embed_covariance" ->
+      s"""WITH e AS (SELECT vec_id,
+                            list_slice(CAST(embedding AS DOUBLE[]), 1,
+                              $CovDims) AS v
+                     FROM embeddings),
+               x AS (SELECT vec_id,
+                            unnest(range(1, len(v) + 1)) - 1 AS i,
+                            CAST(floor(unnest(v) * $CovScale + 0.5)
+                              AS BIGINT) AS xc
+                     FROM e),
+               pr AS (SELECT a.i AS i, b.i AS j, a.xc AS xc, b.xc AS yc
+                      FROM x a JOIN x b
+                        ON a.vec_id = b.vec_id AND b.i >= a.i),
+               ag AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(xc) AS BIGINT) AS sx,
+                             CAST(sum(yc) AS BIGINT) AS sy,
+                             CAST(sum(xc * yc) AS BIGINT) AS sxy
+                      FROM pr GROUP BY 1, 2)
+          SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+                 CASE WHEN n >= 2 THEN
+                   ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+                     CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+                    (CAST(n AS DOUBLE) - 1.0)) /
+                   ($CovScale.0 * $CovScale.0)
+                 END AS cov
+          FROM ag ORDER BY i, j"""
+  )
+}

@@ -1,0 +1,188 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.engine.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class Round10bSuite extends SparkSpec {
+  import spark.implicits._
+
+  describe("GlobalOrder.withRunningMax") {
+    it("matches the window running max on shuffled input") {
+      val r = new scala.util.Random(7)
+      val rows = (1 to 500).map(i => (i.toLong, r.nextLong() % 1000))
+      val df = spark.createDataFrame(r.shuffle(rows)).toDF("id", "v")
+        .repartition(7)
+      val got = GlobalOrder.withRunningMax(df, Seq(col("id")), "v")
+        .select("id", "running_max")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val want = df
+        .withColumn("running_max",
+          max("v").over(Window.orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "running_max")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want)
+    }
+
+    it("treats nulls as absent and seeds with Long.MinValue") {
+      val df = Seq((1L, None), (2L, Some(5L)), (3L, None), (4L, Some(3L)))
+        .toDF("id", "v")
+      val got = GlobalOrder.withRunningMax(df, Seq(col("id")), "v")
+        .select("id", "running_max").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, Long.MinValue), (2L, 5L), (3L, 5L), (4L, 5L)))
+    }
+  }
+
+  describe("Analytics.skyline2D") {
+    it("matches brute-force dominance on random data") {
+      val r = new scala.util.Random(11)
+      val rows = (1 to 400).map(i =>
+        (i.toLong, (r.nextInt(50)).toLong, (r.nextInt(50)).toLong))
+      val df = rows.toDF("id", "cost", "gain").repartition(5)
+      val got = Analytics.skyline2D(df, "cost", "gain")
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = rows.filter { case (_, c, g) =>
+        !rows.exists { case (_, c2, g2) =>
+          (c2 < c && g2 >= g) || (c2 <= c && g2 > g)
+        }
+      }.map(_._1).sorted
+      assert(got == want && want.nonEmpty)
+    }
+
+    it("keeps exact (cost, gain) duplicates together") {
+      val df = Seq((1L, 10L, 9L), (2L, 10L, 9L), (3L, 20L, 9L))
+        .toDF("id", "cost", "gain")
+      val got = Analytics.skyline2D(df, "cost", "gain")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L)) // id 3: dominated (higher cost, equal gain)
+    }
+  }
+
+  describe("Analytics.cohortRetention") {
+    it("builds the retention triangle") {
+      // e1 first active p=0, again p=1; e2 first p=1; e3 first p=0 only
+      val df = Seq((1L, 0L), (1L, 1L), (1L, 1L), (2L, 1L), (3L, 0L))
+        .toDF("e", "p")
+      val got = Analytics.cohortRetention(df, "e", col("p"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L)))
+    }
+  }
+
+  describe("Analytics.transitionCounts") {
+    it("matches the window lag formulation under a hot key") {
+      val r = new scala.util.Random(13)
+      val rows = (1 to 600).map { i =>
+        val key = if (r.nextBoolean()) 1L else (r.nextInt(5) + 2).toLong
+        (key, i.toLong, r.nextInt(4).toLong)
+      }
+      val df = rows.toDF("k", "ts", "c").repartition(7)
+      val got = Analytics.transitionCounts(df, "k", "ts", "c",
+          Seq(col("ts")))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val want = df
+        .withColumn("prev",
+          lag("c", 1).over(Window.partitionBy("k").orderBy("ts")))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("prev_code"), col("c").as("code"))
+        .agg(count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
+  describe("TimeSeries.ohlcResample") {
+    it("matches the first/last window formulation") {
+      val r = new scala.util.Random(17)
+      val rows = (1 to 500).map(i =>
+        (i.toLong, r.nextInt(3).toString, r.nextInt(1000).toLong * 7L,
+          r.nextDouble() * 100))
+      val df = rows.toDF("id", "g", "ts", "v").repartition(5)
+      val got = TimeSeries.ohlcResample(df, Seq(col("g")), col("ts"),
+          col("id"), col("v"), 1000L)
+        .select("g", "bucket", "open", "high", "low", "close", "n")
+        .as[(String, Long, Double, Double, Double, Double, Long)]
+        .collect().sortBy(t => (t._1, t._2)).toSeq
+      val w = Window.partitionBy(col("g"), expr("ts div 1000"))
+        .orderBy("ts", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val want = df
+        .withColumn("open", first("v").over(w))
+        .withColumn("close", last("v").over(w))
+        .groupBy(col("g"), expr("ts div 1000").as("bucket"))
+        .agg(first("open").as("open"), max("v").as("high"),
+          min("v").as("low"), first("close").as("close"),
+          count(lit(1)).as("n"))
+        .select("g", "bucket", "open", "high", "low", "close", "n")
+        .as[(String, Long, Double, Double, Double, Double, Long)]
+        .collect().sortBy(t => (t._1, t._2)).toSeq
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
+  describe("Warehouse.refreshAdditiveAgg") {
+    val base = Seq(("a", 2L, 30L), ("b", 1L, 5L)).toDF("k", "n", "s")
+
+    it("folds delta partials and equals a recompute") {
+      val delta = Seq(("a", 1L, 7L), ("c", 2L, 9L)).toDF("k", "n", "s")
+      val got = Warehouse.refreshAdditiveAgg(base, delta, Seq("k"),
+          Seq("n", "s"), Some("n"))
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got == Seq(("a", 3L, 37L), ("b", 1L, 5L), ("c", 2L, 9L)))
+    }
+
+    it("drops a fully-retracted key") {
+      val retract = Seq(("b", -1L, -5L)).toDF("k", "n", "s")
+      val got = Warehouse.refreshAdditiveAgg(base, retract, Seq("k"),
+          Seq("n", "s"), Some("n"))
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got == Seq(("a", 2L, 30L)))
+    }
+  }
+
+  describe("TextAnalysis.invertedIndex") {
+    it("caps postings at k lowest doc_ids with exact df") {
+      val docs = Seq(
+        (10L, "x y"), (11L, "x"), (12L, "x x z"), (13L, "x")
+      ).toDF("doc_id", "text")
+      val got = TextAnalysis.invertedIndex(docs, 2)
+        .select("tok", "df", "rnk", "doc_id")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      assert(got == Seq(
+        ("x", 4L, 1L, 10L), ("x", 4L, 2L, 11L),
+        ("y", 1L, 1L, 10L), ("z", 1L, 1L, 12L)))
+    }
+  }
+
+  describe("Stats.embeddingCovariance") {
+    it("matches a direct covariance computation on the fixed grid") {
+      val vecs = Seq(
+        (1L, Array(1.0f, 2.0f, 3.0f)),
+        (2L, Array(2.0f, 1.0f, 5.0f)),
+        (3L, Array(0.0f, 4.0f, 1.0f)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = Stats.embeddingCovariance(df, "vec_id", "embedding", 2,
+          scale = 100)
+        .select("i", "j", "n", "cov")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      def covOf(xs: Seq[Double], ys: Seq[Double]): Double = {
+        val f = (v: Double) => math.floor(v * 100 + 0.5)
+        val (fx, fy) = (xs.map(f), ys.map(f))
+        val n = xs.size.toDouble
+        val sxy = fx.zip(fy).map { case (a, b) => a * b }.sum
+        ((sxy - fx.sum * fy.sum / n) / (n - 1.0)) / (100.0 * 100.0)
+      }
+      val d0 = vecs.map(_._2(0).toDouble)
+      val d1 = vecs.map(_._2(1).toDouble)
+      assert(got.map(t => (t._1, t._2, t._3)) ==
+        Seq((0L, 0L, 3L), (0L, 1L, 3L), (1L, 1L, 3L)))
+      val eps = 1e-12
+      assert(math.abs(got(0)._4 - covOf(d0, d0)) < eps)
+      assert(math.abs(got(1)._4 - covOf(d0, d1)) < eps)
+      assert(math.abs(got(2)._4 - covOf(d1, d1)) < eps)
+    }
+  }
+}
