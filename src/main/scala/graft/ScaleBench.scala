@@ -854,6 +854,129 @@ object ScaleBench {
           graft.ext.DedupGroups.connectedComponents(edges, maxIter = 12)
             .agg(count(lit(1)), sum("component")).collect()
         }
+      },
+      "markov_hot_user" -> { n =>
+        time {
+          // the q166 shape under maximal skew: HALF of n events on ONE
+          // user; the transition predecessor comes from the
+          // boundary-stitch lag, then |codes|^2 combinable count groups —
+          // the lag window formulation would sort n/2 rows in one task.
+          val ev = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("user_id"),
+            col("id").as("tsu"),
+            pmod(hash(col("id")), lit(5)).cast("long").as("code"))
+          graft.ext.Analytics.transitionCounts(ev, "user_id", "tsu",
+              "code", Seq(col("tsu")))
+            .agg(count(lit(1)), sum("n")).collect()
+        }
+      },
+      "ohlc_hot_bucket" -> { n =>
+        time {
+          // the q164 shape under maximal skew: HALF of n rows in ONE
+          // (group, bucket). min_by/max_by partials keep O(1) state per
+          // group (SortAggregate partial: local sort by group key, one
+          // row per group per partition into the shuffle) — the
+          // first/last_value window would buffer the hot bucket's n/2
+          // rows in one task.
+          val ev = spark.range(n).select(
+            when(col("id") % 2 === 0, lit("hot"))
+              .otherwise((col("id") % 97L).cast("string")).as("g"),
+            when(col("id") % 2 === 0, lit(500L))
+              .otherwise(pmod(hash(col("id")), lit(1000000)).cast("long")
+                * 13L + 1000000L).as("ts"),
+            col("id").as("eid"),
+            (pmod(hash(col("id"), lit(2)), lit(1000)) / 10.0).as("v"))
+          graft.ext.TimeSeries.ohlcResample(ev, Seq(col("g")), col("ts"),
+              col("eid"), col("v"), 1000000L)
+            .agg(count(lit(1)), round(sum("high"), 2)).collect()
+        }
+      },
+      "skyline_hot_cost" -> { n =>
+        time {
+          // the q167 shape under maximal skew: HALF of n rows share ONE
+          // cost. The per-cost max is combinable; the verdict join back
+          // matches each row to at most one verdict row, so the hot cost
+          // never amplifies — the quadratic dominance join it replaces
+          // would be n/2 x n/2 on that cost alone.
+          val df = spark.range(n).select(
+            col("id").as("rid"),
+            when(col("id") % 2 === 0, lit(42L))
+              .otherwise(pmod(hash(col("id")), lit(1000000)).cast("long")
+                + 1000000L).as("cost"),
+            pmod(hash(col("id"), lit(1)), lit(1000000)).cast("long")
+              .as("gain"))
+          graft.ext.Analytics.skyline2D(df, "cost", "gain")
+            .agg(count(lit(1)), sum("rid")).collect()
+        }
+      },
+      "cohort_hot_entity" -> { n =>
+        time {
+          // the q165 shape under maximal skew: HALF of n activity rows on
+          // ONE entity. The (entity, period) dedup collapses the hot
+          // entity to its ~120 distinct periods BEFORE the cohort join,
+          // so skew dies at the first combinable aggregate.
+          val act = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % (n / 100)).as("e"),
+            pmod(hash(col("id")), lit(120)).cast("long").as("p"))
+          graft.ext.Analytics.cohortRetention(act, "e", col("p"))
+            .agg(count(lit(1)), sum("n_active")).collect()
+        }
+      },
+      "agg_refresh_hot_flag" -> { n =>
+        time {
+          // the q168 claim measured: refresh cost is the delta's partial
+          // aggregate (n rows, HALF on ONE key — map-side combined) plus
+          // a merge proportional to the AGGREGATE size (n/100 keys),
+          // never a base-fact rescan.
+          val standing = spark.range(n / 100).select(col("id").as("k"),
+            (col("id") % 1000L + 1L).as("n"), (col("id") % 97L).as("s"))
+          val delta = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(7L))
+              .otherwise(col("id") % (n / 100)).as("k"),
+            lit(1L).as("one"), (col("id") % 13L).as("v"))
+            .groupBy("k").agg(sum("one").as("n"), sum("v").as("s"))
+          graft.engine.Warehouse.refreshAdditiveAgg(standing, delta,
+              Seq("k"), Seq("n", "s"), Some("n"))
+            .agg(count(lit(1)), sum("s")).collect()
+        }
+      },
+      "inverted_hot_token" -> { n =>
+        time {
+          // the q163 shape under maximal skew: n (tok, doc) incidences,
+          // HALF on ONE stopword token (invertedIndex's internals on
+          // pre-tokenized pairs — the tokenizer fan-out is a local
+          // projection and would only mask the aggregate under test).
+          // The distinct, the df count, and the k=10 postings are all
+          // bounded-state aggregates on the token key.
+          val pairs = spark.range(n).select(
+            when(col("id") % 2 === 0, lit("the"))
+              .otherwise(concat(lit("t"),
+                pmod(hash(col("id")), lit(n / 100)).cast("string")))
+              .as("tok"),
+            (col("id") % 1000000L).as("doc_id")).distinct()
+          val dfc = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+          graft.functions.TopKFunctions.topkPerGroup(pairs,
+              Seq(col("tok")), -col("doc_id"), col("doc_id"), 10)
+            .join(dfc, "tok")
+            .agg(count(lit(1)), sum("id")).collect()
+        }
+      },
+      "embed_cov_pairs" -> { n =>
+        time {
+          // the q169 fan-out measured at n PAIR rows: dims=8 fans each
+          // vector into 36 pair rows locally (no shuffle), all summing
+          // lands in one map-side-combined 36-group aggregate.
+          val m = math.max(n / 36, 1)
+          val vecs = spark.range(m).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(7)), j =>
+              (pmod(hash(col("id"), j), lit(1000)).cast("double")
+                / 1000.0).cast("float")).as("embedding"))
+          graft.ext.Stats.embeddingCovariance(vecs, "vec_id",
+              "embedding", 8)
+            .agg(count(lit(1)), round(sum("cov"), 2)).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

@@ -30,6 +30,12 @@ object Round10Queries {
   private val CovDims = 8
   private val CovScale = 65536
 
+  /** q170 universe-sample fraction (10% of the orderkey hash space). */
+  private val UniverseFraction = 0.1
+
+  /** q171 heavy hitters per segment. */
+  private val HeavyHittersK = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Inverted index with capped postings: df via combinable count,
@@ -132,7 +138,62 @@ object Round10Queries {
     "q169_embed_covariance" -> ((s, dir) =>
       Stats.embeddingCovariance(t(s, dir, "embeddings"), "vec_id",
           "embedding", CovDims, CovScale)
-        .orderBy("i", "j"))
+        .orderBy("i", "j")),
+
+    // Universe sampling: both join sides sampled by the SAME hash of the
+    // JOIN key, so sampled-then-joined ≡ joined-then-sampled — the
+    // correlated-sampling property that makes a 10% dev slice of a
+    // 100 TB star schema referentially intact (independent per-table
+    // samples would keep ~1% of join pairs and break FK closure). The
+    // hash cut is a pushed-down scan filter on both sides; no shuffle
+    // touches unsampled rows.
+    "q170_universe_join_sample" -> ((s, dir) => {
+      val o = graft.ext.Sampling.sampleByHash(
+        t(s, dir, "orders"), col("o_orderkey"), UniverseFraction)
+      val li = graft.ext.Sampling.sampleByHash(
+        t(s, dir, "lineitem"), col("l_orderkey"), UniverseFraction)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(Stats.cents(col("l_extendedprice"))).as("rev_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Per-segment heavy hitters: top-5 users by event count within each
+    // event type — two bounded-state passes (combinable (type, user)
+    // count, then the native top-k aggregate over the counts), where the
+    // window formulation would sort every type's full user list. The
+    // oracle IS that window formulation.
+    "q171_group_heavy_hitters" -> ((s, dir) => {
+      val cnts = Readers.eventsNanos(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      graft.functions.TopKFunctions.topkPerGroup(cnts,
+          Seq(col("event_type")), col("cnt"), col("user_id"),
+          HeavyHittersK)
+        .select(col("event_type"), col("rnk"), col("key").as("cnt"),
+          col("id").as("user_id"))
+        .orderBy("event_type", "rnk")
+    }),
+
+    // Semi-additive measure rollup (account-balance semantics): per
+    // (user, day) the day's CLOSING value — max_by over the zero-padded
+    // (ts, event_id) key, combinable O(1) state — then summed across
+    // users per day on the exact cents grid. last_value windows would
+    // sort each user-day; float sums would be partial-order-dependent.
+    "q172_daily_close_totals" -> ((s, dir) => {
+      val ev = Readers.eventsNanos(s, dir).select(
+        col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), Stats.cents(col("value")).as("vc"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      val ord = concat(lpad(col("ts_us").cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      ev.groupBy("user_id", "day")
+        .agg(max_by(col("vc"), ord).as("close_cents"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_users"),
+          sum("close_cents").as("total_close_cents"))
+        .orderBy("day")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -237,6 +298,50 @@ object Round10Queries {
                     (CAST(n AS DOUBLE) - 1.0)) /
                    ($CovScale.0 * $CovScale.0)
                  END AS cov
-          FROM ag ORDER BY i, j"""
+          FROM ag ORDER BY i, j""",
+
+    "q170_universe_join_sample" -> {
+      val cut = math.round(UniverseFraction * 10000)
+      s"""WITH o AS (SELECT * FROM orders
+                     WHERE CAST(('0x' || substr(md5(CAST(o_orderkey
+                       AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < $cut),
+               l AS (SELECT * FROM lineitem
+                     WHERE CAST(('0x' || substr(md5(CAST(l_orderkey
+                       AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < $cut)
+          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM l JOIN o ON l_orderkey = o_orderkey
+          GROUP BY 1 ORDER BY o_orderstatus"""
+    },
+
+    "q171_group_heavy_hitters" ->
+      s"""WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+                     FROM events GROUP BY 1, 2),
+               r AS (SELECT event_type, user_id, cnt,
+                            row_number() OVER (PARTITION BY event_type
+                              ORDER BY cnt DESC, user_id) AS rnk
+                     FROM c)
+          SELECT event_type, CAST(rnk AS BIGINT) AS rnk,
+                 CAST(cnt AS BIGINT) AS cnt, user_id
+          FROM r WHERE rnk <= $HeavyHittersK
+          ORDER BY event_type, rnk""",
+
+    "q172_daily_close_totals" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                    FROM events),
+              k AS (SELECT *,
+                           lpad(CAST(ts_us AS VARCHAR), 20, '0') ||
+                             lpad(CAST(event_id AS VARCHAR), 12, '0')
+                             AS ord,
+                           ts_us // 86400000000 AS day
+                    FROM e),
+              p AS (SELECT user_id, CAST(day AS BIGINT) AS day,
+                           arg_max(vc, ord) AS close_cents
+                    FROM k GROUP BY 1, 2)
+          SELECT day, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(close_cents) AS BIGINT) AS total_close_cents
+          FROM p GROUP BY 1 ORDER BY day"""
   )
 }

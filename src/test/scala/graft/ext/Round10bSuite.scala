@@ -157,6 +157,51 @@ class Round10bSuite extends SparkSpec {
     }
   }
 
+  describe("Sampling.sampleByHash as universe sampling") {
+    it("join of co-keyed samples equals sample of the join") {
+      val r = new scala.util.Random(19)
+      val left = (1 to 300).map(i => (r.nextInt(100).toLong, i.toLong))
+        .toDF("k", "lv")
+      val right = (1 to 80).map(i => (i.toLong % 100, i.toLong * 7))
+        .toDF("k", "rv")
+      def ids(d: DataFrame) =
+        d.select("k", "lv", "rv").as[(Long, Long, Long)]
+          .collect().sorted.toSeq
+      val sampledThenJoined = ids(
+        Sampling.sampleByHash(left, col("k"), 0.3)
+          .join(Sampling.sampleByHash(right, col("k"), 0.3), "k"))
+      val joinedThenSampled = ids(
+        Sampling.sampleByHash(left.join(right, "k"), col("k"), 0.3))
+      assert(sampledThenJoined == joinedThenSampled)
+      assert(sampledThenJoined.nonEmpty)
+    }
+  }
+
+  describe("semi-additive closing-value rollup (q172 shape)") {
+    it("max_by over the padded key matches the last_value window") {
+      val r = new scala.util.Random(23)
+      val rows = (1 to 400).map(i =>
+        (r.nextInt(20).toLong, r.nextInt(5000).toLong * 3L, i.toLong,
+          r.nextInt(1000).toLong))
+      val df = rows.toDF("u", "ts", "eid", "vc").repartition(5)
+      val ord = concat(lpad(col("ts").cast("string"), 20, "0"),
+        lpad(col("eid").cast("string"), 12, "0"))
+      val got = df.groupBy(col("u"), expr("ts div 1000"))
+        .agg(max_by(col("vc"), ord).as("close"))
+        .select(col("u"), col("close"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val w = Window.partitionBy(col("u"), expr("ts div 1000"))
+        .orderBy("ts", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val want = df.withColumn("close", last("vc").over(w))
+        .groupBy(col("u"), expr("ts div 1000"))
+        .agg(first("close").as("close"))
+        .select(col("u"), col("close"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
   describe("Stats.embeddingCovariance") {
     it("matches a direct covariance computation on the fixed grid") {
       val vecs = Seq(
