@@ -182,29 +182,56 @@ object TopKFunctions {
     * operator cannot depend on a session config for its complexity
     * class, so the one place Spark's built-in physical operators cannot
     * express a bounded-state partial combine is done per-partition by
-    * hand (the brief's sanctioned last resort): one linear scan, state =
-    * groups-in-partition × k. Exactness is unconditional — per-group
-    * top-k of a union is the top-k of the parts' top-ks — and the small
-    * merge (≤ partitions × groups × k rows) still runs through the
-    * [[TopKLongPairs]] aggregate.
+    * hand (the brief's sanctioned last resort): one linear scan, state ≤
+    * min(groups-in-partition, `maxCombinerGroups`) × k. Exactness is
+    * unconditional — per-group top-k of a union is the top-k of the
+    * parts' top-ks, and that also licenses the combiner's OVERFLOW
+    * FLUSH: when a partition holds more distinct groups than
+    * `maxCombinerGroups` (a 10⁶-token vocabulary × 32 concurrent tasks
+    * overran the shared local heap before this bound existed), the
+    * combiner emits its current buffers and restarts; the flushed
+    * partials simply merge downstream like another partition's. The
+    * merge (≤ flushes × groups × k rows) still runs through the
+    * [[TopKLongPairs]] aggregate. The default bound (2¹⁵) costs ≤ ~25 MB
+    * per task at k ≤ 10 — pruning degrades only on
+    * adversarially-interleaved ultra-wide group sets, and only to the
+    * aggregate's own exact semantics.
     */
   def topkPerGroup(df: DataFrame, groupCols: Seq[Column], key: Column,
-                   id: Column, k: Int): DataFrame = {
+                   id: Column, k: Int,
+                   maxCombinerGroups: Int = 1 << 15): DataFrame = {
+    require(maxCombinerGroups >= 1,
+      s"maxCombinerGroups must be >= 1, got $maxCombinerGroups")
     val proj = df.select(struct(groupCols: _*).as("g"),
       key.cast("long").as("k"), id.cast("long").as("id"))
     val schema = proj.schema
     val partial = proj.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap.empty[Row, TopKBuffer]
-      it.foreach { r =>
-        if (!r.isNullAt(1) && !r.isNullAt(2)) {
-          acc.getOrElseUpdate(r.getStruct(0), new TopKBuffer(k))
-            .add(r.getLong(1), r.getLong(2))
+      def drain(): Iterator[Row] = {
+        val out = acc.toArray
+        acc.clear()
+        out.iterator.flatMap { case (g, buf) =>
+          buf.sortedTop.iterator.map { case (kv, iv) => Row(g, kv, iv) }
         }
       }
-      acc.iterator.flatMap { case (g, buf) =>
-        buf.sortedTop.iterator.map { case (kv, iv) =>
-          Row(g, kv, iv)
+      val batches = it.flatMap { r =>
+        if (!r.isNullAt(1) && !r.isNullAt(2)) {
+          val g = r.getStruct(0)
+          val flush = !acc.contains(g) && acc.size >= maxCombinerGroups
+          val pre = if (flush) drain() else Iterator.empty
+          acc.getOrElseUpdate(g, new TopKBuffer(k))
+            .add(r.getLong(1), r.getLong(2))
+          pre
+        } else Iterator.empty
+      }
+      batches ++ new Iterator[Row] {
+        private var inner: Iterator[Row] = null
+        private def tail: Iterator[Row] = {
+          if (inner == null) inner = drain()
+          inner
         }
+        def hasNext: Boolean = tail.hasNext
+        def next(): Row = tail.next()
       }
     }(org.apache.spark.sql.Encoders.row(schema))
     partial.groupBy("g")

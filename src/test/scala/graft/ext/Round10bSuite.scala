@@ -202,6 +202,24 @@ class Round10bSuite extends SparkSpec {
     }
   }
 
+  describe("TopKFunctions.topkPerGroup combiner flush") {
+    it("is exact regardless of the combiner group bound") {
+      val r = new scala.util.Random(29)
+      val rows = (1 to 2000).map(i =>
+        (("g" + r.nextInt(200)), r.nextInt(50).toLong, i.toLong))
+      val df = rows.toDF("g", "k", "id").repartition(4)
+      def run(bound: Int) =
+        graft.functions.TopKFunctions.topkPerGroup(df, Seq(col("g")),
+            col("k"), col("id"), 3, maxCombinerGroups = bound)
+          .select("g", "rnk", "key", "id")
+          .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      val unbounded = run(1 << 17)
+      assert(run(2) == unbounded)   // constant flushing
+      assert(run(7) == unbounded)   // flush mid-stream
+      assert(unbounded.nonEmpty)
+    }
+  }
+
   describe("Stats.embeddingCovariance") {
     it("matches a direct covariance computation on the fixed grid") {
       val vecs = Seq(
