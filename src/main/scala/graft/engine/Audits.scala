@@ -75,4 +75,29 @@ object Audits {
   def contractAudits: Seq[Audit] = Seq(
     NotNull("job_title"),
     Expression("total_amount_non_negative", col("total_amount") >= 0))
+
+  /** Referential-integrity audit between a child FK column and a parent
+    * key: counts `orphan_children` (child rows whose key has no parent —
+    * broken FK) and `childless_parents` (parent rows no child
+    * references — suspicious for fact/dim pairs that should join 1:n).
+    * Returns two (metric, v) rows.
+    *
+    * Scale shape: two anti-joins, each hashing only the KEY columns
+    * (projection-pruned scans); Catalyst plans broadcast anti-joins when
+    * one side's key set fits, shuffle otherwise — either way no row
+    * wider than a key ever moves, so the audit is safe to run on every
+    * warehouse build of a 100 TB fact table.
+    */
+  def fkAudit(child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+    val c = child.select(col(childKey))
+    val p = parent.select(col(parentKey))
+    val orphans = c.join(p, col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("metric", lit("orphan_children"))
+    val childless = p.join(c, col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("metric", lit("childless_parents"))
+    orphans.unionByName(childless).select(col("metric"), col("v"))
+  }
 }

@@ -36,6 +36,9 @@ object Round10Queries {
   /** q171 heavy hitters per segment. */
   private val HeavyHittersK = 5
 
+  /** q173 throttle gap (5 s in epoch micros). */
+  private val ThrottleGapUs = 5000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Inverted index with capped postings: df via combinable count,
@@ -173,6 +176,74 @@ object Round10Queries {
         .select(col("event_type"), col("rnk"), col("key").as("cnt"),
           col("id").as("user_id"))
         .orderBy("event_type", "rnk")
+    }),
+
+    // Burst throttling (event dedup within a 5 s gap): sessions from the
+    // hot-key-safe gap sessionizer; kept events = session count, which —
+    // because session ids are dense and contiguous per user in range
+    // order — is the combinable max−min+1, never a count(distinct).
+    "q173_event_throttle" -> ((s, dir) => {
+      val ev = Readers.eventsNanos(s, dir).select(
+        col("user_id"), expr("ts div 1000").as("tsu"), col("event_id"))
+      GlobalOrder.withSessionId(ev, "user_id", "tsu", ThrottleGapUs,
+          Seq(col("event_id")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max("session_id") - min("session_id") + 1L).as("n_kept"))
+        .orderBy("user_id")
+    }),
+
+    // Referential-integrity audit (orphan FKs / childless parents) as
+    // key-only anti-joins — the per-build warehouse gate that never
+    // moves a row wider than the key.
+    "q174_fk_orphan_audit" -> ((s, dir) =>
+      graft.engine.Audits.fkAudit(
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .orderBy("metric")),
+
+    // Ratio-to-report (share within segment) with NO window: the
+    // percent-of-segment denominator is a second aggregate over the
+    // FIRST aggregate's tiny output, broadcast back — a ratio_to_report
+    // window would shuffle and sort the fact rows for one number per
+    // segment.
+    "q175_share_of_segment" -> ((s, dir) => {
+      val seg = t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(sum(Stats.cents(col("o_totalprice"))).as("rev_cents"))
+      val tot = seg.groupBy("o_orderstatus")
+        .agg(sum("rev_cents").as("seg_cents"))
+      seg.join(tot, "o_orderstatus")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("rev_cents"),
+          ((col("rev_cents") * 100).cast("double") / col("seg_cents"))
+            .as("share_pct"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // Winsorization: per-type clip at the exact [p05, p95] order
+    // statistics from the hot-group-safe global-rank quantile (no
+    // percentile buffer, no window sort), then one combinable pass for
+    // the clipped aggregate and clip counts.
+    "q176_winsorize" -> ((s, dir) => {
+      val ev = Readers.eventsNanos(s, dir).select(
+        col("event_type"), Stats.cents(col("value")).as("vc"),
+        col("event_id"))
+      val p05 = GlobalOrder.groupQuantileOfLong(ev, "event_type", "vc",
+        pPct = 5, Seq(col("event_id")), out = "p05").drop("n")
+      val p95 = GlobalOrder.groupQuantileOfLong(ev, "event_type", "vc",
+        pPct = 95, Seq(col("event_id")), out = "p95").drop("n")
+      ev.join(broadcast(p05), "event_type")
+        .join(broadcast(p95), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(greatest(least(col("vc"), col("p95")), col("p05")))
+            .as("winsorized_cents"),
+          sum(when(col("vc") < col("p05"), 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("vc") > col("p95"), 1L).otherwise(0L))
+            .as("n_clip_hi"))
+        .orderBy("event_type")
     }),
 
     // Semi-additive measure rollup (account-balance semantics): per
@@ -326,6 +397,73 @@ object Round10Queries {
                  CAST(cnt AS BIGINT) AS cnt, user_id
           FROM r WHERE rnk <= $HeavyHittersK
           ORDER BY event_type, rnk""",
+
+    "q173_event_throttle" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+                     FROM events),
+               l AS (SELECT user_id,
+                            CASE WHEN prev IS NULL
+                                   OR tsu - prev > $ThrottleGapUs
+                                 THEN 1 ELSE 0 END AS brk
+                     FROM (SELECT user_id, tsu,
+                                  lag(tsu) OVER (PARTITION BY user_id
+                                    ORDER BY tsu, event_id) AS prev
+                           FROM e))
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(brk) AS BIGINT) AS n_kept
+          FROM l GROUP BY 1 ORDER BY user_id""",
+
+    "q174_fk_orphan_audit" ->
+      """SELECT 'childless_parents' AS metric,
+                CAST(count(*) AS BIGINT) AS v
+          FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey)
+          UNION ALL
+          SELECT 'orphan_children' AS metric,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)
+          ORDER BY metric""",
+
+    "q175_share_of_segment" ->
+      """WITH seg AS (SELECT o_orderstatus, o_orderpriority,
+                             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS rev_cents
+                      FROM orders GROUP BY 1, 2),
+              tot AS (SELECT o_orderstatus,
+                             CAST(sum(rev_cents) AS BIGINT) AS seg_cents
+                      FROM seg GROUP BY 1)
+          SELECT seg.o_orderstatus, seg.o_orderpriority, seg.rev_cents,
+                 CAST(seg.rev_cents * 100 AS DOUBLE) / seg_cents
+                   AS share_pct
+          FROM seg JOIN tot USING (o_orderstatus)
+          ORDER BY o_orderstatus, o_orderpriority""",
+
+    "q176_winsorize" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+                           event_id
+                    FROM events),
+              r AS (SELECT event_type, vc,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY vc, event_id) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM e),
+              p05 AS (SELECT event_type, vc AS p05 FROM r
+                      WHERE rn = ((n - 1) * 5) // 100 + 1),
+              p95 AS (SELECT event_type, vc AS p95 FROM r
+                      WHERE rn = ((n - 1) * 95) // 100 + 1)
+          SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(greatest(least(vc, p95), p05)) AS BIGINT)
+                   AS winsorized_cents,
+                 CAST(sum(CASE WHEN vc < p05 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clip_lo,
+                 CAST(sum(CASE WHEN vc > p95 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clip_hi
+          FROM e JOIN p05 USING (event_type) JOIN p95 USING (event_type)
+          GROUP BY 1 ORDER BY event_type""",
 
     "q172_daily_close_totals" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

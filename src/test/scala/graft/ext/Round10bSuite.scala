@@ -202,6 +202,34 @@ class Round10bSuite extends SparkSpec {
     }
   }
 
+  describe("Audits.fkAudit") {
+    it("counts orphan children and childless parents") {
+      val child = Seq(1L, 1L, 2L, 9L).toDF("ck")
+      val parent = Seq(1L, 2L, 3L).toDF("pk")
+      val got = graft.engine.Audits.fkAudit(child, "ck", parent, "pk")
+        .as[(String, Long)].collect().sorted.toSeq
+      assert(got == Seq(("childless_parents", 1L), ("orphan_children", 1L)))
+    }
+  }
+
+  describe("throttle session-count identity (q173 shape)") {
+    it("max-min+1 session ids equal the per-key session count") {
+      val r = new scala.util.Random(31)
+      val rows = (1 to 500).map(i =>
+        (r.nextInt(10).toLong, r.nextInt(10000).toLong * 3L, i.toLong))
+      val df = rows.toDF("k", "ts", "eid").repartition(5)
+      val sess = GlobalOrder.withSessionId(df, "k", "ts", 50L,
+        Seq(col("eid")))
+      val got = sess.groupBy("k")
+        .agg((max("session_id") - min("session_id") + 1L).as("n_kept"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val want = sess.groupBy("k")
+        .agg(countDistinct("session_id").as("n_kept"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
   describe("TopKFunctions.topkPerGroup combiner flush") {
     it("is exact regardless of the combiner group bound") {
       val r = new scala.util.Random(29)
