@@ -238,4 +238,93 @@ object Stats {
       when(col("n") >= 2,
         covCents / (scale.toDouble * scale.toDouble)).as("cov"))
   }
+
+  /** The (means, inverse-ridged-covariance) model behind
+    * [[mahalanobisScore]], learned in one deterministic pass: means come
+    * from the same fixed-point integer sums as [[embeddingCovariance]]
+    * (exact under any partitioning), the d×d covariance is collected to
+    * the driver (d² doubles), ridge-regularized (`ridge` added to the
+    * diagonal — keeps a near-singular corpus invertible,
+    * deterministically), and inverted by Gauss-Jordan with partial
+    * pivoting in plain driver code. Everything downstream treats the
+    * result as CONSTANTS, so the scoring expression — and the DuckDB
+    * oracle rendered from the same model — is engine-independent.
+    */
+  def mahalanobisModel(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, scale: Int = 65536,
+                       ridge: Double = 1e-3)
+      : (Array[Double], Array[Array[Double]]) = {
+    val moments = df
+      .select(posexplode(slice(col(vecCol), 1, dims)).as(Seq("i", "x")))
+      .select(col("i"), cents(col("x").cast("double"), scale).as("xc"))
+      .groupBy("i").agg(count(lit(1)).as("n"), sum("xc").as("sx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val means = moments.map { case (_, n, sx) =>
+      (sx.toDouble / n) / scale.toDouble
+    }
+    val cov = Array.ofDim[Double](dims, dims)
+    embeddingCovariance(df, idCol, vecCol, dims, scale).collect()
+      .foreach { r =>
+        val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt,
+          r.getDouble(3))
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+    for (i <- 0 until dims) cov(i)(i) += ridge
+    (means, invert(cov))
+  }
+
+  /** Per-row squared Mahalanobis distance under a [[mahalanobisModel]]:
+    * d² = (x−μ)ᵀ Σ⁻¹ (x−μ), built as ONE fixed expression over the
+    * model constants — left-associated term sum, each term
+    * `c_ij · (x_i−μ_i) · (x_j−μ_j)` — so an oracle rendering the same
+    * constants in the same shape reproduces every bit (the final
+    * round(6) absorbs nothing but formatting). A local projection: no
+    * shuffle, no join, codegen-friendly, embarrassingly 100 TB-safe.
+    */
+  def mahalanobisScore(df: DataFrame, idCol: String, vecCol: String,
+                       means: Array[Double],
+                       inv: Array[Array[Double]]): DataFrame = {
+    val d = means.length
+    def x(i: Int): Column = col(vecCol).getItem(i).cast("double")
+    val terms = for (i <- 0 until d; j <- 0 until d) yield
+      lit(inv(i)(j)) * (x(i) - lit(means(i))) * (x(j) - lit(means(j)))
+    df.select(col(idCol), round(terms.reduce(_ + _), 6).as("d2"))
+  }
+
+  /** DuckDB twin of [[mahalanobisScore]]'s expression, over a 1-based
+    * array column expression `vecSql` — identical constants (shortest
+    * round-trip double literals re-parse to the same IEEE value),
+    * identical association. */
+  def mahalanobisSqlExpr(vecSql: String, means: Array[Double],
+                         inv: Array[Array[Double]]): String = {
+    val d = means.length
+    def x(i: Int): String = s"CAST($vecSql[${i + 1}] AS DOUBLE)"
+    val terms = for (i <- 0 until d; j <- 0 until d) yield
+      s"${inv(i)(j)} * (${x(i)} - ${means(i)}) * (${x(j)} - ${means(j)})"
+    s"round(${terms.mkString(" + ")}, 6)"
+  }
+
+  /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
+    * hundred. Deterministic for a given matrix. */
+  private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    val m = Array.tabulate(n, 2 * n)((i, j) =>
+      if (j < n) a(i)(j) else if (j - n == i) 1.0 else 0.0)
+    for (c <- 0 until n) {
+      var piv = c
+      for (r <- c + 1 until n)
+        if (math.abs(m(r)(c)) > math.abs(m(piv)(c))) piv = r
+      val t = m(c); m(c) = m(piv); m(piv) = t
+      require(math.abs(m(c)(c)) > 1e-12,
+        "singular covariance — raise the ridge")
+      val dgn = m(c)(c)
+      for (j <- 0 until 2 * n) m(c)(j) /= dgn
+      for (r <- 0 until n if r != c) {
+        val f = m(r)(c)
+        if (f != 0.0) for (j <- 0 until 2 * n) m(r)(j) -= f * m(c)(j)
+      }
+    }
+    Array.tabulate(n, n)((i, j) => m(i)(n + j))
+  }
 }

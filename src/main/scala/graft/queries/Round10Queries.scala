@@ -39,6 +39,10 @@ object Round10Queries {
   /** q173 throttle gap (5 s in epoch micros). */
   private val ThrottleGapUs = 5000000L
 
+  /** q177 Mahalanobis: leading dims scored, outliers kept. */
+  private val MahaDims = 4
+  private val MahaTopN = 50
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Inverted index with capped postings: df via combinable count,
@@ -244,6 +248,21 @@ object Round10Queries {
           sum(when(col("vc") > col("p95"), 1L).otherwise(0L))
             .as("n_clip_hi"))
         .orderBy("event_type")
+    }),
+
+    // Mahalanobis outlier scoring: the exact fixed-point covariance
+    // (q169's machinery) plus integer-sum means are collected once,
+    // ridge-regularized and inverted ON THE DRIVER (d² doubles of global
+    // state), then scoring is one constant-folded local projection with
+    // a TakeOrderedAndProject top-N — no shuffle touches the corpus. The
+    // oracle is RENDERED from the same learned model (dynamicOracleSql,
+    // the q64 mechanism), so assignment and scores are hash-gated.
+    "q177_mahalanobis_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (mu, inv) = Stats.mahalanobisModel(e, "vec_id", "embedding",
+        MahaDims)
+      Stats.mahalanobisScore(e, "vec_id", "embedding", mu, inv)
+        .orderBy(desc("d2"), asc("vec_id")).limit(MahaTopN)
     }),
 
     // Semi-additive measure rollup (account-balance semantics): per
@@ -482,4 +501,20 @@ object Round10Queries {
                  CAST(sum(close_cents) AS BIGINT) AS total_close_cents
           FROM p GROUP BY 1 ORDER BY day"""
   )
+
+  /** q177's oracle depends on the run-time-learned model (means +
+    * inverted ridged covariance) — rendered per (session, sfDir) with
+    * the exact constants the Spark side scored with (the q64 centroid
+    * mechanism). Shortest-round-trip double literals re-parse to the
+    * same IEEE values in DuckDB.
+    */
+  val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "q177_mahalanobis_outliers" -> ((s, dir) => {
+      val e = Readers.table(s, dir, "embeddings")
+      val (mu, inv) = Stats.mahalanobisModel(e, "vec_id", "embedding",
+        MahaDims)
+      val d2 = Stats.mahalanobisSqlExpr("embedding", mu, inv)
+      s"""SELECT vec_id, $d2 AS d2 FROM embeddings
+          ORDER BY d2 DESC, vec_id LIMIT $MahaTopN"""
+    }))
 }

@@ -248,6 +248,34 @@ class Round10bSuite extends SparkSpec {
     }
   }
 
+  describe("Stats.mahalanobisModel / mahalanobisScore") {
+    it("inverts the ridged covariance and scores are non-negative") {
+      val r = new scala.util.Random(37)
+      val vecs = (1 to 200).map(i =>
+        (i.toLong, Array.fill(4)((r.nextGaussian() * 0.3).toFloat)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val (mu, inv) = Stats.mahalanobisModel(df, "vec_id", "embedding", 4)
+      // verify inv * (cov + ridge I) == I to numerical tolerance by
+      // reconstructing cov from the public covariance operator
+      val cov = Array.ofDim[Double](4, 4)
+      Stats.embeddingCovariance(df, "vec_id", "embedding", 4).collect()
+        .foreach { row =>
+          val (i, j, c) = (row.getLong(0).toInt, row.getLong(1).toInt,
+            row.getDouble(3))
+          cov(i)(j) = c; cov(j)(i) = c
+        }
+      for (i <- 0 until 4) cov(i)(i) += 1e-3
+      for (i <- 0 until 4; j <- 0 until 4) {
+        val e = (0 until 4).map(k => inv(i)(k) * cov(k)(j)).sum
+        assert(math.abs(e - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"inv*cov[$i][$j] = $e")
+      }
+      val scores = Stats.mahalanobisScore(df, "vec_id", "embedding",
+        mu, inv).select("d2").as[Double].collect()
+      assert(scores.length == 200 && scores.forall(_ >= 0.0))
+    }
+  }
+
   describe("Stats.embeddingCovariance") {
     it("matches a direct covariance computation on the fixed grid") {
       val vecs = Seq(
