@@ -963,6 +963,25 @@ object ScaleBench {
             .agg(count(lit(1)), sum("id")).collect()
         }
       },
+      "twa_hot_user" -> { n =>
+        time {
+          // the q178 shape under maximal skew: HALF of n events on ONE
+          // user. The successor lookup is the boundary-stitch lag over
+          // the reversed order (hot-key-safe lead); the period explode
+          // is local (segments ~1 period at this density); one
+          // combinable groupBy sums the exact integers.
+          val ev = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            (pmod(hash(col("id")), lit(100000000)).cast("long") * 13L)
+              .as("ts"),
+            col("id").as("eid"),
+            (col("id") % 997L).as("vc"))
+          graft.ext.TimeSeries.timeWeightedPerPeriod(ev, "k", "ts",
+              "eid", "vc", 86400000000L)
+            .agg(count(lit(1)), sum("num"), sum("dur_us")).collect()
+        }
+      },
       "embed_cov_pairs" -> { n =>
         time {
           // the q169 fan-out measured at n PAIR rows: dims=8 fans each

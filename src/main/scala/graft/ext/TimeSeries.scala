@@ -136,4 +136,50 @@ object TimeSeries {
         max_by(value, ord).as("close"),
         count(lit(1)).as("n"))
   }
+
+  /** Exact time-weighted average per (key, period) — the semi-additive
+    * measure that closing balances approximate: each event's value holds
+    * from its timestamp until the key's NEXT event, the step function is
+    * clipped to period boundaries, and the average weights value by held
+    * duration. Emits (key, period, dur_us, num, twa): `num`/`dur_us` are
+    * exact integer sums (value·μs and μs), `twa` their one IEEE
+    * quotient — bit-portable.
+    *
+    * Scale design: the successor timestamp comes from
+    * [[GlobalOrder.withLagPerKey]] over the REVERSED (−ts, −id) order —
+    * the boundary-stitch lag read backwards is a lead, so a hot key
+    * never sorts in one task. Segments explode into the periods they
+    * span (bounded by segment length over period width — a local
+    * projection), and ONE combinable groupBy does all summing. Each
+    * key's final event holds no segment (no successor) and contributes
+    * nothing; zero-length segments (equal-timestamp ties) are dropped.
+    *
+    * `keyCol`/`tsUsCol`/`idCol` non-null LongType, timestamps
+    * non-negative, `valueCol` an integer (cents-grid) LongType measure.
+    * Overflow budget: |value| · periodUs · (segments per key-period)
+    * must fit int64 — at cents ≤ 10⁶ and day periods that is ~10⁵
+    * segments per key-day, far past any real event stream.
+    */
+  def timeWeightedPerPeriod(df: DataFrame, keyCol: String, tsUsCol: String,
+                            idCol: String, valueCol: String,
+                            periodUs: Long): DataFrame = {
+    require(periodUs >= 1, s"periodUs must be >= 1, got $periodUs")
+    GlobalOrder.requireFresh(df, "__negts", "__next_ts", "__p")
+    val withNeg = df.withColumn("__negts", -col(tsUsCol))
+    val nxt = GlobalOrder.withLagPerKey(withNeg, keyCol, "__negts",
+        tsUsCol, Seq(-col(idCol)), out = "__next_ts")
+      .drop("__negts")
+    val seg = nxt.filter(col("__next_ts").isNotNull &&
+      col("__next_ts") > col(tsUsCol))
+    val spans = seg.withColumn("__p", explode(sequence(
+      expr(s"$tsUsCol div $periodUs"),
+      expr(s"(__next_ts - 1) div $periodUs"))))
+    val overlap = least(col("__next_ts"), (col("__p") + 1) * periodUs) -
+      greatest(col(tsUsCol), col("__p") * periodUs)
+    spans
+      .groupBy(col(keyCol), col("__p").as("period"))
+      .agg(sum(overlap).as("dur_us"),
+        sum(col(valueCol) * overlap).as("num"))
+      .withColumn("twa", col("num").cast("double") / col("dur_us"))
+  }
 }

@@ -265,6 +265,20 @@ object Round10Queries {
         .orderBy(desc("d2"), asc("vec_id")).limit(MahaTopN)
     }),
 
+    // Exact time-weighted average per (user, day): each value holds
+    // until the user's next event; the successor comes from the
+    // boundary-stitch lag read BACKWARDS (a hot-key-safe lead), segments
+    // clip to day boundaries locally, one combinable groupBy sums exact
+    // value·μs and μs integers — twa is their single IEEE quotient.
+    "q178_time_weighted_avg" -> ((s, dir) => {
+      val ev = Readers.eventsNanos(s, dir).select(
+        col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id"), Stats.cents(col("value")).as("vc"))
+      TimeSeries.timeWeightedPerPeriod(ev, "user_id", "tsu", "event_id",
+          "vc", 86400000000L)
+        .orderBy("user_id", "period")
+    }),
+
     // Semi-additive measure rollup (account-balance semantics): per
     // (user, day) the day's CLOSING value — max_by over the zero-padded
     // (ts, event_id) key, combinable O(1) state — then summed across
@@ -483,6 +497,33 @@ object Round10Queries {
                    AS n_clip_hi
           FROM e JOIN p05 USING (event_type) JOIN p95 USING (event_type)
           GROUP BY 1 ORDER BY event_type""",
+
+    "q178_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                    FROM events),
+              l AS (SELECT user_id, tsu, vc,
+                           lead(tsu) OVER (PARTITION BY user_id
+                             ORDER BY tsu, event_id) AS nxt
+                    FROM e),
+              s AS (SELECT * FROM l
+                    WHERE nxt IS NOT NULL AND nxt > tsu),
+              x AS (SELECT user_id, vc, tsu, nxt,
+                           unnest(generate_series(tsu // 86400000000,
+                             (nxt - 1) // 86400000000)) AS p
+                    FROM s),
+              o AS (SELECT user_id, CAST(p AS BIGINT) AS period,
+                           least(nxt, (p + 1) * 86400000000) -
+                             greatest(tsu, p * 86400000000) AS ov,
+                           vc
+                    FROM x),
+              a AS (SELECT user_id, period,
+                           CAST(sum(ov) AS BIGINT) AS dur_us,
+                           CAST(sum(vc * ov) AS BIGINT) AS num
+                    FROM o GROUP BY 1, 2)
+          SELECT user_id, period, dur_us, num,
+                 CAST(num AS DOUBLE) / dur_us AS twa
+          FROM a ORDER BY user_id, period""",
 
     "q172_daily_close_totals" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

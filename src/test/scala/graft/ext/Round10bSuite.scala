@@ -248,6 +248,38 @@ class Round10bSuite extends SparkSpec {
     }
   }
 
+  describe("TimeSeries.timeWeightedPerPeriod") {
+    it("matches the lead-window formulation under a hot key") {
+      val r = new scala.util.Random(41)
+      val rows = (1 to 600).map { i =>
+        val k = if (r.nextBoolean()) 1L else (r.nextInt(5) + 2).toLong
+        (k, r.nextInt(5000).toLong * 7L, i.toLong, r.nextInt(500).toLong)
+      }
+      val df = rows.toDF("k", "ts", "eid", "vc").repartition(7)
+      val got = TimeSeries.timeWeightedPerPeriod(df, "k", "ts", "eid",
+          "vc", 1000L)
+        .select("k", "period", "dur_us", "num")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      // brute force: per-key lead via window, explode periods in Scala
+      val lead = df.withColumn("nxt",
+          org.apache.spark.sql.functions.lead("ts", 1)
+            .over(Window.partitionBy("k").orderBy("ts", "eid")))
+        .filter(col("nxt").isNotNull && col("nxt") > col("ts"))
+        .select("k", "ts", "nxt", "vc")
+        .as[(Long, Long, Long, Long)].collect()
+      val want = lead.flatMap { case (k, ts, nxt, vc) =>
+        (ts / 1000L to (nxt - 1) / 1000L).map { p =>
+          val ov = math.min(nxt, (p + 1) * 1000L) -
+            math.max(ts, p * 1000L)
+          ((k, p), (ov, vc * ov))
+        }
+      }.groupBy(_._1).map { case ((k, p), xs) =>
+        (k, p, xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+      }.toSeq.sorted
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
   describe("Stats.mahalanobisModel / mahalanobisScore") {
     it("inverts the ridged covariance and scores are non-negative") {
       val r = new scala.util.Random(37)
