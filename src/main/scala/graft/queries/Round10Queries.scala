@@ -152,8 +152,9 @@ object Round10Queries {
     // correlated-sampling property that makes a 10% dev slice of a
     // 100 TB star schema referentially intact (independent per-table
     // samples would keep ~1% of join pairs and break FK closure). The
-    // hash cut is a pushed-down scan filter on both sides; no shuffle
-    // touches unsampled rows.
+    // hash cut is evaluated at the scan (an expression filter — md5
+    // cannot push into parquet row groups, but no SHUFFLE ever touches
+    // an unsampled row, which is the cost that matters at 100 TB).
     "q170_universe_join_sample" -> ((s, dir) => {
       val o = graft.ext.Sampling.sampleByHash(
         t(s, dir, "orders"), col("o_orderkey"), UniverseFraction)
