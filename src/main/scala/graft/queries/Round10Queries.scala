@@ -266,6 +266,28 @@ object Round10Queries {
         .orderBy(desc("d2"), asc("vec_id")).limit(MahaTopN)
     }),
 
+    // Streaming twin of q173: the burst throttle as arbitrary keyed
+    // state (flatMapGroupsWithState, one timestamp per user), run over
+    // the bounded events stream and gated against the SAME lag-window
+    // oracle as the batch sessionizer — batch/stream parity for the
+    // throttle semantics, not just "rows came out".
+    "q179_streaming_throttle" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q179_events") { raw =>
+        import s.implicits._
+        val pings = raw
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"))
+          .as[graft.streaming.EventStream.Ping]
+        val out = graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream
+            .throttledPings(pings, ThrottleGapUs).toDF(),
+          StreamingQueries.memName("q179_mem_"),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = Some(8))
+        out.groupBy("user_id").agg(count(lit(1)).as("n_kept"))
+          .orderBy("user_id")
+      }),
+
     // Exact time-weighted average per (user, day): each value holds
     // until the user's next event; the successor comes from the
     // boundary-stitch lag read BACKWARDS (a hot-key-safe lead), segments
@@ -498,6 +520,20 @@ object Round10Queries {
                    AS n_clip_hi
           FROM e JOIN p05 USING (event_type) JOIN p95 USING (event_type)
           GROUP BY 1 ORDER BY event_type""",
+
+    "q179_streaming_throttle" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+                     FROM events),
+               l AS (SELECT user_id,
+                            CASE WHEN prev IS NULL
+                                   OR tsu - prev > $ThrottleGapUs
+                                 THEN 1 ELSE 0 END AS brk
+                     FROM (SELECT user_id, tsu,
+                                  lag(tsu) OVER (PARTITION BY user_id
+                                    ORDER BY tsu, event_id) AS prev
+                           FROM e))
+          SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_kept
+          FROM l GROUP BY 1 ORDER BY user_id""",
 
     "q178_time_weighted_avg" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,

@@ -87,6 +87,41 @@ object EventStream {
       }
   }
 
+  final case class Ping(user_id: Long, tsu: Long, event_id: Long)
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class LastSeen(tsu: Long)
+
+  /** Streaming burst throttle via flatMapGroupsWithState: emit only the
+    * events that OPEN a burst — those farther than `gapUs` from the same
+    * user's previous event (kept or not) — the streaming twin of the
+    * batch gap-sessionizer's session-start set, so one lag-window oracle
+    * gates both (q173/q179). State per user is ONE timestamp; each
+    * micro-batch's per-user slice is sorted by (tsu, event_id) before
+    * the scan (iterator order within a batch is not event-time order).
+    * That per-batch sort buffers a user's batch slice in memory — the
+    * accepted cost of arbitrary stateful streaming; state eviction for
+    * abandoned users would add a GroupStateTimeout in production (kept
+    * timeout-free so bounded runs drain deterministically).
+    */
+  def throttledPings(pings: Dataset[Ping], gapUs: Long): Dataset[Ping] = {
+    import pings.sparkSession.implicits._
+    pings
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, Ping](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Ping], state: GroupState[LastSeen]) =>
+          val sorted = batch.toArray.sortBy(p => (p.tsu, p.event_id))
+          var last: Option[Long] = state.getOption.map(_.tsu)
+          val kept = sorted.filter { p =>
+            val keep = last.forall(l => p.tsu - l > gapUs)
+            last = Some(p.tsu)
+            keep
+          }
+          last.foreach(l => state.update(LastSeen(l)))
+          kept.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen,
     * keeping state only within the watermark horizon — the streaming twin
     * of batch exact dedup, with bounded state (late duplicates beyond the

