@@ -266,6 +266,22 @@ object Round10Queries {
         .orderBy(desc("d2"), asc("vec_id")).limit(MahaTopN)
     }),
 
+    // Per-group MODE (most frequent value): two bounded-state passes —
+    // combinable (group, value) counts, then the min(struct) argmin
+    // (q129's k=1 discipline) picking (highest count, lowest user) with
+    // a total tiebreak. No per-group window, no value-list buffering.
+    "q180_group_mode" -> ((s, dir) => {
+      val c = Readers.eventsNanos(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      c.groupBy("event_type")
+        .agg(min(struct((-col("cnt")).as("nc"), col("user_id").as("u")))
+            .as("m"),
+          sum("cnt").as("n_events"))
+        .select(col("event_type"), col("m.u").as("modal_user"),
+          (-col("m.nc")).as("cnt"), col("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Streaming twin of q173: the burst throttle as arbitrary keyed
     // state (flatMapGroupsWithState, one timestamp per user), run over
     // the bounded events stream and gated against the SAME lag-window
@@ -520,6 +536,18 @@ object Round10Queries {
                    AS n_clip_hi
           FROM e JOIN p05 USING (event_type) JOIN p95 USING (event_type)
           GROUP BY 1 ORDER BY event_type""",
+
+    "q180_group_mode" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, user_id, cnt,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY cnt DESC, user_id) AS rn,
+                           sum(cnt) OVER (PARTITION BY event_type) AS tot
+                    FROM c)
+          SELECT event_type, user_id AS modal_user,
+                 CAST(cnt AS BIGINT) AS cnt, CAST(tot AS BIGINT) AS n_events
+          FROM r WHERE rn = 1 ORDER BY event_type""",
 
     "q179_streaming_throttle" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
