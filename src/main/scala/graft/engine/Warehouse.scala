@@ -283,6 +283,24 @@ object Warehouse {
     finally walk2.close()
   }
 
+  /** Point-in-time (AS OF) snapshot over an SCD-2 history
+    * ([[scd2History]]/[[scd2HistoryBig]] output): the version of each key
+    * whose validity interval contains `atVersion` — `valid_from ≤ at` and
+    * (`valid_to` null or `> at`). Keys whose first version opens after
+    * `at` are absent, exactly as the dimension looked then.
+    *
+    * Scale shape: a pure filter — no shuffle, no window; at most one row
+    * per key survives by the history's non-overlapping-interval
+    * invariant, so the snapshot reads as a plain dimension table
+    * downstream (and the filter prunes row groups where min/max
+    * statistics on valid_from permit).
+    */
+  def scd2Snapshot(history: DataFrame, atVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    history.filter(col("valid_from") <= atVersion &&
+      (col("valid_to").isNull || col("valid_to") > atVersion))
+  }
+
   /** Incremental maintenance of an ADDITIVE aggregate (materialized-view
     * refresh): fold a delta's partial aggregate into the standing
     * aggregate without touching the base data. Both inputs carry

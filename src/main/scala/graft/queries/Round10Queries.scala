@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Readers, Warehouse}
 import graft.ext.{Analytics, GlobalOrder, Stats, TextAnalysis, TimeSeries}
@@ -264,6 +264,24 @@ object Round10Queries {
         MahaDims)
       Stats.mahalanobisScore(e, "vec_id", "embedding", mu, inv)
         .orderBy(desc("d2"), asc("vec_id")).limit(MahaTopN)
+    }),
+
+    // Point-in-time SCD-2 snapshot: the state of every user's dimension
+    // row AS OF the corpus midpoint — the consumer side of the q161
+    // history build. The snapshot itself is a pure filter (no shuffle);
+    // the midpoint is two combinable aggregates collected once and
+    // reproduced by the oracle as a scalar subquery.
+    "q181_scd2_snapshot" -> ((s, dir) => {
+      val changes = Readers.eventsNanos(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ver_us"),
+          col("event_type"))
+      val Row(mn: Long, mx: Long) =
+        changes.agg(min("ver_us"), max("ver_us")).head()
+      val hist = Warehouse.scd2HistoryBig(changes, "user_id", "ver_us",
+        Seq("event_type"))
+      Warehouse.scd2Snapshot(hist, (mn + mx) / 2)
+        .select(col("user_id"), col("event_type"), col("valid_from"))
+        .orderBy("user_id")
     }),
 
     // Per-group MODE (most frequent value): two bounded-state passes —
@@ -536,6 +554,27 @@ object Round10Queries {
                    AS n_clip_hi
           FROM e JOIN p05 USING (event_type) JOIN p95 USING (event_type)
           GROUP BY 1 ORDER BY event_type""",
+
+    "q181_scd2_snapshot" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ver_us, event_type,
+                           lag(event_type) OVER w AS prev,
+                           lag(epoch_us(ts)) OVER w AS prev_ver
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts))),
+              ch AS (SELECT user_id, ver_us, event_type FROM c
+                     WHERE prev_ver IS NULL
+                        OR prev IS DISTINCT FROM event_type),
+              h AS (SELECT user_id, event_type, ver_us AS valid_from,
+                           lead(ver_us) OVER (PARTITION BY user_id
+                             ORDER BY ver_us) AS valid_to
+                    FROM ch),
+              a AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                      AS at FROM events)
+          SELECT user_id, event_type, valid_from
+          FROM h, a
+          WHERE valid_from <= at AND (valid_to IS NULL OR valid_to > at)
+          ORDER BY user_id""",
 
     "q180_group_mode" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
