@@ -90,12 +90,15 @@ object Audits {
     */
   def fkAudit(child: DataFrame, childKey: String,
               parent: DataFrame, parentKey: String): DataFrame = {
+    // DataFrame-qualified refs: unqualified col(...) === col(...) throws
+    // an ambiguous-reference AnalysisException whenever the FK and the
+    // parent key share a column name (the common case for conformed keys)
     val c = child.select(col(childKey))
     val p = parent.select(col(parentKey))
-    val orphans = c.join(p, col(childKey) === col(parentKey), "left_anti")
+    val orphans = c.join(p, c(childKey) === p(parentKey), "left_anti")
       .agg(count(lit(1)).as("v"))
       .withColumn("metric", lit("orphan_children"))
-    val childless = p.join(c, col(childKey) === col(parentKey), "left_anti")
+    val childless = p.join(c, p(parentKey) === c(childKey), "left_anti")
       .agg(count(lit(1)).as("v"))
       .withColumn("metric", lit("childless_parents"))
     orphans.unionByName(childless).select(col("metric"), col("v"))

@@ -104,4 +104,30 @@ object Analytics {
       .filter(col("__prev").isNotNull)
       .groupBy(col("__prev").as("prev_code"), col(codeCol).as("code"))
       .agg(count(lit(1)).as("n"))
+
+  /** Per-group MODE (most frequent value) in two bounded-state passes:
+    * a combinable (group, value) count, then the `min(struct)` argmin
+    * (the k=1 top-k discipline) selecting (highest count, lowest value)
+    * — a TOTAL tiebreak, so the result is deterministic on every engine.
+    * No per-group window, no value-list buffering: a group with a
+    * billion distinct values costs two hash aggregations, never a sort.
+    *
+    * Emits the group columns plus `mode` (the winning value), `mode_n`
+    * (its count) and `n_rows` (the group's total row count). `valueCol`
+    * must be non-null and orderable; the negated-count trick requires
+    * the count to fit a signed long (always true — it IS a count).
+    */
+  def groupMode(df: DataFrame, groupCols: Seq[Column],
+                valueCol: Column): DataFrame = {
+    GlobalOrder.requireFresh(df, "__v", "__cnt", "__m")
+    val counts = df.groupBy((groupCols :+ valueCol.as("__v")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    counts.groupBy(groupCols: _*)
+      .agg(min(struct((-col("__cnt")).as("nc"), col("__v").as("v")))
+          .as("__m"),
+        sum("__cnt").as("n_rows"))
+      .withColumn("mode", col("__m.v"))
+      .withColumn("mode_n", -col("__m.nc"))
+      .drop("__m")
+  }
 }

@@ -266,6 +266,11 @@ object Stats {
     val cov = Array.ofDim[Double](dims, dims)
     embeddingCovariance(df, idCol, vecCol, dims, scale).collect()
       .foreach { r =>
+        // embeddingCovariance emits NULL cov below n=2 — surface a clear
+        // diagnostic instead of an opaque NPE on a degenerate corpus
+        require(!r.isNullAt(3),
+          s"mahalanobisModel needs >= 2 rows per dimension pair; " +
+            s"pair (${r.getLong(0)}, ${r.getLong(1)}) has n=${r.getLong(2)}")
         val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt,
           r.getDouble(3))
         cov(i)(j) = c; cov(j)(i) = c

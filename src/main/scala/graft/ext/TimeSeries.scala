@@ -106,11 +106,12 @@ object TimeSeries {
     * aggregates with O(1) state per group, map-side combined before the
     * one shuffle. The standard formulation (`first_value`/`last_value`
     * over a per-key ordered window) buffers and sorts whole partitions;
-    * this one never sorts anything. The ordering key is built from
-    * (tsUs, unique id) with `lpad`, which both Spark and DuckDB compare
-    * bytewise — total order, so argmin/argmax are deterministic; `tsUs`
-    * and the id must be non-negative (the zero-pad trick breaks on a
-    * minus sign).
+    * this one never sorts anything. The ordering key is
+    * [[graft.functions.Portable.ordKey]] over (tsUs, unique id) — both
+    * engines compare it bytewise, total order, so argmin/argmax are
+    * deterministic; `tsUs` and the id must be non-negative (the zero-pad
+    * trick breaks on a minus sign) and any non-negative int64 fits the
+    * 20-char pad.
     *
     * `value` doubles pass through untouched (open/high/low/close are
     * SELECTIONS, not arithmetic), so results are bit-portable.
@@ -120,15 +121,18 @@ object TimeSeries {
                    bucketWidthUs: Long): DataFrame = {
     require(bucketWidthUs >= 1,
       s"bucketWidthUs must be >= 1, got $bucketWidthUs")
-    val ord = concat(
-      lpad(tsUs.cast("string"), 20, "0"),
-      lpad(uniqueId.cast("string"), 12, "0"))
-    // exact long bucketing: subtract the pmod remainder so the double
-    // division divides an exact multiple (no truncation edge cases)
-    val t = tsUs.cast("long")
+    GlobalOrder.requireFresh(df, "__ohlc_t")
+    val ord = graft.functions.Portable.ordKey(tsUs, uniqueId)
+    // pure integer bucketing (`div` after subtracting the pmod remainder,
+    // the RangeJoin.floorDivSql recipe): a double-precision Divide is
+    // exact only below 2^53, a cliff generic reuse of this helper at
+    // larger epoch units would silently fall off. `div` needs a named
+    // column, so the long timestamp rides in as a temp column the
+    // groupBy consumes.
+    val withT = df.withColumn("__ohlc_t", tsUs.cast("long"))
     val bucket =
-      ((t - pmod(t, lit(bucketWidthUs))) / lit(bucketWidthUs)).cast("long")
-    df.groupBy((groupCols :+ bucket.as("bucket")): _*)
+      expr(s"(__ohlc_t - pmod(__ohlc_t, ${bucketWidthUs}L)) div ${bucketWidthUs}L")
+    withT.groupBy((groupCols :+ bucket.as("bucket")): _*)
       .agg(
         min_by(value, ord).as("open"),
         max(value).as("high"),

@@ -51,4 +51,23 @@ object Portable {
     */
   def wsTokens(text: Column): Column =
     split(trim(text), "\\s+")
+
+  /** Fixed-width zero-padded (timestamp, unique id) ordering key: both
+    * engines compare it bytewise, so `min_by`/`max_by`/`arg_min`/`arg_max`
+    * over it are a deterministic total order with O(1) aggregate state —
+    * the combinable replacement for first_value/last_value windows. 20
+    * chars per component covers every non-negative int64 (max 19 digits);
+    * a 12-char pad would silently TRUNCATE ids >= 10^12 under both
+    * engines' lpad semantics and collapse the order. Components must be
+    * non-negative (a minus sign breaks the zero-pad trick) — enforced by
+    * the callers' documented contracts.
+    */
+  def ordKey(tsUs: Column, uniqueId: Column): Column =
+    concat(lpad(tsUs.cast("string"), 20, "0"),
+      lpad(uniqueId.cast("string"), 20, "0"))
+
+  /** DuckDB twin of [[ordKey]] over SQL fragments. */
+  def ordKeySql(tsExpr: String, idExpr: String): String =
+    s"lpad(CAST($tsExpr AS VARCHAR), 20, '0') || " +
+      s"lpad(CAST($idExpr AS VARCHAR), 20, '0')"
 }

@@ -284,21 +284,17 @@ object Round10Queries {
         .orderBy("user_id")
     }),
 
-    // Per-group MODE (most frequent value): two bounded-state passes —
-    // combinable (group, value) counts, then the min(struct) argmin
-    // (q129's k=1 discipline) picking (highest count, lowest user) with
-    // a total tiebreak. No per-group window, no value-list buffering.
-    "q180_group_mode" -> ((s, dir) => {
-      val c = Readers.eventsNanos(s, dir)
-        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
-      c.groupBy("event_type")
-        .agg(min(struct((-col("cnt")).as("nc"), col("user_id").as("u")))
-            .as("m"),
-          sum("cnt").as("n_events"))
-        .select(col("event_type"), col("m.u").as("modal_user"),
-          (-col("m.nc")).as("cnt"), col("n_events"))
-        .orderBy("event_type")
-    }),
+    // Per-group MODE (most frequent value) via [[Analytics.groupMode]]:
+    // two bounded-state passes — combinable (group, value) counts, then
+    // the min(struct) argmin (q129's k=1 discipline) picking (highest
+    // count, lowest user) with a total tiebreak. No per-group window, no
+    // value-list buffering.
+    "q180_group_mode" -> ((s, dir) =>
+      Analytics.groupMode(Readers.eventsNanos(s, dir),
+          Seq(col("event_type")), col("user_id"))
+        .select(col("event_type"), col("mode").as("modal_user"),
+          col("mode_n").as("cnt"), col("n_rows").as("n_events"))
+        .orderBy("event_type")),
 
     // Streaming twin of q173: the burst throttle as arbitrary keyed
     // state (flatMapGroupsWithState, one timestamp per user), run over
@@ -310,7 +306,8 @@ object Round10Queries {
         import s.implicits._
         val pings = raw
           .select(col("user_id"), expr("ts div 1000").as("tsu"),
-            col("event_id"))
+            col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"))
           .as[graft.streaming.EventStream.Ping]
         val out = graft.streaming.EventStream.runToMemory(
           graft.streaming.EventStream
@@ -346,8 +343,7 @@ object Round10Queries {
         col("user_id"), expr("ts div 1000").as("ts_us"),
         col("event_id"), Stats.cents(col("value")).as("vc"))
         .withColumn("day", expr("ts_us div 86400000000"))
-      val ord = concat(lpad(col("ts_us").cast("string"), 20, "0"),
-        lpad(col("event_id").cast("string"), 12, "0"))
+      val ord = graft.functions.Portable.ordKey(col("ts_us"), col("event_id"))
       ev.groupBy("user_id", "day")
         .agg(max_by(col("vc"), ord).as("close_cents"))
         .groupBy("day")
@@ -376,9 +372,8 @@ object Round10Queries {
                             value
                      FROM events),
                k AS (SELECT *,
-                            lpad(CAST(ts_us AS VARCHAR), 20, '0') ||
-                              lpad(CAST(event_id AS VARCHAR), 12, '0')
-                              AS ord,
+                            ${graft.functions.Portable.ordKeySql("ts_us",
+                              "event_id")} AS ord,
                             (ts_us - ts_us % $OhlcBucketUs)
                               // $OhlcBucketUs AS bucket
                      FROM e)
@@ -630,13 +625,12 @@ object Round10Queries {
           FROM a ORDER BY user_id, period""",
 
     "q172_daily_close_totals" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                            CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
                     FROM events),
               k AS (SELECT *,
-                           lpad(CAST(ts_us AS VARCHAR), 20, '0') ||
-                             lpad(CAST(event_id AS VARCHAR), 12, '0')
-                             AS ord,
+                           ${graft.functions.Portable.ordKeySql("ts_us",
+                             "event_id")} AS ord,
                            ts_us // 86400000000 AS day
                     FROM e),
               p AS (SELECT user_id, CAST(day AS BIGINT) AS day,

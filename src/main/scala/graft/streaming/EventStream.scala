@@ -87,7 +87,8 @@ object EventStream {
       }
   }
 
-  final case class Ping(user_id: Long, tsu: Long, event_id: Long)
+  final case class Ping(user_id: Long, tsu: Long, event_id: Long,
+                        ts: Timestamp)
   // public: the state encoder's generated code instantiates it reflectively
   final case class LastSeen(tsu: Long)
 
@@ -99,26 +100,55 @@ object EventStream {
     * micro-batch's per-user slice is sorted by (tsu, event_id) before
     * the scan (iterator order within a batch is not event-time order).
     * That per-batch sort buffers a user's batch slice in memory — the
-    * accepted cost of arbitrary stateful streaming; state eviction for
-    * abandoned users would add a GroupStateTimeout in production (kept
-    * timeout-free so bounded runs drain deterministically).
+    * accepted cost of arbitrary stateful streaming.
+    *
+    * State is EVENT-TIME bounded, not lifetime-user bounded: `ts` (the
+    * timestamp twin of `tsu`) carries a `watermarkDelay` watermark, and
+    * each user's state expires once the watermark passes last-seen +
+    * `gapUs` — at that point any event the state could still suppress
+    * (tsu ≤ last + gap) would be later than the watermark contract
+    * admits, so expiry cannot change a verdict and the lag-window oracle
+    * is unaffected. Without the timeout the state store grows with
+    * LIFETIME user cardinality — the unbounded-state pattern every other
+    * operator here avoids.
+    *
+    * Cross-batch ordering: the per-user high-water mark is monotonic
+    * (`max(state, batch)`), so a late event delivered in a later
+    * micro-batch cannot rewind state and corrupt future verdicts; within
+    * its own batch a late event is judged against the state it finds —
+    * the documented in-order-delivery contract, the same trade the
+    * watermark makes.
     */
-  def throttledPings(pings: Dataset[Ping], gapUs: Long): Dataset[Ping] = {
+  def throttledPings(pings: Dataset[Ping], gapUs: Long,
+                     watermarkDelay: String = "10 minutes"): Dataset[Ping] = {
     import pings.sparkSession.implicits._
     pings
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LastSeen, Ping](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, batch: Iterator[Ping], state: GroupState[LastSeen]) =>
-          val sorted = batch.toArray.sortBy(p => (p.tsu, p.event_id))
-          var last: Option[Long] = state.getOption.map(_.tsu)
-          val kept = sorted.filter { p =>
-            val keep = last.forall(l => p.tsu - l > gapUs)
-            last = Some(p.tsu)
-            keep
+          if (state.hasTimedOut) {
+            // watermark has passed last-seen + gap: no admissible event
+            // can still be suppressed by this state
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toArray.sortBy(p => (p.tsu, p.event_id))
+            var last: Option[Long] = state.getOption.map(_.tsu)
+            val kept = sorted.filter { p =>
+              val keep = last.forall(l => p.tsu - l > gapUs)
+              // monotonic high-water mark: never rewind on late arrivals
+              last = Some(last.map(math.max(_, p.tsu)).getOrElse(p.tsu))
+              keep
+            }
+            last.foreach { l =>
+              state.update(LastSeen(l))
+              // re-armed on every update; fires when watermark > this
+              state.setTimeoutTimestamp(l / 1000L + gapUs / 1000L + 1L)
+            }
+            kept.iterator
           }
-          last.foreach(l => state.update(LastSeen(l)))
-          kept.iterator
       }
   }
 

@@ -146,5 +146,41 @@ class MultimodalStreamingSuite extends SparkSpec {
       assert(last.getAs[Long]("n_events") == 2L)
       assert(last.getAs[Double]("value_sum") == 3.5)
     }
+
+    it("evicts throttle state once the watermark passes last-seen + gap") {
+      implicit val sc = spark.sqlContext
+      def ping(id: Long, uid: Long, t: String) = {
+        val ts = Timestamp.valueOf(t)
+        EventStream.Ping(uid, ts.getTime * 1000L, id, ts)
+      }
+      val src = MemoryStream[EventStream.Ping]
+      val q = EventStream
+        .throttledPings(src.toDS(), gapUs = 5000000L,
+          watermarkDelay = "1 second")
+        .toDF().writeStream.format("memory")
+        .queryName("throttle_evict_test").outputMode("append").start()
+      def stateRows: Long =
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      src.addData(ping(1, 1, "2026-01-01 10:00:00"),
+        ping(2, 2, "2026-01-01 10:00:01"))
+      q.processAllAvailable()
+      val after1 = stateRows // users 1 and 2 hold state
+      // two hours later: the next batches' watermark sails past
+      // (last-seen + gap) for users 1 and 2 — their state must go
+      src.addData(ping(3, 3, "2026-01-01 12:00:00"))
+      q.processAllAvailable()
+      src.addData(ping(4, 4, "2026-01-01 12:30:00"))
+      q.processAllAvailable()
+      src.addData(ping(5, 5, "2026-01-01 13:00:00"))
+      q.processAllAvailable()
+      val afterEvict = stateRows
+      val kept = spark.table("throttle_evict_test").count()
+      q.stop()
+      assert(after1 == 2L, s"expected 2 state rows, got $after1")
+      // without eviction this would be 5 (one LastSeen per user ever)
+      assert(afterEvict < 5L,
+        s"state grew with lifetime users: $afterEvict rows")
+      assert(kept == 5L) // far-apart events all open bursts
+    }
   }
 }
