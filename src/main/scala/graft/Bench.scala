@@ -31,12 +31,20 @@ object Bench {
     // driver sets no filter and always times the full surface.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Wall-clock budget: do NOT start another sweep past this point. Round 7
-    // ran 3 unconditional sweeps of a 129-query surface (~8.5+ min of query
-    // time) and the harness killed the process before any line was printed.
-    // One sweep is ~170 s here, so 270 s admits sweep 2 only when the box is
-    // not stalling, and the worst case (~270 + one sweep) stays far inside
-    // the driver timeout.
+    // Wall-clock budget gates sweep THREE and beyond. Sweeps one and two
+    // always run: every emit is kill-safe (cumulative artifact after each
+    // sweep, mid-sweep checkpoints every 30 queries), so a harness kill
+    // mid-sweep-2 costs nothing — the last printed line still carries
+    // every minimum recorded so far. Round 10 showed why the old
+    // budget-gated sweep 2 was wrong: one 320 s sweep overran the 270 s
+    // budget, ~170 queries kept exactly ONE measurement, and mid-band
+    // stall inflation (q35 reported 2.94 s vs a true 0.28 s) sailed
+    // under the 5 s retry floor. The surface only grows; a second sweep
+    // — slowest-first, so the dollars-at-stake tail re-measures first —
+    // is the only estimator that tracks it automatically. (Round 7's
+    // rc-124 loss was three sweeps with NO intermediate emits; the
+    // kill-safety that prevents a repeat is exactly what makes the
+    // unconditional second sweep free.)
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "270").toDouble
     // The retry pass has its OWN budget so it runs even after a stall-bloated
@@ -73,7 +81,7 @@ object Bench {
     // leaf): q65/q123/q141/q143 pin one generation per run by documented
     // contract, so a 3-sweep bench would otherwise hold ~12 dead tables.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double) = {
+        : (Double, Double, org.apache.spark.sql.DataFrame) = {
       StallMeter.mark()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -81,8 +89,29 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       val stall = StallMeter.gapSec()
       graft.ext.Checkpoints.release(df)
-      (t, stall)
+      (t, stall, df)
     }
+    // Physical-plan fingerprint: md5 (first 12 hex) over the SORTED
+    // multiset of executed-plan node names, descending through AQE
+    // wrappers and materialized query stages. Round-over-round diffs of
+    // this map separate "the plan changed" from "the data or the box
+    // re-costed" mechanically — round 10's mover audit needed hand-run
+    // Explains for exactly that question. Best-effort: a plan whose
+    // internals can't be walked fingerprints what it can see.
+    val planFps = scala.collection.mutable.Map.empty[String, String]
+    def planFp(df: org.apache.spark.sql.DataFrame): String = try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def names(p: SparkPlan): Seq[String] = p match {
+        case a: AdaptiveSparkPlanExec => names(a.executedPlan)
+        case q: QueryStageExec => q.nodeName +: names(q.plan)
+        case other => other.nodeName +: other.children.flatMap(names)
+      }
+      val canon = names(df.queryExecution.executedPlan).sorted.mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+    } catch { case _: Throwable => "unavailable" }
     // min over INTERLEAVED sweeps (was median of 3 back-to-back runs):
     // stall noise is strictly one-sided, so the minimum estimates the
     // plan's true cost (the timeit rule); and the repetitions of one query
@@ -104,7 +133,8 @@ object Bench {
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Unit = {
       try {
-        val (t, stall) = once(fn)
+        val (t, stall, df) = once(fn)
+        if (!planFps.contains(name)) planFps(name) = planFp(df)
         if (t < times.getOrElse(name, Double.MaxValue)) {
           times(name) = t
           stallAtMin(name) = stall
@@ -147,6 +177,8 @@ object Bench {
     // total).
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "target/bench_full.json")
+    // (sizeMb, seconds) once the post-sweep ingest measurement has run
+    var ingest: Option[(Int, Double)] = None
     val lineMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE_MAX", "1800").toInt
     def fmt2(v: Double): String =
@@ -170,10 +202,19 @@ object Bench {
       def jmap[A](kvs: Seq[(String, A)], f: A => String): String =
         kvs.map { case (k, v) => "\"" + k + "\":" + f(v) }
           .mkString("{", ",", "}")
+      // ingest throughput vs the reference's ONLY published performance
+      // number (BASELINE.md: 30-60 s for a <10 MB upload) — measured
+      // fresh each round so the comparison never goes stale
+      val ingestPart = ingest.map { case (mb, sec) =>
+        s""""ingest_${mb}mb_sec":${fmt(sec)},"ingest_vs_baseline":${fmt(sec / 30.0)},"""
+      }.getOrElse("")
       // complete artifact -> file (kill-safe: rewritten on every emit)
       val fullQs = jmap(results.map { case (k, v) => short(k) -> v }, fmt)
+      val fullFps = jmap(results.map { case (k, _) =>
+        short(k) -> planFps.getOrElse(k, "unmeasured")
+      }, (s: String) => "\"" + s + "\"")
       val fullJson =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"max_stall_sec":${fmt(StallMeter.runMaxGapSec())},"retried":${retried.size},"stalls":${jmap(stallsAll, fmt)},"slow_meas":${jmap(slowAll.map { case (k, v) => k -> v.toLong }, (n: Long) => n.toString)},"queries":$fullQs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"max_stall_sec":${fmt(StallMeter.runMaxGapSec())},"retried":${retried.size},$ingestPart"stalls":${jmap(stallsAll, fmt)},"slow_meas":${jmap(slowAll.map { case (k, v) => k -> v.toLong }, (n: Long) => n.toString)},"meas":${jmap(results.map { case (k, _) => short(k) -> meas.getOrElse(k, 0).toLong }, (n: Long) => n.toString)},"plan_fp":$fullFps,"queries":$fullQs,"sf":"$sfDir"}"""
       try {
         val p = java.nio.file.Paths.get(fullPath).toAbsolutePath
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -189,7 +230,7 @@ object Bench {
         (if (v < 0) Double.MinValue else -v)
       }
       val head =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"max_stall_sec":${fmt(StallMeter.runMaxGapSec())},"retried":${retried.size},"stalls":${jmap(stallsAll.sortBy(-_._2).take(8), fmt)},"slow_meas":${jmap(slowAll.sortBy(-_._2).take(8).map { case (k, v) => k -> v.toLong }, (n: Long) => n.toString)},"full":"$fullPath","""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"max_stall_sec":${fmt(StallMeter.runMaxGapSec())},"retried":${retried.size},$ingestPart"stalls":${jmap(stallsAll.sortBy(-_._2).take(8), fmt)},"slow_meas":${jmap(slowAll.sortBy(-_._2).take(8).map { case (k, v) => k -> v.toLong }, (n: Long) => n.toString)},"full":"$fullPath","""
       val tailPart = s""","sf":"$sfDir"}"""
       var used = head.length + tailPart.length + 60 // slack for omitted fields
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -270,22 +311,41 @@ object Bench {
     while (go) {
       val sweepT0 = System.nanoTime()
       var done = 0
-      for ((name, fn) <- selected
-           if sweep == 1 || !isStreaming(name)
+      // Sweep 1 runs in registry order; sweeps >= 2 run SLOWEST-FIRST
+      // (streaming excluded — fixed harness overhead, sweep 1 only): if
+      // the harness kills the process mid-sweep, the queries where a
+      // second measurement corrects the most phantom seconds have
+      // already been re-measured. Mid-sweep checkpoints every 30
+      // queries in EVERY sweep keep the partial progress parseable.
+      val order =
+        if (sweep == 1) selected
+        else selected
+          .filter { case (name, _) => !isStreaming(name) }
+          .sortBy { case (name, _) => -times.getOrElse(name, 0.0) }
+      for ((name, fn) <- order
            if times.getOrElse(name, 0.0) >= 0.0) {
         measure(name, fn)
         done += 1
-        // mid-sweep checkpoints during the FIRST sweep only: if the
-        // harness kills the process before any sweep completes, a
-        // partial-but-parseable artifact (not-yet-run queries report -1)
-        // still beats rc-124-and-nothing
-        if (sweep == 1 && done % 30 == 0) emit()
+        if (done % 30 == 0) emit()
       }
       sweepTotals += (System.nanoTime() - sweepT0) / 1e9
       emit() // cumulative artifact after EVERY sweep — kill-safe
       retryOutliers()
       sweep += 1
-      go = sweep <= maxSweeps && elapsed() < budgetSec
+      // sweeps 1 and 2 are unconditional (kill-safe emits make a
+      // truncated sweep 2 strictly beneficial); the budget gates only
+      // sweep 3+
+      go = sweep <= maxSweeps &&
+        (sweepTotals.size < 2 || elapsed() < budgetSec)
+    }
+    // the reference's one published perf number, re-measured per round
+    // (after the sweeps: a stall here can't displace query timings)
+    try {
+      val (sec, _) = IngestBench.run(spark, 10)
+      ingest = Some((10, sec))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ingest measurement failed: ${e.getMessage}")
     }
     emit()
     spark.stop()

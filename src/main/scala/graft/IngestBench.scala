@@ -21,7 +21,18 @@ object IngestBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (sec, nRows) = run(spark, sizeMb)
+    println(s"""{"metric":"ingest_${sizeMb}mb","value":$sec,"unit":"sec","rows":$nRows,"reference_claim_sec":"30-60 (<10MB) / 60-180 (10-100MB)"}""")
+    spark.stop()
+  }
 
+  /** One warmed, timed upload→transform ingest of a generated `sizeMb`
+    * CSV; returns (seconds, fact rows). Callable from [[Bench]] so every
+    * round's artifact carries the ingest number the reference actually
+    * publishes (BASELINE.md's only stated performance figures), not just
+    * the round-1 measurement.
+    */
+  def run(spark: SparkSession, sizeMb: Int): (Double, Long) = {
     val storage = Files.createTempDirectory("graft_ingest_bench")
     val csv = storage.resolve("src.csv")
     val w = Files.newBufferedWriter(csv)
@@ -69,7 +80,6 @@ object IngestBench {
     // measuring a pipeline that nulls every metric
     val nBadPay = fct.filter(fct("total_amount").isNull).count()
     require(nBadPay == 0, s"$nBadPay rows failed money parsing")
-    println(s"""{"metric":"ingest_${sizeMb}mb","value":$sec,"unit":"sec","rows":$nRows,"reference_claim_sec":"30-60 (<10MB) / 60-180 (10-100MB)"}""")
-    spark.stop()
+    (sec, nRows)
   }
 }

@@ -996,6 +996,28 @@ object ScaleBench {
               "embedding", 8)
             .agg(count(lit(1)), round(sum("cov"), 2)).collect()
         }
+      },
+      "maha_score" -> { n =>
+        time {
+          // q177's SCORING pass in isolation (model learning is the
+          // embed_cov_pairs shape): d²(x) over fixed model constants is
+          // one constant-folded local projection per row plus a
+          // TakeOrderedAndProject top-50 — no shuffle, no join, so the
+          // per-row cost must stay flat 10M→100M. Constants are
+          // hand-fixed (identity-ish inverse, mid-range means): the
+          // shape measures the expression, not the model.
+          val vecs = spark.range(n).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(3)), j =>
+              (pmod(hash(col("id"), j), lit(1000)).cast("double")
+                / 1000.0).cast("float")).as("embedding"))
+          val mu = Array(0.5, 0.5, 0.5, 0.5)
+          val inv = Array.tabulate(4, 4)((i, j) =>
+            if (i == j) 12.0 else 0.25)
+          graft.ext.Stats.mahalanobisScore(vecs, "vec_id", "embedding",
+              mu, inv)
+            .orderBy(desc("d2"), asc("vec_id")).limit(50)
+            .collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient
