@@ -130,4 +130,188 @@ object Analytics {
       .withColumn("mode_n", -col("__m.nc"))
       .drop("__m")
   }
+
+  /** Pairwise audience overlap: for membership rows (group, entity),
+    * every group pair's exact common-entity count plus each group's
+    * distinct size and the Jaccard similarity — the "how much do these
+    * segments/event-types/channels share users" matrix.
+    *
+    * Scale design: membership is deduplicated to (group, entity) FIRST,
+    * so the per-entity self-join fans out at most |groups|² rows per
+    * entity (an entity in every group is bounded by the group-count
+    * squared, never by its event volume) and the pair count is a plain
+    * combinable `count(*)`. Group sizes are a |groups|-row aggregate
+    * broadcast onto the |groups|²-row result. Output is driver-safe at
+    * any corpus size; Jaccard is the single IEEE division
+    * `n_common / (n_a + n_b − n_common)` over exact integers.
+    */
+  def audienceOverlap(df: DataFrame, groupCol: String,
+                      entityCol: String): DataFrame = {
+    GlobalOrder.requireFresh(df, "__g", "__e", "__n")
+    val m = df.select(col(groupCol).as("__g"), col(entityCol).as("__e"))
+      .distinct()
+    val sizes = m.groupBy("__g").agg(count(lit(1)).as("__n"))
+    m.select(col("__e"), col("__g").as("grp_a"))
+      .join(m.select(col("__e"), col("__g").as("grp_b")), "__e")
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("__g").as("grp_a"),
+        col("__n").as("n_a"))), "grp_a")
+      .join(broadcast(sizes.select(col("__g").as("grp_b"),
+        col("__n").as("n_b"))), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("n_common"), col("n_a"),
+        col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /** Time-windowed funnel step: for every row of `a`, the timestamp of
+    * the EARLIEST `b` row with the same key strictly after it and within
+    * `windowUs` (null otherwise) — the per-event "did B follow A within
+    * the window" primitive behind conversion funnels, where the lifetime
+    * min-timestamp funnel ([[graft.queries.CorpusQueries]] q42) answers
+    * only the weaker "ever, in order" question.
+    *
+    * Scale design: a forward as-of join, run as [[AsofJoin.leftAsofBig]]
+    * on NEGATED time (greatest −b.ts ≤ −(a.ts+1) ⇔ smallest
+    * b.ts ≥ a.ts+1 ⇔ strictly after, at integer-microsecond
+    * resolution) — the union-interleave fill-forward, so a hot key costs
+    * a range shuffle, never a per-key window sort, and no per-pair
+    * candidate blowup ever materializes (a range join would fan out
+    * |A|×|B| per key before pruning). `b` is deduplicated to
+    * (key, ts) first (the as-of uniqueness contract; only the earliest
+    * match is wanted, so duplicates carry no information).
+    *
+    * `keyCol`/`tsCol` must be non-null LongType on both inputs; `out`
+    * must be fresh on `a`.
+    */
+  def nextEventWithin(a: DataFrame, b: DataFrame, keyCol: String,
+                      tsCol: String, windowUs: Long,
+                      out: String): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    GlobalOrder.requireFresh(a, out, "__nega")
+    val bd = b.select(col(keyCol), col(tsCol)).distinct()
+      .select(col(keyCol), (-col(tsCol)).as("__negt"), col(tsCol).as(out))
+    AsofJoin.leftAsofBig(
+        a.withColumn("__nega", -(col(tsCol) + lit(1L))), bd,
+        keyCol, "__nega", "__negt", out)
+      .drop("__nega")
+      .withColumn(out, when(col(out) - col(tsCol) <= windowUs, col(out)))
+  }
+
+  /** Linear multi-touch attribution: every conversion's revenue is split
+    * equally across the key's touch events inside the lookback window
+    * `[conv.ts − lookbackUs, conv.ts)`, and credit is summed per
+    * channel. The per-touch credit is the exact integer division
+    * `revenue_micro div n_touches` — identical on every engine, no
+    * order-dependent float split (the ≤ n_touches−1 micro-unit
+    * remainder per conversion is dropped, documented, and identical in
+    * the oracle). Conversions with no in-window touch receive no
+    * attribution row.
+    *
+    * Scale design: touch↔conversion matching is
+    * [[RangeJoin.pointInIntervalKeyed]] — binned candidates meet on
+    * (key, bin), so a hot key fans out per bin, not per row pair; the
+    * per-conversion touch count is a combinable groupBy on the
+    * conversion id, and the credit join is co-partitioned on that same
+    * id. Output is one row per channel.
+    *
+    * `touches` needs (key, ts, channel); `conversions` needs
+    * (key, ts, convId, revenueMicro) with `convId` unique. Column name
+    * sets must be disjoint (the range join's contract); ts columns are
+    * LongType micros.
+    */
+  def linearAttribution(touches: DataFrame, conversions: DataFrame,
+                        keyCol: String, touchTs: String, channelCol: String,
+                        convKeyCol: String, convTs: String, convIdCol: String,
+                        revenueMicroCol: String, lookbackUs: Long,
+                        binUs: Long): DataFrame = {
+    require(lookbackUs > 0, s"lookback must be positive, got $lookbackUs")
+    val iv = conversions.select(col(convKeyCol), col(convIdCol),
+      col(revenueMicroCol),
+      (col(convTs) - lookbackUs).as("__ivs"), col(convTs).as("__ive"))
+    val matched = RangeJoin.pointInIntervalKeyed(
+        touches.select(col(keyCol), col(touchTs), col(channelCol)), iv,
+        keyCol, convKeyCol, touchTs, "__ivs", "__ive", binUs)
+      .select(col(convIdCol), col(revenueMicroCol), col(channelCol))
+    val perConv = matched.groupBy(convIdCol)
+      .agg(count(lit(1)).as("__nt"))
+    matched.join(perConv, convIdCol :: Nil)
+      .select(col(channelCol),
+        expr(s"$revenueMicroCol div __nt").as("__credit"))
+      .groupBy(channelCol)
+      .agg(count(lit(1)).as("n_touches"),
+        sum("__credit").as("credited_micro"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings: for id lists ranked 1..n by
+    * two different signals, `rrf = 1/(k + rank_a) + 1/(k + rank_b)`
+    * (k = 60 in the original RRF paper) — the standard way to combine a
+    * lexical and a semantic retrieval ranking without score calibration.
+    * An id missing from one ranking contributes 0 from that side. Each
+    * term is a single IEEE division and the sum has a fixed written
+    * order, so the score is bit-identical on any engine.
+    *
+    * Scale: one full-outer equi-join on the id — rankings built with
+    * [[GlobalOrder.withRowNumber]] range-shuffle instead of a global
+    * window, so the whole fusion is window-free end to end.
+    */
+  def rrfFuse2(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+               k: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    GlobalOrder.requireFresh(a.select(idCol), "__ra", "__rb")
+    a.select(col(idCol), col(rankCol).as("__ra"))
+      .join(b.select(col(idCol), col(rankCol).as("__rb")),
+        Seq(idCol), "full_outer")
+      .select(col(idCol), col("__ra").as("rank_a"), col("__rb").as("rank_b"),
+        (coalesce(lit(1.0) / (lit(k.toLong) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k.toLong) + col("__rb")), lit(0.0)))
+          .as("rrf"))
+  }
+
+  /** Market-basket pair metrics: for membership rows (basket, item),
+    * every co-occurring item pair's basket support plus each item's
+    * basket count, pair confidence and lift — the association-rule
+    * starter kit (`lift = n_ab·N / (n_a·n_b)`, written as
+    * double·long / double·double so no integer product can overflow).
+    *
+    * Scale design: candidate pairs come from
+    * [[Graph.cooccurrenceEdges]], which deduplicates membership and
+    * DROPS baskets wider than `maxPerBasket` before the within-basket
+    * self-join — the quadratic fan-out is capped at the source (a
+    * crawler session touching everything is a degenerate basket, not
+    * signal). Item supports and the basket total are counted over the
+    * SAME kept-basket set, so every ratio is internally consistent.
+    * All aggregates are combinable counts; the two support joins are
+    * item-keyed equi-joins left to AQE.
+    */
+  def basketLift(df: DataFrame, basketCol: String, itemCol: String,
+                 maxPerBasket: Int, minPairBaskets: Long): DataFrame = {
+    GlobalOrder.requireFresh(df, "__g", "__i", "__n")
+    val m = df.select(col(basketCol).as("__g"), col(itemCol).as("__i"))
+      .distinct()
+    val keptBaskets = m.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxPerBasket)
+      .select("__g")
+    val kept = m.join(keptBaskets, Seq("__g"))
+    val nBaskets = keptBaskets.agg(count(lit(1)).as("n_baskets"))
+    val itemN = kept.groupBy("__i").agg(count(lit(1)).as("__c"))
+    val pairs = Graph.cooccurrenceEdges(df, basketCol, itemCol,
+        maxPerBasket)
+      .groupBy(col("src").as("item_a"), col("dst").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairBaskets)
+    pairs
+      .join(itemN.select(col("__i").as("item_a"), col("__c").as("n_a")),
+        "item_a")
+      .join(itemN.select(col("__i").as("item_b"), col("__c").as("n_b")),
+        "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        (col("n_ab").cast("double") / col("n_a")).as("confidence"),
+        (col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+  }
 }

@@ -381,6 +381,64 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Minimum hop distance from a seed set, by frontier-expanding BFS
+    * with a fixed depth budget — the reachability primitive behind
+    * "within k links of a trusted/blocked node" corpus policies.
+    * Returns (node, hops) for every node at distance ≤ `maxDepth` from
+    * ANY seed (seeds themselves at 0); unreachable nodes are absent.
+    *
+    * Scale design: the state is one (node, hops) row per DISCOVERED
+    * node — O(V), never O(paths). Each round joins only the previous
+    * round's FRONTIER against the edge list (shuffle O(frontier
+    * out-edges)), dedups the candidates, and anti-joins the known set,
+    * so a node is expanded exactly once no matter how many paths reach
+    * it — where the naive "repeat the join k times" materializes every
+    * path and dies combinatorially on dense graphs. A hub seed costs
+    * its out-degree once; AQE splits the hub's shuffle partition like
+    * any other skewed join. Early exit when a frontier empties.
+    *
+    * Loop hygiene follows [[pagerankInt]]: edges persisted as the loop
+    * invariant; each depth's newly-discovered generation is
+    * `localCheckpoint`'d once (never recomputed), and the result is
+    * their union — unlike the rank loops, every generation is part of
+    * the answer, so nothing is rotated away mid-loop.
+    *
+    * RETENTION: the result is backed by ALL generations' checkpoint
+    * blocks (O(V) rows total); call [[releaseRanks]] when done
+    * reading it.
+    *
+    * `edges` needs (src, dst); `seeds` is one column named `node`.
+    * Edges are directed — symmetrize before calling for undirected
+    * reachability.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val e = edges.select("src", "dst").persist()
+    // each GENERATION (nodes first reached at depth d) is checkpointed
+    // once and never recomputed; `dist` is their lazy union — O(V) rows
+    // of cached blocks total, plan depth bounded by maxDepth
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint()
+    var frontier = dist
+    try {
+      var depth = 1
+      var exhausted = false
+      while (depth <= maxDepth && !exhausted) {
+        val next = frontier
+          .join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("hops", lit(depth.toLong))
+          .localCheckpoint()
+        if (next.isEmpty) exhausted = true
+        else { dist = dist.unionByName(next); frontier = next }
+        depth += 1
+      }
+    } finally e.unpersist()
+    dist
+  }
+
   /** Free the checkpoint blocks backing a [[pagerankInt]] result (see
     * [[Checkpoints.release]]). The DataFrame must not be used after
     * release: `localCheckpoint` truncated its lineage, so the rows cannot

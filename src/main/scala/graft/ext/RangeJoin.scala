@@ -55,6 +55,38 @@ object RangeJoin {
       .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))
   }
 
+  /** [[pointInInterval]] with an additional equi-key: candidates must
+    * share (key, bin), so intervals of different entities never meet —
+    * the per-entity lookback/validity join (attribution windows, session
+    * containment). Same `[start, end)` semantics, same
+    * drop-empty-intervals rule; the two key columns may be named
+    * differently per side (they are equated, and the right key is
+    * dropped from the output). All other column names must be disjoint
+    * across the two sides.
+    *
+    * Scale: the bin key subdivides each entity's timeline, so a hot
+    * entity's candidates spread across its bins instead of one task;
+    * keep `binUs` near the typical interval length (crowded bins =
+    * candidates that fail the exact predicate).
+    */
+  def pointInIntervalKeyed(points: DataFrame, intervals: DataFrame,
+                           pointKey: String, intervalKey: String,
+                           pointUs: String, startUs: String, endUs: String,
+                           binUs: Long): DataFrame = {
+    require(binUs > 0, s"bin width must be positive, got $binUs")
+    val p = points.withColumn("__bin", expr(floorDivSql(pointUs, binUs)))
+      .withColumn("__k", col(pointKey))
+    val i = intervals
+      .filter(col(endUs) > col(startUs))
+      .withColumn("__bin", explode(sequence(
+        expr(floorDivSql(startUs, binUs)),
+        expr(floorDivSql(s"($endUs - 1)", binUs)))))
+      .withColumn("__k", col(intervalKey))
+      .drop(intervalKey)
+    p.join(i, Seq("__k", "__bin")).drop("__bin", "__k")
+      .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))
+  }
+
   /** Interval × interval overlap join — every (left, right) pair whose
     * `[ls, le) × [rs, re)` intervals intersect, by the same binning
     * trick: both sides explode to the bins they span, candidates meet on

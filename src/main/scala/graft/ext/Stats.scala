@@ -87,6 +87,44 @@ object Stats {
         cov / (sqrt(varx) * sqrt(vary))).as("corr"))
   }
 
+  /** Per-group Welch two-sample t statistic between cohorts A and B
+    * (A = rows where `cohortA` is true): ns, exact integer sums, both
+    * cohort means, and `t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)` —
+    * the experiment-analysis primitive (unequal variances assumed, no
+    * pooling). Every moment comes from the [[momentStats]] discipline:
+    * exact integer (n, Σx, Σx²) per cohort under any partitioning, and
+    * ONE fixed IEEE formula for the doubles, mirrored verbatim in the
+    * oracle SQL — so the statistic is bit-identical on any engine.
+    * Degenerate cohorts (n < 2 either side, or both variances 0) yield
+    * null t instead of an ANSI error.
+    *
+    * Scale: one combinable groupBy over (group) with conditional sums —
+    * no join, no window; output is |groups| rows. `xCents` must fit the
+    * Σx² long bound (|x| ≤ ~3·10⁶ cents at 10¹² rows — downscale the
+    * grid for wider measures, as with [[momentStats]]).
+    */
+  def welchT(df: DataFrame, groupCol: String, cohortA: Column,
+             xCents: Column): DataFrame = {
+    val a = when(cohortA && xCents.isNotNull, xCents)
+    val b = when(!cohortA && xCents.isNotNull, xCents)
+    val agg = df.groupBy(groupCol).agg(
+      count(a).as("n_a"), sum(a).as("sx_a"), sum(a * a).as("sxx_a"),
+      count(b).as("n_b"), sum(b).as("sx_b"), sum(b * b).as("sxx_b"))
+    def d(c: String) = col(c).cast("double")
+    def mean(s: String, n: String) = d(s) / d(n)
+    def variance(sxx: String, sx: String, n: String) =
+      (d(sxx) - d(sx) * d(sx) / d(n)) / (d(n) - 1.0)
+    val va = variance("sxx_a", "sx_a", "n_a")
+    val vb = variance("sxx_b", "sx_b", "n_b")
+    val se2 = va / d("n_a") + vb / d("n_b")
+    agg.select(col(groupCol),
+      col("n_a"), col("n_b"), col("sx_a"), col("sx_b"),
+      when(col("n_a") >= 1, mean("sx_a", "n_a")).as("mean_a"),
+      when(col("n_b") >= 1, mean("sx_b", "n_b")).as("mean_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0,
+        (mean("sx_a", "n_a") - mean("sx_b", "n_b")) / sqrt(se2)).as("t"))
+  }
+
   /** Append a per-group sample z-score of an integer measure, and an
     * outlier flag at `zThreshold`. The tiny per-group stats table (n, Σx,
     * Σx²) is broadcast back onto the rows — one aggregate plus a

@@ -318,6 +318,41 @@ object TextAnalysis {
           .as("novel_grams"))
   }
 
+  /** One deterministic BPE-style merge iteration: find the corpus's most
+    * frequent adjacent token pair (ties broken by pair text — a total
+    * order, so the winner is engine-independent) and report, per
+    * document, how many merges it would apply and the resulting token
+    * count. Pairs with identical halves are EXCLUDED: `(x, x)`
+    * occurrences can overlap ("x x x" merges once, not twice), which
+    * would make the count depend on left-to-right application order;
+    * with distinct halves occurrences cannot overlap, so "count of the
+    * pair" IS the merge count and the whole step stays a pure
+    * projection + one global argmin.
+    *
+    * Scale: the pair census is one map-side-combined count over corpus
+    * bigrams; the winner is a 1-row `min(struct)` argmin broadcast back;
+    * the per-doc merge count is local (no shuffle touches the corpus
+    * after the census). If the corpus has no two-token document with
+    * distinct adjacent tokens, `pair`/`pair_n` are null and every
+    * merge count is 0.
+    */
+  def bpeMergeStep(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), wsTokens(col("text")).as("__w"))
+      .select(col("doc_id"), explode(grams(2)).as("__bg"))
+      .filter(split(col("__bg"), " ").getItem(0) =!=
+        split(col("__bg"), " ").getItem(1))
+    val top = bg.groupBy("__bg").agg(count(lit(1)).as("__c"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__bg").as("p"))).as("__m"))
+      .select(col("__m.p").as("pair"), (-col("__m.nc")).as("pair_n"))
+    docs.select(col("doc_id"), wsTokens(col("text")).as("__w"))
+      .crossJoin(broadcast(top))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"),
+        size(filter(grams(2), g => g === col("pair"))).cast("long")
+          .as("n_merges"),
+        col("pair"), col("pair_n"))
+      .withColumn("n_tokens_after", col("n_tokens") - col("n_merges"))
+  }
+
   /** Bigram collocations by PMI lift: for every corpus bigram occurring
     * at least `minCount` times, its count, the two unigram counts, and
     * `lift = c_ab·N / (c_a·c_b)` — e^PMI, which ORDERS identically to

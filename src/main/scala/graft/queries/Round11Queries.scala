@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Readers, Warehouse}
+import graft.ext.{Analytics, Stats, GlobalOrder, Graph, TextAnalysis}
+
+/** Round-11 batch: experimentation / IR / lifecycle analyses composed
+  * from the scalable primitives — audience overlap, BFS reachability,
+  * reciprocal-rank fusion, time-windowed funnels, multi-touch
+  * attribution, Welch A/B testing, incremental SCD-2 merge, a BPE merge
+  * census, and market-basket lift. Floats in compared columns follow
+  * the q110 discipline (exact integer aggregates, or one fixed IEEE
+  * formula mirrored verbatim in the oracle).
+  */
+object Round11Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  /** DuckDB twin of [[graft.functions.Portable.wsTokens]]. */
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
+
+  /** DuckDB twin of [[graft.ext.Stats.cents]]. */
+  private def centsSql(e: String, scale: Int = 100): String =
+    s"CAST(floor($e * $scale + 0.5) AS BIGINT)"
+
+  /** q183 BFS depth budget. */
+  private val BfsMaxDepth = 3
+
+  /** q184 RRF smoothing constant (the original paper's k). */
+  private val RrfK = 60
+
+  /** q185/q186 window: 1 hour in epoch micros. */
+  private val HourUs = 3600000000L
+
+  /** q188 append cutoff: 2024-01-25T00:00:00Z in epoch micros — the
+    * standing/delta split point (every testdata events vintage spans
+    * Jan 2024, so the delta is the realistic ~20% nightly tail).
+    */
+  private val Scd2CutoffUs = 1706140800000000L
+
+  /** q190 basket cap and minimum pair support. */
+  private val BasketCap = 10
+  private val MinPairBaskets = 20
+
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Readers.eventsNanos(s, dir).select(
+      col("user_id"), expr("ts div 1000").as("tsu"),
+      col("event_id"), col("event_type"), col("value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact audience-overlap matrix between event types: membership is
+    // dedup'd to (type, user) FIRST, so the per-user self-join fans out
+    // at most |types|² rows per user (bounded by the alphabet, never by
+    // event volume) and every count is combinable — where the naive
+    // count(distinct) over a fact-table self-join would shuffle the raw
+    // log twice. Jaccard is one IEEE division over exact integers.
+    "q182_audience_overlap" -> ((s, dir) =>
+      Analytics.audienceOverlap(eventsUs(s, dir), "event_type", "user_id")
+        .orderBy("grp_a", "grp_b")),
+
+    // Minimum hop distance from a seed supplier set over the symmetrized
+    // customer–supplier co-order graph (q123's edge set): frontier BFS
+    // with O(V) state — each node expands exactly once, where the
+    // oracle's recursive CTE re-derives (node, depth) pairs and dedups.
+    // "Within k links of a trusted node" is the graph-trust curation
+    // gate at corpus scale.
+    "q183_bfs_hops" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("sup"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
+        .unionAll(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(concat(lit("s:"), col("s_suppkey")).as("node"))
+      Graph.bfsHops(edges, seeds, BfsMaxDepth).orderBy("node")
+    }),
+
+    // Reciprocal-rank fusion of a length ranking and a lexical-diversity
+    // ranking of the corpus — the calibration-free way to combine two
+    // retrieval/quality signals. Both rankings are range-shuffle global
+    // row numbers (no global window anywhere); the fusion is one
+    // co-keyed join and a fixed-order two-term IEEE sum.
+    "q184_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val byLen = GlobalOrder.withRowNumber(
+        docs.select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id")), out = "rn")
+      val byDiv = GlobalOrder.withRowNumber(
+        docs.select(col("doc_id"),
+          size(array_distinct(graft.functions.Portable.wsTokens(col("text"))))
+            .cast("long").as("nd")),
+        Seq(col("nd").desc, col("doc_id")), out = "rn")
+      Analytics.rrfFuse2(byLen.select("doc_id", "rn"),
+          byDiv.select("doc_id", "rn"), "doc_id", "rn", RrfK)
+        .orderBy(desc("rrf"), asc("doc_id")).limit(50)
+    }),
+
+    // Per-event time-windowed funnel (click → purchase within 1 h): the
+    // strictly-after next-purchase comes from a FORWARD as-of join
+    // (leftAsofBig on negated time — range shuffle, hot-user-safe),
+    // never a per-key window or a |A|×|B| range-join fan-out; q42's
+    // lifetime funnel answers only the weaker "ever, in order".
+    "q185_funnel_within" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "tsu", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "tsu")
+      Analytics.nextEventWithin(clicks, purchases, "user_id", "tsu",
+          HourUs, "conv_ts")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("conv_ts")).as("n_converted"),
+          min(col("conv_ts") - col("tsu")).as("min_lag_us"))
+        .orderBy("user_id")
+    }),
+
+    // Linear multi-touch attribution: each purchase's revenue split
+    // equally (exact integer micro-units, identical truncation on both
+    // engines) across the user's non-purchase touches in the prior
+    // hour. Matching is the KEYED binned range join — a hot user's
+    // candidates spread across time bins, never one task — and the
+    // credit join is co-partitioned on the conversion id.
+    "q186_linear_attribution" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select("user_id", "tsu", "event_type")
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cu"), col("tsu").as("cts"),
+          col("event_id").as("conv_id"),
+          Stats.cents(col("value"), 1000000).as("rev_micro"))
+      Analytics.linearAttribution(touches, convs, "user_id", "tsu",
+          "event_type", "cu", "cts", "conv_id", "rev_micro",
+          lookbackUs = HourUs, binUs = HourUs)
+        .orderBy("event_type")
+    }),
+
+    // Welch two-sample t per event type between hash cohorts (the A/B
+    // readout): exact integer (n, Σx, Σx²) per cohort from ONE
+    // combinable pass, one fixed IEEE formula for the statistic —
+    // bit-identical on any engine, no per-group window, no join.
+    "q187_welch_t" -> ((s, dir) =>
+      Stats.welchT(eventsUs(s, dir), "event_type",
+          col("user_id") % 2 === 0, Stats.cents(col("value")))
+        .orderBy("event_type")),
+
+    // Incremental SCD-2 merge: a standing history built from the first
+    // ~24 days of the change stream absorbs the remaining days as an
+    // APPEND delta batch (every delta version after the cutoff — the
+    // scd2Merge contract) — cost O(delta + touched keys' history),
+    // untouched keys pass through. The oracle rebuilds from the FULL
+    // stream, so the gate proves merge ≡ rebuild (the q168 discipline,
+    // for Type-2 dimensions).
+    "q188_scd2_merge" -> ((s, dir) => {
+      val changes = Readers.eventsNanos(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ver_us"),
+          col("event_type"))
+      val standing = Warehouse.scd2HistoryBig(
+        changes.filter(col("ver_us") <= Scd2CutoffUs), "user_id", "ver_us",
+        Seq("event_type"))
+      Warehouse.scd2Merge(standing,
+          changes.filter(col("ver_us") > Scd2CutoffUs), "user_id", "ver_us",
+          Seq("event_type"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // One deterministic BPE merge iteration over the corpus: the most
+    // frequent distinct-halves adjacent pair (total-order tiebreak) and
+    // each document's merge count / post-merge length. One combinable
+    // pair census + a broadcast 1-row argmin; the per-doc counting is a
+    // pure projection — no shuffle touches the corpus after the census.
+    "q189_bpe_merge" -> ((s, dir) =>
+      TextAnalysis.bpeMergeStep(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_merges"),
+          col("n_tokens_after"), col("pair"), col("pair_n"))
+        .orderBy("doc_id")),
+
+    // Market-basket lift over order → brand baskets: candidate pairs
+    // from the capped within-basket self-join (over-wide baskets dropped
+    // at the source — the quadratic fan-out is bounded by construction),
+    // supports counted over the SAME kept-basket set, lift/confidence as
+    // fixed IEEE formulas that cannot overflow (double·long, never an
+    // integer product).
+    "q190_basket_lift" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      Analytics.basketLift(items, "l_orderkey", "p_brand", BasketCap,
+          MinPairBaskets)
+        .orderBy("item_a", "item_b")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q182_audience_overlap" ->
+      """WITH m AS (SELECT DISTINCT event_type AS g, user_id AS e
+                    FROM events),
+          s AS (SELECT g, count(*) AS n FROM m GROUP BY 1),
+          p AS (SELECT a.g AS grp_a, b.g AS grp_b, count(*) AS n_common
+                FROM m a JOIN m b ON a.e = b.e AND a.g < b.g GROUP BY 1, 2)
+          SELECT p.grp_a, p.grp_b, p.n_common, sa.n AS n_a, sb.n AS n_b,
+                 CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common)
+                   AS jaccard
+          FROM p JOIN s sa ON sa.g = p.grp_a JOIN s sb ON sb.g = p.grp_b
+          ORDER BY grp_a, grp_b""",
+
+    "q183_bfs_hops" ->
+      s"""WITH RECURSIVE b AS (SELECT DISTINCT 'c:' || o_custkey AS c,
+                                      's:' || l_suppkey AS sup
+                               FROM orders
+                               JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT c AS src, sup AS dst FROM b
+                UNION ALL SELECT sup, c FROM b),
+          seeds AS (SELECT 's:' || s_suppkey AS node FROM supplier
+                    WHERE s_suppkey % 10 = 0),
+          r(node, d) AS (SELECT node, 0 AS d FROM seeds
+                         UNION
+                         SELECT e.dst, r.d + 1 FROM r
+                         JOIN e ON e.src = r.node
+                         WHERE r.d < $BfsMaxDepth)
+          SELECT node, CAST(min(d) AS BIGINT) AS hops FROM r
+          GROUP BY 1 ORDER BY 1""",
+
+    "q184_rrf_fusion" ->
+      s"""WITH ta AS (SELECT doc_id, row_number() OVER
+                        (ORDER BY n_chars DESC, doc_id) AS rank_a
+                      FROM documents),
+          d AS (SELECT doc_id,
+                       CAST(len(list_distinct($tokSql)) AS BIGINT) AS nd
+                FROM documents),
+          tb AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY nd DESC, doc_id) AS rank_b
+                 FROM d)
+          SELECT ta.doc_id, rank_a, rank_b,
+                 coalesce(CAST(1 AS DOUBLE) / ($RrfK + rank_a),
+                          CAST(0 AS DOUBLE)) +
+                 coalesce(CAST(1 AS DOUBLE) / ($RrfK + rank_b),
+                          CAST(0 AS DOUBLE)) AS rrf
+          FROM ta JOIN tb USING (doc_id)
+          ORDER BY rrf DESC, doc_id LIMIT 50""",
+
+    "q185_funnel_within" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+                      FROM events),
+          a AS (SELECT user_id, tsu FROM ev WHERE event_type = 'click'),
+          b AS (SELECT user_id, tsu FROM ev WHERE event_type = 'purchase'),
+          m AS (SELECT a.user_id, a.tsu,
+                       (SELECT min(b.tsu) FROM b
+                        WHERE b.user_id = a.user_id AND b.tsu > a.tsu)
+                         AS nxt
+                FROM a),
+          c AS (SELECT user_id, tsu,
+                       CASE WHEN nxt - tsu <= $HourUs THEN nxt END
+                         AS conv_ts
+                FROM m)
+          SELECT user_id, count(*) AS n_clicks,
+                 count(conv_ts) AS n_converted,
+                 min(conv_ts - tsu) AS min_lag_us
+          FROM c GROUP BY 1 ORDER BY 1""",
+
+    "q186_linear_attribution" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                             event_type, value
+                      FROM events),
+          t AS (SELECT user_id, tsu, event_type FROM ev
+                WHERE event_type <> 'purchase'),
+          c AS (SELECT user_id, tsu AS cts, event_id AS conv_id,
+                       ${centsSql("value", 1000000)} AS rev_micro
+                FROM ev WHERE event_type = 'purchase'),
+          m AS (SELECT c.conv_id, c.rev_micro, t.event_type
+                FROM c JOIN t ON t.user_id = c.user_id
+                 AND t.tsu >= c.cts - $HourUs AND t.tsu < c.cts),
+          n AS (SELECT conv_id, count(*) AS nt FROM m GROUP BY 1)
+          SELECT m.event_type, count(*) AS n_touches,
+                 CAST(sum(m.rev_micro // n.nt) AS BIGINT)
+                   AS credited_micro
+          FROM m JOIN n USING (conv_id)
+          GROUP BY 1 ORDER BY 1""",
+
+    "q187_welch_t" ->
+      s"""WITH ev AS (SELECT event_type, user_id,
+                             ${centsSql("value")} AS x
+                      FROM events),
+          agg AS (SELECT event_type,
+                    count(CASE WHEN user_id % 2 = 0 THEN x END) AS n_a,
+                    CAST(sum(CASE WHEN user_id % 2 = 0 THEN x END)
+                      AS BIGINT) AS sx_a,
+                    CAST(sum(CASE WHEN user_id % 2 = 0 THEN x * x END)
+                      AS BIGINT) AS sxx_a,
+                    count(CASE WHEN user_id % 2 <> 0 THEN x END) AS n_b,
+                    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN x END)
+                      AS BIGINT) AS sx_b,
+                    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN x * x END)
+                      AS BIGINT) AS sxx_b
+                  FROM ev GROUP BY 1),
+          f AS (SELECT *,
+                  CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                  CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                  (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE)
+                     * CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+                  (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE)
+                     * CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+                FROM agg)
+          SELECT event_type, n_a, n_b, sx_a, sx_b,
+                 CASE WHEN n_a >= 1 THEN ma END AS mean_a,
+                 CASE WHEN n_b >= 1 THEN mb END AS mean_b,
+                 CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND va / CAST(n_a AS DOUBLE)
+                         + vb / CAST(n_b AS DOUBLE) > 0.0
+                      THEN (ma - mb)
+                        / sqrt(va / CAST(n_a AS DOUBLE)
+                             + vb / CAST(n_b AS DOUBLE)) END AS t
+          FROM f ORDER BY event_type""",
+
+    "q188_scd2_merge" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ver_us, event_type,
+                           lag(event_type) OVER w AS prev,
+                           lag(epoch_us(ts)) OVER w AS prev_ver
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts))),
+          ch AS (SELECT user_id, ver_us, event_type FROM c
+                 WHERE prev_ver IS NULL
+                    OR prev IS DISTINCT FROM event_type)
+          SELECT user_id, event_type, ver_us AS valid_from,
+                 lead(ver_us) OVER (PARTITION BY user_id ORDER BY ver_us)
+                   AS valid_to,
+                 lead(ver_us) OVER (PARTITION BY user_id ORDER BY ver_us)
+                   IS NULL AS is_current
+          FROM ch ORDER BY user_id, valid_from""",
+
+    "q189_bpe_merge" ->
+      s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
+          pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1))
+                    AS i
+                  FROM w),
+          bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos),
+          cnt AS (SELECT w1 || ' ' || w2 AS pair, count(*) AS pair_n
+                  FROM bg WHERE w1 <> w2 GROUP BY 1),
+          top AS (SELECT pair, pair_n FROM cnt
+                  ORDER BY pair_n DESC, pair LIMIT 1),
+          mg AS (SELECT bg.doc_id, count(*) AS n_merges
+                 FROM bg, top WHERE bg.w1 || ' ' || bg.w2 = top.pair
+                 GROUP BY 1),
+          nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM w)
+          SELECT nt.doc_id, nt.n_tokens,
+                 coalesce(mg.n_merges, 0) AS n_merges,
+                 nt.n_tokens - coalesce(mg.n_merges, 0) AS n_tokens_after,
+                 top.pair, top.pair_n
+          FROM nt CROSS JOIN top
+          LEFT JOIN mg ON nt.doc_id = mg.doc_id
+          ORDER BY nt.doc_id""",
+
+    "q190_basket_lift" ->
+      s"""WITH mm AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                      FROM lineitem
+                      JOIN part ON l_partkey = p_partkey),
+          kb AS (SELECT b FROM mm GROUP BY b
+                 HAVING count(*) <= $BasketCap),
+          k AS (SELECT mm.b, mm.i FROM mm JOIN kb USING (b)),
+          nb AS (SELECT count(*) AS n_baskets FROM kb),
+          itn AS (SELECT i, count(*) AS c FROM k GROUP BY 1),
+          p AS (SELECT a.i AS item_a, b2.i AS item_b, count(*) AS n_ab
+                FROM k a JOIN k b2 ON a.b = b2.b AND a.i < b2.i
+                GROUP BY 1, 2 HAVING count(*) >= $MinPairBaskets)
+          SELECT p.item_a, p.item_b, p.n_ab, ia.c AS n_a, ib.c AS n_b,
+                 nb.n_baskets,
+                 CAST(p.n_ab AS DOUBLE) / ia.c AS confidence,
+                 CAST(p.n_ab AS DOUBLE) * nb.n_baskets
+                   / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) AS lift
+          FROM p JOIN itn ia ON ia.i = p.item_a
+          JOIN itn ib ON ib.i = p.item_b
+          CROSS JOIN nb ORDER BY item_a, item_b"""
+  )
+}
