@@ -1018,6 +1018,125 @@ object ScaleBench {
             .orderBy(desc("d2"), asc("vec_id")).limit(50)
             .collect()
         }
+      },
+      "overlap_hot_entity" -> { n =>
+        time {
+          // the q182 shape under maximal skew: HALF of n membership rows
+          // on ONE entity (present in every group). The (group, entity)
+          // dedup collapses the hot entity to ≤ |groups| rows BEFORE the
+          // self-join, so its fan-out is |groups|², never its row count.
+          val m = spark.range(n).select(
+            pmod(hash(col("id")), lit(5)).cast("string").as("g"),
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % (n / 100)).as("e"))
+          graft.ext.Analytics.audienceOverlap(m, "g", "e")
+            .agg(count(lit(1)), sum("n_common")).collect()
+        }
+      },
+      "bfs_hub" -> { n =>
+        time {
+          // the q183 shape on a maximal hub: a symmetric star (hub 0 ↔ n
+          // leaves), seeded at ONE leaf with depth 2 — round 1 discovers
+          // the hub, round 2 expands the hub's n out-edges at once. Each
+          // node expands exactly once (O(V) state), so cost is one pass
+          // over the edge list; a path-materializing expansion would be
+          // fine here but die on the diamond lattices BFS dedups away.
+          val e = spark.range(n).select(lit(0L).as("src"),
+              (col("id") + 1L).as("dst"))
+            .unionAll(spark.range(n).select((col("id") + 1L).as("src"),
+              lit(0L).as("dst")))
+          val seeds = spark.range(1).select((col("id") + 1L).as("node"))
+          val d = graft.ext.Graph.bfsHops(e, seeds, maxDepth = 2)
+          d.agg(count(lit(1)), sum("hops")).collect()
+          graft.ext.Graph.releaseRanks(d)
+        }
+      },
+      "funnel_hot_user" -> { n =>
+        time {
+          // the q185 shape under maximal skew: HALF of both event streams
+          // on ONE user. The forward as-of runs on the negated-time
+          // range shuffle (fill-forward + O(p) driver stitch) — a per-key
+          // window would sort the hot user's n rows in one task, a range
+          // join would fan out n/2 × n/2 candidates on that key.
+          val a = spark.range(n / 2).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            (col("id") * 4L).as("ts"), col("id").as("aid"))
+          val b = spark.range(n / 2).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            (col("id") * 4L + 2L).as("ts"))
+          graft.ext.Analytics.nextEventWithin(a, b, "k", "ts",
+              windowUs = 1000L, out = "nxt")
+            .agg(count(lit(1)), count(col("nxt"))).collect()
+        }
+      },
+      "attribution_hot_key" -> { n =>
+        time {
+          // the q186 shape under maximal skew: HALF of n touches and HALF
+          // of n/20 conversions on ONE user. The keyed binned range join
+          // subdivides the hot user's timeline into bins (≈70 touches ×
+          // ≤2 interval-copies per bin at this density), so candidates
+          // stay bounded per task; credits then flow through combinable
+          // counts and a co-partitioned conv-id join.
+          val touches = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("u"),
+            (col("id") * 7L).as("ts"),
+            pmod(hash(col("id")), lit(5)).cast("string").as("ch"))
+          val convs = spark.range(n / 20).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("cu"),
+            (col("id") * 140L + 1L).as("cts"),
+            col("id").as("cid"), (col("id") % 997L).as("rev"))
+          graft.ext.Analytics.linearAttribution(touches, convs, "u", "ts",
+              "ch", "cu", "cts", "cid", "rev",
+              lookbackUs = 1000L, binUs = 1000L)
+            .agg(count(lit(1)), sum("credited_micro")).collect()
+        }
+      },
+      "scd2_merge_hot_key" -> { n =>
+        time {
+          // the q188 claim measured: a standing history over n/100 keys
+          // absorbs an n/10-row APPEND delta with HALF its rows on ONE
+          // key. The untouched slice is one key anti-join; the replay is
+          // the hot-key-safe scd2HistoryBig over ONLY the touched keys'
+          // change rows + the delta — never a full-history rebuild.
+          val keys = math.max(n / 100, 10L)
+          val changes = spark.range(n).select(
+            (col("id") % keys).as("k"),
+            (expr(s"id div $keys") * 10L).as("ver"),
+            pmod(hash(col("id")), lit(3)).cast("long").as("attr"))
+          val standing = graft.engine.Warehouse.scd2HistoryBig(changes,
+            "k", "ver", Seq("attr"))
+          val delta = spark.range(n / 10).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % math.max(n / 1000, 1L)).as("k"),
+            (col("id") + 1000000L).as("ver"),
+            pmod(hash(col("id"), lit(1)), lit(3)).cast("long").as("attr"))
+          graft.engine.Warehouse.scd2Merge(standing, delta, "k", "ver",
+              Seq("attr"))
+            .agg(count(lit(1)), sum("valid_from")).collect()
+        }
+      },
+      "basket_hot_item" -> { n =>
+        time {
+          // the q190 shape with a universal item: n/10 baskets × 10
+          // items, ONE item in EVERY basket. Baskets stay under the cap,
+          // so the within-basket self-join is ≤ 45 pairs per basket; the
+          // hot item's appearances land in combinable pair/support
+          // counts — its frequency never concentrates rows in one task.
+          val baskets = math.max(n / 10, 10L)
+          val m = spark.range(n).select(
+            (col("id") % baskets).as("b"),
+            when(col("id") < baskets, lit("hot"))
+              .otherwise(concat(lit("i"),
+                pmod(hash(col("id")), lit(n / 100)).cast("string")))
+              .as("i"))
+          graft.ext.Analytics.basketLift(m, "b", "i", maxPerBasket = 12,
+              minPairBaskets = 2L)
+            .agg(count(lit(1)), sum("n_ab")).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

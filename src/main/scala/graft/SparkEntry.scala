@@ -47,5 +47,5 @@ object SparkEntry {
   def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
     Round2Queries.dynamicOracleSql ++ Round4Queries.dynamicOracleSql ++
       Round6Queries.dynamicOracleSql ++ Round7Queries.dynamicOracleSql ++
-      Round10Queries.dynamicOracleSql
+      Round10Queries.dynamicOracleSql ++ Round11Queries.dynamicOracleSql
 }

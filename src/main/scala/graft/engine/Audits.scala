@@ -103,4 +103,32 @@ object Audits {
       .withColumn("metric", lit("childless_parents"))
     orphans.unionByName(childless).select(col("metric"), col("v"))
   }
+
+  /** Functional-dependency audit: does `lhs → rhs` hold? Returns one row
+    * per candidate FD: distinct determinant count, how many determinants
+    * map to MORE than one rhs value (violations), and the widest variant
+    * set — the schema-inference / conformed-dimension sanity check
+    * ("does order_id determine customer? does event_id determine user?")
+    * that catches silent grain breaks before they corrupt a rollup.
+    *
+    * Scale shape: one (lhs, rhs) distinct (null-safe — null rhs is a
+    * value), then a combinable per-lhs count and a 3-number aggregate.
+    * No count(distinct) over the raw facts, no window; each candidate FD
+    * is one pass over two key-width columns.
+    */
+  def fdViolations(df: DataFrame, fds: Seq[(String, String)]): DataFrame = {
+    require(fds.nonEmpty, "fdViolations needs at least one candidate FD")
+    fds.map { case (lhs, rhs) =>
+      val variants = df.select(col(lhs).as("__l"), col(rhs).as("__r"))
+        .distinct()
+        .groupBy("__l").agg(count(lit(1)).as("__n"))
+      variants.agg(
+        count(lit(1)).as("n_lhs"),
+        count_if(col("__n") > 1L).as("n_violating_lhs"),
+        max("__n").as("max_rhs_variants"))
+        .withColumn("fd", lit(s"$lhs -> $rhs"))
+        .select(col("fd"), col("n_lhs"), col("n_violating_lhs"),
+          col("max_rhs_variants"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -275,18 +275,20 @@ object Analytics {
     * starter kit (`lift = n_ab·N / (n_a·n_b)`, written as
     * double·long / double·double so no integer product can overflow).
     *
-    * Scale design: candidate pairs come from
-    * [[Graph.cooccurrenceEdges]], which deduplicates membership and
-    * DROPS baskets wider than `maxPerBasket` before the within-basket
-    * self-join — the quadratic fan-out is capped at the source (a
-    * crawler session touching everything is a degenerate basket, not
-    * signal). Item supports and the basket total are counted over the
-    * SAME kept-basket set, so every ratio is internally consistent.
-    * All aggregates are combinable counts; the two support joins are
+    * Scale design: membership is deduplicated and baskets wider than
+    * `maxPerBasket` are DROPPED before the within-basket self-join
+    * ([[Graph.cooccurrenceEdges]]' cap discipline, built on one shared
+    * kept-membership subtree so the dedup exchange is computed once and
+    * reused) — the quadratic fan-out is capped at the source (a crawler
+    * session touching everything is a degenerate basket, not signal).
+    * Item supports and the basket total are counted over the SAME
+    * kept-basket set, so every ratio is internally consistent. All
+    * aggregates are combinable counts; the two support joins are
     * item-keyed equi-joins left to AQE.
     */
   def basketLift(df: DataFrame, basketCol: String, itemCol: String,
                  maxPerBasket: Int, minPairBaskets: Long): DataFrame = {
+    require(maxPerBasket >= 2, s"maxPerBasket must be >= 2, got $maxPerBasket")
     GlobalOrder.requireFresh(df, "__g", "__i", "__n")
     val m = df.select(col(basketCol).as("__g"), col(itemCol).as("__i"))
       .distinct()
@@ -296,9 +298,10 @@ object Analytics {
     val kept = m.join(keptBaskets, Seq("__g"))
     val nBaskets = keptBaskets.agg(count(lit(1)).as("n_baskets"))
     val itemN = kept.groupBy("__i").agg(count(lit(1)).as("__c"))
-    val pairs = Graph.cooccurrenceEdges(df, basketCol, itemCol,
-        maxPerBasket)
-      .groupBy(col("src").as("item_a"), col("dst").as("item_b"))
+    val pairs = kept.select(col("__g"), col("__i").as("item_a"))
+      .join(kept.select(col("__g"), col("__i").as("item_b")), "__g")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairBaskets)
     pairs

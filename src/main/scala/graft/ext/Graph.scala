@@ -416,23 +416,39 @@ object Graph {
     val e = edges.select("src", "dst").persist()
     // each GENERATION (nodes first reached at depth d) is checkpointed
     // once and never recomputed; `dist` is their lazy union — O(V) rows
-    // of cached blocks total, plan depth bounded by maxDepth
+    // of cached blocks total, plan depth bounded by maxDepth. Generations
+    // are stored SERIALIZED: the default deserialized level pins one row
+    // OBJECT per node, and a 10⁸-node generation of boxed rows overruns a
+    // shared local heap (measured OOM in the `bfs_hub` shape) where the
+    // compact serialized form spills cleanly.
+    val gen = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     var dist = seeds.select(col("node")).distinct()
       .withColumn("hops", lit(0L))
-      .localCheckpoint()
+      .localCheckpoint(true, gen)
     var frontier = dist
     try {
       var depth = 1
-      var exhausted = false
-      while (depth <= maxDepth && !exhausted) {
-        val next = frontier
-          .join(e, frontier("node") === e("src"))
+      var frontierRows = frontier.count()
+      while (depth <= maxDepth && frontierRows > 0) {
+        // the frontier must be the JOIN BUILD SIDE: left to its own
+        // devices Catalyst sort-merges (checkpoint stats are unknown),
+        // and codegen SMJ buffers ALL of a streamed row's matches in
+        // heap — a mega-hub in a 1-row frontier appends its entire
+        // out-edge list to one in-memory buffer (measured OOM in
+        // `bfs_hub`). Broadcasting a small frontier (or hash-building a
+        // large one) keeps the edge side STREAMING: the hub's edges
+        // probe a tiny hash map one row at a time.
+        val f =
+          if (frontierRows <= 4000000L) broadcast(frontier)
+          else frontier.hint("shuffle_hash")
+        val next = f
+          .join(e, f("node") === e("src"))
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .withColumn("hops", lit(depth.toLong))
-          .localCheckpoint()
-        if (next.isEmpty) exhausted = true
-        else { dist = dist.unionByName(next); frontier = next }
+          .localCheckpoint(true, gen)
+        frontierRows = next.count()
+        if (frontierRows > 0) { dist = dist.unionByName(next); frontier = next }
         depth += 1
       }
     } finally e.unpersist()

@@ -87,6 +87,42 @@ object Stats {
         cov / (sqrt(varx) * sqrt(vary))).as("corr"))
   }
 
+  /** Half-life–decayed engagement score per group:
+    * `score = Σ value · 2^−⌊age/halfLife⌋` with the exponent clamped to
+    * `maxK` — the recency weighting behind freshness-aware corpus
+    * selection and user-engagement ranking. Naively this is an
+    * order-dependent float sum (unusable on a hash-compared gate, and
+    * irreproducible across partitionings); here the EXPONENT is
+    * integer-bucketed first, each bucket's cents sum exactly
+    * (combinable longs), and the final score folds the ≤ maxK+1 bucket
+    * terms in one FIXED order — each term is `long · 2^−k`, an exact
+    * power-of-two scaling, so the score is bit-identical on any engine
+    * and any partitioning.
+    *
+    * Rows with `ts > refUs` (the future) are excluded. One combinable
+    * groupBy with maxK+1 conditional sums — no window, no join;
+    * operator state is O(maxK) per group.
+    */
+  def halfLifeScore(df: DataFrame, groupCol: String, tsCol: String,
+                    valueCents: Column, refUs: Long, halfLifeUs: Long,
+                    maxK: Int = 15): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    require(maxK >= 0 && maxK <= 62, s"maxK must be in [0, 62], got $maxK")
+    val k = least(expr(s"(${refUs}L - $tsCol) div ${halfLifeUs}L"),
+      lit(maxK.toLong))
+    val sums = (0 to maxK).map(i =>
+      sum(when(k === i.toLong, valueCents)).as(s"__s$i"))
+    val bucketed = df.filter(col(tsCol) <= refUs)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_events"), sums: _*)
+    val score = (0 to maxK).map { i =>
+      coalesce(col(s"__s$i"), lit(0L)).cast("double") *
+        lit(math.pow(2.0, -i))
+    }.reduce(_ + _)
+    bucketed.select(col(groupCol), col("n_events"),
+      score.as("decayed_score"))
+  }
+
   /** Per-group Welch two-sample t statistic between cohorts A and B
     * (A = rows where `cohortA` is true): ns, exact integer sums, both
     * cohort means, and `t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)` —

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{Readers, Warehouse}
-import graft.ext.{Analytics, Stats, GlobalOrder, Graph, TextAnalysis}
+import graft.engine.{Audits, Readers, Warehouse}
+import graft.ext.{Analytics, AsofJoin, GlobalOrder, Graph, IvfIndex, Stats, TextAnalysis}
 
 /** Round-11 batch: experimentation / IR / lifecycle analyses composed
   * from the scalable primitives — audience overlap, BFS reachability,
@@ -43,6 +43,47 @@ object Round11Queries {
   /** q190 basket cap and minimum pair support. */
   private val BasketCap = 10
   private val MinPairBaskets = 20
+
+  /** q192 session gap (30 min, matching q38/q147) and path truncation. */
+  private val SessionGapUs = 30L * 60 * 1000000
+  private val PathLen = 5
+
+  /** q194 fixed-point grid for centroid learning (q169's scale). */
+  private val CentScale = 65536
+
+  /** q195 decay reference instant (2024-02-01T00:00:00Z — just past the
+    * corpus), half-life (3 days), and exponent clamp.
+    */
+  private val DecayRefUs = 1706745600000000L
+  private val DecayHalfLifeUs = 259200000000L
+  private val DecayMaxK = 15
+
+  /** q194 label centroids: per-label mean of the 8-dim embeddings,
+    * learned ONCE per sfDir from exact fixed-point integer sums (so the
+    * centroid doubles are identical across evaluations under any
+    * partitioning), divided on the driver in one fixed order. Returns
+    * the sorted label list and the centroid matrix in that order.
+    */
+  private val labelCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Long], Seq[Seq[Double]])]
+  private def labelCentroids(s: SparkSession,
+                             dir: String): (Seq[Long], Seq[Seq[Double]]) =
+    labelCentroidCache.computeIfAbsent(dir, _ => {
+      val rows = Readers.table(s, dir, "embeddings")
+        .select(col("label").cast("long").as("l"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("l", "i")
+        .agg(sum(floor(col("x").cast("double") * CentScale + 0.5)
+          .cast("long")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byLabel = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      val labels = byLabel.map(_._1)
+      val cents = byLabel.map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).toSeq.map(r =>
+          (r.getLong(2).toDouble / CentScale) / r.getLong(3))
+      }
+      (labels, cents)
+    })
 
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
     Readers.eventsNanos(s, dir).select(
@@ -198,7 +239,116 @@ object Round11Queries {
       Analytics.basketLift(items, "l_orderkey", "p_brand", BasketCap,
           MinPairBaskets)
         .orderBy("item_a", "item_b")
-    })
+    }),
+
+    // Point-in-time training-set assembly (the feature-store join): for
+    // every purchase label, the user's last click value and click count
+    // STRICTLY before the label instant — leakage-free by construction
+    // (probed at label_ts − 1 µs through the inclusive as-of). Both
+    // features ride the hot-key-safe leftAsofBig; the click count is a
+    // running total materialized AT click times, so "count before t"
+    // becomes one as-of probe instead of a per-label range scan.
+    "q191_pit_features" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"),
+          Stats.cents(col("value")).as("vc"))
+      val labels = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), (col("tsu") - 1L).as("pts"),
+          col("event_id").as("conv_id"), col("tsu").as("label_ts"))
+      val f1 = AsofJoin.leftAsofBig(labels,
+        clicks.select("user_id", "tsu", "vc"),
+        "user_id", "pts", "tsu", "vc")
+      val counts = GlobalOrder.withRunningTotalPerKey(
+        clicks.withColumn("one", lit(1L)), "user_id", "tsu", "one",
+        Seq.empty, out = "cum")
+      val f2 = AsofJoin.leftAsofBig(f1,
+        counts.select("user_id", "tsu", "cum"),
+        "user_id", "pts", "tsu", "cum")
+      f2.select(col("conv_id"), col("user_id"), col("label_ts"),
+          col("vc").as("last_click_vc"),
+          coalesce(col("cum"), lit(0L)).as("n_clicks_before"))
+        .orderBy("conv_id")
+    }),
+
+    // Truncated session-path mining: sessionize (hot-user-safe range
+    // shuffle), keep each session's FIRST 5 events via the bounded-state
+    // top-k aggregate (never a per-session sort), pivot the 5 ranks into
+    // fixed columns and count path strings — the "what do sessions look
+    // like" product analysis with O(k) state per session everywhere.
+    // The event-type alphabet rides through the top-k as a dictionary
+    // code (the aggregate carries longs), decoded by a broadcast join.
+    "q192_session_paths" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val dim = GlobalOrder.withRowNumber(
+        ev.select("event_type").distinct(), Seq(col("event_type")),
+        out = "code")
+      val enc = ev.join(broadcast(dim), "event_type")
+        .select(col("user_id"), col("tsu"), col("event_id"), col("code"))
+      val sess = GlobalOrder.withSessionId(enc, "user_id", "tsu",
+        SessionGapUs, Seq(col("event_id")))
+      val top = graft.functions.TopKFunctions.topkPerGroup(sess,
+        Seq(col("user_id"), col("session_id")), -col("tsu"), col("code"),
+        PathLen)
+      val named = top
+        .join(broadcast(dim.select(col("code").as("id"),
+          col("event_type"))), "id")
+      val pivots = (1 to PathLen).map(i =>
+        min(when(col("rnk") === i, col("event_type"))).as(s"p$i"))
+      named.groupBy("user_id", "session_id")
+        .agg(pivots.head, pivots.tail: _*)
+        .select(concat_ws(">",
+          (1 to PathLen).map(i => col(s"p$i")): _*).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+    }),
+
+    // Functional-dependency audit across two tables: grain checks
+    // ("does the order key determine the return flag / supplier?",
+    // "does the event id determine the user? the user a single type?")
+    // as one (lhs, rhs) distinct + combinable per-lhs count per
+    // candidate — the schema-integrity gate that catches silent grain
+    // breaks before a rollup corrupts.
+    "q193_fd_audit" -> ((s, dir) =>
+      Audits.fdViolations(t(s, dir, "lineitem"),
+          Seq(("l_orderkey", "l_returnflag"), ("l_orderkey", "l_suppkey")))
+        .unionByName(Audits.fdViolations(eventsUs(s, dir),
+          Seq(("event_id", "user_id"), ("user_id", "event_type"))))
+        .orderBy("fd")),
+
+    // Embedding label-quality audit: per-label mean centroids (exact
+    // fixed-point sums, driver-divided once), every vector assigned to
+    // its nearest centroid by the q64 squared-Euclidean argmin (codegen
+    // local projection, ties to lowest cell), and the (label, predicted)
+    // confusion matrix — "how separable are my labels in embedding
+    // space". No shuffle touches vectors after the centroid pass; the
+    // oracle is RENDERED from the same learned centroids.
+    "q194_label_confusion" -> ((s, dir) => {
+      val e = Readers.table(s, dir, "embeddings")
+      val (labels, cents) = labelCentroids(s, dir)
+      val model = IvfIndex.fromCentroids(s, e, cents)
+      import s.implicits._
+      val lab = labels.zipWithIndex
+        .map { case (l, i) => (i, l) }
+        .toDF("cell", "pred_label")
+      model.assigned.select("vec_id", "cell")
+        .join(e.select(col("vec_id"),
+          col("label").cast("long").as("true_label")), "vec_id")
+        .join(broadcast(lab), "cell")
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    }),
+
+    // Half-life–decayed engagement score per user: the order-dependent
+    // float decay sum re-expressed as exact per-exponent cents buckets
+    // (one combinable pass, O(maxK) state) folded in a fixed order —
+    // bit-identical freshness weighting, no window, no join.
+    "q195_decay_score" -> ((s, dir) =>
+      Stats.halfLifeScore(eventsUs(s, dir), "user_id", "tsu",
+          Stats.cents(col("value")), DecayRefUs, DecayHalfLifeUs,
+          DecayMaxK)
+        .orderBy("user_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -383,6 +533,126 @@ object Round11Queries {
                    / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) AS lift
           FROM p JOIN itn ia ON ia.i = p.item_a
           JOIN itn ib ON ib.i = p.item_b
-          CROSS JOIN nb ORDER BY item_a, item_b"""
+          CROSS JOIN nb ORDER BY item_a, item_b""",
+
+    "q191_pit_features" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                             event_type, value
+                      FROM events),
+          c AS (SELECT user_id, tsu, ${centsSql("value")} AS vc FROM ev
+                WHERE event_type = 'click'),
+          p AS (SELECT user_id, tsu, event_id AS conv_id FROM ev
+                WHERE event_type = 'purchase')
+          SELECT p.conv_id, p.user_id, p.tsu AS label_ts,
+                 (SELECT c.vc FROM c
+                  WHERE c.user_id = p.user_id AND c.tsu < p.tsu
+                  ORDER BY c.tsu DESC LIMIT 1) AS last_click_vc,
+                 (SELECT count(*) FROM c
+                  WHERE c.user_id = p.user_id AND c.tsu < p.tsu)
+                   AS n_clicks_before
+          FROM p ORDER BY conv_id""",
+
+    "q192_session_paths" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                             event_type
+                      FROM events),
+          g AS (SELECT *, CASE WHEN tsu - lag(tsu) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id)
+                     > $SessionGapUs THEN 1 ELSE 0 END AS new_s
+                FROM ev),
+          s AS (SELECT *, sum(coalesce(new_s, 0)) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g),
+          r AS (SELECT *, row_number() OVER
+                       (PARTITION BY user_id, session_id
+                        ORDER BY tsu, event_id) AS rn
+                FROM s),
+          pv AS (SELECT user_id, session_id,
+                        ${(1 to PathLen).map(i =>
+                          s"min(CASE WHEN rn = $i THEN event_type END) AS p$i")
+                          .mkString(", ")}
+                 FROM r WHERE rn <= $PathLen GROUP BY 1, 2),
+          pa AS (SELECT concat_ws('>',
+                   ${(1 to PathLen).map(i => s"p$i").mkString(", ")}) AS path
+                 FROM pv)
+          SELECT path, count(*) AS n_sessions FROM pa
+          GROUP BY 1 ORDER BY n_sessions DESC, path""",
+
+    "q193_fd_audit" -> {
+      def fd(lhs: String, rhs: String, from: String): String =
+        s"""SELECT '$lhs -> $rhs' AS fd,
+                   count(*) AS n_lhs,
+                   CAST(count_if(n > 1) AS BIGINT) AS n_violating_lhs,
+                   max(n) AS max_rhs_variants
+            FROM (SELECT l, count(*) AS n
+                  FROM (SELECT DISTINCT $lhs AS l, $rhs AS r FROM $from)
+                  GROUP BY 1)"""
+      s"""WITH ev AS (SELECT event_id, user_id, event_type FROM events)
+          ${fd("l_orderkey", "l_returnflag", "lineitem")}
+          UNION ALL ${fd("l_orderkey", "l_suppkey", "lineitem")}
+          UNION ALL ${fd("event_id", "user_id", "ev")}
+          UNION ALL ${fd("user_id", "event_type", "ev")}
+          ORDER BY fd"""
+    },
+
+    "q195_decay_score" -> {
+      val kExpr =
+        s"least(($DecayRefUs - tsu) // $DecayHalfLifeUs, $DecayMaxK)"
+      val sums = (0 to DecayMaxK).map(i =>
+        s"CAST(sum(CASE WHEN $kExpr = $i THEN vc END) AS BIGINT) AS s$i")
+        .mkString(", ")
+      val score = (0 to DecayMaxK).map(i =>
+        s"CAST(coalesce(s$i, 0) AS DOUBLE) * '${math.pow(2.0, -i)}'::DOUBLE")
+        .mkString(" + ")
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu,
+                             ${centsSql("value")} AS vc
+                      FROM events
+                      WHERE epoch_us(ts) <= $DecayRefUs),
+          b AS (SELECT user_id, count(*) AS n_events, $sums
+                FROM ev GROUP BY 1)
+          SELECT user_id, n_events, $score AS decayed_score
+          FROM b ORDER BY user_id"""
+    }
   )
+
+  /** q194's oracle depends on the learned centroids — rendered per
+    * (session, sfDir) at Verify time (the q64 mechanism). Assignment
+    * arithmetic mirrors [[IvfIndex.fromCentroids]]: squared-Euclidean
+    * `v·v − 2·v·c + c·c` with the centroid norm folded left-to-right
+    * (list_dot_product's order), ties to the lowest cell, components
+    * rendered as `'x'::DOUBLE` (string→double parses exactly; bare
+    * decimal literals lose ulps through DECIMAL).
+    */
+  val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "q194_label_confusion" -> ((s, dir) => {
+      val (labels, cents) = labelCentroids(s, dir)
+      val values = cents.zipWithIndex.map { case (c, i) =>
+        c.map(x => s"'$x'::DOUBLE").mkString(s"($i, [", ", ", "])")
+      }.mkString(", ")
+      val labMap = labels.zipWithIndex
+        .map { case (l, i) => s"($i, ${l}::BIGINT)" }.mkString(", ")
+      s"""WITH centroids(cell, cv) AS (VALUES $values),
+          cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cv_n2
+                 FROM centroids),
+          e AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+          en AS (SELECT vec_id, true_label, v,
+                        list_dot_product(v, v) AS v_n2 FROM e),
+          assigned AS (
+            SELECT vec_id, true_label, cell FROM (
+              SELECT en.vec_id, en.true_label, cn.cell,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY (en.v_n2
+                           - 2 * list_dot_product(en.v, cn.cv)
+                           + cn.cv_n2) ASC,
+                         cn.cell ASC) AS arnk
+              FROM en CROSS JOIN cn) t
+            WHERE arnk = 1),
+          lab(cell, pred_label) AS (VALUES $labMap)
+          SELECT a.true_label, lab.pred_label, count(*) AS n
+          FROM assigned a JOIN lab USING (cell)
+          GROUP BY 1, 2 ORDER BY true_label, pred_label"""
+    }))
 }

@@ -183,6 +183,37 @@ class Round11Suite extends SparkSpec {
     }
   }
 
+  describe("Audits.fdViolations") {
+    it("separates holding from violated FDs and is null-safe") {
+      val df = Seq(
+        (1L, Some("a")), (1L, Some("a")),          // 1 -> a (holds, dup rows)
+        (2L, Some("a")), (2L, Some("b")),          // 2 -> {a, b} (violated)
+        (3L, None), (3L, Some("x")), (3L, None)    // null is a variant
+      ).toDF("k", "v")
+      val got = graft.engine.Audits
+        .fdViolations(df, Seq(("k", "v")))
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == Seq(("k -> v", 3L, 2L, 2L)))
+    }
+  }
+
+  describe("Stats.halfLifeScore") {
+    it("buckets exponents exactly, clamps at maxK, excludes the future") {
+      // ref = 1000, half-life 100: ages 0,100,250 -> k 0,1,2; age 10000
+      // clamps to maxK=3; ts 1500 (future) excluded entirely
+      val df = Seq(
+        (1L, 1000L, 800L), (1L, 900L, 400L), (1L, 750L, 400L),
+        (1L, -9000L, 1600L), (1L, 1500L, 999L),
+        (2L, 1000L, 10L)
+      ).toDF("u", "ts", "vc")
+      val got = Stats.halfLifeScore(df, "u", "ts", col("vc"),
+          refUs = 1000L, halfLifeUs = 100L, maxK = 3)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      // user 1: 800*1 + 400*0.5 + 400*0.25 + 1600*0.125 = 1300.0 exactly
+      assert(got == Seq((1L, 4L, 1300.0), (2L, 1L, 10.0)))
+    }
+  }
+
   describe("Analytics.basketLift") {
     it("drops over-wide baskets before pairing and keeps ratios consistent") {
       // basket 1 {x,y}, basket 2 {x,y}, basket 3 {x,y,z,w} dropped at cap 3
