@@ -223,6 +223,26 @@ object Warehouse {
       .drop("__graft_rk", "__graft_next_ver")
   }
 
+  /** Right-to-be-forgotten / tombstone delete: drop every base row whose
+    * key appears in `tombstones` — one key-only LEFT ANTI join, the only
+    * shape that scales to "delete these 10⁶ users from a 100 TB fact
+    * table" (a NOT IN subquery de-sugars to the same anti join; a
+    * per-key DELETE loop is a driver-side anti-pattern). The tombstone
+    * side is deduplicated and carries only the key, so Catalyst
+    * broadcasts it when it fits and AQE handles a hot key otherwise.
+    *
+    * Deletion-proof discipline: compose with a LEFT SEMI count of the
+    * RESULT against the same tombstones (must be 0) in the same job —
+    * the q197 gate carries that proof column, which is what an auditor
+    * asks for ("show me the query that proves the data is gone").
+    */
+  def deleteKeys(base: DataFrame, tombstones: DataFrame, baseKey: String,
+                 tombKey: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = tombstones.select(col(tombKey)).distinct()
+    base.join(t, base(baseKey) === t(tombKey), "left_anti")
+  }
+
   /** Incremental SCD-2 maintenance: fold a DELTA batch of change events
     * into a standing [[scd2HistoryBig]] history without rebuilding the
     * untouched keys. Keys absent from the delta pass through verbatim;

@@ -74,4 +74,40 @@ object Quantize {
       row_number().over(w).cast("long").as("rnk"))
       .filter(col("rnk") <= k)
   }
+
+  /** Sparse random sign projection (Achlioptas): reduce `dimIn`-dim
+    * embeddings to `dimOut` components `p_j = (Σᵢ ±vᵢ) / √dimOut`, with
+    * the ±1 sign matrix derived deterministically from MD5 of
+    * `(seed, i, j)` — the distance-preserving (JL-lemma) cheap
+    * alternative to PCA for clustering/LSH prep, with no training pass
+    * at all. The signs are compile-time CONSTANTS folded into one local
+    * projection: no shuffle, no state, full codegen; each output
+    * component is a fixed-order ±-term sum (deterministic on any
+    * engine), and the √dimOut divisor is applied as one multiply.
+    *
+    * [[signMatrix]] is exposed so an oracle can render the identical
+    * literals.
+    */
+  def signMatrix(seed: String, dimIn: Int, dimOut: Int): Array[Array[Int]] =
+    Array.tabulate(dimIn, dimOut) { (i, j) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1 else -1
+    }
+
+  def randomProjection(df: DataFrame, v: Column, dimIn: Int, dimOut: Int,
+                       seed: String = "rp",
+                       outPrefix: String = "p"): DataFrame = {
+    require(dimIn >= 1 && dimOut >= 1, "dims must be >= 1")
+    val s = signMatrix(seed, dimIn, dimOut)
+    val scale = 1.0 / math.sqrt(dimOut.toDouble)
+    val comps = (0 until dimOut).map { j =>
+      val terms = (0 until dimIn).map { i =>
+        val x = v.getItem(i).cast("double")
+        if (s(i)(j) > 0) x else -x
+      }
+      (terms.reduce(_ + _) * lit(scale)).as(s"$outPrefix$j")
+    }
+    df.select(col("*") +: comps: _*)
+  }
 }

@@ -58,6 +58,10 @@ object Round11Queries {
   private val DecayHalfLifeUs = 259200000000L
   private val DecayMaxK = 15
 
+  /** q196 projection dims. */
+  private val RpDimIn = 8
+  private val RpDimOut = 4
+
   /** q194 label centroids: per-label mean of the 8-dim embeddings,
     * learned ONCE per sfDir from exact fixed-point integer sums (so the
     * centroid doubles are identical across evaluations under any
@@ -348,7 +352,41 @@ object Round11Queries {
       Stats.halfLifeScore(eventsUs(s, dir), "user_id", "tsu",
           Stats.cents(col("value")), DecayRefUs, DecayHalfLifeUs,
           DecayMaxK)
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Johnson–Lindenstrauss sign projection 8 → 4 (training-free dim
+    // reduction for clustering/LSH prep): the ±1 matrix is a
+    // deterministic MD5 function of (seed, i, j), folded into the plan
+    // as CONSTANTS — one local fixed-order projection, no shuffle, full
+    // codegen; the oracle renders the identical sign literals.
+    "q196_random_projection" -> ((s, dir) =>
+      graft.ext.Quantize.randomProjection(
+          Readers.table(s, dir, "embeddings").select("vec_id", "embedding"),
+          col("embedding"), RpDimIn, RpDimOut)
+        .drop("embedding")
+        .orderBy("vec_id")),
+
+    // Right-to-be-forgotten: delete every lineitem of the tombstoned
+    // orders (one key-only anti join — the only delete shape that holds
+    // at 100 TB) and emit the per-flag survivors PLUS the deletion
+    // proof an auditor asks for: a semi-join count of remaining
+    // tombstoned rows, which the gate pins at 0.
+    "q197_tombstone_delete" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val tomb = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 13 === 0).select("o_orderkey")
+      val cleaned = Warehouse.deleteKeys(li, tomb, "l_orderkey",
+        "o_orderkey")
+      val proof = cleaned
+        .join(tomb, cleaned("l_orderkey") === tomb("o_orderkey"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_leftover"))
+      cleaned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Stats.cents(col("l_quantity"))).as("qty_cents"))
+        .crossJoin(broadcast(proof))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -613,7 +651,35 @@ object Round11Queries {
                 FROM ev GROUP BY 1)
           SELECT user_id, n_events, $score AS decayed_score
           FROM b ORDER BY user_id"""
-    }
+    },
+
+    "q196_random_projection" -> {
+      val s = graft.ext.Quantize.signMatrix("rp", RpDimIn, RpDimOut)
+      val scale = 1.0 / math.sqrt(RpDimOut.toDouble)
+      val comps = (0 until RpDimOut).map { j =>
+        val terms = (0 until RpDimIn).map { i =>
+          val x = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+          if (s(i)(j) > 0) s"+ $x" else s"- $x"
+        }.mkString(" ")
+        // leading "+" dropped so the first term is the bare operand,
+        // matching the Spark fold's expression tree
+        s"(${terms.stripPrefix("+ ")}) * '$scale'::DOUBLE AS p$j"
+      }.mkString(", ")
+      s"""SELECT vec_id, $comps FROM embeddings ORDER BY vec_id"""
+    },
+
+    "q197_tombstone_delete" ->
+      s"""WITH tomb AS (SELECT o_orderkey FROM orders
+                        WHERE o_orderkey % 13 = 0),
+          cleaned AS (SELECT * FROM lineitem
+                      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM tomb)),
+          proof AS (SELECT count(*) AS n_leftover FROM cleaned
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM tomb))
+          SELECT l_returnflag, count(*) AS n_rows,
+                 CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_cents,
+                 proof.n_leftover
+          FROM cleaned CROSS JOIN proof
+          GROUP BY 1, proof.n_leftover ORDER BY l_returnflag"""
   )
 
   /** q194's oracle depends on the learned centroids — rendered per

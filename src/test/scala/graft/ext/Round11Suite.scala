@@ -172,6 +172,33 @@ class Round11Suite extends SparkSpec {
     }
   }
 
+  describe("Quantize.randomProjection") {
+    it("applies the deterministic sign matrix with fixed-order folding") {
+      val s = Quantize.signMatrix("rp", 3, 2)
+      val df = Seq((1L, Seq(1.0f, 2.0f, 4.0f))).toDF("vec_id", "embedding")
+      val got = Quantize.randomProjection(df, col("embedding"), 3, 2)
+        .select("p0", "p1").as[(Double, Double)].collect().head
+      val scale = 1.0 / math.sqrt(2.0)
+      def expect(j: Int) =
+        (0 until 3).map(i => s(i)(j) * Seq(1.0, 2.0, 4.0)(i)).sum * scale
+      assert(got == ((expect(0), expect(1))))
+      // same seed => same matrix across calls (the oracle contract)
+      assert(Quantize.signMatrix("rp", 3, 2).map(_.toSeq).toSeq ==
+        s.map(_.toSeq).toSeq)
+    }
+  }
+
+  describe("Warehouse.deleteKeys") {
+    it("removes exactly the tombstoned keys, dedup-safe") {
+      val base = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, "d"))
+        .toDF("k", "v")
+      val tomb = Seq(2L, 2L, 9L).toDF("tk")
+      val got = Warehouse.deleteKeys(base, tomb, "k", "tk")
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(got == Seq((1L, "a"), (3L, "d")))
+    }
+  }
+
   describe("Analytics.rrfFuse2") {
     it("treats a missing id as contributing zero from that side") {
       val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rn")
