@@ -1097,18 +1097,26 @@ object ScaleBench {
       },
       "scd2_merge_hot_key" -> { n =>
         time {
-          // the q188 claim measured: a standing history over n/100 keys
-          // absorbs an n/10-row APPEND delta with HALF its rows on ONE
-          // key. The untouched slice is one key anti-join; the replay is
-          // the hot-key-safe scd2HistoryBig over ONLY the touched keys'
-          // change rows + the delta — never a full-history rebuild.
+          // the q188 claim measured: an n-row standing history over
+          // n/100 keys absorbs an n/10-row APPEND delta with HALF its
+          // rows on ONE key. The history is SYNTHESIZED directly in its
+          // output shape (building it via scd2HistoryBig belongs to the
+          // scd2 shapes, and timing the build here would drown the
+          // merge under test). The untouched slice is one key
+          // anti-join; the replay is the hot-key-safe scd2HistoryBig
+          // over ONLY the touched keys' change rows + the delta — never
+          // a full-history rebuild.
           val keys = math.max(n / 100, 10L)
-          val changes = spark.range(n).select(
+          val lastRk = n / keys - 1
+          val standing = spark.range(n).select(
             (col("id") % keys).as("k"),
             (expr(s"id div $keys") * 10L).as("ver"),
-            pmod(hash(col("id")), lit(3)).cast("long").as("attr"))
-          val standing = graft.engine.Warehouse.scd2HistoryBig(changes,
-            "k", "ver", Seq("attr"))
+            pmod(hash(col("id")), lit(3)).cast("long").as("attr"),
+            (expr(s"id div $keys") * 10L).as("valid_from"),
+            when(expr(s"id div $keys") === lastRk, lit(null))
+              .otherwise((expr(s"id div $keys") + 1L) * 10L)
+              .cast("long").as("valid_to"))
+            .withColumn("is_current", col("valid_to").isNull)
           val delta = spark.range(n / 10).select(
             when(col("id") % 2 === 0, lit(0L))
               .otherwise(col("id") % math.max(n / 1000, 1L)).as("k"),
@@ -1126,12 +1134,16 @@ object ScaleBench {
           // so the within-basket self-join is ≤ 45 pairs per basket; the
           // hot item's appearances land in combinable pair/support
           // counts — its frequency never concentrates rows in one task.
+          // The non-hot universe is FIXED at 1000 items (association
+          // mining presumes a bounded catalog): the adversary under
+          // test is the universal item, not an unbounded pair-group
+          // cardinality that would defeat map-side combine by design.
           val baskets = math.max(n / 10, 10L)
           val m = spark.range(n).select(
             (col("id") % baskets).as("b"),
             when(col("id") < baskets, lit("hot"))
               .otherwise(concat(lit("i"),
-                pmod(hash(col("id")), lit(n / 100)).cast("string")))
+                pmod(hash(col("id")), lit(1000)).cast("string")))
               .as("i"))
           graft.ext.Analytics.basketLift(m, "b", "i", maxPerBasket = 12,
               minPairBaskets = 2L)

@@ -298,8 +298,15 @@ object Analytics {
     val kept = m.join(keptBaskets, Seq("__g"))
     val nBaskets = keptBaskets.agg(count(lit(1)).as("n_baskets"))
     val itemN = kept.groupBy("__i").agg(count(lit(1)).as("__c"))
-    val pairs = kept.select(col("__g"), col("__i").as("item_a"))
-      .join(kept.select(col("__g"), col("__i").as("item_b")), "__g")
+    // Apriori prune (result-invariant): a pair's support is bounded by
+    // its rarer item's support, so items under `minPairBaskets` cannot
+    // appear in any reported pair — dropping them BEFORE the self-join
+    // keeps the pair-group cardinality proportional to the frequent
+    // catalog, not the long tail (which at web scale is most of it).
+    val frequent = itemN.filter(col("__c") >= minPairBaskets).select("__i")
+    val keptF = kept.join(frequent, Seq("__i"), "left_semi")
+    val pairs = keptF.select(col("__g"), col("__i").as("item_a"))
+      .join(keptF.select(col("__g"), col("__i").as("item_b")), "__g")
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_ab"))

@@ -5,13 +5,17 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Audits, Readers, Warehouse}
 import graft.ext.{Analytics, AsofJoin, GlobalOrder, Graph, IvfIndex, Stats, TextAnalysis}
 
-/** Round-11 batch: experimentation / IR / lifecycle analyses composed
-  * from the scalable primitives — audience overlap, BFS reachability,
-  * reciprocal-rank fusion, time-windowed funnels, multi-touch
-  * attribution, Welch A/B testing, incremental SCD-2 merge, a BPE merge
-  * census, and market-basket lift. Floats in compared columns follow
-  * the q110 discipline (exact integer aggregates, or one fixed IEEE
-  * formula mirrored verbatim in the oracle).
+/** Round-11 batch (q182–q197): experimentation / IR / lifecycle
+  * analyses composed from the scalable primitives — audience overlap,
+  * BFS reachability, reciprocal-rank fusion, time-windowed funnels,
+  * multi-touch attribution, Welch A/B testing, incremental SCD-2
+  * merge, a BPE merge census, market-basket lift, point-in-time
+  * feature assembly, session-path mining, FD audits, label-confusion
+  * via learned centroids (dynamic oracle), half-life decay scoring,
+  * JL sign projection, and tombstone deletes with an auditor's proof.
+  * Floats in compared columns follow the q110 discipline (exact
+  * integer aggregates, or one fixed IEEE formula mirrored verbatim in
+  * the oracle).
   */
 object Round11Queries {
 
