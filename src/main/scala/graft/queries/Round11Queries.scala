@@ -390,6 +390,49 @@ object Round11Queries {
           sum(Stats.cents(col("l_quantity"))).as("qty_cents"))
         .crossJoin(broadcast(proof))
         .orderBy("l_returnflag")
+    }),
+
+    // Simpson diversity of each user's event-type mix
+    // (1 − Σcᵢ²/n² — the collision-probability diversity index): two
+    // combinable passes and ONE final IEEE formula over exact integers,
+    // where the entropy it stands in for would be an order-dependent
+    // float-log sum no hash gate could hold. The corpus-mix/monoculture
+    // signal for user cohorts and data-source balance.
+    "q198_type_diversity" -> ((s, dir) =>
+      eventsUs(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n"), sum(col("c") * col("c")).as("ssq"),
+          count(lit(1)).as("n_types"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          (lit(1.0) - col("ssq").cast("double") /
+            (col("n").cast("double") * col("n").cast("double")))
+            .as("simpson"))
+        .orderBy("user_id")),
+
+    // Score-calibration deciles (the model-monitoring readout): clicks
+    // bucketed into value deciles by the hot-safe global-rank ntile,
+    // conversion = purchase within 1 h of THAT click (q185's forward
+    // as-of), per-decile conversion rate as one exact-int division —
+    // "is the score monotone in outcome" without a single window.
+    "q199_calibration_deciles" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"),
+          Stats.cents(col("value")).as("vc"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "tsu")
+      val conv = Analytics.nextEventWithin(clicks, purchases, "user_id",
+        "tsu", HourUs, "conv_ts")
+      GlobalOrder.withNtile(conv, 10, Seq(col("vc"), col("event_id")),
+          out = "decile")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("conv_ts")).as("n_converted"))
+        .select(col("decile"), col("n_clicks"), col("n_converted"),
+          (col("n_converted").cast("double") / col("n_clicks"))
+            .as("conv_rate"))
+        .orderBy("decile")
     })
   )
 
@@ -683,7 +726,41 @@ object Round11Queries {
                  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_cents,
                  proof.n_leftover
           FROM cleaned CROSS JOIN proof
-          GROUP BY 1, proof.n_leftover ORDER BY l_returnflag"""
+          GROUP BY 1, proof.n_leftover ORDER BY l_returnflag""",
+
+    "q198_type_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+                    FROM events GROUP BY 1, 2),
+          a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(c * c) AS BIGINT) AS ssq,
+                       count(*) AS n_types
+                FROM c GROUP BY 1)
+          SELECT user_id, n, n_types,
+                 1.0 - CAST(ssq AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS simpson
+          FROM a ORDER BY user_id""",
+
+    "q199_calibration_deciles" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                             event_type, value
+                      FROM events),
+          a AS (SELECT user_id, tsu, event_id,
+                       ${centsSql("value")} AS vc
+                FROM ev WHERE event_type = 'click'),
+          b AS (SELECT user_id, tsu FROM ev
+                WHERE event_type = 'purchase'),
+          m AS (SELECT a.*, (SELECT min(b.tsu) FROM b
+                             WHERE b.user_id = a.user_id
+                               AND b.tsu > a.tsu) AS nxt
+                FROM a),
+          c AS (SELECT *, CASE WHEN nxt - tsu <= $HourUs THEN nxt END
+                            AS conv_ts,
+                       ntile(10) OVER (ORDER BY vc, event_id) AS decile
+                FROM m)
+          SELECT decile, count(*) AS n_clicks,
+                 count(conv_ts) AS n_converted,
+                 CAST(count(conv_ts) AS DOUBLE) / count(*) AS conv_rate
+          FROM c GROUP BY 1 ORDER BY decile"""
   )
 
   /** q194's oracle depends on the learned centroids — rendered per
