@@ -433,7 +433,44 @@ object Round11Queries {
           (col("n_converted").cast("double") / col("n_clicks"))
             .as("conv_rate"))
         .orderBy("decile")
-    })
+    }),
+
+    // Streaming materialized-view maintenance: the events file is fed
+    // THREE times, one micro-batch per file (maxFilesPerTrigger = 1);
+    // each batch's PARTIAL aggregate folds into the standing aggregate
+    // through Warehouse.refreshAdditiveAgg — the q168 refresh run as a
+    // live stream, with per-batch state the size of the AGGREGATE
+    // (|event types| rows), never the stream. The oracle recomputes the
+    // tripled totals from scratch, so the gate proves
+    // stream-of-refreshes ≡ batch recompute.
+    "q200_streaming_mv_refresh" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q200_events", copies = 3,
+          options = Map("maxFilesPerTrigger" -> "1")) { raw =>
+        var standing: Option[DataFrame] = None
+        val q = raw
+          .select(col("event_type"),
+            Stats.cents(col("value")).as("vc"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val partial = batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum("vc").as("vc_sum"))
+            // the fold output is materialized per batch (the input
+            // DataFrame is only valid inside this callback) and the
+            // previous generation's blocks are released — state held
+            // between batches is |event types| rows, nothing more
+            val next = standing
+              .map(st => Warehouse.refreshAdditiveAgg(st, partial,
+                Seq("event_type"), Seq("n", "vc_sum"), Some("n")))
+              .getOrElse(partial)
+              .localCheckpoint()
+            standing.foreach(graft.ext.Checkpoints.release)
+            standing = Some(next)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        standing.get.orderBy("event_type")
+      })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -760,7 +797,12 @@ object Round11Queries {
           SELECT decile, count(*) AS n_clicks,
                  count(conv_ts) AS n_converted,
                  CAST(count(conv_ts) AS DOUBLE) / count(*) AS conv_rate
-          FROM c GROUP BY 1 ORDER BY decile"""
+          FROM c GROUP BY 1 ORDER BY decile""",
+
+    "q200_streaming_mv_refresh" ->
+      s"""SELECT event_type, 3 * count(*) AS n,
+                 CAST(3 * sum(${centsSql("value")}) AS BIGINT) AS vc_sum
+          FROM events GROUP BY 1 ORDER BY event_type"""
   )
 
   /** q194's oracle depends on the learned centroids — rendered per

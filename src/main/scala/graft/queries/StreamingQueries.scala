@@ -45,7 +45,8 @@ object StreamingQueries {
     * duplicate-delivery shape).
     */
   private[queries] def runEventsStream(
-      s: SparkSession, dir: String, prefix: String, copies: Int = 1)(
+      s: SparkSession, dir: String, prefix: String, copies: Int = 1,
+      options: Map[String, String] = Map.empty)(
       use: DataFrame => DataFrame): DataFrame = {
     graft.engine.Readers.enableNanosAsLong(s)
     val streamDir = java.nio.file.Files.createTempDirectory(prefix)
@@ -57,7 +58,8 @@ object StreamingQueries {
       l
     }
     try use(graft.engine.Readers.toNanosLong(
-      s.readStream.schema(eventsSchema(s, dir)).parquet(streamDir.toString),
+      s.readStream.schema(eventsSchema(s, dir)).options(options)
+        .parquet(streamDir.toString),
       "ts"))
     finally {
       links.foreach(java.nio.file.Files.deleteIfExists(_))
