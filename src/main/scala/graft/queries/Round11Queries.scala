@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Audits, Readers, Warehouse}
 import graft.ext.{Analytics, AsofJoin, GlobalOrder, Graph, IvfIndex, Stats, TextAnalysis}
 
-/** Round-11 batch (q182–q197): experimentation / IR / lifecycle
+/** Round-11 batch (q182–q201): experimentation / IR / lifecycle
   * analyses composed from the scalable primitives — audience overlap,
   * BFS reachability, reciprocal-rank fusion, time-windowed funnels,
   * multi-touch attribution, Welch A/B testing, incremental SCD-2
@@ -470,7 +470,42 @@ object Round11Queries {
           .start()
         q.awaitTermination()
         standing.get.orderBy("event_type")
-      })
+      }),
+
+    // Competing-risk funnel: for every click, the FIRST subsequent
+    // event among {purchase, error} within 1 h — which outcome wins the
+    // race, not merely whether one happened (q185). One forward as-of
+    // carries (ts, outcome) as a single long — `tsu·4 + code` is
+    // order-isomorphic to tsu because (user, tsu) is unique and
+    // code < 4, so the earliest event's code rides the same
+    // hot-key-safe pass; the oracle's min() over the same encoding
+    // picks the identical winner. Exact integer mean lag per outcome.
+    "q201_competing_risk" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      val outcomes = ev
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), (-col("tsu")).as("__negt"),
+          (col("tsu") * 4L +
+            when(col("event_type") === "purchase", 1L).otherwise(2L))
+            .as("enc"))
+      val m = AsofJoin.leftAsofBig(
+          clicks.withColumn("__nega", -(col("tsu") + lit(1L))), outcomes,
+          "user_id", "__nega", "__negt", "enc")
+        .drop("__nega")
+        .withColumn("mts", expr("enc div 4"))
+        .withColumn("outcome",
+          when(col("enc").isNull || col("mts") - col("tsu") > HourUs,
+            lit("none"))
+            .when(col("enc") % 4 === 1L, lit("purchase"))
+            .otherwise(lit("error")))
+      m.groupBy("outcome")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("outcome") =!= "none", col("mts") - col("tsu")))
+            .as("lag_us_sum"))
+        .orderBy("outcome")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -802,7 +837,31 @@ object Round11Queries {
     "q200_streaming_mv_refresh" ->
       s"""SELECT event_type, 3 * count(*) AS n,
                  CAST(3 * sum(${centsSql("value")}) AS BIGINT) AS vc_sum
-          FROM events GROUP BY 1 ORDER BY event_type"""
+          FROM events GROUP BY 1 ORDER BY event_type""",
+
+    "q201_competing_risk" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+                      FROM events),
+          a AS (SELECT user_id, tsu FROM ev WHERE event_type = 'click'),
+          b AS (SELECT user_id, tsu,
+                       tsu * 4 + CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 2 END AS enc
+                FROM ev WHERE event_type IN ('purchase', 'error')),
+          m AS (SELECT a.user_id, a.tsu,
+                       (SELECT min(b.enc) FROM b
+                        WHERE b.user_id = a.user_id AND b.tsu > a.tsu)
+                         AS enc
+                FROM a),
+          c AS (SELECT tsu, enc, enc // 4 AS mts,
+                       CASE WHEN enc IS NULL
+                              OR enc // 4 - tsu > $HourUs THEN 'none'
+                            WHEN enc % 4 = 1 THEN 'purchase'
+                            ELSE 'error' END AS outcome
+                FROM m)
+          SELECT outcome, count(*) AS n_clicks,
+                 CAST(sum(CASE WHEN outcome <> 'none' THEN mts - tsu END)
+                   AS BIGINT) AS lag_us_sum
+          FROM c GROUP BY 1 ORDER BY outcome"""
   )
 
   /** q194's oracle depends on the learned centroids — rendered per
