@@ -438,8 +438,11 @@ object Graph {
         // `bfs_hub`). Broadcasting a small frontier (or hash-building a
         // large one) keeps the edge side STREAMING: the hub's edges
         // probe a tiny hash map one row at a time.
+        // 1M rows ≈ tens of MB for long/short-string nodes — inside
+        // comfortable driver-broadcast territory on a real cluster;
+        // larger frontiers hash-build per partition instead
         val f =
-          if (frontierRows <= 4000000L) broadcast(frontier)
+          if (frontierRows <= 1000000L) broadcast(frontier)
           else frontier.hint("shuffle_hash")
         val next = f
           .join(e, f("node") === e("src"))
