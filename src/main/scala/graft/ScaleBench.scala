@@ -49,9 +49,11 @@ object ScaleBench {
     // k/100 hot cells (~1100/cell, 11x average). Vectors sit in a ±0.01
     // ball around their centroid (spacing 10), so IVF assignment
     // reproduces the planted distribution exactly.
-    def zipfCellVecs(n: Long): (DataFrame, Seq[Seq[Double]]) = {
+    def zipfCellVecs(n: Long,
+                     cells: Long => Int = m => math.max((m / 100).toInt, 10))
+        : (DataFrame, Seq[Seq[Double]]) = {
       val m = n / 100
-      val k = math.max((m / 100).toInt, 10)
+      val k = cells(m)
       val cents = Seq.tabulate(k)(i => Seq.tabulate(8)(j =>
         if (j == 0) i.toDouble * 10 else ((i * 31 + j * 17) % 7).toDouble))
       val cell = when(pmod(hash(col("id")), lit(10)) < 1,
@@ -299,8 +301,13 @@ object ScaleBench {
           // map partition before the shuffle. The Window.partitionBy(cell)
           // formulation this operator USED to have buffers and sorts each
           // hot cell in a single task — linear per_row_ratio here is the
-          // proof the straggler shape is gone.
-          val (vecs, cents) = zipfCellVecs(n)
+          // proof the straggler shape is gone. The cell count is FIXED
+          // across sizes: growing k with the corpus makes the brute
+          // assignment O(m·k) quadratic BY PARAMETERIZATION (round-11
+          // finding — the shape reported 1.5+ while the aggregation under
+          // test was linear), which belongs to semdedup_zipf_cells'
+          // grows-with-corpus regime, not to the argmin being measured.
+          val (vecs, cents) = zipfCellVecs(n, _ => 1000)
           val model = graft.ext.IvfIndex.fromCentroids(spark, vecs, cents)
           graft.ext.IvfIndex.cellRepresentatives(model)
             .agg(count(lit(1)), sum("n_vecs"), min("dist2")).collect()
