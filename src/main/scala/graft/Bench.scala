@@ -118,9 +118,14 @@ object Bench {
     // are separated by a full sweep, so a single multi-second stall cannot
     // poison all of them the way it poisoned back-to-back medians
     // (observed: a min-of-3 back-to-back run still reported 31.8 s for a
-    // 1 s query). Streaming queries are timed in sweep 1 only: their cost
-    // is fixed harness overhead (already split out as streaming_sec) and
-    // doesn't benefit from min-of-N.
+    // 1 s query). Streaming queries are timed in sweeps 1 AND 2 (min of
+    // two), then excluded from sweep 3+ and the outlier-retry pass:
+    // their fixed micro-batch harness (checkpoint churn, no AQE) makes
+    // them the MOST contention-sensitive queries in the suite, yet
+    // round 11 measured them exactly once — a contended driver box
+    // inflated streaming_sec 77% with no second measurement to correct
+    // it. Two measurements bound that; more would re-pay the fixed
+    // harness cost for diminishing stall coverage.
     val times = scala.collection.mutable.Map.empty[String, Double]
     // stall gap observed during the measurement that PRODUCED times(name)
     val stallAtMin = scala.collection.mutable.Map.empty[String, Double]
@@ -312,15 +317,17 @@ object Bench {
       val sweepT0 = System.nanoTime()
       var done = 0
       // Sweep 1 runs in registry order; sweeps >= 2 run SLOWEST-FIRST
-      // (streaming excluded — fixed harness overhead, sweep 1 only): if
-      // the harness kills the process mid-sweep, the queries where a
-      // second measurement corrects the most phantom seconds have
-      // already been re-measured. Mid-sweep checkpoints every 30
-      // queries in EVERY sweep keep the partial progress parseable.
+      // (streaming included in sweep 2 — min-of-2 for every query —
+      // and excluded from sweep 3+, where the marginal stall coverage
+      // stops paying for the fixed harness overhead): if the harness
+      // kills the process mid-sweep, the queries where a second
+      // measurement corrects the most phantom seconds have already
+      // been re-measured. Mid-sweep checkpoints every 30 queries in
+      // EVERY sweep keep the partial progress parseable.
       val order =
         if (sweep == 1) selected
         else selected
-          .filter { case (name, _) => !isStreaming(name) }
+          .filter { case (name, _) => sweep == 2 || !isStreaming(name) }
           .sortBy { case (name, _) => -times.getOrElse(name, 0.0) }
       for ((name, fn) <- order
            if times.getOrElse(name, 0.0) >= 0.0) {

@@ -267,6 +267,20 @@ object Warehouse {
     * Out-of-order WITHIN the delta batch is fine — the replay re-sorts
     * the (version) timeline.
     *
+    * The contract is ENFORCED, not merely documented: by default the
+    * call fails loud — naming the offending keys — when any delta
+    * version lands strictly inside a touched key's standing
+    * [min, max] version span, because at 100 TB "silently wrong for
+    * late interior data" is the failure mode that matters and a caller
+    * cannot be expected to pre-check. The detector is one combinable
+    * min/max agg over the TOUCHED keys' history slice (already
+    * materialized for the replay) plus a key-equi-join with the delta
+    * — O(touched + delta), never the dimension — and runs as an eager
+    * action (the price of failing before any downstream write).
+    * `enforceSpanContract = false` restores the unchecked fold for
+    * callers that guarantee the contract upstream and cannot afford
+    * the extra action.
+    *
     * Scale shape: cost is O(|history| anti-join + |touched keys'
     * history| + |delta|) — the anti-join and the touched-slice join are
     * both key-equi-joins (broadcast when the delta's key set is small),
@@ -278,14 +292,42 @@ object Warehouse {
     * unique (key, version) across history ∪ delta.
     */
   def scd2Merge(history: DataFrame, delta: DataFrame, keyCol: String,
-                versionCol: String, attrCols: Seq[String]): DataFrame = {
+                versionCol: String, attrCols: Seq[String],
+                enforceSpanContract: Boolean = true): DataFrame = {
     require(attrCols.nonEmpty, "scd2Merge needs at least one tracked attribute")
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, min, max}
     val touched = delta.select(col(keyCol)).distinct()
     val untouched = history.join(touched, Seq(keyCol), "left_anti")
     val changeCols = (keyCol +: versionCol +: attrCols).map(col)
-    val replayed = history.join(touched, Seq(keyCol))
+    val touchedHistory = history.join(touched, Seq(keyCol))
       .select(changeCols: _*)
+    if (enforceSpanContract) {
+      // a delta version STRICTLY inside a key's standing [min, max]
+      // span would replay against a history whose interior no-change
+      // rows are gone — detect and fail before producing a silently
+      // divergent merge. Equality with a standing version is already a
+      // (key, version)-uniqueness violation; the strict interior test
+      // is the span contract itself.
+      val spans = touchedHistory.groupBy(keyCol)
+        .agg(min(col(versionCol)).as("__graft_vmin"),
+          max(col(versionCol)).as("__graft_vmax"))
+      val offenders = delta.select(col(keyCol), col(versionCol))
+        .join(spans, Seq(keyCol))
+        .filter(col(versionCol) > col("__graft_vmin") &&
+          col(versionCol) < col("__graft_vmax"))
+        .select(col(keyCol)).distinct()
+        .orderBy(col(keyCol))
+        .limit(20)
+        .collect()
+        .map(_.get(0))
+      require(offenders.isEmpty,
+        s"scd2Merge span contract violated: delta contains versions " +
+          s"strictly inside the standing history span for key(s) " +
+          s"[${offenders.mkString(", ")}]${if (offenders.length == 20) " …" else ""}; " +
+          s"interior late data needs a rebuild of those keys from the " +
+          s"retained source stream (see scd2Merge scaladoc)")
+    }
+    val replayed = touchedHistory
       .unionByName(delta.select(changeCols: _*))
     untouched.unionByName(
       scd2HistoryBig(replayed, keyCol, versionCol, attrCols))
@@ -403,5 +445,97 @@ object Warehouse {
       .select((keyCols.map(col) ++
         aggCols.map(a => col(s"sum($a)").as(a))): _*)
     countCol.fold(merged)(c => merged.filter(col(c) =!= 0L))
+  }
+
+  /** Durable, batchId-guarded [[refreshAdditiveAgg]] fold for
+    * `foreachBatch` materialized-view maintenance — the restart-safe
+    * twin of q200's in-memory fold. Spark's `foreachBatch` contract is
+    * AT-LEAST-ONCE: after a crash the last uncommitted micro-batch is
+    * re-delivered with the SAME batchId, so an unguarded fold
+    * double-counts it — the one correctness question that separates a
+    * demo from a production MV. The guard is the standard idempotent
+    * commit protocol:
+    *
+    *  1. read `_committed` (last applied batchId + its generation dir);
+    *  2. `batchId <= lastId` → SKIP (this delivery already folded);
+    *  3. fold the batch's partial into the committed generation and
+    *     write the result to `gen-<batchId>` (overwrite — a crashed
+    *     half-write of the same generation is simply rewritten);
+    *  4. ATOMIC_MOVE a fresh marker over `_committed`; only this
+    *     rename publishes the new generation;
+    *  5. best-effort delete of older generations.
+    *
+    * A crash between 3 and 4 leaves `_committed` on the old
+    * generation: the re-delivered batch re-folds from the OLD standing
+    * state and rewrites the same `gen-<batchId>` — exactly-once
+    * results from at-least-once delivery. State on disk is the
+    * AGGREGATE (|keys| rows), never the stream; each batch costs one
+    * parquet read of that aggregate + one write, the price of
+    * durability over q200's checkpoint-block fold.
+    *
+    * The per-batch partial is `batch.groupBy(keyCols).agg(sum(aggCols))`
+    * with the columns named `aggCols` verbatim — the batch must already
+    * carry additive columns (counts as literal 1-sums, sums as the
+    * summand), matching [[refreshAdditiveAgg]]'s schema contract.
+    */
+  def durableAdditiveMvFold(mvDir: String, keyCols: Seq[String],
+                            aggCols: Seq[String],
+                            countCol: Option[String] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val root = java.nio.file.Paths.get(mvDir)
+    java.nio.file.Files.createDirectories(root)
+    val committed = root.resolve("_committed")
+    val last: Option[(Long, String)] =
+      if (java.nio.file.Files.exists(committed)) {
+        val lines = new String(java.nio.file.Files.readAllBytes(committed),
+          java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
+        Some((lines(0).toLong, lines(1)))
+      } else None
+    if (last.exists(_._1 >= batchId)) return // re-delivered: already folded
+    val partial = batch.groupBy(keyCols.map(col): _*)
+      .agg(aggCols.head -> "sum", aggCols.tail.map(_ -> "sum"): _*)
+      .select((keyCols.map(col) ++
+        aggCols.map(a => col(s"sum($a)").as(a))): _*)
+    val next = last match {
+      case Some((_, genDir)) =>
+        refreshAdditiveAgg(spark.read.parquet(genDir), partial,
+          keyCols, aggCols, countCol)
+      case None => partial
+    }
+    val genPath = root.resolve(s"gen-$batchId")
+    next.write.mode("overwrite").parquet(genPath.toString)
+    val tmp = root.resolve(s"_committed.tmp-$batchId")
+    java.nio.file.Files.write(tmp,
+      s"$batchId\n$genPath\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, committed,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // best-effort GC of superseded generations (never the committed one)
+    last.foreach { case (_, old) =>
+      val op = java.nio.file.Paths.get(old)
+      if (op != genPath && java.nio.file.Files.exists(op)) {
+        val walk = java.nio.file.Files.walk(op)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      }
+    }
+  }
+
+  /** Read the committed standing aggregate of a [[durableAdditiveMvFold]]
+    * directory (None before the first committed batch).
+    */
+  def readDurableMv(spark: SparkSession, mvDir: String): Option[DataFrame] = {
+    val committed = java.nio.file.Paths.get(mvDir).resolve("_committed")
+    if (!java.nio.file.Files.exists(committed)) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(committed),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
+      Some(spark.read.parquet(lines(1)))
+    }
   }
 }

@@ -410,8 +410,19 @@ object Graph {
     * `edges` needs (src, dst); `seeds` is one column named `node`.
     * Edges are directed — symmetrize before calling for undirected
     * reachability.
+    *
+    * `broadcastBytes` caps the ESTIMATED frontier size eligible for
+    * driver broadcast (default 64 MB — comfortable against a 1 GB
+    * `spark.sql.autoBroadcastJoinThreshold`-era driver budget). The
+    * estimate is rows × key width measured from the frontier itself
+    * (fixed 8-byte payload for numeric keys; one cheap sum of
+    * `octet_length` over the cached generation for string/binary keys)
+    * plus per-row hash-relation overhead — a ROW-count cutoff assumed
+    * short keys, and a 1M-row frontier of kilobyte URLs would have
+    * pushed a multi-GB broadcast through the driver.
     */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+              broadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val e = edges.select("src", "dst").persist()
     // each GENERATION (nodes first reached at depth d) is checkpointed
@@ -426,9 +437,30 @@ object Graph {
       .withColumn("hops", lit(0L))
       .localCheckpoint(true, gen)
     var frontier = dist
+    // (rows, estimated broadcast bytes) of a cached generation, in ONE
+    // pass: variable-width keys measure their actual byte payload; the
+    // 16-byte addend per row is hash-relation entry overhead (pointer +
+    // hash + alignment), deliberately rough — this gates a broadcast
+    // decision, not an allocation
+    val varLenKey = dist.schema("node").dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+    def frontierStats(f: DataFrame): (Long, Long) =
+      if (varLenKey) {
+        val r = f.agg(count(lit(1)),
+          coalesce(sum(octet_length(col("node")).cast("long")), lit(0L)))
+          .head()
+        val n = r.getLong(0)
+        (n, n * 16L + r.getLong(1))
+      } else {
+        val n = f.count()
+        (n, n * 24L)
+      }
     try {
       var depth = 1
-      var frontierRows = frontier.count()
+      var (frontierRows, frontierBytes) = frontierStats(frontier)
       while (depth <= maxDepth && frontierRows > 0) {
         // the frontier must be the JOIN BUILD SIDE: left to its own
         // devices Catalyst sort-merges (checkpoint stats are unknown),
@@ -438,11 +470,12 @@ object Graph {
         // `bfs_hub`). Broadcasting a small frontier (or hash-building a
         // large one) keeps the edge side STREAMING: the hub's edges
         // probe a tiny hash map one row at a time.
-        // 1M rows ≈ tens of MB for long/short-string nodes — inside
-        // comfortable driver-broadcast territory on a real cluster;
-        // larger frontiers hash-build per partition instead
+        // The cutoff is BYTES, not rows: the generation is cached, so
+        // measuring its actual key payload costs one cheap agg, and a
+        // byte bound holds for kilobyte string keys where a row count
+        // would not; larger frontiers hash-build per partition instead
         val f =
-          if (frontierRows <= 1000000L) broadcast(frontier)
+          if (frontierBytes <= broadcastBytes) broadcast(frontier)
           else frontier.hint("shuffle_hash")
         val next = f
           .join(e, f("node") === e("src"))
@@ -450,7 +483,9 @@ object Graph {
           .join(dist, Seq("node"), "left_anti")
           .withColumn("hops", lit(depth.toLong))
           .localCheckpoint(true, gen)
-        frontierRows = next.count()
+        val st = frontierStats(next)
+        frontierRows = st._1
+        frontierBytes = st._2
         if (frontierRows > 0) { dist = dist.unionByName(next); frontier = next }
         depth += 1
       }

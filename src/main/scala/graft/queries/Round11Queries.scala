@@ -74,9 +74,35 @@ object Round11Queries {
     */
   private val labelCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[Long], Seq[Seq[Double]])]
-  private def labelCentroids(s: SparkSession,
+  /** Cheap content fingerprint of the embeddings table's files (sorted
+    * relative path + size + mtime): the cache key carries it so a
+    * REGENERATED table (the driver rewrote testdata mid-session in
+    * round 10) invalidates the cached model instead of silently scoring
+    * new data against stale centroids. One directory listing per
+    * evaluation — no data read.
+    */
+  private[graft] def embeddingsFingerprint(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir).resolve("embeddings.parquet")
+    if (!java.nio.file.Files.exists(root)) "absent"
+    else {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val parts = walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(parts.mkString("\n").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+      } finally walk.close()
+    }
+  }
+  private[graft] def labelCentroids(s: SparkSession,
                              dir: String): (Seq[Long], Seq[Seq[Double]]) =
-    labelCentroidCache.computeIfAbsent(dir, _ => {
+    labelCentroidCache.computeIfAbsent(
+      s"$dir|${embeddingsFingerprint(dir)}", _ => {
       val rows = Readers.table(s, dir, "embeddings")
         .select(col("label").cast("long").as("l"),
           posexplode(col("embedding")).as(Seq("i", "x")))

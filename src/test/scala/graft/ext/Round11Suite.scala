@@ -119,16 +119,47 @@ class Round11Suite extends SparkSpec {
       // standing stream 10:a, 20:a (dropped as no-change), 30:b; interior
       // delta 15:b would have made 20:a a change point in a full rebuild —
       // that row is unrecoverable from the history, so merge must differ
+      // (detector disabled here to observe the divergence it exists to
+      // prevent)
       val stream = Seq((1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"))
         .toDF("k", "ver", "attr")
       val delta = Seq((1L, 15L, "b")).toDF("k", "ver", "attr")
       val merged = norm(Warehouse.scd2Merge(hist(stream), delta, "k", "ver",
-        Seq("attr")))
+        Seq("attr"), enforceSpanContract = false))
       val rebuilt = norm(hist(stream.unionByName(delta)))
       assert(rebuilt.map(_._3) == Seq(10L, 15L, 20L, 30L)) // 20:a reopens
       // the history lost 20:a, so the replay sees 10:a, 15:b, 30:b and
       // additionally drops 30:b as a no-change behind the insert
       assert(merged.map(_._3) == Seq(10L, 15L))
+    }
+
+    it("fails loud BY DEFAULT on an interior delta, naming the keys") {
+      val stream = Seq((1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"),
+        (2L, 10L, "x"), (2L, 40L, "y"))
+        .toDF("k", "ver", "attr")
+      val delta = Seq((1L, 15L, "b"), (2L, 50L, "z"), (3L, 7L, "n"))
+        .toDF("k", "ver", "attr") // only key 1 is interior
+      val ex = intercept[IllegalArgumentException] {
+        Warehouse.scd2Merge(hist(stream), delta, "k", "ver", Seq("attr"))
+      }
+      assert(ex.getMessage.contains("span contract"))
+      assert(ex.getMessage.contains("[1]")) // names the offending key
+      // the compliant subset still merges exactly under the default
+      val ok = delta.filter(col("k") =!= 1L)
+      val got = norm(Warehouse.scd2Merge(hist(stream), ok, "k", "ver",
+        Seq("attr")))
+      assert(got == norm(hist(stream.unionByName(ok))))
+    }
+
+    it("default detector admits boundary versions (uniqueness aside)") {
+      // strictly-outside min/max both pass; a delta AT the span edge is
+      // a (key, version)-uniqueness problem, not a span problem, and is
+      // out of the detector's scope
+      val stream = Seq((1L, 10L, "a"), (1L, 30L, "b")).toDF("k", "ver", "attr")
+      val delta = Seq((1L, 5L, "z"), (1L, 40L, "c")).toDF("k", "ver", "attr")
+      val got = norm(Warehouse.scd2Merge(hist(stream), delta, "k", "ver",
+        Seq("attr")))
+      assert(got == norm(hist(stream.unionByName(delta))))
     }
   }
 
