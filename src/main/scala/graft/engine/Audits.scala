@@ -131,4 +131,50 @@ object Audits {
           col("max_rhs_variants"))
     }.reduce(_ unionByName _)
   }
+
+  /** Benford's-law first-digit constants log10(1 + 1/d), d = 1..9,
+    * computed ONCE on the driver and injected as the SAME double
+    * literals into the Spark plan and the oracle SQL — a runtime
+    * `log10()` call would tie the gate to two engines' libm agreeing in
+    * the last ulp.
+    */
+  val benfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-digit audit per group: for each (group, leading
+    * digit of a POSITIVE integer measure), the observed count, observed
+    * share, Benford's expected share, and the excess — the classic
+    * fabricated-/synthetic-data screen (amounts entered by humans or
+    * generators deviate; organically grown magnitudes don't). One
+    * combinable groupBy over (group, digit) + one tiny co-keyed join
+    * against the per-group totals (|groups| rows — broadcast); shares
+    * are single IEEE divisions of exact integer counts, expectations
+    * are plan literals ([[benfordP]]). Non-positive measures are
+    * excluded (no leading digit). Returns (groupCol, digit, n_total, n,
+    * share, benford_p, excess) sorted-ready; digits with zero
+    * occurrences are absent (join the 1-9 spine if completeness
+    * matters).
+    */
+  def benfordAudit(df: DataFrame, groupCol: String,
+                   valueLong: Column): DataFrame = {
+    val v = when(valueLong > 0L, valueLong)
+    // leading digit via the decimal string head: engine-portable (no
+    // float log10 on data), and the cast of a positive long has no
+    // sign/locale surprises
+    val digit = substring(v.cast("string"), 1, 1).cast("long")
+    val counts = df.filter(v.isNotNull)
+      .groupBy(col(groupCol), digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(groupCol)
+      .agg(sum(col("n")).as("n_total"))
+    val p = benfordP.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (pd, i)) => when(col("digit") === (i + 1).toLong, pd)
+        .otherwise(acc)
+    }
+    counts.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("digit"), col("n_total"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        p.as("benford_p"))
+      .withColumn("excess", col("share") - col("benford_p"))
+  }
 }

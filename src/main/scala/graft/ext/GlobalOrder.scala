@@ -559,6 +559,118 @@ object GlobalOrder {
     GraftShim.internalCreateDataFrame(spark, rdd, schema)
   }
 
+  /** Per-key running MAX over a total order, hot-key-safe: append `out` =
+    * the maximum of `valueCol` over the same key's rows up to (and, when
+    * `inclusive`, including) the current row in (key, ts, tieCols) order —
+    * `max(value).over(Window.partitionBy(key).orderBy(ts)
+    * [.rowsBetween(unboundedPreceding, -1)])` without the hot-key
+    * single-task sort. Fifth member of the boundary-stitch family
+    * ([[withSessionId]], [[withFillForward]], [[withRunningTotalPerKey]],
+    * [[withLagPerKey]]): job 1 reports each partition's first/last key and
+    * the LAST key's within-partition max, the driver threads the carry (a
+    * carry extends only while a partition continues its own key), job 2
+    * re-scans and folds.
+    *
+    * The EXCLUSIVE mode (`inclusive = false`) is the interval-merge
+    * primitive: a new merged segment starts exactly when a row's start
+    * exceeds the max end of every EARLIER interval of its key
+    * ([[graft.ext.TimeSeries.intervalCoverage]]). `out` is nullable —
+    * null while the (exclusive) prefix holds no non-null value, matching
+    * the SQL window frame's empty-frame null. Nulls in `valueCol` are
+    * ignored (SQL MAX). `keyCol`/`tsCol` non-null LongType; (key, ts,
+    * tieCols) must be a total order.
+    */
+  def withRunningMaxPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                           valueCol: String, tieCols: Seq[Column],
+                           out: String = "running_max",
+                           inclusive: Boolean = true,
+                           partitions: Int = 0): DataFrame = {
+    requireFresh(df, out)
+    val ki = df.schema.fieldIndex(keyCol)
+    val ti = df.schema.fieldIndex(tsCol)
+    val vi = df.schema.fieldIndex(valueCol)
+    for ((c, i) <- Seq(keyCol -> ki, tsCol -> ti, valueCol -> vi))
+      require(df.schema(i).dataType == LongType,
+        s"withRunningMaxPerKey needs LongType columns; " +
+          s"$c is ${df.schema(i).dataType}")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+    else spark.sessionState.conf.numShufflePartitions
+    val sortCols = col(keyCol) +: col(tsCol) +: tieCols
+    val sorted = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = true))
+    val rdd0 = sorted.queryExecution.toRdd
+    // job 1: per partition — first/last key and the LAST key's max
+    // (has-flag tracks an all-null run; Long has no clean -inf sentinel)
+    val stats = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var seen = false
+      var fk = 0L; var lk = 0L; var mx = 0L; var has = false
+      it.foreach { r =>
+        val k = r.getLong(ki)
+        if (!seen) { fk = k; seen = true }
+        else if (k != lk) { mx = 0L; has = false }
+        lk = k
+        if (!r.isNullAt(vi)) {
+          val v = r.getLong(vi)
+          mx = if (has) math.max(mx, v) else v
+          has = true
+        }
+      }
+      Iterator((i, seen, fk, lk, mx, has))
+    }.collect().sortBy(_._1)
+    // driver: thread the carry (key, max-so-far, has-value) forward
+    val carryKey = Array.ofDim[Long](stats.length)
+    val carryMax = Array.ofDim[Long](stats.length)
+    val carryHas = Array.ofDim[Boolean](stats.length)
+    val carrySet = Array.ofDim[Boolean](stats.length)
+    var ck = 0L; var cm = 0L; var ch = false; var cs = false
+    for (((_, seen, fk, lk, mx, has), i) <- stats.zipWithIndex) {
+      carryKey(i) = ck; carryMax(i) = cm; carryHas(i) = ch; carrySet(i) = cs
+      if (seen) {
+        val inHas = cs && ck == fk && ch
+        if (lk == fk) {
+          ck = lk
+          cm = if (inHas && has) math.max(cm, mx)
+          else if (has) mx else cm
+          ch = inHas || has
+        } else { ck = lk; cm = mx; ch = has }
+        cs = true
+      }
+    }
+    // job 2: per-partition fold seeded with the carry; exclusive mode
+    // emits BEFORE folding the current row
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var curKey = carryKey(i)
+      var curSet = carrySet(i)
+      var has = carrySet(i) && carryHas(i)
+      var mx = carryMax(i)
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(schema)
+      it.map { row =>
+        val k = row.getLong(ki)
+        if (!curSet || k != curKey) {
+          curKey = k; curSet = true; has = false; mx = 0L
+        }
+        if (!inclusive) {
+          if (has) extra.update(0, mx) else extra.setNullAt(0)
+        }
+        if (!row.isNullAt(vi)) {
+          val v = row.getLong(vi)
+          mx = if (has) math.max(mx, v) else v
+          has = true
+        }
+        if (inclusive) {
+          if (has) extra.update(0, mx) else extra.setNullAt(0)
+        }
+        proj(joined(row, extra)): InternalRow
+      }
+    }
+    GraftShim.internalCreateDataFrame(spark, rdd, schema)
+  }
+
   /** Exact PER-GROUP median of a LongType column, hot-group-safe.
     *
     * The direct routes both break under skew: `percentile(v, 0.5)` per

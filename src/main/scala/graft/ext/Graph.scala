@@ -438,29 +438,13 @@ object Graph {
       .localCheckpoint(true, gen)
     var frontier = dist
     // (rows, estimated broadcast bytes) of a cached generation, in ONE
-    // pass: variable-width keys measure their actual byte payload; the
-    // 16-byte addend per row is hash-relation entry overhead (pointer +
-    // hash + alignment), deliberately rough — this gates a broadcast
-    // decision, not an allocation
-    val varLenKey = dist.schema("node").dataType match {
-      case org.apache.spark.sql.types.StringType |
-           org.apache.spark.sql.types.BinaryType => true
-      case _ => false
-    }
-    def frontierStats(f: DataFrame): (Long, Long) =
-      if (varLenKey) {
-        val r = f.agg(count(lit(1)),
-          coalesce(sum(octet_length(col("node")).cast("long")), lit(0L)))
-          .head()
-        val n = r.getLong(0)
-        (n, n * 16L + r.getLong(1))
-      } else {
-        val n = f.count()
-        (n, n * 24L)
-      }
+    // pass ([[keyedFrameStats]]): variable-width keys measure their
+    // actual byte payload; the 16-byte addend per row is hash-relation
+    // entry overhead (pointer + hash + alignment), deliberately rough —
+    // this gates a broadcast decision, not an allocation
     try {
       var depth = 1
-      var (frontierRows, frontierBytes) = frontierStats(frontier)
+      var (frontierRows, frontierBytes) = keyedFrameStats(frontier, "node")
       while (depth <= maxDepth && frontierRows > 0) {
         // the frontier must be the JOIN BUILD SIDE: left to its own
         // devices Catalyst sort-merges (checkpoint stats are unknown),
@@ -483,12 +467,125 @@ object Graph {
           .join(dist, Seq("node"), "left_anti")
           .withColumn("hops", lit(depth.toLong))
           .localCheckpoint(true, gen)
-        val st = frontierStats(next)
+        val st = keyedFrameStats(next, "node")
         frontierRows = st._1
         frontierBytes = st._2
         if (frontierRows > 0) { dist = dist.unionByName(next); frontier = next }
         depth += 1
       }
+    } finally e.unpersist()
+    dist
+  }
+
+  /** (rows, estimated broadcast bytes) of a cached one-key-column frame —
+    * the [[bfsHops]] byte model: measured `octet_length` payload for
+    * string/binary keys, fixed 8-byte payload for numerics, plus ~16 B/row
+    * hash-relation overhead. One cheap agg over already-cached blocks.
+    */
+  private def keyedFrameStats(f: DataFrame, keyCol: String): (Long, Long) = {
+    val varLen = f.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+    if (varLen) {
+      val r = f.agg(count(lit(1)),
+        coalesce(sum(octet_length(col(keyCol)).cast("long")), lit(0L)))
+        .head()
+      val n = r.getLong(0)
+      (n, n * 16L + r.getLong(1))
+    } else {
+      val n = f.count()
+      (n, n * 24L)
+    }
+  }
+
+  /** Hop-bounded weighted single-source(-set) shortest paths: for every
+    * node, the minimum total edge weight over paths of at most `maxIter`
+    * edges from ANY seed — frontier-based Bellman–Ford relaxation, the
+    * weighted generalization of [[bfsHops]] ("cheapest route within k
+    * links": trust propagation with per-link costs, latency-weighted
+    * reachability). Returns (node, dist) for every node reached within
+    * the hop budget; seeds at 0; unreached nodes absent. With
+    * `maxIter >= |V| - 1` and non-negative weights this is the exact
+    * SSSP fixed point.
+    *
+    * Each round relaxes ONLY the frontier — the rows whose distance
+    * improved last round: candidate = frontier ⋈ edges with a combinable
+    * per-destination MIN (map-side partial min collapses a hub's fan-in
+    * before the shuffle), then one key-join against the standing
+    * distances keeps strict improvements. The induction that makes
+    * frontier-pruning exact: a best ≤j-edge path's prefix improved its
+    * node at some round ≤ j, so the extension is generated at round
+    * ≤ j+1; nodes whose tentative distance did not improve have nothing
+    * new to propagate. State is O(V) (one best-so-far row per reached
+    * node), never O(paths) — the naive k-fold join materializes every
+    * path and dies combinatorially.
+    *
+    * Loop hygiene: edges persisted as the loop invariant; the standing
+    * distance table and the frontier are `localCheckpoint`'d SERIALIZED
+    * per round and the superseded generation released ([[pagerankInt]]'s
+    * rotation — unlike [[bfsHops]], generations here REPLACE each other,
+    * so only the final table stays pinned). Frontier forced to the join
+    * build side under the same measured-bytes broadcast cutoff as BFS
+    * (the edge list must always stream). RETENTION: the result is one
+    * checkpointed table; [[releaseRanks]] when done.
+    *
+    * `edges` needs (src, dst, w) with LongType `w`; `seeds` is one
+    * column `node`. Directed — symmetrize for undirected costs.
+    */
+  def ssspHops(edges: DataFrame, seeds: DataFrame, maxIter: Int,
+               broadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    require(maxIter >= 0, s"maxIter must be >= 0, got $maxIter")
+    val e = edges.select("src", "dst", "w").persist()
+    val gen = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true, gen)
+    var frontier = dist
+    try {
+      var round = 1
+      var (fRows, fBytes) = keyedFrameStats(frontier, "node")
+      while (round <= maxIter && fRows > 0) {
+        val f =
+          if (fBytes <= broadcastBytes) broadcast(frontier)
+          else frontier.hint("shuffle_hash")
+        val cand = f.join(e, f("node") === e("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("cd"))
+          .groupBy("node").agg(min("cd").as("cd"))
+        val standing = dist.select(col("node").as("__dnode"),
+          col("dist").as("__dbest"))
+        val improved = cand
+          .join(standing, cand("node") === col("__dnode"), "left")
+          .filter(col("__dbest").isNull || col("cd") < col("__dbest"))
+          .select(col("node"), col("cd").as("dist"))
+          .localCheckpoint(true, gen)
+        val st = keyedFrameStats(improved, "node")
+        if (st._1 > 0) {
+          // improved keys as the anti-join build side: dist streams
+          val ik =
+            if (st._2 <= broadcastBytes) broadcast(improved.select("node"))
+            else improved.select("node").hint("shuffle_hash")
+          val newDist = dist.join(ik, Seq("node"), "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(true, gen)
+          // rotate: the new table is materialized, the old one and the
+          // PREVIOUS frontier are dead (improved stays — it is the next
+          // frontier; its rows were copied, not referenced, by newDist)
+          if (!(frontier eq dist)) Checkpoints.release(frontier)
+          Checkpoints.release(dist)
+          dist = newDist
+        } else {
+          // nothing improved: the empty `improved` becomes the final
+          // frontier and is released by the post-loop sweep
+          if (!(frontier eq dist)) Checkpoints.release(frontier)
+        }
+        frontier = improved
+        fRows = st._1
+        fBytes = st._2
+        round += 1
+      }
+      if (!(frontier eq dist)) Checkpoints.release(frontier)
     } finally e.unpersist()
     dist
   }

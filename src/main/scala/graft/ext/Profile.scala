@@ -67,4 +67,51 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
   }
+
+  /** Join-key skew profile: ONE row summarizing how a prospective
+    * join/groupBy key distributes — the audit to run BEFORE committing a
+    * 100 TB plan to shuffling on that key, since a hot key is the
+    * difference between 1000 even reducers and one straggler ([[
+    * graft.engine.Skew]]'s salting exists for exactly what this
+    * measures). Output: n_rows, n_keys, max_n (the hottest key's rows),
+    * p99_n (the count at ascending rank ⌈0.99·n_keys⌉ — a RANK
+    * definition, not an interpolating percentile, so it is
+    * engine-exact), mean_n, skew_ratio = max_n/mean_n, and the hottest
+    * key rendered as a string (ties → smallest key).
+    *
+    * Scale shape: per-key counts are one combinable groupBy; max/mean
+    * are one reduction over |keys| rows; the p99 pick rides
+    * [[GlobalOrder.withRowNumber]] over the counts (range shuffle of
+    * |keys| rows, never the data); the three 1-row results cross-join.
+    * Nothing collects more than a row.
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    val totals = counts.agg(
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("__n")).as("max_n"))
+    val hot = counts
+      .orderBy(col("__n").desc, col("__k"))
+      .limit(1)
+      .select(col("__k").cast("string").as("top_key"))
+    val ranked = GlobalOrder.withRowNumber(counts,
+      Seq(col("__n"), col("__k")), out = "__rn")
+    // rank ⌈0.99·n_keys⌉ in ascending count order; the totals row is a
+    // broadcast-able single row, so the pick is one filtered scan of
+    // |keys| rows
+    val p99 = ranked.crossJoin(broadcast(totals.select(col("n_keys")
+        .as("__nk"))))
+      .filter(col("__rn") === ceil(col("__nk") * 0.99).cast("long"))
+      .select(col("__n").as("p99_n"))
+    totals.crossJoin(broadcast(p99)).crossJoin(broadcast(hot))
+      .select(col("n_rows"), col("n_keys"), col("max_n"), col("p99_n"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("mean_n"),
+        (col("max_n").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")))
+          .as("skew_ratio"),
+        col("top_key"))
+  }
 }

@@ -384,6 +384,90 @@ object Stats {
     s"round(${terms.mkString(" + ")}, 6)"
   }
 
+  /** Per-group ordinary-least-squares line fit of y against x — slope,
+    * intercept, and r² per group, the trend primitive behind "is this
+    * metric drifting over time" (x = time bucket, y = measure). Exact
+    * integer sums (n, Σx, Σy, Σxy, Σx², Σy²) from ONE combinable
+    * groupBy — constant state per group, no window, no second pass —
+    * then the closed-form normal-equation doubles in a fixed order,
+    * mirrored verbatim in the oracle SQL:
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²ᵗᵒᵗ)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    *
+    * The n·Σ products are computed in DOUBLE (each factor is an exact
+    * long, each product one correctly-rounded IEEE op — identical on
+    * any engine); degenerate groups (n < 2, zero x-variance) yield null
+    * slope/intercept, zero y-variance yields null r². Overflow budget
+    * (caller-owned, the [[cents]] discipline): Σx² and Σxy must fit
+    * int64 — normalize x to a SMALL grid (hours since a corpus origin,
+    * not epoch micros: |x| ≤ 10³ supports 10¹² rows).
+    */
+  def groupLinFit(df: DataFrame, groupCol: String, xLong: Column,
+                  yLong: Column): DataFrame = {
+    val x = when(xLong.isNotNull && yLong.isNotNull, xLong)
+    val y = when(xLong.isNotNull && yLong.isNotNull, yLong)
+    val agg = df.groupBy(groupCol).agg(
+      count(x).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n") * d("sxy") - d("sx") * d("sy")
+    val varx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vary = d("n") * d("syy") - d("sy") * d("sy")
+    val slope = when(col("n") >= 2L && varx =!= 0.0, cov / varx)
+    agg.select(col(groupCol), col("n"),
+      slope.as("slope"),
+      when(slope.isNotNull, (d("sy") - slope * d("sx")) / d("n"))
+        .as("intercept"),
+      when(slope.isNotNull && vary =!= 0.0, (cov * cov) / (varx * vary))
+        .as("r2"))
+  }
+
+  /** Per-key CUSUM peak: the maximum absolute deviation of the running
+    * sum from the key's own uniform trend line —
+    * `max_i |S_i − i·(T/n)|`, where S_i is the prefix sum of the value
+    * in time order, T the key's total, n its row count. A key whose
+    * values are stationary stays near 0; a level shift (changepoint)
+    * pushes the peak to ~|shift|·min(i, n−i) — the classic
+    * distribution-free changepoint screen, here as a scan (not a test).
+    *
+    * Scaled to integers before the division: the per-row deviation is
+    * computed as `|S_i·n − i·T|` (exact int64), maxed per key, divided
+    * by n ONCE at the end — bit-identical under any partitioning.
+    * Ordered prefix sums come from TWO boundary-stitch passes
+    * ([[GlobalOrder.withRunningTotalPerKey]] for S_i and for i itself),
+    * so a hot key never sorts in one task; the per-key (n, T) ride the
+    * same passes' final rows via one co-keyed groupBy + join. Overflow
+    * budget: |S_i·n| ≤ int64 → |value| · rows² per key < 9.2e18
+    * (downscale the grid for billion-row keys).
+    *
+    * Returns (keyCol, n, cusum_peak). `keyCol`/`tsCol`/`valueCol`
+    * LongType; (key, ts, tieCols) a total order.
+    */
+  def cusumPeak(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, tieCols: Seq[Column]): DataFrame = {
+    GlobalOrder.requireFresh(df, "__graft_s", "__graft_i", "__graft_one")
+    val s = GlobalOrder.withRunningTotalPerKey(df, keyCol, tsCol, valueCol,
+      tieCols, out = "__graft_s")
+    val si = GlobalOrder.withRunningTotalPerKey(
+      s.withColumn("__graft_one", lit(1L)), keyCol, tsCol, "__graft_one",
+      tieCols, out = "__graft_i")
+    val totals = si.groupBy(keyCol)
+      .agg(max(col("__graft_i")).as("__graft_n"),
+        sum(col(valueCol)).as("__graft_t"))
+    si.join(totals, Seq(keyCol))
+      .select(col(keyCol), col("__graft_n"),
+        abs(col("__graft_s") * col("__graft_n") -
+          col("__graft_i") * col("__graft_t")).as("__graft_dev"))
+      .groupBy(keyCol)
+      .agg(max(col("__graft_n")).as("n"),
+        max(col("__graft_dev")).as("__graft_peak"))
+      .select(col(keyCol), col("n"),
+        (col("__graft_peak").cast("double") / col("n").cast("double"))
+          .as("cusum_peak"))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

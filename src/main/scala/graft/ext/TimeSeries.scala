@@ -186,4 +186,50 @@ object TimeSeries {
         sum(col(valueCol) * overlap).as("num"))
       .withColumn("twa", col("num").cast("double") / col("dur_us"))
   }
+
+  /** Per-key interval-union length ("total covered time"): merge each
+    * key's half-open [start, end) intervals and return (key, covered,
+    * n_segments) — covered = Σ merged-segment lengths, n_segments = the
+    * count of maximal merged runs. The utilization/coverage primitive
+    * behind "how long was this user/host/device actually active",
+    * robust to arbitrarily overlapping and nested intervals where
+    * naive `sum(end - start)` double-counts every overlap.
+    *
+    * The classic sweep needs, per key in start order, the max end over
+    * all EARLIER intervals — a new merged segment starts exactly when
+    * `start > that prefix max` (an interval touching the previous end,
+    * `start == max`, merges: half-open continuity). Both ordered passes
+    * ride the boundary-stitch family, so a hot key (one device with
+    * half the intervals) spreads over many partitions instead of
+    * sorting in one task:
+    *   1. [[GlobalOrder.withRunningMaxPerKey]] (EXCLUSIVE) marks
+    *      segment-opening rows;
+    *   2. [[GlobalOrder.withRunningTotalPerKey]] prefix-sums the marks
+    *      into per-key dense segment ids;
+    *   3. one combinable groupBy((key, segment)) takes min(start)/
+    *      max(end) — a merged run's union is the single interval
+    *      [min start, max end], by induction on the merge condition —
+    *      and a second groupBy(key) sums the exact integer lengths.
+    *
+    * All arithmetic is integer; `keyCol`/`startCol`/`endCol` LongType,
+    * (key, start, end) must be a total order (dedup identical triples
+    * first), every end >= its start.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+                       endCol: String): DataFrame = {
+    GlobalOrder.requireFresh(df, "__graft_pmax", "__graft_new", "__graft_gid")
+    val m = GlobalOrder.withRunningMaxPerKey(df, keyCol, startCol, endCol,
+      Seq(col(endCol)), out = "__graft_pmax", inclusive = false)
+    val flagged = m.withColumn("__graft_new",
+      when(col("__graft_pmax").isNull ||
+        col(startCol) > col("__graft_pmax"), 1L).otherwise(0L))
+    val gid = GlobalOrder.withRunningTotalPerKey(flagged, keyCol, startCol,
+      "__graft_new", Seq(col(endCol)), out = "__graft_gid")
+    gid.groupBy(col(keyCol), col("__graft_gid"))
+      .agg(min(col(startCol)).as("__graft_s"),
+        max(col(endCol)).as("__graft_e"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__graft_e") - col("__graft_s")).as("covered"),
+        count(lit(1)).as("n_segments"))
+  }
 }

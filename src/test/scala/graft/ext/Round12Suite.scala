@@ -157,6 +157,147 @@ class Round12Suite extends SparkSpec {
     }
   }
 
+  describe("GlobalOrder.withRunningMaxPerKey") {
+    it("matches the window-max semantics, inclusive and exclusive") {
+      // key 1: values 5, 3, 7, null, 6 in ts order; key 2: null, 4
+      val df = Seq(
+        (1L, 10L, Some(5L)), (1L, 20L, Some(3L)), (1L, 30L, Some(7L)),
+        (1L, 40L, None), (1L, 50L, Some(6L)),
+        (2L, 10L, None), (2L, 20L, Some(4L))
+      ).toDF("k", "ts", "v")
+      val incl = GlobalOrder.withRunningMaxPerKey(df, "k", "ts", "v",
+          Seq.empty, out = "m")
+        .select("k", "ts", "m").as[(Long, Long, Option[Long])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(incl == Seq(
+        (1L, 10L, Some(5L)), (1L, 20L, Some(5L)), (1L, 30L, Some(7L)),
+        (1L, 40L, Some(7L)), (1L, 50L, Some(7L)),
+        (2L, 10L, None), (2L, 20L, Some(4L))))
+      val excl = GlobalOrder.withRunningMaxPerKey(df, "k", "ts", "v",
+          Seq.empty, out = "m", inclusive = false)
+        .select("k", "ts", "m").as[(Long, Long, Option[Long])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(excl == Seq(
+        (1L, 10L, None), (1L, 20L, Some(5L)), (1L, 30L, Some(5L)),
+        (1L, 40L, Some(7L)), (1L, 50L, Some(7L)),
+        (2L, 10L, None), (2L, 20L, None)))
+    }
+
+    it("threads the carry across many tiny partitions (hot key)") {
+      // one key spanning every partition: partitions = 8 over 30 rows
+      val rows = (1 to 30).map(i => (1L, i.toLong, Some(i.toLong % 7)))
+      val df = rows.toDF("k", "ts", "v")
+      val got = GlobalOrder.withRunningMaxPerKey(df, "k", "ts", "v",
+          Seq.empty, out = "m", inclusive = false, partitions = 8)
+        .select("ts", "m").as[(Long, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      val want = rows.map(_._2).sorted.map { ts =>
+        val prev = rows.filter(_._2 < ts).flatMap(_._3)
+        (ts, if (prev.isEmpty) None else Some(prev.max))
+      }
+      assert(got == want)
+    }
+  }
+
+  describe("TimeSeries.intervalCoverage") {
+    it("merges overlapping, nested, and touching intervals exactly") {
+      val iv = Seq(
+        // key 1: [0,10) [5,8) nested, [10,15) touching -> one segment
+        // [0,15); [20,25) separate -> covered 20, 2 segments
+        (1L, 0L, 10L), (1L, 5L, 8L), (1L, 10L, 15L), (1L, 20L, 25L),
+        // key 2: identical starts, later end wins: [0,3) [0,7) -> 7
+        (2L, 0L, 3L), (2L, 0L, 7L),
+        // key 3: single interval
+        (3L, 100L, 101L)
+      ).toDF("k", "s", "e")
+      val got = TimeSeries.intervalCoverage(iv, "k", "s", "e")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 20L, 2L), (2L, 7L, 1L), (3L, 1L, 1L)))
+    }
+  }
+
+  describe("Graph.ssspHops") {
+    it("finds cheapest routes, not fewest hops, within the budget") {
+      // 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 2 + 3 = 5 (2 hops)
+      // 3 -> 4 costs 1; unreachable 9
+      val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L),
+        (3L, 4L, 1L), (9L, 9L, 1L)).toDF("src", "dst", "w")
+      val seeds = Seq(1L).toDF("node")
+      val got3 = Graph.ssspHops(edges, seeds, maxIter = 3)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got3 == Seq((1L, 0L), (2L, 2L), (3L, 5L), (4L, 6L)))
+      // with only 1 hop allowed the expensive direct edge wins
+      val got1 = Graph.ssspHops(edges, seeds, maxIter = 1)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got1 == Seq((1L, 0L), (2L, 2L), (3L, 10L)))
+    }
+
+    it("multi-seed minimum and early exit on a settled graph") {
+      val edges = Seq((1L, 2L, 5L), (7L, 2L, 1L)).toDF("src", "dst", "w")
+      val got = Graph.ssspHops(edges, Seq(1L, 7L).toDF("node"),
+          maxIter = 10)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, 0L), (2L, 1L), (7L, 0L)))
+    }
+  }
+
+  describe("Stats.groupLinFit") {
+    it("recovers an exact line and nulls degenerate groups") {
+      val df = Seq(
+        ("a", 0L, 3L), ("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 9L),
+        ("b", 4L, 1L), // n = 1 -> null fit
+        ("c", 2L, 8L), ("c", 2L, 9L) // zero x-variance -> null fit
+      ).toDF("g", "x", "y")
+      val got = Stats.groupLinFit(df, "g", col("x"), col("y"))
+        .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+        .collect().sortBy(_._1).toSeq
+      assert(got.head == (("a", 4L, Some(2.0), Some(3.0), Some(1.0))))
+      assert(got(1) == (("b", 1L, None, None, None)))
+      assert(got(2) == (("c", 2L, None, None, None)))
+    }
+  }
+
+  describe("Stats.cusumPeak") {
+    it("matches the hand-computed scan peak") {
+      // key 1: values 1,1,5,5 -> T=12, n=4
+      // S_i = 1,2,7,12; dev_i = |S_i*4 - i*12| = |4-12|=8, |8-24|=16,
+      // |28-36|=8, |48-48|=0 -> peak 16/4 = 4.0
+      val df = Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 5L), (1L, 4L, 5L),
+        (2L, 1L, 9L)).toDF("k", "ts", "v")
+      val got = Stats.cusumPeak(df, "k", "ts", "v", Seq.empty)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 4L, 4.0), (2L, 1L, 0.0)))
+    }
+  }
+
+  describe("Audits.benfordAudit") {
+    it("counts leading digits and applies the injected constants") {
+      val df = Seq(("t", 123L), ("t", 19L), ("t", 2L), ("t", 0L),
+        ("t", -5L), ("u", 900L)).toDF("g", "v")
+      val got = graft.engine.Audits.benfordAudit(df, "g", col("v"))
+        .select("g", "digit", "n_total", "n", "benford_p")
+        .as[(String, Long, Long, Long, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      // zero and negative excluded; t has digits 1 (x2), 2 (x1)
+      assert(got == Seq(
+        ("t", 1L, 3L, 2L, math.log10(2.0)),
+        ("t", 2L, 3L, 1L, math.log10(1.5)),
+        ("u", 9L, 1L, 1L, math.log10(10.0 / 9))))
+    }
+  }
+
+  describe("Profile.keySkew") {
+    it("profiles the hot key, p99 rank pick, and skew ratio") {
+      // counts: k=1 -> 6 rows, k=2..5 -> 1 row each; n_keys=5, n_rows=10
+      // ascending counts (1,1,1,1,6); p99 rank = ceil(4.95) = 5 -> 6
+      val df = (Seq.fill(6)(1L) ++ Seq(2L, 3L, 4L, 5L)).toDF("k")
+      val got = Profile.keySkew(df, "k")
+        .as[(Long, Long, Long, Long, Double, Double, String)]
+        .collect().toSeq
+      assert(got == Seq((10L, 5L, 6L, 6L, 2.0, 3.0, "1")))
+    }
+  }
+
   describe("Graph.bfsHops byte-based broadcast threshold") {
     it("is correct with string keys on BOTH sides of the byte cutoff") {
       val edges = Seq(("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"),
