@@ -1156,6 +1156,69 @@ object ScaleBench {
               minPairBaskets = 2L)
             .agg(count(lit(1)), sum("n_ab")).collect()
         }
+      },
+      "interval_hot_user" -> { n =>
+        time {
+          // the q203 shape under maximal skew: HALF of n intervals on
+          // ONE key, variable lengths (5..24 vs spacing 10·id) so runs
+          // genuinely merge and split. Both ordered passes (exclusive
+          // running max, running total) are boundary-stitch range
+          // shuffles — a per-key window would sort the hot key's n/2
+          // intervals in one task.
+          val iv = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            (col("id") * 10L).as("s"),
+            (col("id") * 10L + 5L +
+              pmod(hash(col("id")), lit(20)).cast("long")).as("e"))
+          graft.ext.TimeSeries.intervalCoverage(iv, "k", "s", "e")
+            .agg(count(lit(1)), sum("covered"), sum("n_segments"))
+            .collect()
+        }
+      },
+      "cusum_hot_key" -> { n =>
+        time {
+          // the q206 shape under maximal skew: HALF of n rows on ONE
+          // key. Two running-total stitches + a combinable per-key
+          // total; the |S_i·n − i·T| budget at this scale:
+          // 97·(n/2) · n/2 ≈ 2.4e17 « 2^63.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            col("id").as("t"), (col("id") % 97L).as("v"))
+          graft.ext.Stats.cusumPeak(df, "k", "t", "v", Seq.empty)
+            .agg(count(lit(1)), sum("cusum_peak")).collect()
+        }
+      },
+      "sssp_hub" -> { n =>
+        time {
+          // the q202 shape on a maximal weighted hub (bfs_hub's star
+          // with 1..5 edge costs), seeded at ONE leaf: round 1 relaxes
+          // leaf→hub, round 2 relaxes the hub's n out-edges with a
+          // combinable per-destination MIN — improved-only propagation
+          // expands each node once, the edge list always streams
+          // against the broadcast/hash-built frontier.
+          val e = spark.range(n).select(lit(0L).as("src"),
+              (col("id") + 1L).as("dst"), (col("id") % 5L + 1L).as("w"))
+            .unionAll(spark.range(n).select((col("id") + 1L).as("src"),
+              lit(0L).as("dst"), (col("id") % 5L + 1L).as("w")))
+          val seeds = spark.range(1).select((col("id") + 1L).as("node"))
+          val d = graft.ext.Graph.ssspHops(e, seeds, maxIter = 2)
+          d.agg(count(lit(1)), sum("dist")).collect()
+          graft.ext.Graph.releaseRanks(d)
+        }
+      },
+      "keyskew_hot" -> { n =>
+        time {
+          // the q207 shape: half of n rows on one key, a 1e6-key cold
+          // tail so the rank-pick leg (withRowNumber over per-key
+          // counts) is non-trivial. Counts collapse map-side; every
+          // later stage touches |keys| rows, never the data.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000000L).as("k"))
+          graft.ext.Profile.keySkew(df, "k").collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

@@ -49,5 +49,6 @@ object SparkEntry {
   def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
     Round2Queries.dynamicOracleSql ++ Round4Queries.dynamicOracleSql ++
       Round6Queries.dynamicOracleSql ++ Round7Queries.dynamicOracleSql ++
-      Round10Queries.dynamicOracleSql ++ Round11Queries.dynamicOracleSql
+      Round10Queries.dynamicOracleSql ++ Round11Queries.dynamicOracleSql ++
+      Round12Queries.dynamicOracleSql
 }

@@ -177,4 +177,37 @@ object Audits {
         p.as("benford_p"))
       .withColumn("excess", col("share") - col("benford_p"))
   }
+
+  /** Cross-table reconciliation: does a parent table's stored total
+    * equal the sum of its children? (order header vs line items, ledger
+    * vs journal, rollup vs fact — THE consistency audit between any
+    * summary and its detail.) Returns ONE row: parent count, exact
+    * matches, mismatches beyond `toleranceCents`, parents with no child
+    * rows (null child sum — counted separately, not as a zero), and the
+    * largest absolute discrepancy.
+    *
+    * Exactness discipline: both sides are integer cents — the child's
+    * per-row measure is scaled BEFORE summing, so the comparison never
+    * depends on float accumulation order. Scale shape: one combinable
+    * child aggregation, one co-keyed left join (both shuffle on the
+    * key; AQE handles a hot parent), one global reduction — at 100 TB
+    * the audit costs one pass over each table.
+    */
+  def reconcile(parent: DataFrame, parentKey: String, parentCents: Column,
+                child: DataFrame, childKey: String, childCents: Column,
+                toleranceCents: Long = 0L): DataFrame = {
+    val p = parent.select(col(parentKey).as("__graft_k"),
+      parentCents.as("__graft_pv"))
+    val c = child.groupBy(col(childKey).as("__graft_k"))
+      .agg(sum(childCents).as("__graft_cv"))
+    val j = p.join(c, Seq("__graft_k"), "left")
+      .select(col("__graft_pv"), col("__graft_cv"),
+        abs(col("__graft_pv") - col("__graft_cv")).as("__graft_diff"))
+    j.agg(
+      count(lit(1)).as("n_parents"),
+      count_if(col("__graft_cv").isNull).as("n_missing_child"),
+      count_if(col("__graft_diff") <= toleranceCents).as("n_matched"),
+      count_if(col("__graft_diff") > toleranceCents).as("n_mismatched"),
+      max(col("__graft_diff")).as("max_abs_diff_cents"))
+  }
 }

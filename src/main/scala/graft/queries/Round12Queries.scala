@@ -28,6 +28,9 @@ object Round12Queries {
   /** q202 hop budget (q183's depth). */
   private val SsspMaxIter = 3
 
+  /** q210 funnel hop window: 1 hour in epoch micros (q185's). */
+  private val HourUs = 3600000000L
+
   /** q203 synthetic interval length: 1 minute + (event_id mod 10)
     * minutes — variable-length so the merge is a real interval union,
     * not the fixed-gap sessionize degenerate case.
@@ -118,8 +121,205 @@ object Round12Queries {
     // count (rank-based, engine-exact), skew ratio. Reductions over
     // |keys| rows only.
     "q207_key_skew" -> ((s, dir) =>
-      Profile.keySkew(eventsUs(s, dir), "user_id"))
+      Profile.keySkew(eventsUs(s, dir), "user_id")),
+
+    // Durable streaming MV maintenance ACROSS A RESTART: two separate
+    // query lifetimes share one checkpoint; lifetime 1 folds the events
+    // file into the disk-committed standing aggregate and STOPS (the
+    // kill point), lifetime 2 restarts from the checkpoint, sees only
+    // the newly arrived copy, and folds it — batchId-guarded
+    // exactly-once on top of foreachBatch's at-least-once
+    // (Warehouse.durableAdditiveMvFold). The oracle recomputes the
+    // doubled totals from scratch, so the gate proves restart + resume
+    // ≡ batch — the failure-path claim q200's single-lifetime fold
+    // can't make.
+    "q208_streaming_durable_mv" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      Readers.enableNanosAsLong(s)
+      val streamDir = java.nio.file.Files.createTempDirectory("q208_events")
+      val mvDir = java.nio.file.Files.createTempDirectory("q208_mv")
+      val ckDir = java.nio.file.Files.createTempDirectory("q208_ck")
+      val target = java.nio.file.Paths.get(dir).toAbsolutePath
+        .resolve("events.parquet")
+      def rmTree(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        }
+      }
+      try {
+        def lifetime(): Unit = {
+          val raw = Readers.toNanosLong(
+            s.readStream.schema(StreamingQueries.eventsSchema(s, dir))
+              .parquet(streamDir.toString), "ts")
+          val additive = raw.select(col("event_type"), lit(1L).as("n"),
+            Stats.cents(col("value")).as("vc_sum"))
+          val q = additive.writeStream
+            .option("checkpointLocation", ckDir.toString)
+            .foreachBatch(graft.engine.Warehouse.durableAdditiveMvFold(
+              mvDir.toString, Seq("event_type"), Seq("n", "vc_sum"),
+              Some("n")) _)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("copy1.parquet"), target)
+        lifetime() // lifetime 1: folds copy1, stops — the restart point
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("copy2.parquet"), target)
+        lifetime() // lifetime 2: same checkpoint — only copy2 may fold
+        // materialize off the mv directory before cleanup; Bench's
+        // post-measure Checkpoints.release frees the blocks
+        graft.engine.Warehouse.readDurableMv(s, mvDir.toString).get
+          .orderBy("event_type")
+          .localCheckpoint()
+      } finally { rmTree(streamDir); rmTree(ckDir); rmTree(mvDir) }
+    }),
+
+    // One full Lloyd k-means iteration over the q64 model: assign every
+    // embedding to its nearest trained centroid (the codegen'd local
+    // argmin — no vector ever shuffles), recompute each cell's mean
+    // from exact fixed-point integer sums (8 fixed per-dim aggregates,
+    // no explode — combinable constant state per cell), and report each
+    // cell's population and centroid SHIFT (the Lloyd convergence
+    // signal). Every double comes from exact integer sums through one
+    // fixed-order formula; the oracle is rendered from the same
+    // centroids (the q64/q194 mechanism).
+    "q209_kmeans_step" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Round2Queries.ivfCentroids(s, dir)
+      val dims = cents.head.size
+      val model = graft.ext.IvfIndex.fromCentroids(s,
+        t(s, dir, "embeddings"), cents)
+      val aggs = count(lit(1)).as("n") +: (0 until dims).map(j =>
+        sum(floor(element_at(col("v"), j + 1) * KmScale + 0.5)
+          .cast("long")).as(s"sf$j"))
+      val sums = model.assigned.groupBy(col("cell"))
+        .agg(aggs.head, aggs.tail: _*)
+      val old = cents.zipWithIndex
+        .flatMap { case (c, i) => c.zipWithIndex.map { case (x, j) =>
+          (i, j, x) } }
+        .toDF("cell", "j", "o")
+        .groupBy("cell")
+        .pivot("j", 0 until dims)
+        .agg(first(col("o")))
+        .select(col("cell") +: (0 until dims).map(j =>
+          col(j.toString).as(s"o$j")): _*)
+      val shift = sqrt((0 until dims).map { j =>
+        val m = (col(s"sf$j").cast("double") / lit(KmScale.toDouble)) /
+          col("n").cast("double")
+        val d = m - col(s"o$j")
+        d * d
+      }.reduce(_ + _))
+      sums.join(broadcast(old), "cell")
+        .select(col("cell").cast("long").as("cell"), col("n"),
+          shift.as("shift"))
+        .orderBy("cell")
+    }),
+
+    // Three-step windowed funnel (view → first click within 1 h → first
+    // purchase within 1 h OF THE CLICK): two CHAINED forward as-ofs —
+    // hop 2 probes from hop 1's answer, deduplicated to distinct
+    // (user, click) pairs first (many views funnel into one click; the
+    // dedup keeps the second range shuffle proportional to CLICKS, and
+    // the join back is co-keyed). q185 answers one hop; q42 only
+    // "ever, in order". Both hops are negated-time range shuffles —
+    // hot-user-safe, no per-key window, no |A|×|B| fan-out.
+    "q210_funnel3" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      def typed(t: String) = ev.filter(col("event_type") === t)
+        .select("user_id", "tsu")
+      val views = typed("view")
+      val s1 = graft.ext.Analytics.nextEventWithin(views, typed("click"),
+        "user_id", "tsu", HourUs, "click_ts")
+      val a1 = s1.groupBy("user_id").agg(
+        count(lit(1)).as("n_views"),
+        count(col("click_ts")).as("n_clicked"))
+      val probes = s1.filter(col("click_ts").isNotNull)
+        .select(col("user_id"), col("click_ts").as("tsu")).distinct()
+      val s2 = graft.ext.Analytics.nextEventWithin(probes,
+          typed("purchase"), "user_id", "tsu", HourUs, "purch_ts")
+        .select(col("user_id"), col("tsu").as("click_ts"),
+          col("purch_ts"))
+      val full = s1.filter(col("click_ts").isNotNull)
+        .join(s2, Seq("user_id", "click_ts"))
+      val a2 = full.groupBy("user_id").agg(
+        count(col("purch_ts")).as("n_full"),
+        min(when(col("purch_ts").isNotNull,
+          col("purch_ts") - col("tsu"))).as("min_lag_us"))
+      a1.join(a2, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_views"), col("n_clicked"),
+          coalesce(col("n_full"), lit(0L)).as("n_full"),
+          col("min_lag_us"))
+        .orderBy("user_id")
+    }),
+
+    // Header/detail reconciliation: orders.o_totalprice against the sum
+    // of its lineitems' extended charge — the summary-vs-fact
+    // consistency audit every warehouse runs. Integer cents on both
+    // sides (scaled per row BEFORE summing), one combinable child agg +
+    // one co-keyed join, one-row report.
+    "q211_reconcile" -> ((s, dir) =>
+      Audits.reconcile(
+        t(s, dir, "orders"), "o_orderkey",
+        Stats.cents(col("o_totalprice")),
+        t(s, dir, "lineitem"), "l_orderkey",
+        Stats.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")))))
   )
+
+  /** q209 fixed-point grid (q194's CentScale). */
+  private val KmScale = 65536
+
+  /** q209's oracle depends on the q64 trained centroids — rendered per
+    * (session, sfDir) at Verify time. Assignment mirrors
+    * [[graft.ext.IvfIndex.fromCentroids]] (squared-Euclidean argmin,
+    * ties to lowest cell, centroid norms folded left-to-right); the
+    * new-mean and shift arithmetic mirrors the Spark side's
+    * fixed-order formula term by term.
+    */
+  val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "q209_kmeans_step" -> ((s, dir) => {
+      val cents = Round2Queries.ivfCentroids(s, dir)
+      val dims = cents.head.size
+      val values = cents.zipWithIndex.map { case (c, i) =>
+        c.map(x => s"'$x'::DOUBLE").mkString(s"($i, [", ", ", "])")
+      }.mkString(", ")
+      val sfCols = (0 until dims).map(j =>
+        s"CAST(sum(CAST(floor(v[${j + 1}] * $KmScale + 0.5) AS BIGINT)) " +
+          s"AS BIGINT) AS sf$j").mkString(",\n                       ")
+      val shiftTerms = (0 until dims).map { j =>
+        val m = s"((CAST(sf$j AS DOUBLE) / $KmScale) / CAST(n AS DOUBLE))"
+        s"($m - cv[${j + 1}]) * ($m - cv[${j + 1}])"
+      }.mkString(" + ")
+      s"""WITH centroids(cell, cv) AS (VALUES $values),
+          cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cv_n2
+                 FROM centroids),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+          en AS (SELECT vec_id, v, list_dot_product(v, v) AS v_n2 FROM e),
+          assigned AS (
+            SELECT vec_id, v, cell FROM (
+              SELECT en.vec_id, en.v, cn.cell,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY (en.v_n2
+                           - 2 * list_dot_product(en.v, cn.cv)
+                           + cn.cv_n2) ASC,
+                         cn.cell ASC) AS arnk
+              FROM en CROSS JOIN cn) t
+            WHERE arnk = 1),
+          agg AS (SELECT cell, count(*) AS n,
+                       $sfCols
+                  FROM assigned GROUP BY 1)
+          SELECT CAST(agg.cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n,
+                 sqrt($shiftTerms) AS shift
+          FROM agg JOIN centroids ON centroids.cell = agg.cell
+          ORDER BY cell"""
+    }))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -263,6 +463,71 @@ object Round12Queries {
                    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
                    AS skew_ratio,
                  top_key
-          FROM t, p, h"""
+          FROM t, p, h""",
+
+    "q208_streaming_durable_mv" ->
+      s"""WITH e AS (SELECT event_type, ${centsSql("value")} AS vc
+                     FROM events)
+          SELECT event_type, CAST(2 * count(*) AS BIGINT) AS n,
+                 CAST(2 * sum(vc) AS BIGINT) AS vc_sum
+          FROM e GROUP BY 1 ORDER BY event_type""",
+
+    "q210_funnel3" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+                      FROM events),
+          v AS (SELECT user_id, tsu FROM ev WHERE event_type = 'view'),
+          c AS (SELECT user_id, tsu FROM ev WHERE event_type = 'click'),
+          p AS (SELECT user_id, tsu FROM ev WHERE event_type = 'purchase'),
+          h1 AS (SELECT v.user_id, v.tsu,
+                        (SELECT min(c.tsu) FROM c
+                         WHERE c.user_id = v.user_id AND c.tsu > v.tsu)
+                          AS nc
+                 FROM v),
+          s1 AS (SELECT user_id, tsu,
+                        CASE WHEN nc - tsu <= $HourUs THEN nc END
+                          AS click_ts
+                 FROM h1),
+          a1 AS (SELECT user_id, count(*) AS n_views,
+                        count(click_ts) AS n_clicked
+                 FROM s1 GROUP BY 1),
+          h2 AS (SELECT s1.user_id, s1.tsu, s1.click_ts,
+                        (SELECT min(p.tsu) FROM p
+                         WHERE p.user_id = s1.user_id
+                           AND p.tsu > s1.click_ts) AS np
+                 FROM s1 WHERE click_ts IS NOT NULL),
+          s2 AS (SELECT user_id, tsu, click_ts,
+                        CASE WHEN np - click_ts <= $HourUs THEN np END
+                          AS purch_ts
+                 FROM h2),
+          a2 AS (SELECT user_id, count(purch_ts) AS n_full,
+                        min(CASE WHEN purch_ts IS NOT NULL
+                                 THEN purch_ts - tsu END) AS min_lag_us
+                 FROM s2 GROUP BY 1)
+          SELECT a1.user_id, a1.n_views, a1.n_clicked,
+                 CAST(coalesce(a2.n_full, 0) AS BIGINT) AS n_full,
+                 a2.min_lag_us
+          FROM a1 LEFT JOIN a2 USING (user_id)
+          ORDER BY user_id""",
+
+    "q211_reconcile" ->
+      s"""WITH p AS (SELECT o_orderkey AS k,
+                            ${centsSql("o_totalprice")} AS pv
+                     FROM orders),
+          ch AS (SELECT l_orderkey AS k,
+                        CAST(sum(${centsSql(
+                          "(l_extendedprice * (1 - l_discount))" +
+                            " * (1 + l_tax)")}) AS BIGINT) AS cv
+                 FROM lineitem GROUP BY 1),
+          j AS (SELECT pv, cv, abs(pv - cv) AS diff
+                FROM p LEFT JOIN ch USING (k))
+          SELECT count(*) AS n_parents,
+                 CAST(count(CASE WHEN cv IS NULL THEN 1 END) AS BIGINT)
+                   AS n_missing_child,
+                 CAST(count(CASE WHEN diff <= 0 THEN 1 END) AS BIGINT)
+                   AS n_matched,
+                 CAST(count(CASE WHEN diff > 0 THEN 1 END) AS BIGINT)
+                   AS n_mismatched,
+                 CAST(max(diff) AS BIGINT) AS max_abs_diff_cents
+          FROM j"""
   )
 }
