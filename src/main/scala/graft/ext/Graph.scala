@@ -562,10 +562,18 @@ object Graph {
           .localCheckpoint(true, gen)
         val st = keyedFrameStats(improved, "node")
         if (st._1 > 0) {
-          // improved keys as the anti-join build side: dist streams
+          // anti-join build side: broadcast `improved` while it is small
+          // (dist streams); a LARGE improved set must NOT be forced into
+          // a hash build — a settled round can improve ~|V| nodes at
+          // once (measured: the 10⁸-leaf hub star's last round built a
+          // 10⁸-row hash relation against a 2-row dist and exhausted
+          // execution memory). Unhinted, Catalyst sort-merges — and SMJ
+          // is SAFE here, unlike the frontier⋈edges join: node is
+          // unique on BOTH sides, so every match group is one row and
+          // the sorts spill.
           val ik =
             if (st._2 <= broadcastBytes) broadcast(improved.select("node"))
-            else improved.select("node").hint("shuffle_hash")
+            else improved.select("node")
           val newDist = dist.join(ik, Seq("node"), "left_anti")
             .unionByName(improved)
             .localCheckpoint(true, gen)

@@ -468,6 +468,87 @@ object Stats {
           .as("cusum_peak"))
   }
 
+  /** Per-group robust outlier screen via median/MAD — the
+    * median-absolute-deviation z-score, which a single 10⁹-cent junk
+    * value cannot poison the way it poisons a mean/stddev z-score
+    * ([[momentStats]]' z is the fragile twin). Returns (group, n,
+    * median, mad, n_outliers) with outliers = rows where
+    * |x − median| > k·MAD.
+    *
+    * Bit-portability: the median of a LongType column lands exactly on
+    * the .5 grid, so DOUBLED deviations |2x − 2·median| are exact
+    * integers, the MAD is their median halved (a power-of-two division
+    * — exact), and the k·MAD threshold comparison is one
+    * correctly-rounded multiply — no accumulation, no epsilon. Both
+    * median passes ride [[GlobalOrder.groupMedianOfLong]]'s global-rank
+    * recipe, so a group holding half the input never sorts in one task;
+    * the med/MAD joins are broadcasts of |groups| rows.
+    *
+    * (group, value, tieCols) and (group, dev, tieCols) must be total
+    * orders — pass a unique row id.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCols: Seq[Column], k: Int = 3): DataFrame = {
+    GlobalOrder.requireFresh(df, "__graft_dev2", "__graft_med", "n",
+      "median")
+    val med = GlobalOrder.groupMedianOfLong(df, groupCol, valueCol, tieCols)
+      .select(col(groupCol), col("n"), col("median"))
+    // the deviation frame must stay clean of the first pass's n/median
+    // columns (the second median pass requires them fresh)
+    val dev = df.join(broadcast(med.select(col(groupCol),
+        col("median").as("__graft_med"))), Seq(groupCol))
+      .withColumn("__graft_dev2",
+        abs(col(valueCol) * 2L - (col("__graft_med") * 2.0).cast("long")))
+      .drop("__graft_med")
+    val mad2 = GlobalOrder.groupMedianOfLong(dev, groupCol, "__graft_dev2",
+        tieCols)
+      .select(col(groupCol), col("median").as("__graft_m2"))
+    val outliers = dev.join(broadcast(mad2), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count_if(col("__graft_dev2").cast("double") >
+        lit(k.toDouble) * col("__graft_m2")).as("n_outliers"))
+    med.join(mad2, Seq(groupCol)).join(outliers, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("median"),
+        (col("__graft_m2") / lit(2.0)).as("mad"), col("n_outliers"))
+  }
+
+  /** Per-group Gini coefficient of a non-negative LongType measure —
+    * the concentration/inequality summary ("is 1% of users 99% of the
+    * volume") data-curation runs on token counts, revenue, engagement.
+    * Uses the rank formulation over ascending order:
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), exact integer sums → one
+    * fixed IEEE formula. Null for groups with zero total.
+    *
+    * The per-group ascending rank i comes from ONE global
+    * [[GlobalOrder.withRowNumber]] over (group, value, tie) (groups are
+    * contiguous in the total order, so i = global rank − group's min
+    * rank + 1 — the [[GlobalOrder.groupMedianOfLong]] trick), then
+    * everything is a combinable aggregate: a group with half the input
+    * shuffles by unique rank, never into one task. Overflow budget:
+    * Σ i·x ≤ n²·max(x) must fit int64.
+    */
+  def groupGini(df: DataFrame, groupCol: String, valueCol: String,
+                tieCols: Seq[Column]): DataFrame = {
+    GlobalOrder.requireFresh(df, "__graft_rn", "__graft_lo")
+    val rn = GlobalOrder.withRowNumber(df,
+      col(groupCol) +: col(valueCol) +: tieCols, "__graft_rn")
+    val bounds = rn.groupBy(groupCol)
+      .agg(min(col("__graft_rn")).as("__graft_lo"))
+    val sums = rn.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("__graft_i",
+        col("__graft_rn") - col("__graft_lo") + 1L)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("__graft_sx"),
+        sum(col("__graft_i") * col(valueCol)).as("__graft_six"))
+    sums.select(col(groupCol), col("n"),
+      when(col("__graft_sx") > 0L,
+        (lit(2.0) * col("__graft_six").cast("double") -
+          (col("n") + 1L).cast("double") * col("__graft_sx").cast("double"))
+          / (col("n").cast("double") * col("__graft_sx").cast("double")))
+        .as("gini"))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

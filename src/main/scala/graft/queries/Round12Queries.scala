@@ -269,8 +269,98 @@ object Round12Queries {
         Stats.cents(col("o_totalprice")),
         t(s, dir, "lineitem"), "l_orderkey",
         Stats.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax")))))
+          * (lit(1.0) + col("l_tax"))))),
+
+    // Multi-link entity resolution: documents link through EITHER a
+    // shared normalized-text identity OR ≥0.5 shingle Jaccard, and
+    // connected components over the UNION resolve transitive entities
+    // (A≡B by normalization, B≡C by near-dup ⇒ one entity) — the
+    // composition record-linkage systems run, where any single
+    // candidate generator under-merges. The normalized-identity edges
+    // are a per-group SPANNING STAR (min-doc root → member), linear in
+    // group size where all-pairs would be quadratic on a viral
+    // duplicate cluster; only digests shuffle, never text. Verified
+    // against a recursive-CTE transitive closure over the same union.
+    "q212_entity_resolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nfp = docs.select(col("doc_id"),
+        md5(graft.ext.TextAnalysis.normalizeText(col("text"))).as("fp"))
+      val groupsA = nfp.groupBy("fp")
+        .agg(min("doc_id").as("root"), count(lit(1)).as("n"))
+        .filter(col("n") > 1L)
+      val edgesA = nfp.join(groupsA, "fp")
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+      val edgesB = graft.ext.Dedup.jaccardPairs(docs, 0.5)
+        .select("doc_a", "doc_b")
+      graft.ext.DedupGroups
+        .connectedComponents(edgesA.unionByName(edgesB))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // Robust per-type outlier screen: median/MAD z-score over value
+    // cents — a handful of corrupt 10⁹-cent rows cannot poison the
+    // threshold the way they poison a mean/stddev z. Exact on both
+    // engines: medians land on the .5 grid, doubled deviations are
+    // exact integers, the MAD halves back, and both median passes are
+    // global-rank picks (no per-group sort).
+    "q213_robust_mad" -> ((s, dir) =>
+      Stats.madOutliers(
+          eventsUs(s, dir).select(col("event_type"), col("event_id"),
+            Stats.cents(col("value")).as("vc")),
+          "event_type", "vc", Seq(col("event_id")))
+        .orderBy("event_type")),
+
+    // Per-type Gini concentration of event value — "is the volume
+    // spread or captured by a few rows": rank-formula Gini from exact
+    // integer sums, per-group ranks via ONE global row-number pass
+    // (ranks are unique, so a type holding half the corpus shuffles
+    // evenly), one fixed IEEE formula at the end.
+    "q214_gini" -> ((s, dir) =>
+      Stats.groupGini(
+          eventsUs(s, dir).select(col("event_type"), col("event_id"),
+            Stats.cents(col("value")).as("vc")),
+          "event_type", "vc", Seq(col("event_id")))
+        .orderBy("event_type")),
+
+    // Intra-class compactness audit of the embedding space: per label,
+    // the squared distance of each vector to its OWN label's learned
+    // centroid (q194's exact fixed-point model), summarized by the two
+    // ORDER-INVARIANT reductions — max and count-beyond-τ — so the
+    // report is bit-portable where a mean of 10⁴ doubles would depend
+    // on accumulation order. The distance is a codegen'd local
+    // expression (label-dispatched centroid literals folded into the
+    // plan); no vector ever shuffles. The loose-cluster screen a
+    // labeled-embedding corpus runs before training on it.
+    "q215_cluster_compactness" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val (labels, cents) = Round11Queries.labelCentroids(s, dir)
+      val e = t(s, dir, "embeddings").select(
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val vn2 = dot(col("v"), col("v"))
+      val dist2 = labels.zip(cents).foldLeft(lit(null).cast("double")) {
+        case (acc, (l, c)) =>
+          val cLit = array(c.map(lit): _*)
+          val cN2 = c.foldLeft(0.0)((s2, x) => s2 + x * x)
+          when(col("label") === l,
+            vn2 - lit(2.0) * dot(col("v"), cLit) + lit(cN2))
+            .otherwise(acc)
+      }
+      e.select(col("label"), dist2.as("d2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), max(col("d2")).as("max_dist2"),
+          count_if(col("d2") > CompactTau).as("n_beyond"))
+        .orderBy("label")
+    })
   )
+
+  /** q215 looseness threshold: the corpus' intra-label squared
+    * distances cluster tightly around 1.0 (median ≈ 0.98), so τ = 1.0
+    * splits every label's population non-trivially.
+    */
+  private val CompactTau = 1.0
 
   /** q209 fixed-point grid (q194's CentScale). */
   private val KmScale = 65536
@@ -283,6 +373,25 @@ object Round12Queries {
     * fixed-order formula term by term.
     */
   val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "q215_cluster_compactness" -> ((s, dir) => {
+      val (labels, cents) = Round11Queries.labelCentroids(s, dir)
+      val values = labels.zip(cents).map { case (l, c) =>
+        val cn2 = c.foldLeft(0.0)((s2, x) => s2 + x * x)
+        c.map(x => s"'$x'::DOUBLE")
+          .mkString(s"($l, [", ", ", s"], '$cn2'::DOUBLE)")
+      }.mkString(", ")
+      s"""WITH cents(l, cv, cn2) AS (VALUES $values),
+          e AS (SELECT CAST(label AS BIGINT) AS label,
+                       CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          d AS (SELECT label,
+                       list_dot_product(v, v)
+                         - 2 * list_dot_product(v, cv) + cn2 AS d2
+                FROM e JOIN cents ON cents.l = e.label)
+          SELECT label, count(*) AS n, max(d2) AS max_dist2,
+                 CAST(count(CASE WHEN d2 > $CompactTau THEN 1 END)
+                      AS BIGINT) AS n_beyond
+          FROM d GROUP BY 1 ORDER BY label"""
+    }),
     "q209_kmeans_step" -> ((s, dir) => {
       val cents = Round2Queries.ivfCentroids(s, dir)
       val dims = cents.head.size
@@ -528,6 +637,70 @@ object Round12Queries {
                  CAST(count(CASE WHEN diff > 0 THEN 1 END) AS BIGINT)
                    AS n_mismatched,
                  CAST(max(diff) AS BIGINT) AS max_abs_diff_cents
-          FROM j"""
+          FROM j""",
+
+    "q212_entity_resolution" -> {
+      val jaccardSql = ExtensionQueries.oracleSql("q27_dedup_jaccard")
+      s"""WITH RECURSIVE nf AS (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                   'g'))) AS fp
+               FROM documents),
+          ga AS (SELECT fp, min(doc_id) AS root, count(*) AS n
+                 FROM nf GROUP BY 1),
+          ea AS (SELECT g.root AS doc_a, nf.doc_id AS doc_b
+                 FROM nf JOIN ga g USING (fp)
+                 WHERE g.n > 1 AND nf.doc_id <> g.root),
+          jp AS (SELECT doc_a, doc_b FROM ($jaccardSql) t),
+          pr AS (SELECT doc_a, doc_b FROM ea
+                 UNION SELECT doc_a, doc_b FROM jp),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                UNION SELECT doc_b, doc_a FROM pr),
+          nodes AS (SELECT DISTINCT a AS id FROM e),
+          reach(id, m) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.id)
+          SELECT id AS doc_id, min(m) AS component
+          FROM reach GROUP BY 1 ORDER BY doc_id"""
+    },
+
+    "q213_robust_mad" ->
+      s"""WITH e AS (SELECT event_type, event_id,
+                            ${centsSql("value")} AS vc
+                     FROM events),
+          m1 AS (SELECT event_type, count(*) AS n, median(vc) AS med
+                 FROM e GROUP BY 1),
+          d AS (SELECT e.event_type,
+                       abs(2 * vc - CAST(2 * med AS BIGINT)) AS dev2
+                FROM e JOIN m1 USING (event_type)),
+          m2 AS (SELECT event_type, median(dev2) AS m2
+                 FROM d GROUP BY 1),
+          o AS (SELECT d.event_type,
+                       count(CASE WHEN CAST(dev2 AS DOUBLE) > 3 * m2
+                             THEN 1 END) AS n_outliers
+                FROM d JOIN m2 USING (event_type) GROUP BY 1)
+          SELECT m1.event_type, n, med AS median, m2 / 2 AS mad,
+                 CAST(n_outliers AS BIGINT) AS n_outliers
+          FROM m1 JOIN m2 USING (event_type) JOIN o USING (event_type)
+          ORDER BY event_type""",
+
+    "q214_gini" ->
+      s"""WITH e AS (SELECT event_type, event_id,
+                            ${centsSql("value")} AS vc
+                     FROM events),
+          r AS (SELECT event_type, vc,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY vc, event_id) AS i
+                FROM e),
+          a AS (SELECT event_type, count(*) AS n,
+                       CAST(sum(vc) AS BIGINT) AS sx,
+                       CAST(sum(i * vc) AS BIGINT) AS six
+                FROM r GROUP BY 1)
+          SELECT event_type, n,
+                 CASE WHEN sx > 0 THEN
+                   (2 * CAST(six AS DOUBLE)
+                     - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
+          FROM a ORDER BY event_type"""
   )
 }

@@ -298,6 +298,36 @@ class Round12Suite extends SparkSpec {
     }
   }
 
+  describe("Stats.madOutliers") {
+    it("matches hand-computed median/MAD and shrugs off a huge outlier") {
+      // group a: values 1..7 plus 10^9 -> n=8, sorted medians (4+5)/2=4.5
+      // dev2 = |2v - 9|: 7,5,3,1,1,3,5, (2e9-9); sorted: 1,1,3,3,5,5,7,big
+      // -> m2 = (3+5)/2 = 4 -> mad = 2.0; outliers: dev2 > 3*4=12 -> only
+      // the big row
+      val rows = (1L to 7L).map(v => ("a", v * 10, v)) :+
+        (("a", 80L, 1000000000L))
+      val df = rows.toDF("g", "id", "v")
+      val got = Stats.madOutliers(df, "g", "v", Seq(col("id")))
+        .as[(String, Long, Double, Double, Long)].collect().toSeq
+      assert(got == Seq(("a", 8L, 4.5, 2.0, 1L)))
+    }
+  }
+
+  describe("Stats.groupGini") {
+    it("is 0 for equal values, known value for a concentrated group") {
+      // b: (1,1,1,1) -> G = 0; c: (0,0,0,4):
+      // six = 1*0+2*0+3*0+4*4 = 16, sx = 4, n = 4
+      // G = (2*16 - 5*4)/(4*4) = 12/16 = 0.75
+      val df = (Seq(("b", 1L, 1L), ("b", 2L, 1L), ("b", 3L, 1L),
+        ("b", 4L, 1L), ("c", 1L, 0L), ("c", 2L, 0L), ("c", 3L, 0L),
+        ("c", 4L, 4L), ("z", 1L, 0L))).toDF("g", "id", "v")
+      val got = Stats.groupGini(df, "g", "v", Seq(col("id")))
+        .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+      assert(got == Seq(("b", 4L, Some(0.0)), ("c", 4L, Some(0.75)),
+        ("z", 1L, None))) // zero-total group -> null
+    }
+  }
+
   describe("Graph.bfsHops byte-based broadcast threshold") {
     it("is correct with string keys on BOTH sides of the byte cutoff") {
       val edges = Seq(("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"),
