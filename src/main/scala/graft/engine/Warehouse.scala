@@ -526,6 +526,110 @@ object Warehouse {
     }
   }
 
+  /** Build a session TABLE from raw events: one row per
+    * (key, gap-session) with start/end timestamps and event count —
+    * [[graft.ext.GlobalOrder.withSessionId]]'s hot-key-safe numbering
+    * followed by one combinable aggregate. The materialized form
+    * [[sessionMerge]] maintains incrementally.
+    */
+  def sessionTable(events: DataFrame, keyCol: String, tsCol: String,
+                   gapUs: Long, tieCols: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.ext.GlobalOrder
+      .withSessionId(events, keyCol, tsCol, gapUs, tieCols,
+        out = "__graft_sid")
+      .groupBy(col(keyCol), col("__graft_sid"))
+      .agg(min(col(tsCol)).as("start_tsu"), max(col(tsCol)).as("end_tsu"),
+        count(lit(1)).as("n_events"))
+      .drop("__graft_sid")
+  }
+
+  /** Incremental session-table maintenance — the [[scd2Merge]] of
+    * sessionization: fold a DELTA batch of events into a standing
+    * [[sessionTable]] without re-sessionizing untouched keys. A key's
+    * LAST standing session may EXTEND (the delta's first events arrive
+    * within `gapUs` of its end — sessions have no closing bracket until
+    * the gap elapses, so an "append-only" session table is wrong by
+    * construction); everything earlier is immutable and passes through
+    * verbatim.
+    *
+    * CONTRACT (enforced like [[scd2Merge]]'s): every delta event must be
+    * STRICTLY LATER than its key's last standing `end_tsu` — the
+    * time-partitioned nightly-batch invariant. A delta event at or
+    * before a standing end would need the original events to
+    * re-sessionize (the aggregate discarded them); violations fail loud
+    * with the offending keys. Cost: the delta is sessionized
+    * (O(delta log delta) range shuffle), each key's last standing
+    * session joins against the delta's FIRST session (one co-keyed join
+    * of |touched keys| rows), and untouched rows move via one key
+    * anti-join — a 100 TB session table with a nightly delta moves the
+    * delta, never the table. The q216 gate proves merge ≡ full
+    * re-sessionize of the event union.
+    */
+  def sessionMerge(standing: DataFrame, delta: DataFrame, keyCol: String,
+                   tsCol: String, gapUs: Long,
+                   tieCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val touched = delta.select(col(keyCol)).distinct()
+    val untouchedKeys = standing.join(touched, Seq(keyCol), "left_anti")
+    // each touched key's LAST standing session (max start; starts are
+    // unique per key by construction) via one combinable struct-max
+    val touchedStanding = standing.join(touched, Seq(keyCol))
+    val last = touchedStanding.groupBy(keyCol)
+      .agg(max(struct(col("start_tsu"), col("end_tsu"), col("n_events")))
+        .as("__graft_last"))
+      .select(col(keyCol),
+        col("__graft_last.start_tsu").as("__graft_ls"),
+        col("__graft_last.end_tsu").as("__graft_le"),
+        col("__graft_last.n_events").as("__graft_ln"))
+    // contract: the delta must lie strictly after the standing end
+    val offenders = delta.join(last, Seq(keyCol))
+      .filter(col(tsCol) <= col("__graft_le"))
+      .select(col(keyCol)).distinct().orderBy(col(keyCol)).limit(20)
+      .collect().map(_.get(0))
+    require(offenders.isEmpty,
+      s"sessionMerge contract violated: delta contains events at or " +
+        s"before the standing session end for key(s) " +
+        s"[${offenders.mkString(", ")}]" +
+        s"${if (offenders.length == 20) " …" else ""}; such late data " +
+        s"needs re-sessionizing those keys from retained events")
+    val deltaSessions = sessionTable(delta, keyCol, tsCol, gapUs, tieCols)
+    // per touched key: the delta's FIRST session (min start) either
+    // extends the standing last session (gap not elapsed) or stands
+    // alone; later delta sessions always stand alone
+    val firstDelta = deltaSessions.groupBy(keyCol)
+      .agg(min(col("start_tsu")).as("__graft_fs"))
+    val joined = deltaSessions
+      .join(firstDelta, Seq(keyCol))
+      .join(last, Seq(keyCol), "left")
+    val isFirst = col("start_tsu") === col("__graft_fs")
+    val extendsLast = isFirst && col("__graft_le").isNotNull &&
+      (col("start_tsu") - col("__graft_le")) <= gapUs
+    val mergedDelta = joined.select(col(keyCol),
+      when(extendsLast, col("__graft_ls")).otherwise(col("start_tsu"))
+        .as("start_tsu"),
+      col("end_tsu"),
+      when(extendsLast, col("__graft_ln") + col("n_events"))
+        .otherwise(col("n_events")).as("n_events"))
+    // standing last sessions that were NOT extended pass through (a
+    // key has exactly ONE last session, so the extended set is a key
+    // set and one anti-join removes the absorbed rows)
+    val extendedKeys = joined.filter(extendsLast).select(col(keyCol))
+    val keptLast = last.join(extendedKeys, Seq(keyCol), "left_anti")
+      .select(col(keyCol), col("__graft_ls").as("start_tsu"),
+        col("__graft_le").as("end_tsu"), col("__graft_ln").as("n_events"))
+    // touched keys' standing sessions BEFORE the last one are immutable
+    val touchedEarlier = touchedStanding.join(
+        last.select(col(keyCol), col("__graft_ls")), Seq(keyCol))
+      .filter(col("start_tsu") < col("__graft_ls"))
+      .drop("__graft_ls")
+    untouchedKeys
+      .unionByName(touchedEarlier)
+      .unionByName(keptLast)
+      .unionByName(mergedDelta)
+  }
+
   /** Read the committed standing aggregate of a [[durableAdditiveMvFold]]
     * directory (None before the first committed batch).
     */

@@ -353,8 +353,35 @@ object Round12Queries {
         .agg(count(lit(1)).as("n"), max(col("d2")).as("max_dist2"),
           count_if(col("d2") > CompactTau).as("n_beyond"))
         .orderBy("label")
+    }),
+
+    // Incremental session-table maintenance: the standing session table
+    // (events ≤ cutoff) folds in the post-cutoff delta WITHOUT
+    // re-sessionizing untouched keys — each key's last standing session
+    // may EXTEND when the delta arrives inside the gap (sessions have
+    // no closing bracket until the gap elapses, so append-only session
+    // tables are wrong by construction; this is scd2Merge's discipline
+    // applied to sessions, contract enforced the same way). The oracle
+    // re-sessionizes ALL events from scratch, so the gate proves
+    // merge ≡ rebuild.
+    "q216_session_merge" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select(col("user_id"), col("tsu"),
+        col("event_id"))
+      val standing = graft.engine.Warehouse.sessionTable(
+        ev.filter(col("tsu") <= MergeCutUs), "user_id", "tsu",
+        SessionGapUs, Seq(col("event_id")))
+      graft.engine.Warehouse.sessionMerge(standing,
+          ev.filter(col("tsu") > MergeCutUs), "user_id", "tsu",
+          SessionGapUs, Seq(col("event_id")))
+        .orderBy("user_id", "start_tsu")
     })
   )
+
+  /** q216 session gap (30 min, the q38/q173 gap) and standing/delta
+    * cutoff (2024-01-25T00:00:00Z — the q188 nightly-tail split).
+    */
+  private val SessionGapUs = 30L * 60 * 1000000
+  private val MergeCutUs = 1706140800000000L
 
   /** q215 looseness threshold: the corpus' intra-label squared
     * distances cluster tightly around 1.0 (median ≈ 0.98), so τ = 1.0
@@ -701,6 +728,27 @@ object Round12Queries {
                    (2 * CAST(six AS DOUBLE)
                      - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
                    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
-          FROM a ORDER BY event_type"""
+          FROM a ORDER BY event_type""",
+
+    "q216_session_merge" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+                     FROM events),
+          g AS (SELECT user_id, tsu,
+                       CASE WHEN lag(tsu) OVER w IS NULL
+                                 OR tsu - lag(tsu) OVER w
+                                    > ${30L * 60 * 1000000}
+                            THEN 1 ELSE 0 END AS ns
+                FROM e
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY tsu, event_id)),
+          s AS (SELECT user_id, tsu,
+                       sum(ns) OVER (PARTITION BY user_id
+                         ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g)
+          SELECT user_id, CAST(min(tsu) AS BIGINT) AS start_tsu,
+                 CAST(max(tsu) AS BIGINT) AS end_tsu,
+                 count(*) AS n_events
+          FROM s GROUP BY user_id, sid
+          ORDER BY user_id, start_tsu"""
   )
 }

@@ -298,6 +298,51 @@ class Round12Suite extends SparkSpec {
     }
   }
 
+  describe("Warehouse.sessionMerge") {
+    it("merge ≡ rebuild: extends the open last session, keeps earlier " +
+       "ones, stands new sessions and keys alone") {
+      val gap = 10L
+      def sess(df: org.apache.spark.sql.DataFrame) =
+        Warehouse.sessionTable(df, "user_id", "tsu", gap,
+          Seq(col("event_id")))
+      val all = Seq(
+        (1L, 100L, 1L), (1L, 105L, 2L), // session A: 100-105
+        (1L, 200L, 3L), // session B: 200-200 (the open last)
+        (2L, 50L, 4L)
+      ).toDF("user_id", "tsu", "event_id")
+      // delta: 205 and 212 chain onto B (within gap of the end AND of
+      // each other); 300 opens a new session; user 2 far later; user 3
+      // is a new key
+      val delta = Seq((1L, 205L, 5L), (1L, 212L, 6L), (1L, 300L, 7L),
+        (2L, 100L, 8L), (3L, 7L, 9L)).toDF("user_id", "tsu", "event_id")
+      val merged = Warehouse.sessionMerge(sess(all), delta, "user_id",
+          "tsu", gap, Seq(col("event_id")))
+        .as[(Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val rebuilt = sess(all.unionByName(delta))
+        .as[(Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(merged == rebuilt)
+      assert(merged.contains((1L, 200L, 212L, 3L))) // B absorbed 205+212
+      assert(merged.contains((1L, 300L, 300L, 1L)))
+      assert(merged.contains((3L, 7L, 7L, 1L)))
+    }
+
+    it("fails loud on delta events at or before the standing end") {
+      val gap = 10L
+      val standing = Warehouse.sessionTable(
+        Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("user_id", "tsu",
+          "event_id"), "user_id", "tsu", gap, Seq(col("event_id")))
+      val late = Seq((1L, 150L, 3L)).toDF("user_id", "tsu", "event_id")
+      val ex = intercept[IllegalArgumentException] {
+        Warehouse.sessionMerge(standing, late, "user_id", "tsu", gap,
+          Seq(col("event_id")))
+      }
+      assert(ex.getMessage.contains("sessionMerge contract"))
+      assert(ex.getMessage.contains("[1]"))
+    }
+  }
+
   describe("Stats.madOutliers") {
     it("matches hand-computed median/MAD and shrugs off a huge outlier") {
       // group a: values 1..7 plus 10^9 -> n=8, sorted medians (4+5)/2=4.5
