@@ -671,6 +671,38 @@ object GlobalOrder {
     GraftShim.internalCreateDataFrame(spark, rdd, schema)
   }
 
+  /** Exact PER-GROUP WEIGHTED median, hot-group-safe: the smallest value
+    * v in the group with cumulative weight(≤v) ≥ half the group's total
+    * weight — the importance-weighted percentile a curation pipeline
+    * needs when rows carry sampling/quality weights ("the median token
+    * length, weighted by how often we'll actually train on the
+    * document"). Rank definition (lower weighted median), not an
+    * interpolation, so the result is an actual data value and
+    * bit-portable; the half-total comparison is doubled
+    * (2·W_i ≥ T) to stay in exact integers.
+    *
+    * Shape: ONE [[withRunningTotalPerKey]] pass ordered by (key, value,
+    * tie) accumulates the weights (boundary-stitch — a hot group never
+    * sorts in one task), a combinable per-key total joins back, and the
+    * qualifying rows reduce by min(value). `keyCol`/`valueCol`/
+    * `weightCol` LongType, weights ≥ 0 with positive group totals;
+    * (key, value, tieCols) a total order.
+    */
+  def groupWeightedMedian(df: DataFrame, keyCol: String, valueCol: String,
+                          weightCol: String,
+                          tieCols: Seq[Column]): DataFrame = {
+    requireFresh(df, "__graft_cw")
+    val cum = withRunningTotalPerKey(df, keyCol, valueCol, weightCol,
+      tieCols, out = "__graft_cw")
+    val totals = cum.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"), sum(col(weightCol)).as("w_total"))
+    cum.join(totals, Seq(keyCol))
+      .filter(col("__graft_cw") * 2L >= col("w_total"))
+      .groupBy(keyCol)
+      .agg(min(col("n")).as("n"), min(col("w_total")).as("w_total"),
+        min(col(valueCol)).as("w_median"))
+  }
+
   /** Exact PER-GROUP median of a LongType column, hot-group-safe.
     *
     * The direct routes both break under skew: `percentile(v, 0.5)` per

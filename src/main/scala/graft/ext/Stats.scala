@@ -549,6 +549,52 @@ object Stats {
         .as("gini"))
   }
 
+  /** Per-group autocorrelation at fixed lags over a REGULAR integer
+    * index (hourly/daily buckets): for each requested lag L, the
+    * Pearson correlation between the series and itself shifted by L —
+    * the periodicity/burst-persistence screen ("is this hour's volume
+    * predicted by the last hour's"). Returns one row per (group, lag):
+    * n_pairs and rho.
+    *
+    * Shape: the lagged pairing is an EQUI-join on (group, index−L) —
+    * co-partitioned on the same (group, index) key as the series
+    * itself, uniform under any group skew (never a window, never a
+    * per-group sort); one pass per lag, unioned, then one combinable
+    * aggregate of the six exact integer sums and the [[welchT]]-style
+    * fixed IEEE formula. Degenerate (n < 2 or zero variance on either
+    * side) → null rho. Overflow budget: Σx² over pairs must fit int64.
+    *
+    * `idxCol`/`valueCol` LongType; (group, idx) unique.
+    */
+  def laggedPearson(df: DataFrame, groupCol: String, idxCol: String,
+                    valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0),
+      s"lags must be positive, got $lags")
+    val base = df.select(col(groupCol), col(idxCol).as("__graft_i"),
+      col(valueCol).as("__graft_x"))
+    val pairs = lags.map { l =>
+      val shifted = base.select(col(groupCol),
+        (col("__graft_i") + l.toLong).as("__graft_i"),
+        col("__graft_x").as("__graft_y"))
+      base.join(shifted, Seq(groupCol, "__graft_i"))
+        .select(col(groupCol), lit(l.toLong).as("lag"),
+          col("__graft_x"), col("__graft_y"))
+    }.reduce(_ unionByName _)
+    val agg = pairs.groupBy(col(groupCol), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__graft_x")).as("sx"), sum(col("__graft_y")).as("sy"),
+      sum(col("__graft_x") * col("__graft_y")).as("sxy"),
+      sum(col("__graft_x") * col("__graft_x")).as("sxx"),
+      sum(col("__graft_y") * col("__graft_y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n_pairs") * d("sxy") - d("sx") * d("sy")
+    val vx = d("n_pairs") * d("sxx") - d("sx") * d("sx")
+    val vy = d("n_pairs") * d("syy") - d("sy") * d("sy")
+    agg.select(col(groupCol), col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2L && vx =!= 0.0 && vy =!= 0.0,
+        cov / sqrt(vx * vy)).as("rho"))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

@@ -374,8 +374,41 @@ object Round12Queries {
           ev.filter(col("tsu") > MergeCutUs), "user_id", "tsu",
           SessionGapUs, Seq(col("event_id")))
         .orderBy("user_id", "start_tsu")
-    })
+    }),
+
+    // Hourly-volume autocorrelation at lags 1-3 h per event type: is
+    // this hour's volume predicted by the previous hours'? The lagged
+    // pairing is an equi-join on (type, hour−L) — co-partitioned,
+    // uniform under any type skew, never a window — and rho comes from
+    // six exact integer sums through one fixed IEEE formula.
+    "q217_autocorr" -> ((s, dir) => {
+      val series = eventsUs(s, dir)
+        .select(col("event_type"),
+          expr(s"tsu div ${HourUsQ}L").as("b"),
+          Stats.cents(col("value")).as("vc"))
+        .groupBy("event_type", "b").agg(sum("vc").as("x"))
+      Stats.laggedPearson(series, "event_type", "b", "x", Seq(1, 2, 3))
+        .orderBy("event_type", "lag")
+    }),
+
+    // Quantity-weighted median price per supplier: the smallest price
+    // whose cumulative quantity reaches half the supplier's total — a
+    // rank definition over ONE boundary-stitch weighted prefix sum, so
+    // the answer is an actual data value, exact on both engines, and a
+    // hot supplier never sorts in one task.
+    "q218_weighted_median" -> ((s, dir) =>
+      graft.ext.GlobalOrder.groupWeightedMedian(
+          t(s, dir, "lineitem").select(col("l_suppkey"),
+            Stats.cents(col("l_extendedprice")).as("pc"),
+            col("l_quantity").cast("long").as("w"),
+            col("l_orderkey"), col("l_linenumber")),
+          "l_suppkey", "pc", "w",
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .orderBy("l_suppkey"))
   )
+
+  /** q217 hour bucket. */
+  private val HourUsQ = 3600000000L
 
   /** q216 session gap (30 min, the q38/q173 gap) and standing/delta
     * cutoff (2024-01-25T00:00:00Z — the q188 nightly-tail split).
@@ -749,6 +782,58 @@ object Round12Queries {
                  CAST(max(tsu) AS BIGINT) AS end_tsu,
                  count(*) AS n_events
           FROM s GROUP BY user_id, sid
-          ORDER BY user_id, start_tsu"""
+          ORDER BY user_id, start_tsu""",
+
+    "q217_autocorr" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+                            ${centsSql("value")} AS vc
+                     FROM events),
+          sr AS (SELECT event_type, b, CAST(sum(vc) AS BIGINT) AS x
+                 FROM e GROUP BY 1, 2),
+          p AS (SELECT a.event_type, l.lag, a.x AS xa, c.x AS xb
+                FROM sr a
+                CROSS JOIN (VALUES (1), (2), (3)) l(lag)
+                JOIN sr c ON c.event_type = a.event_type
+                         AND a.b = c.b + l.lag),
+          ag AS (SELECT event_type, lag, count(*) AS n_pairs,
+                        CAST(sum(xa) AS BIGINT) AS sx,
+                        CAST(sum(xb) AS BIGINT) AS sy,
+                        CAST(sum(xa * xb) AS BIGINT) AS sxy,
+                        CAST(sum(xa * xa) AS BIGINT) AS sxx,
+                        CAST(sum(xb * xb) AS BIGINT) AS syy
+                 FROM p GROUP BY 1, 2),
+          f AS (SELECT event_type, lag, n_pairs,
+                       CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+                       CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                       CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+                FROM ag)
+          SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+                 CASE WHEN n_pairs >= 2 AND vx <> 0 AND vy <> 0
+                      THEN cov / sqrt(vx * vy) END AS rho
+          FROM f ORDER BY event_type, lag""",
+
+    "q218_weighted_median" ->
+      s"""WITH li AS (SELECT l_suppkey,
+                             ${centsSql("l_extendedprice")} AS pc,
+                             CAST(l_quantity AS BIGINT) AS w,
+                             l_orderkey, l_linenumber
+                      FROM lineitem),
+          c AS (SELECT l_suppkey, pc, w,
+                       sum(w) OVER (PARTITION BY l_suppkey
+                         ORDER BY pc, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS cw
+                FROM li),
+          t AS (SELECT l_suppkey, count(*) AS n,
+                       CAST(sum(w) AS BIGINT) AS w_total
+                FROM li GROUP BY 1)
+          SELECT c.l_suppkey, n, w_total,
+                 CAST(min(pc) AS BIGINT) AS w_median
+          FROM c JOIN t USING (l_suppkey)
+          WHERE cw * 2 >= w_total
+          GROUP BY c.l_suppkey, n, w_total
+          ORDER BY l_suppkey"""
   )
 }

@@ -373,6 +373,33 @@ class Round12Suite extends SparkSpec {
     }
   }
 
+  describe("Stats.laggedPearson") {
+    it("is +1 on a linear series and pairs only existing indices") {
+      // x_t = t: lag-1 pairs (t, t-1) for t=2..5 -> perfectly linear
+      val df = (1L to 5L).map(t => ("a", t, t)).toDF("g", "i", "x")
+      val got = Stats.laggedPearson(df, "g", "i", "x", Seq(1, 4, 9))
+        .as[(String, Long, Long, Option[Double])]
+        .collect().sortBy(_._2).toSeq
+      assert(got.head._2 == 1L && got.head._3 == 4L)
+      assert(math.abs(got.head._4.get - 1.0) < 1e-12)
+      assert(got(1) == (("a", 4L, 1L, None))) // single pair -> null rho
+      assert(got.size == 2) // lag 9 has no pairs at all
+    }
+  }
+
+  describe("GlobalOrder.groupWeightedMedian") {
+    it("picks the smallest value reaching half the total weight") {
+      // key 1: (v=10,w=1) (v=20,w=2) (v=30,w=1): T=4, cum 1,3,4 ->
+      // first 2*cum>=4 at v=20; key 2: all weight on the last value
+      val df = Seq((1L, 10L, 1L, 1L), (1L, 20L, 2L, 2L), (1L, 30L, 1L, 3L),
+        (2L, 5L, 0L, 4L), (2L, 7L, 9L, 5L)).toDF("k", "v", "w", "id")
+      val got = GlobalOrder.groupWeightedMedian(df, "k", "v", "w",
+          Seq(col("id")))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 3L, 4L, 20L), (2L, 2L, 9L, 7L)))
+    }
+  }
+
   describe("Graph.bfsHops byte-based broadcast threshold") {
     it("is correct with string keys on BOTH sides of the byte cutoff") {
       val edges = Seq(("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"),
