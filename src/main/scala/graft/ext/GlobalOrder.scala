@@ -671,6 +671,34 @@ object GlobalOrder {
     GraftShim.internalCreateDataFrame(spark, rdd, schema)
   }
 
+  /** Per-group percent rank (feature normalization to [0, 1]),
+    * hot-group-safe: `out` = (rank − 1)/(n − 1) with rank = the row's
+    * 1-based position in (group, value, tieCols) order — the
+    * `percent_rank()` shape with ROW_NUMBER tie semantics (ties broken
+    * by `tieCols`, so every row gets a distinct rank and the result is
+    * deterministic — SQL `percent_rank()`'s shared-rank ties are
+    * whatever the engine's RANK says, which is why the oracle mirrors
+    * the row-number formulation, not the builtin). Single-row groups
+    * normalize to 0. One global [[withRowNumber]] pass + a broadcast of
+    * |groups| (lo, n) rows — a group with half the input shuffles by
+    * unique rank, never into one task.
+    */
+  def withGroupPercentRank(df: DataFrame, groupCol: String,
+                           valueCol: String, tieCols: Seq[Column],
+                           out: String = "pct"): DataFrame = {
+    requireFresh(df, out, "__graft_rn", "__graft_lo", "__graft_n")
+    val rn = withRowNumber(df,
+      col(groupCol) +: col(valueCol) +: tieCols, "__graft_rn")
+    val bounds = rn.groupBy(groupCol)
+      .agg(min(col("__graft_rn")).as("__graft_lo"),
+        count(lit(1)).as("__graft_n"))
+    rn.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(out, when(col("__graft_n") > 1L,
+        (col("__graft_rn") - col("__graft_lo")).cast("double") /
+          (col("__graft_n") - 1L).cast("double")).otherwise(0.0))
+      .drop("__graft_rn", "__graft_lo", "__graft_n")
+  }
+
   /** Exact PER-GROUP WEIGHTED median, hot-group-safe: the smallest value
     * v in the group with cumulative weight(≤v) ≥ half the group's total
     * weight — the importance-weighted percentile a curation pipeline

@@ -595,6 +595,35 @@ object Stats {
         cov / sqrt(vx * vy)).as("rho"))
   }
 
+  /** Chi-square independence CONTRIBUTION table for two categorical
+    * columns: per (row category, col category) — observed count,
+    * expected count under independence (row·col/total), and the cell's
+    * (o−e)²/e contribution. Emitted PER CELL rather than summed: the
+    * cell values are each one fixed IEEE formula over exact integer
+    * counts (bit-portable), where the grand chi-square total would sum
+    * doubles in nondeterministic aggregation order — the caller folds
+    * the handful of cells in whatever order it likes, the GATE needs
+    * the deterministic table. Cells with zero observed count are absent
+    * (join the category spines for a dense table). One combinable
+    * count pass + three broadcast-sized margin joins.
+    */
+  def chisqCells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(rowCol).agg(sum(col("o")).as("__graft_rt"))
+    val ct = cells.groupBy(colCol).agg(sum(col("o")).as("__graft_ct"))
+    val tot = cells.agg(sum(col("o")).as("__graft_n"))
+    val e = (col("__graft_rt").cast("double") *
+      col("__graft_ct").cast("double")) / col("__graft_n").cast("double")
+    cells.join(broadcast(rt), Seq(rowCol))
+      .join(broadcast(ct), Seq(colCol))
+      .crossJoin(broadcast(tot))
+      .select(col(rowCol), col(colCol), col("o"), e.as("expected"))
+      .withColumn("contrib",
+        (col("o").cast("double") - col("expected")) *
+          (col("o").cast("double") - col("expected")) / col("expected"))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

@@ -404,8 +404,57 @@ object Round12Queries {
             col("l_orderkey"), col("l_linenumber")),
           "l_suppkey", "pc", "w",
           Seq(col("l_orderkey"), col("l_linenumber")))
-        .orderBy("l_suppkey"))
+        .orderBy("l_suppkey")),
+
+    // Streaming silence detection: an alert row for every >2 h gap
+    // between a user's consecutive events, emitted when the closing
+    // event arrives — heartbeat-loss monitoring as bounded keyed state
+    // (one timestamp per user, event-time TTL'd like the q179
+    // throttle), hash-equal to the batch lag-window twin.
+    "q219_streaming_gaps" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q219_events") { raw =>
+        import s.implicits._
+        val pings = raw
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"))
+          .as[graft.streaming.EventStream.Ping]
+        val out = graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.gapAlerts(pings, GapAlertUs).toDF(),
+          StreamingQueries.memName("q219_mem_"),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = Some(8))
+        out.orderBy("user_id", "tsu")
+      }),
+
+    // Per-type percent-rank normalization of event value to [0, 1] —
+    // the feature-scaling pass a training pipeline runs; ranks from one
+    // global row-number pass with explicit tie-break, so a type holding
+    // half the corpus shuffles by unique rank and the result is
+    // deterministic where SQL percent_rank()'s shared-tie ranks are
+    // engine-shaped.
+    "q220_percent_rank" -> ((s, dir) =>
+      graft.ext.GlobalOrder.withGroupPercentRank(
+          eventsUs(s, dir).select(col("event_id"), col("event_type"),
+            Stats.cents(col("value")).as("vc")),
+          "event_type", "vc", Seq(col("event_id")))
+        .orderBy("event_id")),
+
+    // Chi-square independence cells for event type × hour-of-day: per
+    // cell observed, expected-under-independence, and (o−e)²/e — the
+    // "is traffic shape type-dependent" audit, emitted per cell
+    // because each cell is one fixed IEEE formula over exact counts
+    // while a grand total would sum doubles in nondeterministic order.
+    "q221_chisq" -> ((s, dir) =>
+      Stats.chisqCells(
+          eventsUs(s, dir).select(col("event_type"),
+            expr(s"(tsu div ${HourUsQ}L) % 24").as("hod")),
+          "event_type", "hod")
+        .orderBy("event_type", "hod"))
   )
+
+  /** q219 silence threshold: 2 hours in epoch micros. */
+  private val GapAlertUs = 7200000000L
 
   /** q217 hour bucket. */
   private val HourUsQ = 3600000000L
@@ -834,6 +883,53 @@ object Round12Queries {
           FROM c JOIN t USING (l_suppkey)
           WHERE cw * 2 >= w_total
           GROUP BY c.l_suppkey, n, w_total
-          ORDER BY l_suppkey"""
+          ORDER BY l_suppkey""",
+
+    "q219_streaming_gaps" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+                     FROM events),
+          l AS (SELECT user_id, tsu,
+                       lag(tsu) OVER (PARTITION BY user_id
+                         ORDER BY tsu, event_id) AS prev_tsu
+                FROM e)
+          SELECT user_id, prev_tsu, tsu, tsu - prev_tsu AS gap_us
+          FROM l WHERE tsu - prev_tsu > 7200000000
+          ORDER BY user_id, tsu""",
+
+    "q220_percent_rank" ->
+      s"""WITH e AS (SELECT event_id, event_type,
+                            ${centsSql("value")} AS vc
+                     FROM events),
+          r AS (SELECT event_id, event_type, vc,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY vc, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM e)
+          SELECT event_id, event_type, vc,
+                 CASE WHEN n > 1
+                      THEN CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS pct
+          FROM r ORDER BY event_id""",
+
+    "q221_chisq" ->
+      s"""WITH e AS (SELECT event_type,
+                            (epoch_us(ts) // 3600000000) % 24 AS hod
+                     FROM events),
+          c AS (SELECT event_type, hod, count(*) AS o
+                FROM e GROUP BY 1, 2),
+          rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+                 FROM c GROUP BY 1),
+          ct AS (SELECT hod, CAST(sum(o) AS BIGINT) AS ct
+                 FROM c GROUP BY 1),
+          t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+          j AS (SELECT c.event_type, c.hod, o,
+                       (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                         / CAST(n AS DOUBLE) AS expected
+                FROM c JOIN rt USING (event_type) JOIN ct USING (hod)
+                CROSS JOIN t)
+          SELECT event_type, hod, o, expected,
+                 (CAST(o AS DOUBLE) - expected)
+                   * (CAST(o AS DOUBLE) - expected) / expected AS contrib
+          FROM j ORDER BY event_type, hod"""
   )
 }

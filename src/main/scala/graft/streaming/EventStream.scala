@@ -182,6 +182,65 @@ object EventStream {
       }
   }
 
+  /** A gap alert: user `user_id` was silent from `prev_tsu` to `tsu`
+    * (strictly longer than the configured gap), detected when the
+    * closing event arrived.
+    */
+  final case class GapAlert(user_id: Long, prev_tsu: Long, tsu: Long,
+                            gap_us: Long)
+
+  /** Streaming silence/heartbeat-loss detection: emit an alert for every
+    * pair of CONSECUTIVE events of a user separated by more than
+    * `gapUs` — the monitoring primitive behind "this device went quiet
+    * for an hour". Alerts fire on the CLOSING event (the one that ends
+    * the silence), which keeps the semantics exact on both engines: the
+    * batch twin is one lag window, and the bounded gate hash-compares
+    * the two (a timeout-fired alert would depend on watermark arrival
+    * timing — observable, but not oracle-comparable).
+    *
+    * State is ONE timestamp per user, event-time bounded exactly as
+    * [[throttledPings]]: the watermark expires a user once no
+    * admissible event could still close a gap against the stored
+    * timestamp... which for gap DETECTION means state older than the
+    * watermark can be dropped because any event arriving later than the
+    * watermark against it would be late beyond the contract anyway —
+    * the documented trade (a gap closed by very late data is lost with
+    * its state). Same per-batch slice sort and monotonic high-water
+    * mark as the throttle.
+    */
+  def gapAlerts(pings: Dataset[Ping], gapUs: Long,
+                watermarkDelay: String = "10 minutes"): Dataset[GapAlert] = {
+    import pings.sparkSession.implicits._
+    pings
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, GapAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Ping], state: GroupState[LastSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toArray.sortBy(p => (p.tsu, p.event_id))
+            var last: Option[Long] = state.getOption.map(_.tsu)
+            val alerts = sorted.flatMap { p =>
+              val out = last match {
+                case Some(l) if p.tsu - l > gapUs =>
+                  Some(GapAlert(user, l, p.tsu, p.tsu - l))
+                case _ => None
+              }
+              last = Some(last.map(math.max(_, p.tsu)).getOrElse(p.tsu))
+              out
+            }
+            last.foreach { l =>
+              state.update(LastSeen(l))
+              state.setTimeoutTimestamp(l / 1000L + gapUs / 1000L + 1L)
+            }
+            alerts.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen,
     * keeping state only within the watermark horizon — the streaming twin
     * of batch exact dedup, with bounded state (late duplicates beyond the
