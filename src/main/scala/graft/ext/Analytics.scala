@@ -199,6 +199,53 @@ object Analytics {
       .withColumn(out, when(col(out) - col(tsCol) <= windowUs, col(out)))
   }
 
+  /** NEAREST-in-time join: for each left row, the single right timestamp
+    * closest in EITHER direction within ±`tolUs` (ties — equidistant
+    * before/after — go to the earlier, and an exact-equal timestamp is
+    * distance 0 on the backward side). The sensor-fusion / log-alignment
+    * primitive ("match each reading to the closest calibration sample"),
+    * strictly stronger than a one-directional as-of.
+    *
+    * Composition, not a new engine: ONE backward as-of
+    * ([[AsofJoin.leftAsofBig]] — greatest right ≤ t) and ONE forward
+    * as-of ([[nextEventWithin]] — smallest right > t, the negated-time
+    * trick) each ride the hot-key-safe range shuffle, then one local
+    * projection picks the closer candidate. No |A|×|B| fan-out, no
+    * per-key window, and the tolerance clips AFTER the as-ofs, so each
+    * pass stays a pure fill-forward.
+    *
+    * Appends `out` (nearest right ts, null if none within tolerance)
+    * and `outDist` (its distance in micros). Key/ts LongType non-null;
+    * `out`/`outDist`/internals must be fresh on `a`.
+    */
+  def nearestEventWithin(a: DataFrame, b: DataFrame, keyCol: String,
+                         tsCol: String, tolUs: Long, out: String,
+                         outDist: String): DataFrame = {
+    require(tolUs > 0, s"tolUs must be positive, got $tolUs")
+    GlobalOrder.requireFresh(a, out, outDist, "__graft_bv", "__graft_fv")
+    val bd = b.select(col(keyCol), col(tsCol)).distinct()
+      .select(col(keyCol), col(tsCol).as("__graft_bt"),
+        col(tsCol).as("__graft_bv"))
+    val withBack = AsofJoin.leftAsofBig(a, bd, keyCol, tsCol,
+        "__graft_bt", "__graft_bv")
+      .withColumn("__graft_bv",
+        when(col(tsCol) - col("__graft_bv") <= tolUs, col("__graft_bv")))
+    val withBoth = nextEventWithin(withBack, b, keyCol, tsCol, tolUs,
+      "__graft_fv")
+    val bv = col("__graft_bv")
+    val fv = col("__graft_fv")
+    val nearest = when(bv.isNull && fv.isNull, lit(null).cast("long"))
+      .when(fv.isNull, bv)
+      .when(bv.isNull, fv)
+      .when(col(tsCol) - bv <= fv - col(tsCol), bv)
+      .otherwise(fv)
+    withBoth
+      .withColumn(out, nearest)
+      .withColumn(outDist,
+        when(col(out).isNotNull, abs(col(out) - col(tsCol))))
+      .drop("__graft_bv", "__graft_fv")
+  }
+
   /** Linear multi-touch attribution: every conversion's revenue is split
     * equally across the key's touch events inside the lookback window
     * `[conv.ts − lookbackUs, conv.ts)`, and credit is summed per

@@ -450,8 +450,45 @@ object Round12Queries {
           eventsUs(s, dir).select(col("event_type"),
             expr(s"(tsu div ${HourUsQ}L) % 24").as("hod")),
           "event_type", "hod")
-        .orderBy("event_type", "hod"))
+        .orderBy("event_type", "hod")),
+
+    // Nearest-in-time join: each purchase matched to the user's CLOSEST
+    // click within ±30 min in either direction (tie → the earlier) —
+    // one backward + one forward as-of (both hot-key-safe range
+    // shuffles) and a local pick; no candidate fan-out, no window.
+    "q222_nearest_join" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "tsu")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "tsu")
+      graft.ext.Analytics.nearestEventWithin(purchases, clicks,
+          "user_id", "tsu", NearTolUs, "nearest_ts", "dist_us")
+        .orderBy("user_id", "tsu")
+    }),
+
+    // Streaming dimension enrichment: the unbounded event stream joined
+    // to a STATIC broadcast dimension (nation) and aggregated per
+    // enriched attribute — the stream-static join pattern (no state on
+    // the dimension side; the stream side aggregates as usual), result
+    // hash-equal to the batch join.
+    "q223_streaming_enrich" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q223_events") { raw =>
+        val nation = Readers.table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val enriched = raw.select(col("user_id"))
+          .withColumn("nk", pmod(col("user_id"), lit(25L)))
+          .join(broadcast(nation), col("nk") === col("n_nationkey"))
+        val out = graft.streaming.EventStream.runToMemory(
+          enriched.groupBy("n_name").agg(count(lit(1)).as("n_events")),
+          StreamingQueries.memName("q223_mem_"),
+          statePartitions = Some(8))
+        out.orderBy("n_name")
+      })
   )
+
+  /** q222 nearest-join tolerance: 30 minutes in epoch micros. */
+  private val NearTolUs = 1800000000L
 
   /** q219 silence threshold: 2 hours in epoch micros. */
   private val GapAlertUs = 7200000000L
@@ -930,6 +967,37 @@ object Round12Queries {
           SELECT event_type, hod, o, expected,
                  (CAST(o AS DOUBLE) - expected)
                    * (CAST(o AS DOUBLE) - expected) / expected AS contrib
-          FROM j ORDER BY event_type, hod"""
+          FROM j ORDER BY event_type, hod""",
+
+    "q222_nearest_join" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+                      FROM events),
+          p AS (SELECT user_id, tsu FROM ev
+                WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, tsu FROM ev WHERE event_type = 'click'),
+          m AS (SELECT p.user_id, p.tsu,
+                       (SELECT max(c.tsu) FROM c
+                        WHERE c.user_id = p.user_id AND c.tsu <= p.tsu
+                          AND c.tsu >= p.tsu - $NearTolUs) AS bv,
+                       (SELECT min(c.tsu) FROM c
+                        WHERE c.user_id = p.user_id AND c.tsu > p.tsu
+                          AND c.tsu <= p.tsu + $NearTolUs) AS fv
+                FROM p),
+          n AS (SELECT user_id, tsu,
+                       CASE WHEN bv IS NULL AND fv IS NULL THEN NULL
+                            WHEN fv IS NULL THEN bv
+                            WHEN bv IS NULL THEN fv
+                            WHEN tsu - bv <= fv - tsu THEN bv
+                            ELSE fv END AS nearest_ts
+                FROM m)
+          SELECT user_id, tsu, nearest_ts,
+                 CASE WHEN nearest_ts IS NOT NULL
+                      THEN abs(nearest_ts - tsu) END AS dist_us
+          FROM n ORDER BY user_id, tsu""",
+
+    "q223_streaming_enrich" ->
+      """SELECT n_name, count(*) AS n_events
+         FROM events JOIN nation ON n_nationkey = user_id % 25
+         GROUP BY 1 ORDER BY n_name"""
   )
 }

@@ -400,6 +400,28 @@ class Round12Suite extends SparkSpec {
     }
   }
 
+  describe("Analytics.nearestEventWithin") {
+    it("picks the closer side, earlier on ties, null outside tolerance") {
+      val a = Seq((1L, 100L), (1L, 200L), (1L, 300L), (2L, 50L))
+        .toDF("k", "tsu")
+      // k=1 refs: 90 and 103 (100 -> forward 103 at d3 beats 90 at d10);
+      // 195 and 205 (200 -> TIE d5 -> earlier 195); 300 -> nothing
+      // within ±20; k=2: exact equal 50 -> distance 0 backward
+      val b = Seq((1L, 90L), (1L, 103L), (1L, 195L), (1L, 205L),
+        (1L, 400L), (2L, 50L)).toDF("k", "tsu")
+      val got = Analytics.nearestEventWithin(a, b, "k", "tsu", 20L,
+          "near", "dist")
+        .select("k", "tsu", "near", "dist")
+        .as[(Long, Long, Option[Long], Option[Long])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == Seq(
+        (1L, 100L, Some(103L), Some(3L)),
+        (1L, 200L, Some(195L), Some(5L)),
+        (1L, 300L, None, None),
+        (2L, 50L, Some(50L), Some(0L))))
+    }
+  }
+
   describe("Graph.bfsHops byte-based broadcast threshold") {
     it("is correct with string keys on BOTH sides of the byte cutoff") {
       val edges = Seq(("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"),
