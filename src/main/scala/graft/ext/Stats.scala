@@ -624,6 +624,41 @@ object Stats {
           (col("o").cast("double") - col("expected")) / col("expected"))
   }
 
+  /** Per-group total-variation drift between two cohorts over a FIXED
+    * small bin alphabet: TVD = ½·Σ_b |p_A(b) − p_B(b)| — the
+    * log-free distribution-shift screen (PSI's ln(p/q) would tie the
+    * gate to two libms agreeing; TVD is absolute differences of
+    * rationals). Returns (group, n_a, n_b, tvd); groups with an empty
+    * cohort yield null tvd.
+    *
+    * Determinism discipline: bins are PIVOTED to 2·k conditional-sum
+    * columns in ONE combinable pass (constant state per group), and the
+    * k per-bin |·| terms fold LEFT-TO-RIGHT in bin order — a plain
+    * sum() over bin rows would accumulate doubles in partition order.
+    * `binCol` must be a long in [0, k); keep k small (≤ a few dozen) —
+    * it is a column-count, not a row-count.
+    */
+  def tvdDrift(df: DataFrame, groupCol: String, binCol: String,
+               inCohortA: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val sums = (0 until k).flatMap { b =>
+      Seq(
+        count(when(inCohortA && col(binCol) === b.toLong, 1)).as(s"__a$b"),
+        count(when(!inCohortA && col(binCol) === b.toLong, 1)).as(s"__b$b"))
+    }
+    val agg = df.groupBy(groupCol).agg(sums.head, sums.tail: _*)
+    val na = (0 until k).map(b => col(s"__a$b")).reduce(_ + _)
+    val nb = (0 until k).map(b => col(s"__b$b")).reduce(_ + _)
+    val withTotals = agg.withColumn("n_a", na).withColumn("n_b", nb)
+    val terms = (0 until k).map { b =>
+      abs(col(s"__a$b").cast("double") / col("n_a").cast("double") -
+        col(s"__b$b").cast("double") / col("n_b").cast("double"))
+    }.reduce(_ + _)
+    withTotals.select(col(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L, lit(0.5) * terms)
+        .as("tvd"))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

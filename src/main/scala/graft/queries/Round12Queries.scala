@@ -467,6 +467,59 @@ object Round12Queries {
         .orderBy("user_id", "tsu")
     }),
 
+    // Cohen's kappa between the true labels and the centroid-predicted
+    // labels (q194's model): chance-corrected agreement — the one-number
+    // answer to "is this labeling better than marginals would guess",
+    // computed entirely from the confusion matrix's exact integer sums
+    // (diag, row·col marginal products) through one fixed IEEE formula.
+    "q224_cohens_kappa" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (labels, cents) = Round11Queries.labelCentroids(s, dir)
+      val model = graft.ext.IvfIndex.fromCentroids(s, e, cents)
+      import s.implicits._
+      val lab = labels.zipWithIndex.map { case (l, i) => (i, l) }
+        .toDF("cell", "pred_label")
+      val conf = model.assigned.select("vec_id", "cell")
+        .join(e.select(col("vec_id"),
+          col("label").cast("long").as("true_label")), "vec_id")
+        .join(broadcast(lab), "cell")
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+      val tot = conf.agg(sum(col("n")).as("n_total"))
+      val diag = conf.filter(col("true_label") === col("pred_label"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_diag"))
+      val rows = conf.groupBy("true_label").agg(sum(col("n")).as("rk"))
+      val cols = conf.groupBy("pred_label").agg(sum(col("n")).as("ck"))
+      val rc = rows.join(cols, col("true_label") === col("pred_label"))
+        .agg(coalesce(sum(col("rk") * col("ck")), lit(0L)).as("src"))
+      tot.crossJoin(broadcast(diag)).crossJoin(broadcast(rc))
+        .select(col("n_total"),
+          (col("n_diag").cast("double") / col("n_total").cast("double"))
+            .as("po"),
+          (col("src").cast("double") /
+            (col("n_total").cast("double") * col("n_total").cast("double")))
+            .as("pe"))
+        .withColumn("kappa",
+          when(lit(1.0) - col("pe") =!= 0.0,
+            (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+    }),
+
+    // Distribution drift between the month's halves per event type:
+    // total-variation distance over 10 fixed value bins — the log-free
+    // shift screen (PSI's ln would tie the gate to two libms), bins
+    // pivoted to conditional-sum columns and folded in FIXED order so
+    // the double sum is bit-portable.
+    "q225_tvd_drift" -> ((s, dir) =>
+      Stats.tvdDrift(
+          eventsUs(s, dir)
+            .select(col("event_type"), col("tsu"),
+              Stats.cents(col("value")).as("__vc"))
+            .select(col("event_type"), col("tsu"),
+              least(expr(s"__vc div ${TvdBinCents}L"),
+                lit(TvdBins - 1L)).as("bin")),
+          "event_type", "bin", col("tsu") < TvdMidUs, TvdBins)
+        .orderBy("event_type")),
+
     // Streaming dimension enrichment: the unbounded event stream joined
     // to a STATIC broadcast dimension (nation) and aggregated per
     // enriched attribute — the stream-static join pattern (no state on
@@ -489,6 +542,13 @@ object Round12Queries {
 
   /** q222 nearest-join tolerance: 30 minutes in epoch micros. */
   private val NearTolUs = 1800000000L
+
+  /** q225 cohort split (2024-01-16T00:00:00Z — mid-month) and value-cents
+    * bin width (10 bins over the observed 1..49002 cents range).
+    */
+  private val TvdMidUs = 1705363200000000L
+  private val TvdBinCents = 5000L
+  private val TvdBins = 10
 
   /** q219 silence threshold: 2 hours in epoch micros. */
   private val GapAlertUs = 7200000000L
@@ -519,6 +579,56 @@ object Round12Queries {
     * fixed-order formula term by term.
     */
   val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    "q224_cohens_kappa" -> ((s, dir) => {
+      val (labels, cents) = Round11Queries.labelCentroids(s, dir)
+      val values = cents.zipWithIndex.map { case (c, i) =>
+        c.map(x => s"'$x'::DOUBLE").mkString(s"($i, [", ", ", "])")
+      }.mkString(", ")
+      val labMap = labels.zipWithIndex
+        .map { case (l, i) => s"($i, ${l}::BIGINT)" }.mkString(", ")
+      s"""WITH centroids(cell, cv) AS (VALUES $values),
+          cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cv_n2
+                 FROM centroids),
+          e AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+          en AS (SELECT vec_id, true_label, v,
+                        list_dot_product(v, v) AS v_n2 FROM e),
+          assigned AS (
+            SELECT vec_id, true_label, cell FROM (
+              SELECT en.vec_id, en.true_label, cn.cell,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY (en.v_n2
+                           - 2 * list_dot_product(en.v, cn.cv)
+                           + cn.cv_n2) ASC,
+                         cn.cell ASC) AS arnk
+              FROM en CROSS JOIN cn) t
+            WHERE arnk = 1),
+          lab(cell, pred_label) AS (VALUES $labMap),
+          conf AS (SELECT a.true_label, lab.pred_label, count(*) AS n
+                   FROM assigned a JOIN lab USING (cell) GROUP BY 1, 2),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM conf),
+          dg AS (SELECT CAST(coalesce(sum(CASE WHEN true_label =
+                        pred_label THEN n END), 0) AS BIGINT) AS n_diag
+                 FROM conf),
+          r AS (SELECT true_label AS l, CAST(sum(n) AS BIGINT) AS rk
+                FROM conf GROUP BY 1),
+          c AS (SELECT pred_label AS l, CAST(sum(n) AS BIGINT) AS ck
+                FROM conf GROUP BY 1),
+          rc AS (SELECT CAST(coalesce(sum(rk * ck), 0) AS BIGINT) AS src
+                 FROM r JOIN c USING (l)),
+          f AS (SELECT n_total,
+                       CAST(n_diag AS DOUBLE) / CAST(n_total AS DOUBLE)
+                         AS po,
+                       CAST(src AS DOUBLE)
+                         / (CAST(n_total AS DOUBLE)
+                            * CAST(n_total AS DOUBLE)) AS pe
+                FROM tot, dg, rc)
+          SELECT n_total, po, pe,
+                 CASE WHEN 1 - pe <> 0
+                      THEN (po - pe) / (1 - pe) END AS kappa
+          FROM f"""
+    }),
     "q215_cluster_compactness" -> ((s, dir) => {
       val (labels, cents) = Round11Queries.labelCentroids(s, dir)
       val values = labels.zip(cents).map { case (l, c) =>
@@ -998,6 +1108,34 @@ object Round12Queries {
     "q223_streaming_enrich" ->
       """SELECT n_name, count(*) AS n_events
          FROM events JOIN nation ON n_nationkey = user_id % 25
-         GROUP BY 1 ORDER BY n_name"""
+         GROUP BY 1 ORDER BY n_name""",
+
+    "q225_tvd_drift" -> {
+      val aCols = (0 until TvdBins).map(b =>
+        s"count(CASE WHEN h AND bin = $b THEN 1 END) AS a$b")
+      val bCols = (0 until TvdBins).map(b =>
+        s"count(CASE WHEN NOT h AND bin = $b THEN 1 END) AS b$b")
+      val naChain = (0 until TvdBins).map(b => s"a$b").mkString(" + ")
+      val nbChain = (0 until TvdBins).map(b => s"b$b").mkString(" + ")
+      val termChain = (0 until TvdBins).map(b =>
+        s"abs(CAST(a$b AS DOUBLE) / CAST(n_a AS DOUBLE) " +
+          s"- CAST(b$b AS DOUBLE) / CAST(n_b AS DOUBLE))")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_type,
+                            epoch_us(ts) < $TvdMidUs AS h,
+                            least(${centsSql("value")} // $TvdBinCents,
+                              ${TvdBins - 1}) AS bin
+                     FROM events),
+          p AS (SELECT event_type,
+                       ${(aCols ++ bCols).mkString(",\n                       ")}
+                FROM e GROUP BY 1),
+          w AS (SELECT *, CAST($naChain AS BIGINT) AS n_a,
+                       CAST($nbChain AS BIGINT) AS n_b
+                FROM p)
+          SELECT event_type, n_a, n_b,
+                 CASE WHEN n_a > 0 AND n_b > 0
+                      THEN 0.5 * ($termChain) END AS tvd
+          FROM w ORDER BY event_type"""
+    }
   )
 }
