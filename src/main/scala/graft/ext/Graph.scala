@@ -477,6 +477,57 @@ object Graph {
     dist
   }
 
+  /** WEIGHTED fixed-iteration integer PageRank: each node's rank flows
+    * to its out-neighbors PROPORTIONALLY TO EDGE WEIGHT —
+    * `(rank · w) div Σw(src)` per edge instead of [[pagerankInt]]'s
+    * uniform `rank div outdeg` — the importance measure for graphs
+    * whose links carry volume (trade value, click counts, citation
+    * counts). Same integer micro-unit discipline: every division is
+    * integral, so ranks are bit-identical under any partitioning and
+    * the oracle unrolls the same iterations as CTEs. Same loop hygiene
+    * (invariants persisted, generations rotated via released
+    * localCheckpoints). Overflow budget: rank · w must fit int64 —
+    * ranks are ~10⁶–10⁷ micro-units, so weights up to ~10¹⁰ are safe.
+    *
+    * `edges` needs (src, dst, w) with positive LongType weights.
+    */
+  def pagerankWeightedInt(edges: DataFrame, iterations: Int,
+                          dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    val e = edges.select("src", "dst", "w").persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val outw = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("sw"))
+      .persist()
+    val base = lit(Scale * (100 - dampingPct) / 100)
+    var ranks = nodes.withColumn("rank", lit(Scale))
+    var checkpointed: Option[DataFrame] = None
+    try {
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outw.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("(rank * w) div sw").as("c"))
+          .groupBy("node").agg(sum("c").as("csum"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (base + expr(s"($dampingPct * coalesce(csum, 0L)) div 100"))
+              .as("rank"))
+          .localCheckpoint()
+        checkpointed.foreach(Checkpoints.release)
+        checkpointed = Some(ranks)
+      }
+    } finally {
+      e.unpersist(); nodes.unpersist(); outw.unpersist()
+    }
+    ranks
+  }
+
   /** (rows, estimated broadcast bytes) of a cached one-key-column frame —
     * the [[bfsHops]] byte model: measured `octet_length` payload for
     * string/binary keys, fixed 8-byte payload for numerics, plus ~16 B/row

@@ -659,6 +659,58 @@ object Stats {
         .as("tvd"))
   }
 
+  /** Poisson(1) CDF thresholds for k = 0..4 (weights capped at 5),
+    * computed ONCE on the driver and injected as identical literals
+    * into the Spark plan and the oracle SQL ([[poissonBootstrapMeans]]).
+    */
+  val PoissonCdf: Seq[Double] = {
+    val p = math.exp(-1.0)
+    val terms = Seq(1.0, 1.0, 0.5, 1.0 / 6, 1.0 / 24)
+    terms.scanLeft(0.0)(_ + _).tail.map(_ * p)
+  }
+
+  /** DETERMINISTIC Poisson bootstrap: per group, `nResamples` resample
+    * means of a measure — the uncertainty band ("how stable is this
+    * group's mean") without any RNG. Each row's multiplicity in
+    * resample b is Poisson(1)-distributed but DERIVED from a portable
+    * md5 hash of (row id, b) against driver-injected CDF thresholds
+    * ([[PoissonCdf]]) — so the same rows give the same resamples on any
+    * engine, any partitioning, any rerun, and the oracle replays them
+    * exactly. The classic streaming-bootstrap trick (per-row
+    * independent weights, no sampling pass), here made reproducible.
+    *
+    * Shape: rows fan out ×nResamples (explode of a literal array — a
+    * map-side projection), then ONE combinable groupBy((group, b)) of
+    * two integer sums; each mean is a single IEEE division. Returns
+    * (group, b, n_eff, mean) — n_eff the resample's total weight, mean
+    * null when it is 0. Downstream quantiles over the B means give the
+    * CI. Keep nResamples modest (≤ 64): it multiplies shuffle rows.
+    */
+  def poissonBootstrapMeans(df: DataFrame, groupCol: String, idCol: Column,
+                            valueCol: Column, nResamples: Int): DataFrame = {
+    require(nResamples >= 1 && nResamples <= 64,
+      s"nResamples must be in [1, 64], got $nResamples")
+    val fan = df.select(col(groupCol), idCol.as("__graft_id"),
+        valueCol.as("__graft_x"))
+      .withColumn("__graft_b", explode(array(
+        (0 until nResamples).map(b => lit(b.toLong)): _*)))
+    val u = graft.functions.Portable.hash30(
+      concat(col("__graft_id").cast("string"), lit(":"),
+        col("__graft_b").cast("string"))).cast("double") /
+      lit((1L << 30).toDouble)
+    var w: Column = lit(5L)
+    for ((t, k) <- PoissonCdf.zipWithIndex.reverse)
+      w = when(u < t, lit(k.toLong)).otherwise(w)
+    fan.withColumn("__graft_w", w)
+      .groupBy(col(groupCol), col("__graft_b").as("b"))
+      .agg(sum(col("__graft_w")).as("n_eff"),
+        sum(col("__graft_w") * col("__graft_x")).as("__graft_swx"))
+      .select(col(groupCol), col("b"), col("n_eff"),
+        when(col("n_eff") > 0L,
+          col("__graft_swx").cast("double") / col("n_eff").cast("double"))
+          .as("mean"))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

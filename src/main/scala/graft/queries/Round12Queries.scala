@@ -520,6 +520,37 @@ object Round12Queries {
           "event_type", "bin", col("tsu") < TvdMidUs, TvdBins)
         .orderBy("event_type")),
 
+    // Weighted PageRank over the trade graph: rank flows proportionally
+    // to the q202 edge costs instead of uniformly — the volume-aware
+    // importance measure; integer micro-units end to end, oracle
+    // unrolls the same three iterations as CTEs.
+    "q226_weighted_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("sup"),
+          (lit(1L) + (col("o_custkey") + col("l_suppkey")) % 5L).as("w"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sup").as("dst"),
+          col("w"))
+        .unionAll(pairs.select(col("sup").as("src"), col("c").as("dst"),
+          col("w")))
+      Graph.pagerankWeightedInt(edges, iterations = 3).orderBy("node")
+    }),
+
+    // Deterministic Poisson bootstrap: 16 hash-derived resample means
+    // of event value per type — the uncertainty band with NO RNG (each
+    // row's multiplicity comes from a portable md5 of (event_id, b)
+    // against driver-injected Poisson CDF thresholds), so the oracle
+    // replays the identical resamples.
+    "q227_poisson_bootstrap" -> ((s, dir) =>
+      Stats.poissonBootstrapMeans(
+          eventsUs(s, dir).select(col("event_type"), col("event_id"),
+            Stats.cents(col("value")).as("vc")),
+          "event_type", col("event_id"), col("vc"), BootResamples)
+        .orderBy("event_type", "b")),
+
     // Streaming dimension enrichment: the unbounded event stream joined
     // to a STATIC broadcast dimension (nation) and aggregated per
     // enriched attribute — the stream-static join pattern (no state on
@@ -549,6 +580,9 @@ object Round12Queries {
   private val TvdMidUs = 1705363200000000L
   private val TvdBinCents = 5000L
   private val TvdBins = 10
+
+  /** q227 resample count. */
+  private val BootResamples = 16
 
   /** q219 silence threshold: 2 hours in epoch micros. */
   private val GapAlertUs = 7200000000L
@@ -1136,6 +1170,65 @@ object Round12Queries {
                  CASE WHEN n_a > 0 AND n_b > 0
                       THEN 0.5 * ($termChain) END AS tvd
           FROM w ORDER BY event_type"""
+    },
+
+    "q226_weighted_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.dst AS node,
+                      sum((($prev.rank * e.w) // ow.sw)) AS csum
+               FROM e JOIN $prev ON e.src = $prev.node
+                      JOIN ow ON ow.node = e.src
+               GROUP BY 1),
+           $cur AS (SELECT n.node,
+                      CAST(150000 + (85 * coalesce(c$cur.csum, 0)) // 100
+                        AS BIGINT) AS rank
+               FROM nodes n LEFT JOIN c$cur ON n.node = c$cur.node)"""
+      s"""WITH b AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          bw AS (SELECT 'c:' || ck AS c, 's:' || sk AS sup,
+                        1 + (ck + sk) % 5 AS w
+                 FROM b),
+          e AS (SELECT c AS src, sup AS dst, w FROM bw
+                UNION ALL
+                SELECT sup AS src, c AS dst, w FROM bw),
+          nodes AS (SELECT DISTINCT src AS node FROM e
+                    UNION SELECT DISTINCT dst FROM e),
+          ow AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS sw
+                 FROM e GROUP BY 1),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")}
+          SELECT node, rank FROM r3 ORDER BY node"""
+    },
+
+    "q227_poisson_bootstrap" -> {
+      val wCase = Stats.PoissonCdf.zipWithIndex
+        .map { case (t, k) => s"WHEN u < '$t'::DOUBLE THEN $k" }
+        .mkString("CASE ", " ", " ELSE 5 END")
+      s"""WITH e AS (SELECT event_type, event_id,
+                            ${centsSql("value")} AS vc
+                     FROM events),
+          fan AS (SELECT event_type, event_id, vc, g.b
+                  FROM e CROSS JOIN
+                    (SELECT unnest(generate_series(0,
+                       ${BootResamples - 1})) AS b) g),
+          h AS (SELECT event_type, vc, b,
+                       CAST((CAST(('0x' || substr(md5(
+                           CAST(event_id AS VARCHAR) || ':'
+                             || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+                         & 1073741823) AS DOUBLE) / 1073741824 AS u
+                FROM fan),
+          w AS (SELECT event_type, vc, b, $wCase AS wt FROM h),
+          a AS (SELECT event_type, CAST(b AS BIGINT) AS b,
+                       CAST(sum(wt) AS BIGINT) AS n_eff,
+                       CAST(sum(wt * vc) AS BIGINT) AS swx
+                FROM w GROUP BY 1, 2)
+          SELECT event_type, b, n_eff,
+                 CASE WHEN n_eff > 0
+                      THEN CAST(swx AS DOUBLE) / CAST(n_eff AS DOUBLE)
+                      END AS mean
+          FROM a ORDER BY event_type, b"""
     }
   )
 }
