@@ -551,6 +551,55 @@ object Round12Queries {
           "event_type", col("event_id"), col("vc"), BootResamples)
         .orderBy("event_type", "b")),
 
+    // Ordered within-session pairs: for every session, event-type pairs
+    // (A, B) where A's FIRST occurrence precedes B's — sequence mining
+    // one notch past adjacent transitions (q166 Markov), bounded by the
+    // type alphabet (≤ |types|² candidates per session, never event
+    // volume): per-(session, type) first-seen from one combinable agg,
+    // a within-session self-join of ≤ |types| rows, one count.
+    "q228_ordered_pairs" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select(col("user_id"), col("tsu"),
+        col("event_id"), col("event_type"))
+      val sess = graft.ext.GlobalOrder.withSessionId(ev, "user_id", "tsu",
+        SessionGapUs, Seq(col("event_id")))
+      val firstSeen = sess.groupBy(col("session_id"), col("event_type"))
+        .agg(min(col("tsu")).as("mt"))
+      val a = firstSeen.select(col("session_id"),
+        col("event_type").as("type_a"), col("mt").as("ta"))
+      val b = firstSeen.select(col("session_id"),
+        col("event_type").as("type_b"), col("mt").as("tb"))
+      a.join(b, Seq("session_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Entry-type conversion: sessions grouped by their FIRST event's
+    // type (deterministic argmin over the portable (ts, id) order key)
+    // and the fraction that go on to purchase — "which entry point
+    // converts". One sessionize pass + two combinable aggs; the rate is
+    // a single IEEE division of exact counts.
+    "q229_entry_conversion" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select(col("user_id"), col("tsu"),
+        col("event_id"), col("event_type"))
+      val sess = graft.ext.GlobalOrder.withSessionId(ev, "user_id", "tsu",
+        SessionGapUs, Seq(col("event_id")))
+      val perSession = sess.groupBy("session_id").agg(
+        min_by(col("event_type"),
+          graft.functions.Portable.ordKey(col("tsu"), col("event_id")))
+          .as("entry_type"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      perSession.groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"))
+        .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+          (col("n_converted").cast("double") /
+            col("n_sessions").cast("double")).as("conv_rate"))
+        .orderBy("entry_type")
+    }),
+
     // Streaming dimension enrichment: the unbounded event stream joined
     // to a STATIC broadcast dimension (nation) and aggregated per
     // enriched attribute — the stream-static join pattern (no state on
@@ -1171,6 +1220,59 @@ object Round12Queries {
                       THEN 0.5 * ($termChain) END AS tvd
           FROM w ORDER BY event_type"""
     },
+
+    "q228_ordered_pairs" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                            event_type
+                     FROM events),
+          g AS (SELECT user_id, tsu, event_type,
+                       CASE WHEN lag(tsu) OVER w IS NULL
+                                 OR tsu - lag(tsu) OVER w > $SessionGapUs
+                            THEN 1 ELSE 0 END AS ns
+                FROM e
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY tsu, event_id)),
+          s AS (SELECT user_id, tsu, event_type,
+                       sum(ns) OVER (PARTITION BY user_id
+                         ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g),
+          fs AS (SELECT user_id, sid, event_type, min(tsu) AS mt
+                 FROM s GROUP BY 1, 2, 3),
+          p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+                FROM fs a JOIN fs b ON a.user_id = b.user_id
+                  AND a.sid = b.sid AND a.mt < b.mt)
+          SELECT type_a, type_b, count(*) AS n_sessions
+          FROM p GROUP BY 1, 2 ORDER BY type_a, type_b""",
+
+    "q229_entry_conversion" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                            event_type
+                     FROM events),
+          g AS (SELECT user_id, tsu, event_id, event_type,
+                       CASE WHEN lag(tsu) OVER w IS NULL
+                                 OR tsu - lag(tsu) OVER w > $SessionGapUs
+                            THEN 1 ELSE 0 END AS ns
+                FROM e
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY tsu, event_id)),
+          s AS (SELECT user_id, tsu, event_id, event_type,
+                       sum(ns) OVER (PARTITION BY user_id
+                         ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g),
+          ps AS (SELECT user_id, sid,
+                        arg_min(event_type,
+                          ${graft.functions.Portable
+                            .ordKeySql("tsu", "event_id")}) AS entry_type,
+                        max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted
+                 FROM s GROUP BY 1, 2),
+          a AS (SELECT entry_type, count(*) AS n_sessions,
+                       CAST(sum(converted) AS BIGINT) AS n_converted
+                FROM ps GROUP BY 1)
+          SELECT entry_type, n_sessions, n_converted,
+                 CAST(n_converted AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+                   AS conv_rate
+          FROM a ORDER BY entry_type""",
 
     "q226_weighted_pagerank" -> {
       def iter(prev: String, cur: String): String =
