@@ -1219,6 +1219,40 @@ object ScaleBench {
               .otherwise(col("id") % 1000000L).as("k"))
           graft.ext.Profile.keySkew(df, "k").collect()
         }
+      },
+      "nearest_hot_key" -> { n =>
+        time {
+          // the q222 shape under maximal skew: HALF of both sides on
+          // ONE key. Two range-shuffled as-ofs (backward + negated-time
+          // forward) and a local pick — a range join would fan out
+          // n/2 × n/2 candidates on the hot key.
+          val a = spark.range(n / 2).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            (col("id") * 4L).as("ts"))
+          val b = spark.range(n / 2).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            (col("id") * 4L + 2L).as("ts"))
+          graft.ext.Analytics.nearestEventWithin(a, b, "k", "ts", 1000L,
+              "near", "dist")
+            .agg(count(lit(1)), count(col("near"))).collect()
+        }
+      },
+      "bootstrap_fanout" -> { n =>
+        time {
+          // the q227 shape at m = n/10 rows (16 portable md5 hashes per
+          // row dominate — the shape measures that the ×16 explode is a
+          // map-side projection collapsing in ONE combinable (group, b)
+          // agg, so cost is linear in m×16 with a constant-size result).
+          val m = math.max(n / 10, 1000L)
+          val df = spark.range(m).select(
+            pmod(hash(col("id")), lit(5)).cast("string").as("g"),
+            col("id"), (col("id") % 97L).as("v"))
+          graft.ext.Stats.poissonBootstrapMeans(df, "g", col("id"),
+              col("v"), 16)
+            .agg(count(lit(1)), sum("n_eff")).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient
