@@ -630,6 +630,35 @@ object Warehouse {
       .unionByName(mergedDelta)
   }
 
+  /** Order-invariant per-group content fingerprint: (group, n_rows,
+    * fp_sum) where fp_sum is the SUM of a portable 30-bit md5 hash of
+    * each row's selected columns — change detection for snapshot
+    * equality ("did this partition change since yesterday") that costs
+    * ONE combinable pass and compares as two integers, instead of a
+    * row-by-row diff. Sum (not xor) so duplicate multiplicity counts;
+    * addition is commutative, so the fingerprint is identical under any
+    * partitioning and any engine (the hash is the md5-derived
+    * [[graft.functions.Portable.hash30]], mirrored verbatim in SQL).
+    * Nulls are folded through an explicit sentinel — `concat_ws` SKIPS
+    * nulls, which would collide (a, NULL, b) with (a, b, NULL).
+    * Collision note: a 30-bit hash sum is a cheap screen, not a proof —
+    * budget: 2³⁰ × rows-per-group must fit int64 (~8·10⁹ rows; sum as
+    * DECIMAL(38,0) beyond).
+    */
+  def tableFingerprint(df: DataFrame, groupCol: String,
+                       cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "tableFingerprint needs at least one column")
+    // chr(1) separates fields (so ("ab","c") != ("a","bc")); chr(2)
+    // is the null sentinel (distinct from empty string); both
+    // mirrored as chr(1)/chr(2) in the oracle
+    val rowKey = concat_ws("",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(graft.functions.Portable.hash30(rowKey)).as("fp_sum"))
+  }
+
   /** Read the committed standing aggregate of a [[durableAdditiveMvFold]]
     * directory (None before the first committed batch).
     */

@@ -85,6 +85,33 @@ object Profile {
     * |keys| rows, never the data); the three 1-row results cross-join.
     * Nothing collects more than a row.
     */
+  /** Exact join-size preflight: predict an equi-join's output
+    * cardinality BEFORE running it — one row: matching key count,
+    * Σ n_a(k)·n_b(k) (the exact output rows), the largest single key's
+    * contribution, and that key (ties → smallest), all from per-key
+    * COUNTS (two combinable aggs + one co-keyed join of |keys| rows —
+    * the preflight costs a scan of counts, never the join). The
+    * "will this join explode" audit that, at 100 TB, decides between
+    * running, salting ([[graft.engine.Skew]]), or going back to the
+    * author — the output-row budget is adversary-controlled by the
+    * hottest key, which is exactly what this reports. Overflow: per-key
+    * n_a·n_b and their sum must fit int64 (a predicted output beyond
+    * ~9·10¹⁸ rows is its own answer).
+    */
+  def joinSizeAudit(a: DataFrame, aKey: String, b: DataFrame,
+                    bKey: String): DataFrame = {
+    val ca = a.groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__na"))
+    val cb = b.groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__nb"))
+    val j = ca.join(cb, Seq("__k"))
+      .select(col("__k"), (col("__na") * col("__nb")).as("__prod"))
+    val totals = j.agg(count(lit(1)).as("n_matching_keys"),
+      sum(col("__prod")).as("est_rows"),
+      max(col("__prod")).as("max_key_rows"))
+    val hot = j.orderBy(col("__prod").desc, col("__k")).limit(1)
+      .select(col("__k").cast("string").as("top_key"))
+    totals.crossJoin(broadcast(hot))
+  }
+
   def keySkew(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("__n"))

@@ -600,6 +600,32 @@ object Round12Queries {
         .orderBy("entry_type")
     }),
 
+    // Join-size preflight: the EXACT output cardinality of the events
+    // self-join on user_id, predicted from per-key counts alone
+    // (Σ n_a·n_b, plus the hottest key's contribution) — the
+    // "will this join explode" audit that at 100 TB decides between
+    // running, salting, or vetoing the plan; costs two count aggs and
+    // a |keys|-row join, never the join itself.
+    "q230_join_size_audit" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select("user_id")
+      Profile.joinSizeAudit(ev, "user_id", ev, "user_id")
+    }),
+
+    // Order-invariant per-flag content fingerprint of lineitem
+    // (n_rows + summed portable row hash over key/line/price-cents):
+    // snapshot change detection that compares as two integers per
+    // partition instead of a row diff — identical under any
+    // partitioning because addition commutes, identical across engines
+    // because the row hash is the portable md5.
+    "q231_table_fingerprint" -> ((s, dir) =>
+      graft.engine.Warehouse.tableFingerprint(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("ln"),
+            Stats.cents(col("l_extendedprice")).as("pc")),
+          "l_returnflag", Seq("l_orderkey", "ln", "pc"))
+        .orderBy("l_returnflag")),
+
     // Streaming dimension enrichment: the unbounded event stream joined
     // to a STATIC broadcast dimension (nation) and aggregated per
     // enriched attribute — the stream-static join pattern (no state on
@@ -1273,6 +1299,37 @@ object Round12Queries {
                  CAST(n_converted AS DOUBLE) / CAST(n_sessions AS DOUBLE)
                    AS conv_rate
           FROM a ORDER BY entry_type""",
+
+    "q230_join_size_audit" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS n FROM events
+                    GROUP BY 1),
+          j AS (SELECT a.k, a.n * b.n AS prod
+                FROM c a JOIN c b ON a.k = b.k),
+          t AS (SELECT count(*) AS n_matching_keys,
+                       CAST(sum(prod) AS BIGINT) AS est_rows,
+                       CAST(max(prod) AS BIGINT) AS max_key_rows
+                FROM j),
+          h AS (SELECT CAST(k AS VARCHAR) AS top_key FROM j
+                ORDER BY prod DESC, k LIMIT 1)
+          SELECT n_matching_keys, est_rows, max_key_rows, top_key
+          FROM t, h""",
+
+    "q231_table_fingerprint" -> {
+      def f(e: String) = s"coalesce(CAST($e AS VARCHAR), chr(2))"
+      val rowKey = Seq(f("l_orderkey"), f("ln"), f("pc"))
+        .mkString(" || chr(1) || ")
+      s"""WITH li AS (SELECT l_returnflag, l_orderkey,
+                             CAST(l_linenumber AS BIGINT) AS ln,
+                             ${centsSql("l_extendedprice")} AS pc
+                      FROM lineitem),
+          h AS (SELECT l_returnflag,
+                       (CAST(('0x' || substr(md5($rowKey), 1, 15))
+                          AS BIGINT) & 1073741823) AS rh
+                FROM li)
+          SELECT l_returnflag, count(*) AS n_rows,
+                 CAST(sum(rh) AS BIGINT) AS fp_sum
+          FROM h GROUP BY 1 ORDER BY l_returnflag"""
+    },
 
     "q226_weighted_pagerank" -> {
       def iter(prev: String, cur: String): String =
