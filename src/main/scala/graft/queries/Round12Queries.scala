@@ -626,6 +626,53 @@ object Round12Queries {
           "l_returnflag", Seq("l_orderkey", "ln", "pc"))
         .orderBy("l_returnflag")),
 
+    // EXACT-count stratified split: per language, precisely ⌈80%⌉/
+    // remainder train/test counts (hash-cut splits are only
+    // approximately proportional) — ranks within each stratum over a
+    // portable hash order (deterministic yet unbiased), the integer
+    // comparison rank·10 < n·8 drawing the line, and an order-invariant
+    // id-sum proving MEMBERSHIP equality, not just counts. One global
+    // row-number pass; a stratum holding half the corpus shuffles by
+    // unique rank.
+    "q232_exact_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val keyed = docs.withColumn("__h",
+        graft.functions.Portable.hash30(col("doc_id").cast("string")))
+      val rn = graft.ext.GlobalOrder.withRowNumber(keyed,
+        Seq(col("lang"), col("__h"), col("doc_id")), "__rn")
+      val bounds = rn.groupBy("lang")
+        .agg(min(col("__rn")).as("__lo"), count(lit(1)).as("__n"))
+      rn.join(broadcast(bounds), Seq("lang"))
+        .withColumn("split",
+          when((col("__rn") - col("__lo")) * 10L < col("__n") * 8L,
+            "train").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang", "split")
+    }),
+
+    // Temperature-balanced corpus mixture (α = 0.5): per-source
+    // sampling weights ∝ √n — the standard low-resource-upweighting
+    // mix, kept engine-exact by INTEGER square roots (⌊√n⌋ — sqrt is
+    // correctly rounded IEEE, so the floor is identical everywhere;
+    // fractional powers would need libm pow). Weights and the
+    // integer-div token allocation are exact; the share is one IEEE
+    // division.
+    "q233_temperature_mix" -> ((s, dir) => {
+      val per = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("w", floor(sqrt(col("n_docs").cast("double")))
+          .cast("long"))
+      val tot = per.agg(sum(col("w")).as("__wt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"), col("w"),
+          (col("w").cast("double") / col("__wt").cast("double"))
+            .as("share"),
+          expr(s"(${MixBudget}L * w) div __wt").as("alloc_docs"))
+        .orderBy("source")
+    }),
+
     // Streaming dimension enrichment: the unbounded event stream joined
     // to a STATIC broadcast dimension (nation) and aggregated per
     // enriched attribute — the stream-static join pattern (no state on
@@ -658,6 +705,9 @@ object Round12Queries {
 
   /** q227 resample count. */
   private val BootResamples = 16
+
+  /** q233 sampling budget (documents to draw across sources). */
+  private val MixBudget = 100000L
 
   /** q219 silence threshold: 2 hours in epoch micros. */
   private val GapAlertUs = 7200000000L
@@ -1330,6 +1380,37 @@ object Round12Queries {
                  CAST(sum(rh) AS BIGINT) AS fp_sum
           FROM h GROUP BY 1 ORDER BY l_returnflag"""
     },
+
+    "q232_exact_split" ->
+      """WITH d AS (SELECT doc_id, lang,
+                           (CAST(('0x' || substr(md5(
+                              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                             & 1073741823) AS h
+                    FROM documents),
+          r AS (SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY h, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM d)
+          SELECT lang,
+                 CASE WHEN (rn - 1) * 10 < n * 8
+                      THEN 'train' ELSE 'test' END AS split,
+                 count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM r GROUP BY 1, 2 ORDER BY lang, split""",
+
+    "q233_temperature_mix" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+                              CAST(sum(n_chars) AS BIGINT) AS n_chars
+                       FROM documents GROUP BY 1),
+          w AS (SELECT source, n_docs, n_chars,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)))
+                            AS BIGINT) AS w
+                FROM per),
+          t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w)
+          SELECT source, n_docs, n_chars, w,
+                 CAST(w AS DOUBLE) / CAST(wt AS DOUBLE) AS share,
+                 CAST(($MixBudget * w) // wt AS BIGINT) AS alloc_docs
+          FROM w, t ORDER BY source""",
 
     "q226_weighted_pagerank" -> {
       def iter(prev: String, cur: String): String =
