@@ -673,6 +673,52 @@ object Round12Queries {
         .orderBy("source")
     }),
 
+    // Hourly-volume anomaly flags: per event type, the hours whose
+    // event count sits beyond 3 MAD of the type's own hourly median —
+    // q213's robust model applied to the derived series, with the flag
+    // COMPARISON kept entirely in integers (doubled deviations vs
+    // 3·doubled-MAD), so no epsilon anywhere. The ops alerting query a
+    // monitoring pipeline runs hourly.
+    "q234_hourly_anomalies" -> ((s, dir) => {
+      val series = eventsUs(s, dir)
+        .select(col("event_type"), expr(s"tsu div ${HourUsQ}L").as("b"))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("x"))
+      val model = Stats.madOutliers(series, "event_type", "x",
+          Seq(col("b")))
+        .select(col("event_type"), col("median"), col("mad"))
+      series.join(broadcast(model), Seq("event_type"))
+        .filter(abs(col("x") * 2L - (col("median") * 2.0).cast("long"))
+          * 2L >
+          lit(3L) * (col("mad") * 4.0).cast("long"))
+        .select(col("event_type"), col("b"), col("x"), col("median"),
+          col("mad"))
+        .orderBy("event_type", "b")
+    }),
+
+    // Ratio-to-parent rollup: each nation's revenue share WITHIN its
+    // region — the hierarchical contribution report, window-free (the
+    // parent totals are a second combinable aggregate broadcast back),
+    // exact integer cents until the one share division.
+    "q235_ratio_to_parent" -> ((s, dir) => {
+      val rev = t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(Stats.cents(col("o_totalprice"))).as("nation_cents"))
+      val regionTot = rev.groupBy("r_name")
+        .agg(sum(col("nation_cents")).as("region_cents"))
+      rev.join(broadcast(regionTot), Seq("r_name"))
+        .select(col("r_name"), col("n_name"), col("nation_cents"),
+          col("region_cents"),
+          (col("nation_cents").cast("double") /
+            col("region_cents").cast("double")).as("share"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // Streaming dimension enrichment: the unbounded event stream joined
     // to a STATIC broadcast dimension (nation) and aggregated per
     // enriched attribute — the stream-static join pattern (no state on
@@ -1411,6 +1457,41 @@ object Round12Queries {
                  CAST(w AS DOUBLE) / CAST(wt AS DOUBLE) AS share,
                  CAST(($MixBudget * w) // wt AS BIGINT) AS alloc_docs
           FROM w, t ORDER BY source""",
+
+    "q234_hourly_anomalies" ->
+      s"""WITH sr AS (SELECT event_type,
+                             epoch_us(ts) // 3600000000 AS b,
+                             count(*) AS x
+                      FROM events GROUP BY 1, 2),
+          m1 AS (SELECT event_type, median(x) AS med FROM sr GROUP BY 1),
+          d AS (SELECT sr.event_type,
+                       abs(2 * x - CAST(2 * med AS BIGINT)) AS dev2, b
+                FROM sr JOIN m1 USING (event_type)),
+          m2 AS (SELECT event_type, median(dev2) AS m2 FROM d GROUP BY 1)
+          SELECT sr.event_type, b, CAST(x AS BIGINT) AS x,
+                 med AS median, m2 / 2 AS mad
+          FROM sr JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+          WHERE abs(2 * x - CAST(2 * med AS BIGINT)) * 2
+                > 3 * CAST(2 * m2 AS BIGINT)
+          ORDER BY event_type, b""",
+
+    "q235_ratio_to_parent" ->
+      s"""WITH rev AS (SELECT r_name, n_name,
+                              CAST(sum(${centsSql("o_totalprice")})
+                                   AS BIGINT) AS nation_cents
+                       FROM customer
+                       JOIN orders ON c_custkey = o_custkey
+                       JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+                       GROUP BY 1, 2),
+          rt AS (SELECT r_name, CAST(sum(nation_cents) AS BIGINT)
+                          AS region_cents
+                 FROM rev GROUP BY 1)
+          SELECT rev.r_name, n_name, nation_cents, region_cents,
+                 CAST(nation_cents AS DOUBLE)
+                   / CAST(region_cents AS DOUBLE) AS share
+          FROM rev JOIN rt USING (r_name)
+          ORDER BY r_name, n_name""",
 
     "q226_weighted_pagerank" -> {
       def iter(prev: String, cur: String): String =
