@@ -719,6 +719,44 @@ object Round12Queries {
         .orderBy("r_name", "n_name")
     }),
 
+    // Conversion-latency median per user: the EXACT median
+    // click→purchase lag among 1-hour conversions — q185 answers "how
+    // many converted", this answers "how long it typically takes",
+    // composing the forward as-of (hot-user-safe range shuffle) into
+    // the global-rank group median (no per-user sort, result on the
+    // engine-portable .5 grid).
+    "q236_conversion_latency" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "tsu")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "tsu")
+      val conv = graft.ext.Analytics.nextEventWithin(clicks, purchases,
+          "user_id", "tsu", HourUs, "conv_ts")
+        .filter(col("conv_ts").isNotNull)
+        .select(col("user_id"), (col("conv_ts") - col("tsu")).as("lag_us"),
+          col("tsu"))
+      graft.ext.GlobalOrder.groupMedianOfLong(conv, "user_id", "lag_us",
+          Seq(col("tsu")))
+        .orderBy("user_id")
+    }),
+
+    // Typical cadence per user: the exact median inter-event gap —
+    // boundary-stitch lag (hot-user-safe) into the global-rank group
+    // median; the "how often does this entity act" feature behind
+    // bot-vs-human and engagement-tier segmentation.
+    "q237_user_cadence" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select("user_id", "tsu", "event_id")
+      val gaps = graft.ext.GlobalOrder.withLagPerKey(ev, "user_id", "tsu",
+          "tsu", Seq(col("event_id")), out = "prev_tsu")
+        .filter(col("prev_tsu").isNotNull)
+        .select(col("user_id"), (col("tsu") - col("prev_tsu")).as("gap_us"),
+          col("tsu"))
+      graft.ext.GlobalOrder.groupMedianOfLong(gaps, "user_id", "gap_us",
+          Seq(col("tsu")))
+        .orderBy("user_id")
+    }),
+
     // Streaming dimension enrichment: the unbounded event stream joined
     // to a STATIC broadcast dimension (nation) and aggregated per
     // enriched attribute — the stream-static join pattern (no state on
@@ -1492,6 +1530,34 @@ object Round12Queries {
                    / CAST(region_cents AS DOUBLE) AS share
           FROM rev JOIN rt USING (r_name)
           ORDER BY r_name, n_name""",
+
+    "q236_conversion_latency" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+                      FROM events),
+          a AS (SELECT user_id, tsu FROM ev WHERE event_type = 'click'),
+          b AS (SELECT user_id, tsu FROM ev
+                WHERE event_type = 'purchase'),
+          m AS (SELECT a.user_id, a.tsu,
+                       (SELECT min(b.tsu) FROM b
+                        WHERE b.user_id = a.user_id AND b.tsu > a.tsu)
+                         AS nxt
+                FROM a),
+          c AS (SELECT user_id, nxt - tsu AS lag_us FROM m
+                WHERE nxt IS NOT NULL AND nxt - tsu <= $HourUs)
+          SELECT user_id, count(*) AS n, median(lag_us) AS median
+          FROM c GROUP BY 1 ORDER BY user_id""",
+
+    "q237_user_cadence" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+                    FROM events),
+          l AS (SELECT user_id, tsu,
+                       lag(tsu) OVER (PARTITION BY user_id
+                         ORDER BY tsu, event_id) AS prev_tsu
+                FROM e),
+          g AS (SELECT user_id, tsu - prev_tsu AS gap_us FROM l
+                WHERE prev_tsu IS NOT NULL)
+          SELECT user_id, count(*) AS n, median(gap_us) AS median
+          FROM g GROUP BY 1 ORDER BY user_id""",
 
     "q226_weighted_pagerank" -> {
       def iter(prev: String, cur: String): String =
