@@ -180,6 +180,51 @@ object Dedup {
       .filter(col("dist") >= 0) // thresholded form returns -1 above maxDist
   }
 
+  /** Sorted-neighborhood candidate pairs — the classic complementary
+    * blocking discipline to [[editDistancePairs]]' equality blocks: sort
+    * every record by a normalized key and pair each record with its next
+    * `window` neighbors in that order. Where prefix-equality blocking
+    * misses a match whose block key differs (any edit inside the
+    * prefix), sorted-neighborhood still pairs records that LAND NEAR
+    * each other in sort order, at a guaranteed linear candidate budget:
+    * exactly n·window pairs, no degenerate-block quadratic blowup to
+    * cap.
+    *
+    * Shape: one [[GlobalOrder.withRowNumber]] total order over
+    * (key, id) — boundary-stitched, no single-task sort — then `window`
+    * co-partitioned equi-joins on rank+offset (an explode of the
+    * offsets, one shuffle). Returns (doc_a, doc_b, cmp_a, cmp_b) with
+    * doc_a < doc_b, each unordered pair at most once; the caller applies
+    * the match predicate (e.g. thresholded levenshtein) to the
+    * passed-through compare strings. `idCol` LongType and unique.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              keyCol: Column, cmpCol: Column,
+                              window: Int): DataFrame = {
+    require(window >= 1 && window <= 64,
+      s"window must be in [1, 64], got $window")
+    val base = docs.select(col(idCol).as("__snm_id"),
+      keyCol.as("__snm_key"), cmpCol.as("__snm_cmp"))
+    val rn = GlobalOrder.withRowNumber(base,
+      Seq(col("__snm_key"), col("__snm_id")), out = "__snm_rn")
+    val probes = rn
+      .withColumn("__snm_d", explode(array(
+        (1 to window).map(d => lit(d.toLong)): _*)))
+      .select(col("__snm_id").as("__snm_ia"),
+        col("__snm_cmp").as("__snm_ca"),
+        (col("__snm_rn") + col("__snm_d")).as("__snm_rn"))
+    val right = rn.select(col("__snm_id").as("__snm_ib"),
+      col("__snm_cmp").as("__snm_cb"), col("__snm_rn"))
+    probes.join(right, Seq("__snm_rn"))
+      .select(
+        least(col("__snm_ia"), col("__snm_ib")).as("doc_a"),
+        greatest(col("__snm_ia"), col("__snm_ib")).as("doc_b"),
+        when(col("__snm_ia") < col("__snm_ib"), col("__snm_ca"))
+          .otherwise(col("__snm_cb")).as("cmp_a"),
+        when(col("__snm_ia") < col("__snm_ib"), col("__snm_cb"))
+          .otherwise(col("__snm_ca")).as("cmp_b"))
+  }
+
   /** Word n-gram shingles per document, WITH positional duplicates:
     * (doc_id, shingle). No shuffle — a pure projection/explode.
     */

@@ -711,6 +711,186 @@ object Stats {
           .as("mean"))
   }
 
+  /** Per-group ROC AUC of an integer score against a binary label via
+    * the Mann–Whitney U statistic — the threshold-free ranking-quality
+    * summary ("does this score actually separate positives from
+    * negatives") behind every classifier audit and every learned
+    * data-quality filter. AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻); with
+    * cp(v)/cn(v) the positive/negative counts at each distinct score v
+    * and cnb(v) the negatives strictly below v,
+    * 2U = Σ_v cp(v)·(2·cnb(v) + cn(v)) — an EXACT integer under any
+    * partitioning, divided once at the end.
+    *
+    * Shape: one combinable groupBy((group, score)) compaction, then the
+    * [[GlobalOrder.withRunningTotalPerKey]] boundary-stitch over the
+    * COMPACTED table (≤ distinct scores per group rows — never the raw
+    * data, and a hot group never sorts in one task), then one
+    * combinable per-group fold. Overflow budget: 2U ≤ 2·n⁺·n⁻ must fit
+    * int64 — shard wider populations by stratum first. `groupCol`
+    * non-null LongType; `scoreCol` LongType; `posCol` boolean. Groups
+    * with no positives or no negatives yield null AUC.
+    */
+  def rocAuc(df: DataFrame, groupCol: String, posCol: Column,
+             scoreCol: Column, partitions: Int = 0): DataFrame = {
+    GlobalOrder.requireFresh(df, "__graft_s", "__graft_cp", "__graft_cn",
+      "__graft_rt")
+    val compact = df.groupBy(col(groupCol), scoreCol.as("__graft_s"))
+      .agg(count_if(posCol).as("__graft_cp"),
+        count_if(!posCol).as("__graft_cn"))
+    val run = GlobalOrder.withRunningTotalPerKey(compact, groupCol,
+      "__graft_s", "__graft_cn", Seq.empty, out = "__graft_rt",
+      partitions = partitions)
+    run
+      .withColumn("__graft_cnb", col("__graft_rt") - col("__graft_cn"))
+      .groupBy(groupCol)
+      .agg(sum(col("__graft_cp")).as("n_pos"),
+        sum(col("__graft_cn")).as("n_neg"),
+        sum(col("__graft_cp") *
+          (col("__graft_cnb") * 2L + col("__graft_cn"))).as("__graft_u2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("__graft_u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))).as("auc"))
+  }
+
+  /** Per-group Spearman rank correlation of two integer measures — the
+    * monotonic-association screen that [[momentStats]]' Pearson misses
+    * when the relationship is nonlinear or outlier-dominated. Ties get
+    * midranks (the standard tie correction): with cum(v) the inclusive
+    * count at or below v and c(v) the tie-block size, 2·midrank(v) =
+    * 2·cum(v) − c(v) + 1 — an integer, so all six rank sums are EXACT
+    * int64 under any partitioning and ρ is one fixed IEEE formula
+    * (the [[laggedPearson]] form) over doubled midranks, whose common
+    * ×2 scale cancels.
+    *
+    * Shape: per measure, one combinable (group, value) compaction +
+    * the [[GlobalOrder.withRunningTotalPerKey]] stitch over the
+    * compacted table + one co-partitioned equi-join back on
+    * (group, value); then one combinable six-sum fold. No window, no
+    * per-group sort. Overflow budget: Σ(2r)² ≤ 4n³ per group must fit
+    * int64 (n ≤ ~1.3M rows per group; shard beyond that). `groupCol`
+    * non-null LongType; x/y LongType. Null-x or null-y rows are
+    * dropped pairwise; degenerate groups (n < 2 or a constant side)
+    * yield null ρ.
+    */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: Column,
+                  yCol: Column, partitions: Int = 0): DataFrame = {
+    GlobalOrder.requireFresh(df, "__graft_x", "__graft_y", "__graft_c",
+      "__graft_rt", "__graft_rx", "__graft_ry")
+    val base = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol), xCol.as("__graft_x"), yCol.as("__graft_y"))
+    def ranks2(vc: String, out: String): DataFrame = {
+      val compact = base.groupBy(col(groupCol), col(vc))
+        .agg(count(lit(1)).as("__graft_c"))
+      GlobalOrder.withRunningTotalPerKey(compact, groupCol, vc,
+          "__graft_c", Seq.empty, out = "__graft_rt",
+          partitions = partitions)
+        .select(col(groupCol), col(vc),
+          (col("__graft_rt") * 2L - col("__graft_c") + 1L).as(out))
+    }
+    val joined = base
+      .join(ranks2("__graft_x", "__graft_rx"), Seq(groupCol, "__graft_x"))
+      .join(ranks2("__graft_y", "__graft_ry"), Seq(groupCol, "__graft_y"))
+    val agg = joined.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(col("__graft_rx")).as("__sx"), sum(col("__graft_ry")).as("__sy"),
+      sum(col("__graft_rx") * col("__graft_rx")).as("__sxx"),
+      sum(col("__graft_ry") * col("__graft_ry")).as("__syy"),
+      sum(col("__graft_rx") * col("__graft_ry")).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n") * d("__sxy") - d("__sx") * d("__sy")
+    val vx = d("n") * d("__sxx") - d("__sx") * d("__sx")
+    val vy = d("n") * d("__syy") - d("__sy") * d("__sy")
+    agg.select(col(groupCol), col("n"),
+      when(col("n") >= 2L && vx =!= 0.0 && vy =!= 0.0,
+        cov / sqrt(vx * vy)).as("rho"))
+  }
+
+  /** Per-group Pareto concentration: the smallest top-k of entities
+    * (by descending value) whose running total reaches `pctNum/pctDen`
+    * of the group's total — "how many customers are 80% of the
+    * revenue", the actionable sibling of [[groupGini]]'s single
+    * coefficient. Returns (group, n_entities, total_value, n_top,
+    * top_value, top_share); the threshold test is exact integer
+    * arithmetic (cum·den ≥ total·num), share is the one final
+    * division.
+    *
+    * Shape: two [[GlobalOrder.withRunningTotalPerKey]] stitches over
+    * the per-entity rows in (value desc, tie) order — the running
+    * value and the running rank — then one combinable per-group total
+    * and a broadcast join back for the threshold argmin (a
+    * min-of-struct, combinable). Input must be ONE row per (group,
+    * entity): pre-aggregate first. Values must be non-negative;
+    * total·pctDen must fit int64. `groupCol` non-null LongType,
+    * `valueCol` non-null LongType.
+    */
+  def paretoTopShare(df: DataFrame, groupCol: String, valueCol: String,
+                     tieCols: Seq[Column], pctNum: Int = 4,
+                     pctDen: Int = 5, partitions: Int = 0): DataFrame = {
+    require(pctNum > 0 && pctDen >= pctNum,
+      s"need 0 < pctNum <= pctDen, got $pctNum/$pctDen")
+    GlobalOrder.requireFresh(df, "__graft_negv", "__graft_one",
+      "__graft_cum", "__graft_rnk")
+    val withNeg = df
+      .withColumn("__graft_negv", -col(valueCol))
+      .withColumn("__graft_one", lit(1L))
+    val cum = GlobalOrder.withRunningTotalPerKey(withNeg, groupCol,
+      "__graft_negv", valueCol, tieCols, out = "__graft_cum",
+      partitions = partitions)
+    val rnk = GlobalOrder.withRunningTotalPerKey(cum, groupCol,
+      "__graft_negv", "__graft_one", tieCols, out = "__graft_rnk",
+      partitions = partitions)
+    val tot = rnk.groupBy(groupCol).agg(
+      count(lit(1)).as("n_entities"), sum(col(valueCol)).as("total_value"))
+    val hit = rnk.join(broadcast(tot), Seq(groupCol))
+      .filter(col("__graft_cum") * pctDen.toLong >=
+        col("total_value") * pctNum.toLong)
+      .groupBy(groupCol)
+      .agg(min(struct(col("__graft_rnk").as("n_top"),
+        col("__graft_cum").as("top_value"))).as("__graft_hit"))
+    tot.join(hit, Seq(groupCol))
+      .select(col(groupCol), col("n_entities"), col("total_value"),
+        col("__graft_hit.n_top").as("n_top"),
+        col("__graft_hit.top_value").as("top_value"),
+        (col("__graft_hit.top_value").cast("double") /
+          col("total_value").cast("double")).as("top_share"))
+  }
+
+  /** Per-group Kendall τ-b over a SHORT per-group series (daily/hourly
+    * aggregates — the caller guarantees bounded group size, since the
+    * pair join is |group|² rows): concordant/discordant/tied pair
+    * counts from one co-partitioned self-join on the group key with
+    * idx_a < idx_b, then τ-b = (C − D) / √((C+D+T)·(C+D)) — the tie-
+    * corrected form, exact integers until the one final sqrt+division.
+    * Requires the idx to be UNIQUE per group (no x-ties; true for any
+    * per-period aggregate), so the x tie term vanishes and
+    * n₀ = C + D + T. For unbounded groups use [[spearmanRho]], which
+    * is O(n log n) in shuffle rather than O(n²) in pairs. Returns
+    * (group, n_pairs, c, d, t, tau); τ null when no pairs or C+D = 0.
+    */
+  def kendallTau(df: DataFrame, groupCol: String, idxCol: String,
+                 valueCol: String): DataFrame = {
+    val a = df.select(col(groupCol), col(idxCol).as("__ka_i"),
+      col(valueCol).as("__ka_v"))
+    val b = df.select(col(groupCol), col(idxCol).as("__kb_i"),
+      col(valueCol).as("__kb_v"))
+    val pairs = a.join(b, Seq(groupCol))
+      .filter(col("__kb_i") > col("__ka_i"))
+    val agg = pairs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_pairs"),
+      count_if(col("__kb_v") > col("__ka_v")).as("c"),
+      count_if(col("__kb_v") < col("__ka_v")).as("d"),
+      count_if(col("__kb_v") === col("__ka_v")).as("t"))
+    agg.select(col(groupCol), col("n_pairs"), col("c"), col("d"),
+      col("t"),
+      when(col("n_pairs") > 0L && col("c") + col("d") > 0L,
+        (col("c") - col("d")).cast("double") /
+          sqrt(col("n_pairs").cast("double") *
+            (col("c") + col("d")).cast("double"))).as("tau"))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

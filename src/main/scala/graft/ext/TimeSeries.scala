@@ -232,4 +232,48 @@ object TimeSeries {
       .agg(sum(col("__graft_e") - col("__graft_s")).as("covered"),
         count(lit(1)).as("n_segments"))
   }
+
+  /** Per-key longest run of CONSECUTIVE integer indices — the
+    * gaps-and-islands summary ("longest daily-activity streak") behind
+    * retention/habit scoring: from the key's distinct index set, the
+    * maximal runs where each index is exactly prev+1. Returns one row
+    * per key: `n_idx` (distinct indices), `n_runs` (maximal runs),
+    * `longest` (longest run length), `longest_start` (that run's first
+    * index; ties → the earliest run).
+    *
+    * Shape: distinct (one combinable groupBy), then two
+    * boundary-stitch passes over the compacted per-key index rows —
+    * [[GlobalOrder.withLagPerKey]] marks run breaks (first row or
+    * gap > 1), [[GlobalOrder.withRunningTotalPerKey]] turns break
+    * flags into run ids — then two combinable groupBys (per run, per
+    * key). A key active every day for a decade is ~3 650 rows after
+    * compaction; no per-key single-task sort anywhere. The
+    * longest-run argmax is a min-of-struct((−len, start)) — combinable
+    * and deterministic under ties. `keyCol`/`idxCol` non-null
+    * LongType.
+    */
+  def longestRun(df: DataFrame, keyCol: String, idxCol: String,
+                 partitions: Int = 0): DataFrame = {
+    GlobalOrder.requireFresh(df, "__graft_prev", "__graft_brk",
+      "__graft_run")
+    val d = df.select(col(keyCol), col(idxCol)).distinct()
+    val lag = GlobalOrder.withLagPerKey(d, keyCol, idxCol, idxCol,
+      Seq.empty, out = "__graft_prev", partitions = partitions)
+    val flagged = lag.withColumn("__graft_brk",
+      when(col("__graft_prev").isNull ||
+        col(idxCol) - col("__graft_prev") > 1L, 1L).otherwise(0L))
+    val runs = GlobalOrder.withRunningTotalPerKey(flagged, keyCol, idxCol,
+        "__graft_brk", Seq.empty, out = "__graft_run",
+        partitions = partitions)
+      .groupBy(col(keyCol), col("__graft_run"))
+      .agg(count(lit(1)).as("__graft_len"), min(col(idxCol)).as("__graft_s"))
+    runs.groupBy(col(keyCol))
+      .agg(sum(col("__graft_len")).as("n_idx"),
+        max(col("__graft_run")).as("n_runs"),
+        max(col("__graft_len")).as("longest"),
+        min(struct((-col("__graft_len")).as("nl"),
+          col("__graft_s").as("s"))).as("__graft_best"))
+      .select(col(keyCol), col("n_idx"), col("n_runs"), col("longest"),
+        col("__graft_best").getField("s").as("longest_start"))
+  }
 }

@@ -1,0 +1,466 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Readers
+import graft.ext.{Dedup, GlobalOrder, Similarity, Stats, TimeSeries}
+
+/** Round-12 continuation batch: ranking-quality (ROC AUC), monotonic
+  * association (Spearman), concentration (Pareto top-share), and
+  * habit/retention (longest activity streak) operators — each a library
+  * operator (`ext`) gated here against a DuckDB oracle on the driver's
+  * parquet tables. All follow the repo's exact-integer discipline: the
+  * distributed aggregates are int64-exact under any partitioning and
+  * the few derived doubles are one fixed IEEE formula on both engines.
+  */
+object Round12bQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Readers.eventsNanos(s, dir).select(
+      col("user_id"), expr("ts div 1000").as("tsu"),
+      col("event_id"), col("event_type"), col("value"))
+
+  /** DuckDB twin of [[graft.ext.Stats.cents]]. */
+  private def centsSql(e: String, scale: Int = 100): String =
+    s"CAST(floor($e * $scale + 0.5) AS BIGINT)"
+
+  /** q238 cohort modulus (the q223 user-sharding convention). */
+  private val AucCohorts = 8L
+
+  /** q241 day bucket: 1 day in epoch micros. */
+  private val DayUs = 86400000000L
+
+  /** q239 event-type key map (alphabetical, shared with the oracle —
+    * the boundary-stitch primitives key on int64, so the 5 known
+    * types get a fixed literal code and the output maps it back).
+    */
+  private val TypeCodes =
+    Seq("click" -> 0L, "error" -> 1L, "purchase" -> 2L,
+      "signup" -> 3L, "view" -> 4L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ROC AUC of the value score as a purchase-vs-click separator, per
+    // user cohort: the Mann–Whitney rank statistic computed from exact
+    // integer tie-block counts — one compaction, one boundary-stitch
+    // running total over distinct scores, one combinable fold.
+    "q238_roc_auc" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(pmod(col("user_id"), lit(AucCohorts)).as("cohort"),
+          (col("event_type") === "purchase").as("__pos"),
+          Stats.cents(col("value")).as("__score"))
+      Stats.rocAuc(ev, "cohort", col("__pos"), col("__score"))
+        .orderBy("cohort")
+    }),
+
+    // Spearman rank correlation of value against time per event type:
+    // the outlier-robust monotonic-drift screen (q204 fits a line,
+    // q217 needs regular buckets — this ranks). Midranks handle ties;
+    // every rank sum is integer-exact.
+    "q239_spearman" -> ((s, dir) => {
+      val typeKey = TypeCodes.tail.foldLeft(
+        when(col("event_type") === TypeCodes.head._1,
+          lit(TypeCodes.head._2))) { case (acc, (n, c)) =>
+        acc.when(col("event_type") === n, lit(c))
+      }
+      val keyName = TypeCodes.tail.foldLeft(
+        when(col("tk") === TypeCodes.head._2,
+          lit(TypeCodes.head._1))) { case (acc, (n, c)) =>
+        acc.when(col("tk") === c, lit(n))
+      }
+      val ev = eventsUs(s, dir).select(typeKey.as("tk"),
+        col("tsu"), Stats.cents(col("value")).as("vc"))
+      Stats.spearmanRho(ev, "tk", col("tsu"), col("vc"))
+        .select(keyName.as("event_type"), col("n"), col("rho"))
+        .orderBy("event_type")
+    }),
+
+    // Pareto concentration of order revenue per nation: the smallest
+    // top-k of customers covering >= 80% of the nation's revenue —
+    // integer threshold test on two boundary-stitched running totals
+    // over per-customer aggregates, shares divided once.
+    "q240_pareto_revenue" -> ((s, dir) => {
+      val rev = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nk"),
+          col("c_custkey"))
+        .agg(sum(Stats.cents(col("o_totalprice"))).as("cents"))
+      Stats.paretoTopShare(rev, "nk", "cents", Seq(col("c_custkey")))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("n_entities").as("n_customers"),
+          col("total_value").as("total_cents"), col("n_top"),
+          col("top_value").as("top_cents"), col("top_share"))
+        .orderBy("n_name")
+    }),
+
+    // Longest consecutive-day activity streak per user: distinct
+    // epoch-days -> gaps-and-islands via two boundary-stitch passes
+    // (lag marks breaks, running total numbers runs) -> combinable
+    // per-run and per-user folds.
+    "q241_active_streaks" -> ((s, dir) => {
+      val d = eventsUs(s, dir).select(col("user_id"),
+        expr(s"tsu div ${DayUs}L").as("day"))
+      TimeSeries.longestRun(d, "user_id", "day")
+        .select(col("user_id"), col("n_idx").as("n_days"),
+          col("n_runs"), col("longest"), col("longest_start"))
+        .orderBy("user_id")
+    }),
+
+    // Year-over-year revenue bridge: every customer classified as
+    // new / churned / expansion / contraction / stable between the two
+    // periods from ONE conditional-aggregation pass (no self-join, no
+    // second scan), then one combinable class rollup — the waterfall
+    // decomposition behind "where did the delta come from".
+    "q242_revenue_bridge" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(BridgeY1, BridgeY2))
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === BridgeY1,
+            Stats.cents(col("o_totalprice"))).otherwise(0L)).as("y1"),
+          sum(when(year(col("o_orderdate")) === BridgeY2,
+            Stats.cents(col("o_totalprice"))).otherwise(0L)).as("y2"))
+      val cls = when(col("y1") === 0L, "new")
+        .when(col("y2") === 0L, "churned")
+        .when(col("y2") > col("y1"), "expansion")
+        .when(col("y2") < col("y1"), "contraction")
+        .otherwise("stable")
+      per.select(cls.as("bridge_class"), col("y1"), col("y2"))
+        .groupBy("bridge_class")
+        .agg(count(lit(1)).as("n_customers"), sum(col("y1")).as("y1_cents"),
+          sum(col("y2")).as("y2_cents"),
+          sum(col("y2") - col("y1")).as("delta_cents"))
+        .orderBy("bridge_class")
+    }),
+
+    // kNN label-disagreement screen over the embeddings: each vector's
+    // 5 exact nearest neighbors (the q30 brute scorer — the exactness
+    // gate; the 100 TB path swaps in knnLsh/IVF buckets) vote on its
+    // label, and a vector most of whose neighbors disagree is a
+    // mislabel suspect — the embedding-space data-quality audit.
+    "q243_knn_label_disagree" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lab = e.select(col("vec_id"), col("label").cast("long"))
+      val knn = Similarity.knnBrute(e, e, KnnK)
+      val per = knn
+        .join(broadcast(lab.toDF("query_id", "qlab")), Seq("query_id"))
+        .join(broadcast(lab.toDF("neighbor_id", "nlab")),
+          Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("qlab"))
+        .agg(count_if(col("nlab") =!= col("qlab")).as("n_diff"))
+      per.groupBy(col("qlab").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count_if(col("n_diff") * 2L >= KnnK.toLong).as("n_suspect"),
+          sum(col("n_diff")).as("n_disagree"))
+        .orderBy("label")
+    }),
+
+    // Sorted-neighborhood entity resolution over the documents: rank by
+    // normalized key prefix, pair each doc with its next 3 neighbors in
+    // sort order (linear candidate budget — no quadratic block risk),
+    // then a banded-DP thresholded edit distance on the compare prefix.
+    "q244_sorted_neighborhood" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.sortedNeighborhoodPairs(d, "doc_id",
+        substring(lower(col("text")), 1, SnmKeyLen),
+        substring(lower(col("text")), 1, SnmCmpLen), SnmWindow)
+      pairs.select(col("doc_a"), col("doc_b"),
+          levenshtein(col("cmp_a"), col("cmp_b"), SnmMaxDist)
+            .cast("long").as("dist"))
+        .filter(col("dist") >= 0L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Systematic every-Kth sample in global (ts, event_id) order — the
+    // survey-sampling design whose implicit stratification-by-time a
+    // hash sample (q47/q48) cannot give: one boundary-stitched global
+    // row number, a modulus filter, one combinable per-type fold.
+    "q245_systematic_sample" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select(col("event_type"), col("tsu"),
+        col("event_id"), Stats.cents(col("value")).as("vc"))
+      GlobalOrder.withRowNumber(ev,
+          Seq(col("tsu"), col("event_id")), out = "rn")
+        .filter(pmod(col("rn"), lit(SysK)) === 0L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("vc")).as("cents_sum"),
+          min(col("rn")).as("first_rn"), max(col("rn")).as("last_rn"))
+        .orderBy("event_type")
+    }),
+
+    // Kendall τ-b of daily volume against time per event type — the
+    // small-n exact trend test (≤ 31 daily points per group, so the
+    // |group|² pair join is bounded by construction; spearmanRho is the
+    // unbounded-n path). Integer C/D/T counts, one final formula.
+    "q246_kendall_tau" -> ((s, dir) => {
+      val daily = eventsUs(s, dir)
+        .groupBy(col("event_type"),
+          expr(s"tsu div ${DayUs}L").as("day"))
+        .agg(sum(Stats.cents(col("value"))).as("vc"))
+      Stats.kendallTau(daily, "event_type", "day", "vc")
+        .orderBy("event_type")
+    })
+  )
+
+  /** q242 bridge years (the orders table spans 1995..2001). */
+  private val BridgeY1 = 1997
+  private val BridgeY2 = 1998
+
+  /** q243 neighbor count. */
+  private val KnnK = 5
+
+  /** q244 sorted-neighborhood parameters: sort-key / compare prefix
+    * lengths, neighbor window, and the banded-DP distance cap.
+    */
+  private val SnmKeyLen = 20
+  private val SnmCmpLen = 60
+  private val SnmWindow = 3
+  private val SnmMaxDist = 30
+
+  /** q245 systematic sampling stride. */
+  private val SysK = 7L
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q238_roc_auc" ->
+      s"""WITH e AS (SELECT user_id % $AucCohorts AS cohort,
+                            event_type = 'purchase' AS pos,
+                            ${centsSql("value")} AS score
+                     FROM events
+                     WHERE event_type IN ('click', 'purchase')),
+          s AS (SELECT cohort, score,
+                       CAST(count(CASE WHEN pos THEN 1 END) AS BIGINT)
+                         AS cp,
+                       CAST(count(CASE WHEN NOT pos THEN 1 END) AS BIGINT)
+                         AS cn
+                FROM e GROUP BY 1, 2),
+          w AS (SELECT cohort, cp, cn,
+                       CAST(coalesce(sum(cn) OVER (PARTITION BY cohort
+                         ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+                FROM s),
+          a AS (SELECT cohort, CAST(sum(cp) AS BIGINT) AS n_pos,
+                       CAST(sum(cn) AS BIGINT) AS n_neg,
+                       CAST(sum(cp * (2 * cnb + cn)) AS BIGINT) AS u2
+                FROM w GROUP BY 1)
+          SELECT cohort, n_pos, n_neg,
+                 CASE WHEN n_pos > 0 AND n_neg > 0
+                      THEN CAST(u2 AS DOUBLE)
+                           / (2.0 * CAST(n_pos AS DOUBLE)
+                              * CAST(n_neg AS DOUBLE)) END AS auc
+          FROM a ORDER BY cohort""",
+
+    "q239_spearman" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS x,
+                            ${centsSql("value")} AS y
+                     FROM events),
+          rx AS (SELECT event_type, x,
+                        CAST(2 * cum - c + 1 AS BIGINT) AS rx2
+                 FROM (SELECT event_type, x, count(*) AS c,
+                              sum(count(*)) OVER (PARTITION BY event_type
+                                ORDER BY x) AS cum
+                       FROM e GROUP BY 1, 2) t),
+          ry AS (SELECT event_type, y,
+                        CAST(2 * cum - c + 1 AS BIGINT) AS ry2
+                 FROM (SELECT event_type, y, count(*) AS c,
+                              sum(count(*)) OVER (PARTITION BY event_type
+                                ORDER BY y) AS cum
+                       FROM e GROUP BY 1, 2) t),
+          j AS (SELECT e.event_type, rx2, ry2
+                FROM e JOIN rx USING (event_type, x)
+                       JOIN ry USING (event_type, y)),
+          a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(rx2) AS BIGINT) AS sx,
+                       CAST(sum(ry2) AS BIGINT) AS sy,
+                       CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+                       CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+                       CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+                FROM j GROUP BY 1)
+          SELECT event_type, n,
+                 CASE WHEN n >= 2
+                       AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0
+                      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE)))
+                      END AS rho
+          FROM a ORDER BY event_type""",
+
+    "q240_pareto_revenue" ->
+      s"""WITH r AS (SELECT c_nationkey AS nk, c_custkey AS ck,
+                            CAST(sum(${centsSql("o_totalprice")})
+                              AS BIGINT) AS cents
+                     FROM customer
+                     JOIN orders ON c_custkey = o_custkey
+                     GROUP BY 1, 2),
+          w AS (SELECT nk, ck, cents,
+                       CAST(sum(cents) OVER (PARTITION BY nk
+                         ORDER BY cents DESC, ck) AS BIGINT) AS cum,
+                       CAST(row_number() OVER (PARTITION BY nk
+                         ORDER BY cents DESC, ck) AS BIGINT) AS rnk
+                FROM r),
+          t AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_customers,
+                       CAST(sum(cents) AS BIGINT) AS total_cents
+                FROM r GROUP BY 1),
+          h AS (SELECT nk, rnk AS n_top, cum AS top_cents FROM (
+                  SELECT w.nk, w.rnk, w.cum,
+                         row_number() OVER (PARTITION BY w.nk
+                           ORDER BY w.rnk) AS q
+                  FROM w JOIN t USING (nk)
+                  WHERE w.cum * 5 >= t.total_cents * 4) z
+                WHERE q = 1)
+          SELECT n_name, n_customers, total_cents, n_top, top_cents,
+                 CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                   AS top_share
+          FROM t JOIN h USING (nk)
+          JOIN nation ON n_nationkey = nk
+          ORDER BY n_name""",
+
+    "q241_active_streaks" ->
+      s"""WITH d AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // $DayUs AS day
+                     FROM events),
+          g AS (SELECT user_id, day,
+                       day - row_number() OVER (PARTITION BY user_id
+                         ORDER BY day) AS grp
+                FROM d),
+          runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+                          CAST(min(day) AS BIGINT) AS run_start
+                   FROM g GROUP BY 1, 2),
+          agg AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+                         CAST(count(*) AS BIGINT) AS n_runs,
+                         CAST(max(len) AS BIGINT) AS longest
+                  FROM runs GROUP BY 1),
+          pick AS (SELECT user_id, run_start AS longest_start FROM (
+                     SELECT user_id, run_start,
+                            row_number() OVER (PARTITION BY user_id
+                              ORDER BY len DESC, run_start) AS q
+                     FROM runs) z
+                   WHERE q = 1)
+          SELECT agg.user_id, n_days, n_runs, longest, longest_start
+          FROM agg JOIN pick USING (user_id)
+          ORDER BY user_id""",
+
+    "q242_revenue_bridge" ->
+      s"""WITH c AS (SELECT o_custkey,
+                            CAST(sum(CASE WHEN year(o_orderdate) = $BridgeY1
+                              THEN ${centsSql("o_totalprice")}
+                              ELSE 0 END) AS BIGINT) AS y1,
+                            CAST(sum(CASE WHEN year(o_orderdate) = $BridgeY2
+                              THEN ${centsSql("o_totalprice")}
+                              ELSE 0 END) AS BIGINT) AS y2
+                     FROM orders
+                     WHERE year(o_orderdate) IN ($BridgeY1, $BridgeY2)
+                     GROUP BY 1),
+          k AS (SELECT CASE WHEN y1 = 0 THEN 'new'
+                            WHEN y2 = 0 THEN 'churned'
+                            WHEN y2 > y1 THEN 'expansion'
+                            WHEN y2 < y1 THEN 'contraction'
+                            ELSE 'stable' END AS bridge_class, y1, y2
+                FROM c)
+          SELECT bridge_class, CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(y1) AS BIGINT) AS y1_cents,
+                 CAST(sum(y2) AS BIGINT) AS y2_cents,
+                 CAST(sum(y2 - y1) AS BIGINT) AS delta_cents
+          FROM k GROUP BY 1 ORDER BY bridge_class""",
+
+    "q243_knn_label_disagree" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lab,
+                            CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          scored AS (SELECT q.vec_id AS query_id, q.lab AS qlab,
+                            c.lab AS nlab, c.vec_id AS neighbor_id,
+                            round(${knnCosSql("q.v", "c.v")}, 6) AS score
+                     FROM e q, e c WHERE c.vec_id <> q.vec_id),
+          r AS (SELECT query_id, qlab, nlab,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id) AS rnk
+                FROM scored),
+          per AS (SELECT query_id, qlab,
+                         CAST(count(CASE WHEN nlab <> qlab THEN 1 END)
+                           AS BIGINT) AS n_diff
+                  FROM r WHERE rnk <= $KnnK GROUP BY 1, 2)
+          SELECT qlab AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(count(CASE WHEN n_diff * 2 >= $KnnK THEN 1 END)
+                   AS BIGINT) AS n_suspect,
+                 CAST(sum(n_diff) AS BIGINT) AS n_disagree
+          FROM per GROUP BY 1 ORDER BY label""",
+
+    "q244_sorted_neighborhood" ->
+      s"""WITH d AS (SELECT doc_id,
+                            substr(lower(text), 1, $SnmKeyLen) AS k,
+                            substr(lower(text), 1, $SnmCmpLen) AS c
+                     FROM documents),
+          rn AS (SELECT doc_id, c,
+                        row_number() OVER (ORDER BY k, doc_id) AS rn
+                 FROM d),
+          p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.c AS ca,
+                       b.c AS cb
+                FROM rn a JOIN rn b
+                  ON b.rn > a.rn AND b.rn <= a.rn + $SnmWindow),
+          m AS (SELECT CASE WHEN ia < ib THEN ia ELSE ib END AS doc_a,
+                       CASE WHEN ia < ib THEN ib ELSE ia END AS doc_b,
+                       CAST(levenshtein(ca, cb) AS BIGINT) AS dist
+                FROM p WHERE levenshtein(ca, cb) <= $SnmMaxDist)
+          SELECT doc_a, doc_b, dist FROM m ORDER BY doc_a, doc_b""",
+
+    "q245_systematic_sample" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, event_id,
+                            ${centsSql("value")} AS vc
+                     FROM events),
+          rn AS (SELECT event_type, vc,
+                        row_number() OVER (ORDER BY tsu, event_id) AS rn
+                 FROM e)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(vc) AS BIGINT) AS cents_sum,
+                 CAST(min(rn) AS BIGINT) AS first_rn,
+                 CAST(max(rn) AS BIGINT) AS last_rn
+          FROM rn WHERE rn % $SysK = 0
+          GROUP BY 1 ORDER BY event_type""",
+
+    "q246_kendall_tau" ->
+      s"""WITH daily AS (SELECT event_type,
+                               epoch_us(ts) // $DayUs AS day,
+                               CAST(sum(${centsSql("value")}) AS BIGINT)
+                                 AS vc
+                        FROM events GROUP BY 1, 2),
+          pairs AS (SELECT a.event_type,
+                           CASE WHEN b.vc > a.vc THEN 1 ELSE 0 END AS cc,
+                           CASE WHEN b.vc < a.vc THEN 1 ELSE 0 END AS dd,
+                           CASE WHEN b.vc = a.vc THEN 1 ELSE 0 END AS tt
+                    FROM daily a JOIN daily b
+                      ON a.event_type = b.event_type AND b.day > a.day),
+          agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                         CAST(sum(cc) AS BIGINT) AS c,
+                         CAST(sum(dd) AS BIGINT) AS d,
+                         CAST(sum(tt) AS BIGINT) AS t
+                  FROM pairs GROUP BY 1)
+          SELECT event_type, n_pairs, c, d, t,
+                 CASE WHEN n_pairs > 0 AND c + d > 0
+                      THEN CAST(c - d AS DOUBLE)
+                           / sqrt(CAST(n_pairs AS DOUBLE)
+                                  * CAST(c + d AS DOUBLE)) END AS tau
+          FROM agg ORDER BY event_type"""
+  )
+
+  /** DuckDB twin of [[graft.ext.Similarity.knnBrute]]'s cosine (the q30
+    * oracle form — norms via list_sum/list_transform).
+    */
+  private def knnCosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / sqrt(list_sum(list_transform($a, " +
+      s"x -> x*x)) * list_sum(list_transform($b, x -> x*x)))"
+}

@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Hand-computed contracts for the round-12 continuation operators:
+  * rocAuc (Mann–Whitney with ties), spearmanRho (midranks), Pareto
+  * top-share (integer threshold + argmin), longestRun
+  * (gaps-and-islands).
+  */
+class Round12bSuite extends SparkSpec {
+  import spark.implicits._
+
+  describe("Stats.rocAuc") {
+    it("matches the hand-computed U statistic with ties") {
+      // group 0: pos scores {3, 2}, neg scores {1, 2}
+      // pairs: 3>1, 3>2, 2>1 = 3 wins; 2=2 one tie -> U = 3.5
+      val df = Seq(
+        (0L, true, 3L), (0L, true, 2L), (0L, false, 1L), (0L, false, 2L),
+        (1L, true, 5L), (1L, true, 7L) // no negatives -> null auc
+      ).toDF("g", "pos", "s")
+      val out = Stats.rocAuc(df, "g", col("pos"), col("s"))
+        .orderBy("g").collect()
+      assert(out(0) === Row(0L, 2L, 2L, 3.5 / 4.0))
+      assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 0L)
+      assert(out(1).isNullAt(3))
+    }
+
+    it("is 1.0 for perfect separation and 0.5 for identical scores") {
+      val df = Seq(
+        (0L, true, 10L), (0L, true, 9L), (0L, false, 1L), (0L, false, 2L),
+        (1L, true, 5L), (1L, false, 5L)
+      ).toDF("g", "pos", "s")
+      val out = Stats.rocAuc(df, "g", col("pos"), col("s"))
+        .orderBy("g").collect()
+      assert(out(0).getDouble(3) === 1.0)
+      assert(out(1).getDouble(3) === 0.5)
+    }
+  }
+
+  describe("Stats.spearmanRho") {
+    it("is ±1 for perfect monotonic relations, null when degenerate") {
+      val df = Seq(
+        (0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L),
+        (1L, 1L, 30L), (1L, 2L, 20L), (1L, 3L, 10L),
+        (2L, 1L, 7L), (2L, 2L, 7L), (2L, 3L, 7L)
+      ).toDF("g", "x", "y")
+      val out = Stats.spearmanRho(df, "g", col("x"), col("y"))
+        .orderBy("g").collect()
+      assert(out(0).getDouble(2) === 1.0)
+      assert(out(1).getDouble(2) === -1.0)
+      assert(out(2).isNullAt(2)) // constant y: zero rank variance
+    }
+
+    it("applies midranks to ties (hand-computed sqrt(0.9) case)") {
+      // x = [1,2,2,3] -> 2·midranks [2,5,5,8]; y = [1,2,3,4] -> [2,4,6,8]
+      // Pearson = 72 / sqrt(72·80) = sqrt(0.9)
+      val df = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 2L, 3L), (0L, 3L, 4L))
+        .toDF("g", "x", "y")
+      val out = Stats.spearmanRho(df, "g", col("x"), col("y")).collect()
+      assert(math.abs(out(0).getDouble(2) - math.sqrt(0.9)) < 1e-15)
+    }
+
+    it("drops null-x or null-y rows pairwise") {
+      val df = Seq(
+        (0L, Some(1L), Some(10L)), (0L, Some(2L), Some(20L)),
+        (0L, None, Some(99L)), (0L, Some(9L), None)
+      ).toDF("g", "x", "y")
+      val out = Stats.spearmanRho(df, "g", col("x"), col("y")).collect()
+      assert(out(0).getLong(1) === 2L && out(0).getDouble(2) === 1.0)
+    }
+  }
+
+  describe("Stats.paretoTopShare") {
+    it("finds the smallest top-k reaching 80% (hand case)") {
+      // values 50,30,10,10: cum desc 50,80,90,100 -> n_top=2, top=80
+      val df = Seq((0L, 1L, 50L), (0L, 2L, 30L), (0L, 3L, 10L),
+        (0L, 4L, 10L)).toDF("g", "id", "v")
+      val out = Stats.paretoTopShare(df, "g", "v", Seq(col("id")))
+        .collect()
+      assert(out(0) === Row(0L, 4L, 100L, 2L, 80L, 0.8))
+    }
+
+    it("handles a single entity and deterministic tie order") {
+      val df = Seq((0L, 9L, 7L),
+        (1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 5L)).toDF("g", "id", "v")
+      val out = Stats.paretoTopShare(df, "g", "v", Seq(col("id")))
+        .orderBy("g").collect()
+      assert(out(0) === Row(0L, 1L, 7L, 1L, 7L, 1.0))
+      // g=1: total 25, 80% = 20 -> cum 10 (id 1), 20 (id 2) -> n_top 2
+      assert(out(1) === Row(1L, 3L, 25L, 2L, 20L, 0.8))
+    }
+  }
+
+  describe("TimeSeries.longestRun") {
+    it("splits runs at gaps and reports the longest (ties -> earliest)") {
+      val df = Seq((7L, 1L), (7L, 2L), (7L, 3L), (7L, 5L), (7L, 6L),
+        (7L, 10L), (7L, 10L), // duplicate index must dedup
+        (8L, 4L), (8L, 5L), (8L, 8L), (8L, 9L) // two len-2 runs
+      ).toDF("k", "i")
+      val out = TimeSeries.longestRun(df, "k", "i").orderBy("k").collect()
+      assert(out(0) === Row(7L, 6L, 3L, 3L, 1L))
+      assert(out(1) === Row(8L, 4L, 2L, 2L, 4L)) // earliest of the ties
+    }
+
+    it("treats a lone index as a run of one") {
+      val df = Seq((1L, 42L)).toDF("k", "i")
+      val out = TimeSeries.longestRun(df, "k", "i").collect()
+      assert(out(0) === Row(1L, 1L, 1L, 1L, 42L))
+    }
+  }
+}
