@@ -204,8 +204,181 @@ object Round12bQueries {
         .agg(sum(Stats.cents(col("value"))).as("vc"))
       Stats.kendallTau(daily, "event_type", "day", "vc")
         .orderBy("event_type")
+    }),
+
+    // Supplier co-occurrence similarity over the trade graph, fan-out
+    // capped BEFORE the self-join: each customer keeps only its top-8
+    // suppliers (the bounded-combiner TopKLongPairs aggregate — O(k)
+    // state per customer, no window), so pair cardinality is ≤ 28 per
+    // customer by construction — the cap-then-pair discipline a 100 TB
+    // co-occurrence join needs. Jaccard over the capped edge set.
+    "q247_cooccurrence_sim" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("ck"),
+          col("l_suppkey").cast("long").as("sk"))
+        .agg(count(lit(1)).as("n_trades"))
+      val capped = graft.functions.TopKFunctions.topkPerGroup(
+          edges, Seq(col("ck")), col("n_trades"), col("sk"), CoocCap)
+        .select(col("ck"), col("id").as("sk"))
+      val deg = capped.groupBy("sk").agg(count(lit(1)).as("deg"))
+      val pairs = capped.toDF("ck", "sa")
+        .join(capped.toDF("ck", "sb"), Seq("ck"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+      pairs
+        .join(deg.toDF("sa", "deg_a"), Seq("sa"))
+        .join(deg.toDF("sb", "deg_b"), Seq("sb"))
+        .select(col("sa").as("supp_a"), col("sb").as("supp_b"),
+          col("common"), col("deg_a"), col("deg_b"),
+          (col("common").cast("double") /
+            (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+            .as("jaccard"))
+        .orderBy(desc("common"), col("supp_a"), col("supp_b"))
+        .limit(CoocTopPairs)
+    }),
+
+    // Mutual nearest neighbors over the embeddings: pairs where each
+    // vector is the other's exact top-1 — the high-precision match set
+    // embedding alignment and conservative near-dup merging start from.
+    // One brute top-1 pass (the q30 scorer) + one self-join on the
+    // reciprocity condition.
+    "q248_mutual_nn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val top1 = Similarity.knnBrute(e, e, 1)
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+      val lab = e.select(col("vec_id"), col("label").cast("long"))
+      top1.toDF("qa", "na", "score")
+        .join(top1.toDF("qb", "nb", "sb"),
+          col("na") === col("qb") && col("nb") === col("qa"))
+        .filter(col("qa") < col("qb"))
+        .join(broadcast(lab.toDF("qa", "lab_a")), Seq("qa"))
+        .join(broadcast(lab.toDF("qb", "lab_b")), Seq("qb"))
+        .select(col("qa").as("vec_a"), col("qb").as("vec_b"),
+          col("score"), col("lab_a"), col("lab_b"),
+          (col("lab_a") === col("lab_b")).as("same_label"))
+        .orderBy("vec_a")
+    }),
+
+    // Degree distribution of the trade graph in power-of-two buckets:
+    // per role (customer / supplier), how many nodes have degree in
+    // [2^b, 2^(b+1)) — the skew fingerprint read before choosing a
+    // join strategy. Bucket = length(bin(deg)) - 1: exact integer
+    // log2 on both engines, no floating log anywhere.
+    "q249_degree_histogram" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val degC = pairs.groupBy("ck").agg(count(lit(1)).as("deg"))
+        .select(lit("cust").as("role"), col("deg"))
+      val degS = pairs.groupBy("sk").agg(count(lit(1)).as("deg"))
+        .select(lit("supp").as("role"), col("deg"))
+      degC.unionByName(degS)
+        .select(col("role"),
+          (length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+        .groupBy("role", "bucket")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("role", "bucket")
+    }),
+
+    // Rank-biased overlap (p = 1/2) between the 1997 and 1998 customer
+    // revenue rankings, emitted PER DEPTH: a_d = |top-d ∩ top-d|,
+    // overlap fraction, and the RBO term (a_d/d)·2⁻ᵈ — every weight an
+    // exact power of two injected as the same literal on both engines,
+    // every row independent (no cross-row double summation to order).
+    "q250_rank_overlap" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(BridgeY1, BridgeY2))
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === BridgeY1,
+            Stats.cents(col("o_totalprice"))).otherwise(0L)).as("y1"),
+          sum(when(year(col("o_orderdate")) === BridgeY2,
+            Stats.cents(col("o_totalprice"))).otherwise(0L)).as("y2"))
+      def rankOf(vc: String, out: String): DataFrame =
+        GlobalOrder.withRowNumber(
+          per.filter(col(vc) > 0L).select(col("o_custkey"), col(vc)),
+          Seq(-col(vc), col("o_custkey")), out = out)
+          .select(col("o_custkey"), col(out))
+      val m = rankOf("y1", "r1").join(rankOf("y2", "r2"), "o_custkey")
+        .select(greatest(col("r1"), col("r2")).as("m"))
+        .filter(col("m") <= RboDepth.toLong)
+      val spine = s.range(1, RboDepth + 1).select(col("id").as("d"))
+      val weights = (1 to RboDepth)
+        .map(d => (d.toLong, math.pow(2.0, -d))).toSeq
+      val wDf = s.createDataFrame(weights).toDF("d", "w")
+      spine.join(m, col("m") <= col("d"), "left")
+        .groupBy("d").agg(count(col("m")).as("a_d"))
+        .join(broadcast(wDf), Seq("d"))
+        .select(col("d"), col("a_d"),
+          (col("a_d").cast("double") / col("d").cast("double"))
+            .as("overlap"),
+          (col("a_d").cast("double") / col("d").cast("double") *
+            col("w")).as("term"))
+        .orderBy("d")
+    }),
+
+    // SCD-2 snapshot diff: the q181 history read AS OF two points
+    // (quarter and three-quarter span), full-outer joined per key and
+    // classified added / changed / unchanged — "what moved between
+    // yesterday and today" as two pure filters + one key join, never
+    // a rescan of the change stream.
+    "q251_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val changes = Readers.eventsNanos(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ver_us"),
+          col("event_type"))
+      val Row(mn: Long, mx: Long) =
+        changes.agg(min("ver_us"), max("ver_us")).head()
+      val hist = graft.engine.Warehouse.scd2HistoryBig(changes,
+        "user_id", "ver_us", Seq("event_type"))
+      val t1 = mn + (mx - mn) / 4
+      val t2 = mn + 3 * ((mx - mn) / 4)
+      val s1 = graft.engine.Warehouse.scd2Snapshot(hist, t1)
+        .select(col("user_id"), col("event_type").as("et1"))
+      val s2 = graft.engine.Warehouse.scd2Snapshot(hist, t2)
+        .select(col("user_id"), col("event_type").as("et2"))
+      s1.join(s2, Seq("user_id"), "full_outer")
+        .select(when(col("et1").isNull, "added")
+          .when(col("et2").isNull, "removed")
+          .when(col("et1") =!= col("et2"), "changed")
+          .otherwise("unchanged").as("diff_class"))
+        .groupBy("diff_class")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("diff_class")
+    }),
+
+    // Per-user signed running balance (purchases/signups credit,
+    // clicks/views/errors debit): closing balance, worst drawdown, and
+    // the first overdraft instant — the semi-additive balance audit via
+    // ONE boundary-stitched running total and a combinable fold.
+    "q252_net_balance" -> ((s, dir) => {
+      val signed = eventsUs(s, dir).select(col("user_id"), col("tsu"),
+        col("event_id"),
+        when(col("event_type").isin("purchase", "signup"),
+          Stats.cents(col("value")))
+          .otherwise(-Stats.cents(col("value"))).as("sv"))
+      GlobalOrder.withRunningTotalPerKey(signed, "user_id", "tsu",
+          "sv", Seq(col("event_id")), out = "bal")
+        .groupBy("user_id")
+        .agg(sum(col("sv")).as("final_cents"),
+          min(col("bal")).as("min_cents"),
+          count_if(col("bal") < 0L).as("n_overdrawn"),
+          min(when(col("bal") < 0L, col("tsu"))).as("first_neg_tsu"))
+        .orderBy("user_id")
     })
   )
+
+  /** q247 per-customer supplier cap and reported pair count. */
+  private val CoocCap = 8
+  private val CoocTopPairs = 20
+
+  /** q250 RBO depth (weights 2⁻ᵈ stay well above double underflow). */
+  private val RboDepth = 50
 
   /** q242 bridge years (the orders table spans 1995..2001). */
   private val BridgeY1 = 1997
@@ -454,7 +627,160 @@ object Round12bQueries {
                       THEN CAST(c - d AS DOUBLE)
                            / sqrt(CAST(n_pairs AS DOUBLE)
                                   * CAST(c + d AS DOUBLE)) END AS tau
-          FROM agg ORDER BY event_type"""
+          FROM agg ORDER BY event_type""",
+
+    "q247_cooccurrence_sim" ->
+      s"""WITH e AS (SELECT o_custkey AS ck, CAST(l_suppkey AS BIGINT)
+                       AS sk, count(*) AS n
+                     FROM orders
+                     JOIN lineitem ON o_orderkey = l_orderkey
+                     GROUP BY 1, 2),
+          capped AS (SELECT ck, sk FROM (
+                       SELECT ck, sk, row_number() OVER (PARTITION BY ck
+                         ORDER BY n DESC, sk) AS rn
+                       FROM e) t
+                     WHERE rn <= $CoocCap),
+          deg AS (SELECT sk, CAST(count(*) AS BIGINT) AS dg
+                  FROM capped GROUP BY 1),
+          pairs AS (SELECT a.sk AS sa, b.sk AS sb,
+                           CAST(count(*) AS BIGINT) AS common
+                    FROM capped a JOIN capped b
+                      ON a.ck = b.ck AND a.sk < b.sk
+                    GROUP BY 1, 2)
+          SELECT sa AS supp_a, sb AS supp_b, common,
+                 da.dg AS deg_a, db.dg AS deg_b,
+                 CAST(common AS DOUBLE)
+                   / CAST(da.dg + db.dg - common AS DOUBLE) AS jaccard
+          FROM pairs JOIN deg da ON da.sk = sa
+                     JOIN deg db ON db.sk = sb
+          ORDER BY common DESC, supp_a, supp_b
+          LIMIT $CoocTopPairs""",
+
+    "q248_mutual_nn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lab,
+                            CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                            round(${knnCosSql("q.v", "c.v")}, 6) AS score
+                     FROM e q, e c WHERE c.vec_id <> q.vec_id),
+          r AS (SELECT query_id, neighbor_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id) AS rnk
+                FROM scored),
+          t1 AS (SELECT query_id, neighbor_id, score FROM r
+                 WHERE rnk = 1),
+          m AS (SELECT a.query_id AS vec_a, b.query_id AS vec_b, a.score
+                FROM t1 a JOIN t1 b
+                  ON a.neighbor_id = b.query_id
+                 AND b.neighbor_id = a.query_id
+                WHERE a.query_id < b.query_id)
+          SELECT vec_a, vec_b, score, la.lab AS lab_a, lb.lab AS lab_b,
+                 la.lab = lb.lab AS same_label
+          FROM m JOIN e la ON la.vec_id = vec_a
+                 JOIN e lb ON lb.vec_id = vec_b
+          ORDER BY vec_a""",
+
+    "q249_degree_histogram" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS ck,
+                           CAST(l_suppkey AS BIGINT) AS sk
+                    FROM orders
+                    JOIN lineitem ON o_orderkey = l_orderkey),
+          dc AS (SELECT 'cust' AS role, CAST(count(*) AS BIGINT) AS deg
+                 FROM p GROUP BY ck),
+          ds AS (SELECT 'supp' AS role, CAST(count(*) AS BIGINT) AS deg
+                 FROM p GROUP BY sk),
+          u AS (SELECT * FROM dc UNION ALL SELECT * FROM ds)
+          SELECT role, CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_nodes
+          FROM u GROUP BY 1, 2 ORDER BY role, bucket""",
+
+    "q250_rank_overlap" -> {
+      val spineVals = (1 to RboDepth).map { d =>
+        s"($d, '${math.pow(2.0, -d)}'::DOUBLE)"
+      }.mkString(", ")
+      s"""WITH per AS (SELECT o_custkey,
+                              CAST(sum(CASE WHEN year(o_orderdate)
+                                  = $BridgeY1
+                                THEN ${centsSql("o_totalprice")}
+                                ELSE 0 END) AS BIGINT) AS y1,
+                              CAST(sum(CASE WHEN year(o_orderdate)
+                                  = $BridgeY2
+                                THEN ${centsSql("o_totalprice")}
+                                ELSE 0 END) AS BIGINT) AS y2
+                       FROM orders
+                       WHERE year(o_orderdate) IN ($BridgeY1, $BridgeY2)
+                       GROUP BY 1),
+          ra AS (SELECT o_custkey, row_number() OVER (ORDER BY y1 DESC,
+                   o_custkey) AS r1
+                 FROM per WHERE y1 > 0),
+          rb AS (SELECT o_custkey, row_number() OVER (ORDER BY y2 DESC,
+                   o_custkey) AS r2
+                 FROM per WHERE y2 > 0),
+          m AS (SELECT m FROM (
+                  SELECT CASE WHEN r1 > r2 THEN r1 ELSE r2 END AS m
+                  FROM ra JOIN rb USING (o_custkey)) t
+                WHERE m <= $RboDepth),
+          spine(d, w) AS (VALUES $spineVals),
+          a AS (SELECT d, w, CAST(count(m.m) AS BIGINT) AS a_d
+                FROM spine LEFT JOIN m ON m.m <= spine.d
+                GROUP BY 1, 2)
+          SELECT CAST(d AS BIGINT) AS d, a_d,
+                 CAST(a_d AS DOUBLE) / CAST(d AS DOUBLE) AS overlap,
+                 CAST(a_d AS DOUBLE) / CAST(d AS DOUBLE) * w AS term
+          FROM a ORDER BY d"""
+    },
+
+    "q251_snapshot_diff" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ver_us, event_type,
+                           lag(event_type) OVER w AS prev,
+                           lag(epoch_us(ts)) OVER w AS prev_ver
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts))),
+          ch AS (SELECT user_id, ver_us, event_type FROM c
+                 WHERE prev_ver IS NULL
+                    OR prev IS DISTINCT FROM event_type),
+          h AS (SELECT user_id, event_type, ver_us AS valid_from,
+                       lead(ver_us) OVER (PARTITION BY user_id
+                         ORDER BY ver_us) AS valid_to
+                FROM ch),
+          a AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                FROM events),
+          tt AS (SELECT mn + (mx - mn) // 4 AS t1,
+                        mn + 3 * ((mx - mn) // 4) AS t2 FROM a),
+          s1 AS (SELECT user_id, event_type AS et1 FROM h, tt
+                 WHERE valid_from <= t1
+                   AND (valid_to IS NULL OR valid_to > t1)),
+          s2 AS (SELECT user_id, event_type AS et2 FROM h, tt
+                 WHERE valid_from <= t2
+                   AND (valid_to IS NULL OR valid_to > t2)),
+          d AS (SELECT CASE WHEN et1 IS NULL THEN 'added'
+                            WHEN et2 IS NULL THEN 'removed'
+                            WHEN et1 <> et2 THEN 'changed'
+                            ELSE 'unchanged' END AS diff_class
+                FROM s1 FULL OUTER JOIN s2 USING (user_id))
+          SELECT diff_class, CAST(count(*) AS BIGINT) AS n_users
+          FROM d GROUP BY 1 ORDER BY diff_class""",
+
+    "q252_net_balance" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                           CASE WHEN event_type IN ('purchase', 'signup')
+                                THEN CAST(floor(value * 100 + 0.5)
+                                  AS BIGINT)
+                                ELSE -CAST(floor(value * 100 + 0.5)
+                                  AS BIGINT) END AS sv
+                    FROM events),
+          w AS (SELECT user_id, tsu, sv,
+                       CAST(sum(sv) OVER (PARTITION BY user_id
+                         ORDER BY tsu, event_id) AS BIGINT) AS bal
+                FROM e)
+          SELECT user_id, CAST(sum(sv) AS BIGINT) AS final_cents,
+                 CAST(min(bal) AS BIGINT) AS min_cents,
+                 CAST(count(CASE WHEN bal < 0 THEN 1 END) AS BIGINT)
+                   AS n_overdrawn,
+                 CAST(min(CASE WHEN bal < 0 THEN tsu END) AS BIGINT)
+                   AS first_neg_tsu
+          FROM w GROUP BY 1 ORDER BY user_id"""
   )
 
   /** DuckDB twin of [[graft.ext.Similarity.knnBrute]]'s cosine (the q30

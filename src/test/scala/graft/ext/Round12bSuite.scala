@@ -110,4 +110,52 @@ class Round12bSuite extends SparkSpec {
       assert(out(0) === Row(1L, 1L, 1L, 1L, 42L))
     }
   }
+
+  describe("Stats.kendallTau") {
+    it("matches hand-computed C/D/T counts with ties") {
+      // values over idx 1..4: [10,20,20,5] -> C=2 D=3 T=1,
+      // tau = -1/sqrt(30)
+      val df = Seq((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 20L),
+        (0L, 4L, 5L)).toDF("g", "i", "v")
+      val out = Stats.kendallTau(df, "g", "i", "v").collect()
+      assert(out(0).getLong(1) === 6L && out(0).getLong(2) === 2L &&
+        out(0).getLong(3) === 3L && out(0).getLong(4) === 1L)
+      assert(math.abs(out(0).getDouble(5) - (-1.0 / math.sqrt(30.0)))
+        < 1e-15)
+    }
+
+    it("is 1 for a strictly increasing series, null for all-tied") {
+      val df = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+        (1L, 1L, 9L), (1L, 2L, 9L)).toDF("g", "i", "v")
+      val out = Stats.kendallTau(df, "g", "i", "v").orderBy("g").collect()
+      assert(out(0).getDouble(5) === 1.0)
+      assert(out(1).isNullAt(5)) // C+D = 0
+    }
+  }
+
+  describe("Dedup.sortedNeighborhoodPairs") {
+    it("pairs each record with its next w sort neighbors, once each") {
+      // sort order by key: 20(a) < 30(b) < 10(c); window 1 ->
+      // rank pairs (20,30), (30,10) -> canonical (20,30), (10,30)
+      val df = Seq((10L, "c", "C10"), (20L, "a", "A20"),
+        (30L, "b", "B30")).toDF("id", "k", "c")
+      val out = Dedup.sortedNeighborhoodPairs(df, "id", col("k"),
+          col("c"), 1)
+        .orderBy("doc_a", "doc_b").collect()
+      assert(out.length === 2)
+      // (30,10) flips to (10,30) and the cmp strings flip with it
+      assert(out(0) === Row(10L, 30L, "C10", "B30"))
+      assert(out(1) === Row(20L, 30L, "A20", "B30"))
+    }
+
+    it("emits exactly n·w - w(w+1)/2 candidate pairs, no duplicates") {
+      val df = (1L to 10L).map(i => (i, f"k$i%02d", s"c$i"))
+        .toDF("id", "k", "c")
+      val out = Dedup.sortedNeighborhoodPairs(df, "id", col("k"),
+        col("c"), 3).collect()
+      assert(out.length === 10 * 3 - 3 * 4 / 2) // 24: tail truncation
+      val keys = out.map(r => (r.getLong(0), r.getLong(1)))
+      assert(keys.distinct.length === keys.length)
+    }
+  }
 }
