@@ -1253,6 +1253,85 @@ object ScaleBench {
               col("v"), 16)
             .agg(count(lit(1)), sum("n_eff")).collect()
         }
+      },
+      "auc_hot_group" -> { n =>
+        time {
+          // the q238 shape under maximal skew: HALF of n rows in ONE
+          // group, 10k distinct scores. The (group, score) compaction
+          // collapses the hot group map-side to ≤10k rows before the
+          // running-total stitch ever sees it; 2U ≈ 2·(n/4)² ≈ 1.3e15
+          // at 1e8 rows — inside the int64 budget.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("g"),
+            (col("id") % 3 === 0).as("p"),
+            pmod(hash(col("id")), lit(10000)).cast("long").as("s"))
+          graft.ext.Stats.rocAuc(df, "g", col("p"), col("s"))
+            .agg(count(lit(1)), sum("n_pos")).collect()
+        }
+      },
+      "spearman_hot_group" -> { n =>
+        time {
+          // the q239 shape at the documented per-group budget edge:
+          // the hot group takes 1% of rows (1e6 at the big size —
+          // Σ(2r)² ≤ 4n³ per group caps group size near 1.3e6; wider
+          // populations shard by stratum first, per the scaladoc).
+          // Exercises both compaction+stitch legs and the two
+          // co-partitioned rank join-backs.
+          val df = spark.range(n).select(
+            when(col("id") % 100 === 0, lit(0L))
+              .otherwise(col("id") % 100000L).as("g"),
+            (col("id") % 100000L).as("x"),
+            pmod(hash(col("id")), lit(10000)).cast("long").as("y"))
+          graft.ext.Stats.spearmanRho(df, "g", col("x"), col("y"))
+            .agg(count(lit(1)), sum("n")).collect()
+        }
+      },
+      "pareto_hot_group" -> { n =>
+        time {
+          // the q240 shape under maximal skew: HALF of n entities in
+          // ONE group. Two running-total stitches in (value desc, ent)
+          // order; the threshold argmin is a broadcast of ~1e3 group
+          // totals. total·5 ≈ 2.5e12 at 1e8 — exact.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("g"),
+            col("id").as("ent"),
+            (pmod(hash(col("id")), lit(10000)) + 1L).cast("long").as("v"))
+          graft.ext.Stats.paretoTopShare(df, "g", "v", Seq(col("ent")))
+            .agg(count(lit(1)), sum("n_top")).collect()
+        }
+      },
+      "streak_hot_key" -> { n =>
+        time {
+          // the q241 shape under maximal skew: HALF of n distinct
+          // indices on ONE key, a break every 7 (runs of 7 that the
+          // lag + running-total stitches must number); the cold tail
+          // keys make every run length 1. Per-run rows ≈ n/14 — the
+          // groupBys stay combinable.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            when(col("id") % 2 === 0,
+              expr("id div 2 + (id div 2) div 7"))
+              .otherwise(col("id")).as("i"))
+          graft.ext.TimeSeries.longestRun(df, "k", "i")
+            .agg(count(lit(1)), sum("n_runs"), max("longest")).collect()
+        }
+      },
+      "snm_window" -> { n =>
+        time {
+          // the q244 shape: sorted-neighborhood over m = n/10 docs,
+          // window 4 — the candidate budget is exactly linear
+          // (m·4 − 10 pairs) by construction; the measurement pins the
+          // rank stitch + the 4-offset equi-join staying linear too.
+          val m = math.max(n / 10, 1000L)
+          val df = spark.range(m).select(col("id"),
+            substring(md5(col("id").cast("string")), 1, 8).as("k"))
+          graft.ext.Dedup.sortedNeighborhoodPairs(df, "id", col("k"),
+              col("k"), 4)
+            .agg(count(lit(1))).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

@@ -381,6 +381,52 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient — [[triangleCount]]'s
+    * degree-oriented wedge-closing pipeline, but instead of folding the
+    * closed wedges to one count, each triangle {u, x, y} is credited to
+    * all three corners (an explode-by-union, map-side) and one
+    * combinable per-node count divides into 2·T_v / (deg_v·(deg_v−1)).
+    * Returns (node, deg, tri, coef) for every node; coef null when
+    * deg < 2 (no possible wedge). The orientation bound still holds:
+    * wedge generation fans out by the LOW-degree endpoint, so a hub
+    * never enumerates its own deg² pairs.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+    val e1 = oriented.select(col("u"), col("v").as("x"))
+    val e2 = oriented.select(col("u"), col("v").as("y"))
+    val closed = e1.join(e2, "u").filter(col("x") < col("y"))
+      .join(canon.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"))
+    val tri = closed.select(col("u").as("node"))
+      .unionAll(closed.select(col("x").as("node")))
+      .unionAll(closed.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2L,
+          (coalesce(col("tri"), lit(0L)) * 2L).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double")).as("coef"))
+  }
+
   /** Minimum hop distance from a seed set, by frontier-expanding BFS
     * with a fixed depth budget — the reachability primitive behind
     * "within k links of a trusted/blocked node" corpus policies.

@@ -817,10 +817,10 @@ object Stats {
     * arithmetic (cum·den ≥ total·num), share is the one final
     * division.
     *
-    * Shape: two [[GlobalOrder.withRunningTotalPerKey]] stitches over
-    * the per-entity rows in (value desc, tie) order — the running
-    * value and the running rank — then one combinable per-group total
-    * and a broadcast join back for the threshold argmin (a
+    * Shape: ONE fused [[GlobalOrder.withRunningTotalsPerKey]] stitch
+    * over the per-entity rows in (value desc, tie) order carrying both
+    * running measures (value and rank), then one combinable per-group
+    * total and a broadcast join back for the threshold argmin (a
     * min-of-struct, combinable). Input must be ONE row per (group,
     * entity): pre-aggregate first. Values must be non-negative;
     * total·pctDen must fit int64. `groupCol` non-null LongType,
@@ -836,12 +836,13 @@ object Stats {
     val withNeg = df
       .withColumn("__graft_negv", -col(valueCol))
       .withColumn("__graft_one", lit(1L))
-    val cum = GlobalOrder.withRunningTotalPerKey(withNeg, groupCol,
-      "__graft_negv", valueCol, tieCols, out = "__graft_cum",
-      partitions = partitions)
-    val rnk = GlobalOrder.withRunningTotalPerKey(cum, groupCol,
-      "__graft_negv", "__graft_one", tieCols, out = "__graft_rnk",
-      partitions = partitions)
+    // one ordered pass for BOTH running measures (value + rank): a
+    // second single-column stitch re-sorts the whole input — measured
+    // 1.30 per-row ratio on the 10⁸ pareto_hot_group shape vs ~1.0
+    // with the fused pass
+    val rnk = GlobalOrder.withRunningTotalsPerKey(withNeg, groupCol,
+      "__graft_negv", Seq(valueCol, "__graft_one"), tieCols,
+      outs = Seq("__graft_cum", "__graft_rnk"), partitions = partitions)
     val tot = rnk.groupBy(groupCol).agg(
       count(lit(1)).as("n_entities"), sum(col(valueCol)).as("total_value"))
     val hit = rnk.join(broadcast(tot), Seq(groupCol))

@@ -352,6 +352,191 @@ object Round12bQueries {
         .orderBy("diff_class")
     }),
 
+    // Sample-ratio-mismatch audit: users deterministically split into
+    // two arms by the portable md5 hash (no RNG), per-event-type arm
+    // counts, and the binomial z — THE pre-read of every A/B analysis
+    // (a skewed split invalidates the experiment before any effect
+    // size is computed). One combinable pass.
+    "q253_srm_audit" -> ((s, dir) => {
+      val arm = pmod(graft.functions.Portable.hash60(
+        concat(lit("arm:"), col("user_id").cast("string"))), lit(2L))
+      val agg = eventsUs(s, dir).select(col("event_type"), arm.as("arm"))
+        .groupBy("event_type")
+        .agg(count_if(col("arm") === 0L).as("n_a"),
+          count_if(col("arm") === 1L).as("n_b"))
+      agg.select(col("event_type"), col("n_a"), col("n_b"),
+        ((col("n_a") - col("n_b")).cast("double") /
+          sqrt((col("n_a") + col("n_b")).cast("double"))).as("z"),
+        (abs((col("n_a") - col("n_b")).cast("double") /
+          sqrt((col("n_a") + col("n_b")).cast("double"))) > 3.0)
+          .as("srm_flag"))
+        .orderBy("event_type")
+    }),
+
+    // Customer-revenue decile table (the Lorenz curve in 10 rows):
+    // boundary-stitched global ntile, one combinable per-decile fold,
+    // then cumulative shares via a 10×10 spine join — exact integer
+    // cents everywhere, shares divided once per row.
+    "q254_decile_table" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(Stats.cents(col("o_totalprice"))).as("cents"))
+      val nt = GlobalOrder.withNtile(rev, 10,
+        Seq(col("cents"), col("o_custkey")), out = "decile")
+      val d = nt.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+      val cum = d.select(col("decile").as("db"), col("cents").as("cb"))
+        .join(d.select(col("decile")), col("db") <= col("decile"))
+        .groupBy("decile").agg(sum(col("cb")).as("cum_cents"))
+      val tot = d.agg(sum(col("cents")).as("total"))
+      d.join(cum, "decile").crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"), col("cents"),
+          col("cum_cents"),
+          (col("cents").cast("double") / col("total").cast("double"))
+            .as("share"),
+          (col("cum_cents").cast("double") / col("total").cast("double"))
+            .as("cum_share"))
+        .orderBy("decile")
+    }),
+
+    // Rapid-repeat (double-fire) audit: same user, same event type,
+    // within 5 s of the previous occurrence — the instrumentation-bug
+    // screen dedup pipelines run before trusting event counts. The
+    // (user, type) composite collapses to ONE int64 key
+    // (user·8 + typecode) for the boundary-stitch lag.
+    "q255_rapid_repeat" -> ((s, dir) => {
+      val typeKey = TypeCodes.tail.foldLeft(
+        when(col("event_type") === TypeCodes.head._1,
+          lit(TypeCodes.head._2))) { case (acc, (n, c)) =>
+        acc.when(col("event_type") === n, lit(c))
+      }
+      val ev = eventsUs(s, dir).select(col("event_type"), col("user_id"),
+        col("tsu"), col("event_id"),
+        (col("user_id") * 8L + typeKey).as("k"))
+      val lagged = GlobalOrder.withLagPerKey(ev, "k", "tsu", "tsu",
+        Seq(col("event_id")), out = "prev")
+      val rapid = col("prev").isNotNull &&
+        col("tsu") - col("prev") <= RapidUs
+      lagged.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count_if(rapid).as("n_rapid"),
+          countDistinct(when(rapid, col("user_id"))).as("n_users_rapid"))
+        .orderBy("event_type")
+    }),
+
+    // Activation funnel: signup → first purchase AFTER it — how many
+    // signed-up users ever convert and the exact median activation
+    // latency. Two conditional mins in one combinable pass; the median
+    // is the global-rank medianOfLong (no sort on one task).
+    "q256_signup_to_purchase" -> ((s, dir) => {
+      val f = eventsUs(s, dir).groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("tsu")))
+          .as("su"),
+          min(when(col("event_type") === "purchase", col("tsu")))
+            .as("pu"))
+      val converted = col("su").isNotNull && col("pu").isNotNull &&
+        col("pu") > col("su")
+      val conv = f.filter(converted)
+        .select(col("user_id"), (col("pu") - col("su")).as("lat"))
+      val counts = f.agg(count_if(col("su").isNotNull).as("n_signed"),
+        count_if(converted).as("n_converted"))
+      val med = GlobalOrder.medianOfLong(conv, "lat", Seq(col("user_id")))
+      counts.crossJoin(
+        med.select(col("median").as("median_latency_us")))
+    }),
+
+    // Day-of-week volume profile per event type: observed share vs the
+    // uniform 1/7 as an index (n·7/total) — the calendar-seasonality
+    // feature behind staffing/forecast baselines. Integer day math
+    // ((epoch_day + 4) mod 7 — 1970-01-01 was a Thursday), one
+    // combinable pass + a broadcast totals join.
+    "q257_dow_profile" -> ((s, dir) => {
+      val per = eventsUs(s, dir)
+        .groupBy(col("event_type"),
+          expr(s"(tsu div $DayUs + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("n"))
+      val tot = per.groupBy("event_type").agg(sum(col("n")).as("total"))
+      per.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n"),
+          ((col("n") * 7L).cast("double") / col("total").cast("double"))
+            .as("share_index"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Top-k WITH TIES (the SQL FETCH ... WITH TIES semantics q03's
+    // row_number top-k cannot express): all customers whose coarse
+    // revenue ties the k-th ranked value are kept — cutoff value found
+    // by one global row number, then a broadcast filter; no rank join.
+    "q258_topk_with_ties" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(Stats.cents(col("o_totalprice"))).as("c"))
+        .select(col("o_custkey"), expr("c div 100000").as("rev_k"))
+      val rn = GlobalOrder.withRowNumber(rev,
+        Seq(-col("rev_k"), col("o_custkey")), out = "rn")
+      val cut = rn.filter(col("rn") === TiesK)
+        .select(col("rev_k").as("cut"))
+      rev.crossJoin(broadcast(cut))
+        .filter(col("rev_k") >= col("cut"))
+        .select(col("o_custkey"), col("rev_k"))
+        .orderBy(desc("rev_k"), col("o_custkey"))
+    }),
+
+    // Local clustering coefficient per supplier over the co-purchase
+    // projection (q247's capped co-occurrence pairs with support >= 2
+    // as edges): degree-oriented wedge closing credits each triangle
+    // to its three corners — "how clique-like is this node's
+    // neighborhood", the community-structure feature global triangle
+    // counts (q143) cannot give.
+    "q259_local_clustering" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("ck"),
+          col("l_suppkey").cast("long").as("sk"))
+        .agg(count(lit(1)).as("n_trades"))
+      val capped = graft.functions.TopKFunctions.topkPerGroup(
+          edges, Seq(col("ck")), col("n_trades"), col("sk"), CoocCap)
+        .select(col("ck"), col("id").as("sk"))
+      val pairs = capped.toDF("ck", "sa")
+        .join(capped.toDF("ck", "sb"), Seq("ck"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+        .filter(col("common") >= CoocMinCommon)
+        .select(col("sa").as("src"), col("sb").as("dst"))
+      graft.ext.Graph.localClustering(pairs)
+        .orderBy("node")
+    }),
+
+    // Degree assortativity of the trade graph: Pearson correlation of
+    // (customer degree, supplier degree) across distinct edges — do
+    // high-fan-out customers trade with high-fan-out suppliers? One
+    // distinct pass, two combinable degree counts joined back, one
+    // exact six-sum fold and the fixed IEEE formula.
+    "q260_degree_assortativity" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val dc = e.groupBy("ck").agg(count(lit(1)).as("dc"))
+      val ds = e.groupBy("sk").agg(count(lit(1)).as("ds"))
+      val agg = e.join(dc, "ck").join(ds, "sk").agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("dc")).as("sx"), sum(col("ds")).as("sy"),
+        sum(col("dc") * col("dc")).as("sxx"),
+        sum(col("ds") * col("ds")).as("syy"),
+        sum(col("dc") * col("ds")).as("sxy"))
+      def d(c: String) = col(c).cast("double")
+      val cov = d("n_edges") * d("sxy") - d("sx") * d("sy")
+      val vx = d("n_edges") * d("sxx") - d("sx") * d("sx")
+      val vy = d("n_edges") * d("syy") - d("sy") * d("sy")
+      agg.select(col("n_edges"),
+        when(col("n_edges") >= 2L && vx =!= 0.0 && vy =!= 0.0,
+          cov / sqrt(vx * vy)).as("assortativity"))
+    }),
+
     // Per-user signed running balance (purchases/signups credit,
     // clicks/views/errors debit): closing balance, worst drawdown, and
     // the first overdraft instant — the semi-additive balance audit via
@@ -379,6 +564,15 @@ object Round12bQueries {
 
   /** q250 RBO depth (weights 2⁻ᵈ stay well above double underflow). */
   private val RboDepth = 50
+
+  /** q255 rapid-repeat threshold: 5 s in epoch micros. */
+  private val RapidUs = 5000000L
+
+  /** q258 WITH-TIES rank cut. */
+  private val TiesK = 25L
+
+  /** q259 co-purchase edge support threshold. */
+  private val CoocMinCommon = 2L
 
   /** q242 bridge years (the orders table spans 1995..2001). */
   private val BridgeY1 = 1997
@@ -780,7 +974,181 @@ object Round12bQueries {
                    AS n_overdrawn,
                  CAST(min(CASE WHEN bal < 0 THEN tsu END) AS BIGINT)
                    AS first_neg_tsu
-          FROM w GROUP BY 1 ORDER BY user_id"""
+          FROM w GROUP BY 1 ORDER BY user_id""",
+
+    "q253_srm_audit" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(('0x' || substr(md5('arm:'
+                             || CAST(user_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 2 AS arm
+                    FROM events),
+          a AS (SELECT event_type,
+                       CAST(count(CASE WHEN arm = 0 THEN 1 END)
+                         AS BIGINT) AS n_a,
+                       CAST(count(CASE WHEN arm = 1 THEN 1 END)
+                         AS BIGINT) AS n_b
+                FROM e GROUP BY 1)
+          SELECT event_type, n_a, n_b,
+                 CAST(n_a - n_b AS DOUBLE)
+                   / sqrt(CAST(n_a + n_b AS DOUBLE)) AS z,
+                 abs(CAST(n_a - n_b AS DOUBLE)
+                   / sqrt(CAST(n_a + n_b AS DOUBLE))) > 3.0 AS srm_flag
+          FROM a ORDER BY event_type""",
+
+    "q254_decile_table" ->
+      s"""WITH r AS (SELECT o_custkey AS ck,
+                            CAST(sum(${centsSql("o_totalprice")})
+                              AS BIGINT) AS cents
+                     FROM orders GROUP BY 1),
+          nt AS (SELECT ck, cents,
+                        CAST(ntile(10) OVER (ORDER BY cents, ck)
+                          AS BIGINT) AS decile
+                 FROM r),
+          d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM nt GROUP BY 1),
+          c AS (SELECT a.decile, CAST(sum(b.cents) AS BIGINT)
+                  AS cum_cents
+                FROM d a JOIN d b ON b.decile <= a.decile GROUP BY 1),
+          t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM d)
+          SELECT d.decile, n_customers, cents, cum_cents,
+                 CAST(cents AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+                 CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE)
+                   AS cum_share
+          FROM d JOIN c ON c.decile = d.decile, t
+          ORDER BY d.decile""",
+
+    "q255_rapid_repeat" ->
+      s"""WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS tsu,
+                            event_id
+                     FROM events),
+          l AS (SELECT event_type, user_id, tsu,
+                       lag(tsu) OVER (PARTITION BY user_id, event_type
+                         ORDER BY tsu, event_id) AS prev
+                FROM e)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(CASE WHEN prev IS NOT NULL
+                       AND tsu - prev <= $RapidUs THEN 1 END)
+                   AS BIGINT) AS n_rapid,
+                 CAST(count(DISTINCT CASE WHEN prev IS NOT NULL
+                       AND tsu - prev <= $RapidUs THEN user_id END)
+                   AS BIGINT) AS n_users_rapid
+          FROM l GROUP BY 1 ORDER BY event_type""",
+
+    "q256_signup_to_purchase" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+                    FROM events),
+          f AS (SELECT user_id,
+                       min(CASE WHEN event_type = 'signup'
+                             THEN tsu END) AS su,
+                       min(CASE WHEN event_type = 'purchase'
+                             THEN tsu END) AS pu
+                FROM e GROUP BY 1),
+          conv AS (SELECT pu - su AS lat FROM f
+                   WHERE su IS NOT NULL AND pu IS NOT NULL AND pu > su),
+          c AS (SELECT CAST(count(CASE WHEN su IS NOT NULL THEN 1 END)
+                         AS BIGINT) AS n_signed,
+                       CAST(count(CASE WHEN su IS NOT NULL
+                             AND pu IS NOT NULL AND pu > su THEN 1 END)
+                         AS BIGINT) AS n_converted
+                FROM f),
+          m AS (SELECT median(lat) AS median_latency_us FROM conv)
+          SELECT n_signed, n_converted, median_latency_us FROM c, m""",
+
+    "q257_dow_profile" ->
+      s"""WITH e AS (SELECT event_type,
+                            ((epoch_us(ts) // $DayUs) + 4) % 7 AS dow
+                     FROM events),
+          per AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+                  FROM per GROUP BY 1)
+          SELECT per.event_type, dow, n,
+                 CAST(n * 7 AS DOUBLE) / CAST(total AS DOUBLE)
+                   AS share_index
+          FROM per JOIN tot ON per.event_type = tot.event_type
+          ORDER BY per.event_type, dow""",
+
+    "q258_topk_with_ties" ->
+      s"""WITH r AS (SELECT o_custkey,
+                            CAST(sum(${centsSql("o_totalprice")})
+                              AS BIGINT) // 100000 AS rev_k
+                     FROM orders GROUP BY 1)
+          SELECT o_custkey, CAST(rev_k AS BIGINT) AS rev_k FROM r
+          QUALIFY rank() OVER (ORDER BY rev_k DESC) <= $TiesK
+          ORDER BY rev_k DESC, o_custkey""",
+
+    "q259_local_clustering" ->
+      s"""WITH tr AS (SELECT o_custkey AS ck, CAST(l_suppkey AS BIGINT)
+                        AS sk, count(*) AS n
+                      FROM orders
+                      JOIN lineitem ON o_orderkey = l_orderkey
+                      GROUP BY 1, 2),
+          capped AS (SELECT ck, sk FROM (
+                       SELECT ck, sk, row_number() OVER (PARTITION BY ck
+                         ORDER BY n DESC, sk) AS rn
+                       FROM tr) t
+                     WHERE rn <= $CoocCap),
+          e AS (SELECT a.sk AS a, b.sk AS b
+                FROM capped a JOIN capped b
+                  ON a.ck = b.ck AND a.sk < b.sk
+                GROUP BY 1, 2
+                HAVING count(*) >= $CoocMinCommon),
+          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e) u
+                  GROUP BY 1),
+          tri3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                   FROM e e1 JOIN e e2 ON e2.a = e1.b
+                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+          tric AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+                     SELECT x AS node FROM tri3
+                     UNION ALL SELECT y FROM tri3
+                     UNION ALL SELECT z FROM tri3) u
+                   GROUP BY 1)
+          SELECT deg.node, deg,
+                 CAST(coalesce(tri, 0) AS BIGINT) AS tri,
+                 CASE WHEN deg >= 2
+                      THEN CAST(coalesce(tri, 0) * 2 AS DOUBLE)
+                           / CAST(deg * (deg - 1) AS DOUBLE) END AS coef
+          FROM deg LEFT JOIN tric ON tric.node = deg.node
+          ORDER BY deg.node""",
+
+    "q260_degree_assortativity" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS ck,
+                           CAST(l_suppkey AS BIGINT) AS sk
+                    FROM orders
+                    JOIN lineitem ON o_orderkey = l_orderkey),
+          dc AS (SELECT ck, CAST(count(*) AS BIGINT) AS dc
+                 FROM e GROUP BY 1),
+          ds AS (SELECT sk, CAST(count(*) AS BIGINT) AS ds
+                 FROM e GROUP BY 1),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                       CAST(sum(dc) AS BIGINT) AS sx,
+                       CAST(sum(ds) AS BIGINT) AS sy,
+                       CAST(sum(dc * dc) AS BIGINT) AS sxx,
+                       CAST(sum(ds * ds) AS BIGINT) AS syy,
+                       CAST(sum(dc * ds) AS BIGINT) AS sxy
+                FROM e JOIN dc USING (ck) JOIN ds USING (sk))
+          SELECT n_edges,
+                 CASE WHEN n_edges >= 2
+                       AND CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                       AND CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0
+                      THEN (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n_edges AS DOUBLE)
+                                   * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                  * (CAST(n_edges AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE)))
+                      END AS assortativity
+          FROM a"""
   )
 
   /** DuckDB twin of [[graft.ext.Similarity.knnBrute]]'s cosine (the q30

@@ -111,6 +111,31 @@ class Round12bSuite extends SparkSpec {
     }
   }
 
+  describe("GlobalOrder.withRunningTotalsPerKey") {
+    it("matches two single-column stitches, including cross-partition carries") {
+      val rows = (1L to 500L).map(i =>
+        (i % 3, i, i % 7, (i * 31) % 11)) // 3 keys interleaved
+      val df = rows.toDF("k", "t", "v1", "v2").repartition(7)
+      val fused = GlobalOrder.withRunningTotalsPerKey(df, "k", "t",
+          Seq("v1", "v2"), Seq.empty, outs = Seq("r1", "r2"))
+        .select("k", "t", "r1", "r2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val s1 = GlobalOrder.withRunningTotalPerKey(df, "k", "t", "v1",
+          Seq.empty, out = "r1")
+        .select("k", "t", "r1").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val s2 = GlobalOrder.withRunningTotalPerKey(df, "k", "t", "v2",
+          Seq.empty, out = "r2")
+        .select("k", "t", "r2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(fused.size === 500)
+      fused.foreach { case (kt, (a, b)) =>
+        assert(a === s1(kt) && b === s2(kt))
+      }
+    }
+  }
+
   describe("Stats.kendallTau") {
     it("matches hand-computed C/D/T counts with ties") {
       // values over idx 1..4: [10,20,20,5] -> C=2 D=3 T=1,
@@ -130,6 +155,28 @@ class Round12bSuite extends SparkSpec {
       val out = Stats.kendallTau(df, "g", "i", "v").orderBy("g").collect()
       assert(out(0).getDouble(5) === 1.0)
       assert(out(1).isNullAt(5)) // C+D = 0
+    }
+  }
+
+  describe("Graph.localClustering") {
+    it("credits each triangle to its three corners (triangle + pendant)") {
+      // triangle {1,2,3} plus pendant edge 3-4
+      val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+        .toDF("src", "dst")
+      val out = Graph.localClustering(e).orderBy("node").collect()
+      assert(out(0) === Row(1L, 2L, 1L, 1.0))
+      assert(out(1) === Row(2L, 2L, 1L, 1.0))
+      assert(out(2) === Row(3L, 3L, 1L, 1.0 / 3.0))
+      assert(out(3).getLong(1) === 1L && out(3).getLong(2) === 0L)
+      assert(out(3).isNullAt(3)) // deg < 2: no wedge possible
+    }
+
+    it("handles duplicate/reverse edges and zero triangles") {
+      val e = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+      val out = Graph.localClustering(e).orderBy("node").collect()
+      assert(out.map(_.getLong(2)).sum === 0L) // path graph: no triangle
+      assert(out(1).getLong(1) === 2L) // node 2 deg 2, dup edge collapsed
+      assert(out(1).getDouble(3) === 0.0)
     }
   }
 
