@@ -448,11 +448,13 @@ object Stats {
   def cusumPeak(df: DataFrame, keyCol: String, tsCol: String,
                 valueCol: String, tieCols: Seq[Column]): DataFrame = {
     GlobalOrder.requireFresh(df, "__graft_s", "__graft_i", "__graft_one")
-    val s = GlobalOrder.withRunningTotalPerKey(df, keyCol, tsCol, valueCol,
-      tieCols, out = "__graft_s")
-    val si = GlobalOrder.withRunningTotalPerKey(
-      s.withColumn("__graft_one", lit(1L)), keyCol, tsCol, "__graft_one",
-      tieCols, out = "__graft_i")
+    // one fused ordered pass for running sum AND running index (the
+    // PLANS.md multi-measure stitch rule: a second stitch re-sorts
+    // the whole input)
+    val si = GlobalOrder.withRunningTotalsPerKey(
+      df.withColumn("__graft_one", lit(1L)), keyCol, tsCol,
+      Seq(valueCol, "__graft_one"), tieCols,
+      outs = Seq("__graft_s", "__graft_i"))
     val totals = si.groupBy(keyCol)
       .agg(max(col("__graft_i")).as("__graft_n"),
         sum(col(valueCol)).as("__graft_t"))
@@ -890,6 +892,29 @@ object Stats {
         (col("c") - col("d")).cast("double") /
           sqrt(col("n_pairs").cast("double") *
             (col("c") + col("d")).cast("double"))).as("tau"))
+  }
+
+  /** Per-group binomial rate with a Wilson score interval at z = 2
+    * (~95.4% — an INTEGER z, so z² = 4 and every constant in the
+    * closed form is an exact small literal, bit-identical across
+    * engines; a 1.96 would round-trip fine but buys nothing). The
+    * Wilson interval is the rate estimate that stays honest at small
+    * n and extreme p̂ where the naive ±z√(p̂(1−p̂)/n) collapses to a
+    * zero-width lie — the per-entity defect/late/violation-rate
+    * screen 100 TB audits rank entities by. One combinable (n, k)
+    * pass; the interval is one fixed IEEE formula per group row.
+    */
+  def wilsonRate(df: DataFrame, groupCol: String,
+                 hitCol: Column): DataFrame = {
+    val agg = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), count_if(hitCol).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val half = lit(2.0) * sqrt((p * (lit(1.0) - p) + lit(1.0) / nD) / nD)
+    val denom = lit(1.0) + lit(4.0) / nD
+    agg.select(col(groupCol), col("n"), col("k"), p.as("rate"),
+      ((p + lit(2.0) / nD - half) / denom).as("wilson_lo"),
+      ((p + lit(2.0) / nD + half) / denom).as("wilson_hi"))
   }
 
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few

@@ -537,6 +537,51 @@ object Round12bQueries {
           cov / sqrt(vx * vy)).as("assortativity"))
     }),
 
+    // Late-shipment rate per supplier with a Wilson score interval
+    // (z = 2): the small-n-honest rate ranking — a supplier with 1/2
+    // late must not outrank one with 40/100, which the raw rate does
+    // and the Wilson lower bound does not. One combinable (n, k) pass.
+    "q261_late_rate_wilson" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("suppkey"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) >
+            LateDays).as("late"))
+      Stats.wilsonRate(li, "suppkey", col("late"))
+        .orderBy("suppkey")
+    }),
+
+    // Boilerplate n-gram screen: the 3-gram shingles shared by the
+    // most documents (distinct doc frequency over the q27 shingle set,
+    // deterministic top-20) — the repeated-header/footer detector that
+    // runs BEFORE near-dup pairing, since boilerplate is what turns
+    // pair generation quadratic.
+    "q262_boilerplate_ngrams" -> ((s, dir) =>
+      Dedup.shingles(t(s, dir, "documents"), 3)
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("shingle"))
+        .limit(BoilerTopK)),
+
+    // Longest silence per user: the maximum inter-event gap and when
+    // it ended — the dormancy/outage signal q237's typical-cadence
+    // median hides. Boundary-stitch lag + a combinable struct-max
+    // (ties → the latest occurrence).
+    "q263_longest_silence" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select("user_id", "tsu", "event_id")
+      val gaps = GlobalOrder.withLagPerKey(ev, "user_id", "tsu", "tsu",
+          Seq(col("event_id")), out = "prev")
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("tsu") - col("prev")).as("gap"),
+          col("tsu"))
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          max(struct(col("gap"), col("tsu"))).as("m"))
+        .select(col("user_id"), col("n_gaps"),
+          col("m.gap").as("max_gap_us"), col("m.tsu").as("gap_end_tsu"))
+        .orderBy("user_id")
+    }),
+
     // Per-user signed running balance (purchases/signups credit,
     // clicks/views/errors debit): closing balance, worst drawdown, and
     // the first overdraft instant — the semi-additive balance audit via
@@ -573,6 +618,12 @@ object Round12bQueries {
 
   /** q259 co-purchase edge support threshold. */
   private val CoocMinCommon = 2L
+
+  /** q261 late threshold: days from order to ship. */
+  private val LateDays = 90
+
+  /** q262 boilerplate shingle report size. */
+  private val BoilerTopK = 20
 
   /** q242 bridge years (the orders table spans 1995..2001). */
   private val BridgeY1 = 1997
@@ -1148,7 +1199,56 @@ object Round12bQueries {
                                      - CAST(sy AS DOUBLE)
                                        * CAST(sy AS DOUBLE)))
                       END AS assortativity
-          FROM a"""
+          FROM a""",
+
+    "q261_late_rate_wilson" -> {
+      val n = "CAST(n AS DOUBLE)"
+      val p = s"(CAST(k AS DOUBLE) / $n)"
+      val half = s"2.0 * sqrt(($p * (1.0 - $p) + 1.0 / $n) / $n)"
+      val denom = s"(1.0 + 4.0 / $n)"
+      s"""WITH li AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+                             date_diff('day', o_orderdate, l_shipdate)
+                               > $LateDays AS late
+                      FROM lineitem
+                      JOIN orders ON l_orderkey = o_orderkey),
+          a AS (SELECT suppkey, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(CASE WHEN late THEN 1 END) AS BIGINT)
+                         AS k
+                FROM li GROUP BY 1)
+          SELECT suppkey, n, k, $p AS rate,
+                 ($p + 2.0 / $n - $half) / $denom AS wilson_lo,
+                 ($p + 2.0 / $n + $half) / $denom AS wilson_hi
+          FROM a ORDER BY suppkey"""
+    },
+
+    "q262_boilerplate_ngrams" ->
+      s"""WITH ${ExtensionQueries.shingleCte}
+          SELECT shingle, CAST(count(*) AS BIGINT) AS df
+          FROM sh GROUP BY 1
+          ORDER BY df DESC, shingle
+          LIMIT $BoilerTopK""",
+
+    "q263_longest_silence" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+                    FROM events),
+          l AS (SELECT user_id, tsu,
+                       lag(tsu) OVER (PARTITION BY user_id
+                         ORDER BY tsu, event_id) AS prev
+                FROM e),
+          g AS (SELECT user_id, tsu - prev AS gap, tsu FROM l
+                WHERE prev IS NOT NULL),
+          agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps
+                  FROM g GROUP BY 1),
+          pick AS (SELECT user_id, gap AS max_gap_us,
+                          tsu AS gap_end_tsu FROM (
+                     SELECT user_id, gap, tsu,
+                            row_number() OVER (PARTITION BY user_id
+                              ORDER BY gap DESC, tsu DESC) AS q
+                     FROM g) z
+                   WHERE q = 1)
+          SELECT agg.user_id, n_gaps, max_gap_us, gap_end_tsu
+          FROM agg JOIN pick ON pick.user_id = agg.user_id
+          ORDER BY agg.user_id"""
   )
 
   /** DuckDB twin of [[graft.ext.Similarity.knnBrute]]'s cosine (the q30

@@ -158,6 +158,27 @@ class Round12bSuite extends SparkSpec {
     }
   }
 
+  describe("Stats.wilsonRate") {
+    it("matches the closed form and is exact at the p=0 / p=1 edges") {
+      val df = Seq(
+        (0L, false), (0L, false), (0L, false), (0L, true), // k=1, n=4
+        (1L, false), (1L, false), // k=0 -> wilson_lo exactly 0
+        (2L, true), (2L, true), (2L, true) // k=n -> wilson_hi exactly 1
+      ).toDF("g", "hit")
+      val out = Stats.wilsonRate(df, "g", col("hit")).orderBy("g")
+        .collect()
+      val (n, p) = (4.0, 0.25)
+      val half = 2.0 * math.sqrt((p * (1.0 - p) + 1.0 / n) / n)
+      val denom = 1.0 + 4.0 / n
+      assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 1L)
+      assert(out(0).getDouble(4) === (p + 2.0 / n - half) / denom)
+      assert(out(0).getDouble(5) === (p + 2.0 / n + half) / denom)
+      assert(out(1).getDouble(4) === 0.0) // sqrt(1/n²) = 1/n cancels
+      assert(out(2).getDouble(5) === 1.0)
+      assert(out(1).getDouble(5) > 0.0 && out(2).getDouble(4) < 1.0)
+    }
+  }
+
   describe("Graph.localClustering") {
     it("credits each triangle to its three corners (triangle + pendant)") {
       // triangle {1,2,3} plus pendant edge 3-4
