@@ -582,6 +582,66 @@ object Round12bQueries {
         .orderBy("user_id")
     }),
 
+    // SCD-2 daily census: the q181 history unrolled over a day spine —
+    // active-user count per current state for EVERY day of the corpus
+    // span. The spine (~31 rows) broadcasts against the history's
+    // validity intervals (one containment join), so the census costs
+    // one pass over |history| × matching-days, never a re-scan of the
+    // change stream per day.
+    "q264_daily_census" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val changes = Readers.eventsNanos(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ver_us"),
+          col("event_type"))
+      val Row(mn: Long, mx: Long) =
+        changes.agg(min("ver_us"), max("ver_us")).head()
+      val hist = graft.engine.Warehouse.scd2HistoryBig(changes,
+        "user_id", "ver_us", Seq("event_type"))
+      val dLo = (mn + DayUs - 1) / DayUs
+      val dHi = mx / DayUs
+      val spine = s.range(dLo, dHi + 1).select(col("id").as("day"),
+        (col("id") * DayUs).as("at"))
+      hist.join(broadcast(spine),
+          col("valid_from") <= col("at") &&
+            (col("valid_to").isNull || col("valid_to") > col("at")))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("day", "event_type")
+    }),
+
+    // Embedding centroid drift between the two vec_id parity halves,
+    // per label: fixed-point per-dimension sums (the q209 grid) for
+    // each half in ONE combinable pass, then the per-label Euclidean
+    // distance between half-means — the embedding-stability audit
+    // ("did the representation move between loads") with no learned
+    // parameters, so the oracle is static SQL.
+    "q265_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        col("label").cast("long").as("label"),
+        pmod(col("vec_id"), lit(2L)).as("half"),
+        col("embedding").cast("array<double>").as("v"))
+      val dims = 0 until EmbDims
+      val fp = dims.map(j =>
+        floor(element_at(col("v"), j + 1) * KmScale + lit(0.5))
+          .cast("long").as(s"f$j"))
+      val base = e.select(col("label") +: col("half") +: fp: _*)
+      val aggs = dims.flatMap(j => Seq(
+        sum(when(col("half") === 0L, col(s"f$j"))).as(s"sa$j"),
+        sum(when(col("half") === 1L, col(s"f$j"))).as(s"sb$j")))
+      val counted = base.groupBy("label")
+        .agg(count_if(col("half") === 0L).as("n_a"),
+          (count_if(col("half") === 1L).as("n_b") +: aggs): _*)
+      def mean(sc: String, n: String) =
+        (col(sc).cast("double") / KmScale) / col(n).cast("double")
+      val d2 = dims.map { j =>
+        val d = mean(s"sa$j", "n_a") - mean(s"sb$j", "n_b")
+        d * d
+      }.reduce(_ + _)
+      counted.select(col("label"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L, sqrt(d2)).as("shift"))
+        .orderBy("label")
+    }),
+
     // Per-user signed running balance (purchases/signups credit,
     // clicks/views/errors debit): closing balance, worst drawdown, and
     // the first overdraft instant — the semi-additive balance audit via
@@ -624,6 +684,10 @@ object Round12bQueries {
 
   /** q262 boilerplate shingle report size. */
   private val BoilerTopK = 20
+
+  /** q265 embedding dimensionality and fixed-point grid (q209's). */
+  private val EmbDims = 8
+  private val KmScale = 65536
 
   /** q242 bridge years (the orders table spans 1995..2001). */
   private val BridgeY1 = 1997
@@ -1248,7 +1312,66 @@ object Round12bQueries {
                    WHERE q = 1)
           SELECT agg.user_id, n_gaps, max_gap_us, gap_end_tsu
           FROM agg JOIN pick ON pick.user_id = agg.user_id
-          ORDER BY agg.user_id"""
+          ORDER BY agg.user_id""",
+
+    "q264_daily_census" ->
+      s"""WITH c AS (SELECT user_id, epoch_us(ts) AS ver_us, event_type,
+                           lag(event_type) OVER w AS prev,
+                           lag(epoch_us(ts)) OVER w AS prev_ver
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts))),
+          ch AS (SELECT user_id, ver_us, event_type FROM c
+                 WHERE prev_ver IS NULL
+                    OR prev IS DISTINCT FROM event_type),
+          h AS (SELECT user_id, event_type, ver_us AS valid_from,
+                       lead(ver_us) OVER (PARTITION BY user_id
+                         ORDER BY ver_us) AS valid_to
+                FROM ch),
+          bounds AS (SELECT min(epoch_us(ts)) AS mn,
+                            max(epoch_us(ts)) AS mx FROM events),
+          spine AS (SELECT unnest(generate_series(
+                      (mn + $DayUs - 1) // $DayUs, mx // $DayUs)) AS day
+                    FROM bounds),
+          sp AS (SELECT CAST(day AS BIGINT) AS day,
+                        day * $DayUs AS at FROM spine)
+          SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_users
+          FROM h JOIN sp ON valid_from <= at
+            AND (valid_to IS NULL OR valid_to > at)
+          GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "q265_centroid_drift" -> {
+      val dims = 0 until EmbDims
+      val sums = dims.flatMap { j =>
+        def half(h: Int, out: String) =
+          s"""CAST(sum(CASE WHEN half = $h THEN
+               CAST(floor(v[${j + 1}] * $KmScale + 0.5) AS BIGINT)
+               END) AS BIGINT) AS $out"""
+        Seq(half(0, s"sa$j"), half(1, s"sb$j"))
+      }.mkString(",\n                       ")
+      val terms = dims.map { j =>
+        val ma = s"((CAST(sa$j AS DOUBLE) / $KmScale) " +
+          s"/ CAST(n_a AS DOUBLE))"
+        val mb = s"((CAST(sb$j AS DOUBLE) / $KmScale) " +
+          s"/ CAST(n_b AS DOUBLE))"
+        s"($ma - $mb) * ($ma - $mb)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                            vec_id % 2 AS half,
+                            CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          a AS (SELECT label,
+                       CAST(count(CASE WHEN half = 0 THEN 1 END)
+                         AS BIGINT) AS n_a,
+                       CAST(count(CASE WHEN half = 1 THEN 1 END)
+                         AS BIGINT) AS n_b,
+                       $sums
+                FROM e GROUP BY 1)
+          SELECT label, n_a, n_b,
+                 CASE WHEN n_a > 0 AND n_b > 0
+                      THEN sqrt($terms) END AS shift
+          FROM a ORDER BY label"""
+    }
   )
 
   /** DuckDB twin of [[graft.ext.Similarity.knnBrute]]'s cosine (the q30
