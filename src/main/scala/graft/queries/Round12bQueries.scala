@@ -642,6 +642,62 @@ object Round12bQueries {
         .orderBy("label")
     }),
 
+    // RFM segmentation: per-user recency / frequency / monetary
+    // quintiles (5 = most recent / frequent / valuable) over one
+    // combinable per-user pass and three boundary-stitched global
+    // ntiles, rolled up to segment counts — the classic customer-base
+    // partition every lifecycle campaign starts from.
+    "q266_rfm_segments" -> ((s, dir) => {
+      val per = eventsUs(s, dir).groupBy(col("user_id"))
+        .agg(max(col("tsu")).as("last_tsu"),
+          count(lit(1)).as("freq"),
+          sum(Stats.cents(col("value"))).as("mon"))
+      val a = GlobalOrder.withNtile(per, 5,
+        Seq(col("last_tsu"), col("user_id")), out = "r_q")
+      val b = GlobalOrder.withNtile(a, 5,
+        Seq(col("freq"), col("user_id")), out = "f_q")
+      val c = GlobalOrder.withNtile(b, 5,
+        Seq(col("mon"), col("user_id")), out = "m_q")
+      c.groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"), sum(col("mon")).as("mon_cents"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
+    // HITS hubs & authorities on the customer→supplier trade graph —
+    // the bipartite ranking PageRank's single score cannot express
+    // (who aggregates demand vs who supplies it). Two mutual-
+    // reinforcement rounds in integer micro-units, each sum-normalized
+    // by ONE exact integer division (score·10⁶ div total) so every
+    // intermediate is int64-exact and engine-identical.
+    "q267_hits" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      def normalized(df: DataFrame, key: String, v: String,
+                     out: String): DataFrame = {
+        val tot = df.agg(sum(col(v)).as("__t"))
+        df.crossJoin(broadcast(tot))
+          .selectExpr(key, s"($v * ${HitsNorm}L) div __t AS $out")
+      }
+      val a1 = e.groupBy("sk")
+        .agg((count(lit(1)) * HitsNorm).as("a1"))
+      val a1n = normalized(a1, "sk", "a1", "a1n")
+      val h1 = e.join(a1n, "sk").groupBy("ck")
+        .agg(sum(col("a1n")).as("h1"))
+      val h1n = normalized(h1, "ck", "h1", "h1n")
+      val a2 = e.join(h1n, "ck").groupBy("sk")
+        .agg(sum(col("h1n")).as("a2"))
+      val a2n = normalized(a2, "sk", "a2", "a2n")
+      h1n.select(lit("hub").as("role"), col("ck").as("node"),
+          col("h1n").as("score"))
+        .unionByName(a2n.select(lit("auth").as("role"),
+          col("sk").as("node"), col("a2n").as("score")))
+        .orderBy("role", "node")
+    }),
+
     // Per-user signed running balance (purchases/signups credit,
     // clicks/views/errors debit): closing balance, worst drawdown, and
     // the first overdraft instant — the semi-additive balance audit via
@@ -688,6 +744,9 @@ object Round12bQueries {
   /** q265 embedding dimensionality and fixed-point grid (q209's). */
   private val EmbDims = 8
   private val KmScale = 65536
+
+  /** q267 HITS micro-unit scale (the q226 integer-rank convention). */
+  private val HitsNorm = 1000000L
 
   /** q242 bridge years (the orders table spans 1995..2001). */
   private val BridgeY1 = 1997
@@ -1371,7 +1430,48 @@ object Round12bQueries {
                  CASE WHEN n_a > 0 AND n_b > 0
                       THEN sqrt($terms) END AS shift
           FROM a ORDER BY label"""
-    }
+    },
+
+    "q266_rfm_segments" ->
+      s"""WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_tsu,
+                              CAST(count(*) AS BIGINT) AS freq,
+                              CAST(sum(${centsSql("value")}) AS BIGINT)
+                                AS mon
+                       FROM events GROUP BY 1),
+          q AS (SELECT user_id, mon,
+                       CAST(ntile(5) OVER (ORDER BY last_tsu, user_id)
+                         AS BIGINT) AS r_q,
+                       CAST(ntile(5) OVER (ORDER BY freq, user_id)
+                         AS BIGINT) AS f_q,
+                       CAST(ntile(5) OVER (ORDER BY mon, user_id)
+                         AS BIGINT) AS m_q
+                FROM per)
+          SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(mon) AS BIGINT) AS mon_cents
+          FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""",
+
+    "q267_hits" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS ck,
+                            CAST(l_suppkey AS BIGINT) AS sk
+                     FROM orders
+                     JOIN lineitem ON o_orderkey = l_orderkey),
+          a1 AS (SELECT sk, CAST(count(*) AS BIGINT) * $HitsNorm AS a1
+                 FROM e GROUP BY 1),
+          t1 AS (SELECT CAST(sum(a1) AS BIGINT) AS t FROM a1),
+          a1n AS (SELECT sk, (a1 * $HitsNorm) // t AS a1n FROM a1, t1),
+          h1 AS (SELECT ck, CAST(sum(a1n) AS BIGINT) AS h1
+                 FROM e JOIN a1n USING (sk) GROUP BY 1),
+          t2 AS (SELECT CAST(sum(h1) AS BIGINT) AS t FROM h1),
+          h1n AS (SELECT ck, (h1 * $HitsNorm) // t AS h1n FROM h1, t2),
+          a2 AS (SELECT sk, CAST(sum(h1n) AS BIGINT) AS a2
+                 FROM e JOIN h1n USING (ck) GROUP BY 1),
+          t3 AS (SELECT CAST(sum(a2) AS BIGINT) AS t FROM a2),
+          a2n AS (SELECT sk, (a2 * $HitsNorm) // t AS a2n FROM a2, t3)
+          SELECT role, node, score FROM (
+            SELECT 'hub' AS role, ck AS node, h1n AS score FROM h1n
+            UNION ALL
+            SELECT 'auth' AS role, sk AS node, a2n AS score FROM a2n) u
+          ORDER BY role, node"""
   )
 
   /** DuckDB twin of [[graft.ext.Similarity.knnBrute]]'s cosine (the q30
