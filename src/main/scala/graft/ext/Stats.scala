@@ -917,6 +917,46 @@ object Stats {
       ((p + lit(2.0) / nD + half) / denom).as("wilson_hi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over an integer measure:
+    * D = max_x |F₁(x) − F₂(x)|, computed as the EXACT integer
+    * max |r₁(x)·n₂ − r₂(x)·n₁| over the merged distinct-value support
+    * (r = inclusive cumulative counts), divided once by n₁·n₂ — the
+    * distribution-shift test that needs no binning choice, unlike
+    * [[tvdDrift]]'s fixed-bin TVD. Returns ONE row:
+    * (n1, n2, ks_num, ks).
+    *
+    * Shape: one combinable (value, cohort-counts) compaction, then ONE
+    * fused [[GlobalOrder.withRunningTotalsPerKey]] stitch (constant
+    * key) carrying BOTH cohorts' running counts in value order over
+    * the compacted table, then a combinable max. Overflow budget:
+    * n₁·n₂ must fit int64 (≤ ~3e9 rows per cohort; sample or shard
+    * beyond). `cohortCol` boolean: false → sample 1, true → sample 2.
+    */
+  def ksTest(df: DataFrame, valueCol: Column,
+             cohortCol: Column): DataFrame = {
+    val compact = df
+      .groupBy(valueCol.as("__graft_v"))
+      .agg(count_if(!cohortCol).as("__graft_c1"),
+        count_if(cohortCol).as("__graft_c2"))
+      .withColumn("__graft_k", lit(0L))
+    val run = GlobalOrder.withRunningTotalsPerKey(compact, "__graft_k",
+      "__graft_v", Seq("__graft_c1", "__graft_c2"), Seq.empty,
+      outs = Seq("__graft_r1", "__graft_r2"))
+    val tot = run.agg(sum(col("__graft_c1")).as("n1"),
+      sum(col("__graft_c2")).as("n2"))
+    run.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("__graft_r1") * col("n2") -
+          col("__graft_r2") * col("n1")).as("__graft_gap"))
+      .groupBy("n1", "n2")
+      .agg(max(col("__graft_gap")).as("ks_num"))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        when(col("n1") > 0L && col("n2") > 0L,
+          col("ks_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")))
+          .as("ks"))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

@@ -698,6 +698,47 @@ object Round12bQueries {
         .orderBy("role", "node")
     }),
 
+    // Two-sample KS test of purchase values, first half-month vs
+    // second: the binning-free distribution-shift statistic — the
+    // exact integer max |r₁n₂ − r₂n₁| over the merged support (one
+    // compaction + ONE fused two-measure stitch), where q225's TVD
+    // needed a bin-width choice.
+    "q268_ks_test" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(Stats.cents(col("value")).as("vc"),
+          (col("tsu") >= TvdMidUs2).as("late"))
+      Stats.ksTest(ev, col("vc"), col("late"))
+    }),
+
+    // Difference-in-differences: the q253 hash arms crossed with the
+    // half-month periods — (Ā₂−Ā₁) − (B̄₂−B̄₁) over purchase values,
+    // eight exact integer sums in ONE combinable pass and a single
+    // fixed IEEE formula; the causal-baseline estimator an A/B readout
+    // reaches for when assignment wasn't randomized per event.
+    "q269_did" -> ((s, dir) => {
+      val arm = pmod(graft.functions.Portable.hash60(
+        concat(lit("arm:"), col("user_id").cast("string"))), lit(2L))
+      val ev = eventsUs(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(arm.as("arm"), (col("tsu") >= TvdMidUs2).as("late"),
+          Stats.cents(col("value")).as("vc"))
+      def cell(a: Int, l: Boolean, out: String) = Seq(
+        count_if(col("arm") === a.toLong && col("late") === l)
+          .as(s"n_$out"),
+        sum(when(col("arm") === a.toLong && col("late") === l,
+          col("vc")).otherwise(0L)).as(s"s_$out"))
+      val cells = cell(0, l = false, "a1") ++ cell(0, l = true, "a2") ++
+        cell(1, l = false, "b1") ++ cell(1, l = true, "b2")
+      val folded = ev.agg(cells.head, cells.tail: _*)
+      def m(c: String) =
+        col(s"s_$c").cast("double") / col(s"n_$c").cast("double")
+      folded.select(col("n_a1"), col("n_a2"), col("n_b1"), col("n_b2"),
+        m("a1").as("mean_a1"), m("a2").as("mean_a2"),
+        m("b1").as("mean_b1"), m("b2").as("mean_b2"),
+        ((m("a2") - m("a1")) - (m("b2") - m("b1"))).as("did"))
+    }),
+
     // Per-user signed running balance (purchases/signups credit,
     // clicks/views/errors debit): closing balance, worst drawdown, and
     // the first overdraft instant — the semi-additive balance audit via
@@ -747,6 +788,9 @@ object Round12bQueries {
 
   /** q267 HITS micro-unit scale (the q226 integer-rank convention). */
   private val HitsNorm = 1000000L
+
+  /** q268/q269 period split (q225's mid-month cut). */
+  private val TvdMidUs2 = 1705363200000000L
 
   /** q242 bridge years (the orders table spans 1995..2001). */
   private val BridgeY1 = 1997
@@ -1471,7 +1515,57 @@ object Round12bQueries {
             SELECT 'hub' AS role, ck AS node, h1n AS score FROM h1n
             UNION ALL
             SELECT 'auth' AS role, sk AS node, a2n AS score FROM a2n) u
-          ORDER BY role, node"""
+          ORDER BY role, node""",
+
+    "q268_ks_test" ->
+      s"""WITH e AS (SELECT ${centsSql("value")} AS v,
+                            epoch_us(ts) >= $TvdMidUs2 AS late
+                     FROM events WHERE event_type = 'purchase'),
+          s AS (SELECT v,
+                       CAST(count(CASE WHEN NOT late THEN 1 END)
+                         AS BIGINT) AS c1,
+                       CAST(count(CASE WHEN late THEN 1 END)
+                         AS BIGINT) AS c2
+                FROM e GROUP BY 1),
+          w AS (SELECT v, c1, c2,
+                       CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS r1,
+                       CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS r2
+                FROM s),
+          t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                       CAST(sum(c2) AS BIGINT) AS n2 FROM s)
+          SELECT n1, n2,
+                 CAST(max(abs(r1 * n2 - r2 * n1)) AS BIGINT) AS ks_num,
+                 CASE WHEN n1 > 0 AND n2 > 0
+                      THEN CAST(max(abs(r1 * n2 - r2 * n1)) AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                      END AS ks
+          FROM w, t GROUP BY n1, n2""",
+
+    "q269_did" -> {
+      def m(c: String) = s"(CAST(s_$c AS DOUBLE) / CAST(n_$c AS DOUBLE))"
+      def cell(arm: Int, late: String, out: String) =
+        s"""CAST(count(CASE WHEN arm = $arm AND late = $late
+              THEN 1 END) AS BIGINT) AS n_$out,
+            CAST(sum(CASE WHEN arm = $arm AND late = $late
+              THEN vc ELSE 0 END) AS BIGINT) AS s_$out"""
+      s"""WITH e AS (SELECT CAST(('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 AS arm,
+                            epoch_us(ts) >= $TvdMidUs2 AS late,
+                            ${centsSql("value")} AS vc
+                     FROM events WHERE event_type = 'purchase'),
+          a AS (SELECT ${cell(0, "false", "a1")},
+                       ${cell(0, "true", "a2")},
+                       ${cell(1, "false", "b1")},
+                       ${cell(1, "true", "b2")}
+                FROM e)
+          SELECT n_a1, n_a2, n_b1, n_b2,
+                 ${m("a1")} AS mean_a1, ${m("a2")} AS mean_a2,
+                 ${m("b1")} AS mean_b1, ${m("b2")} AS mean_b2,
+                 ((${m("a2")} - ${m("a1")}) - (${m("b2")} - ${m("b1")}))
+                   AS did
+          FROM a"""
+    }
   )
 
   /** DuckDB twin of [[graft.ext.Similarity.knnBrute]]'s cosine (the q30

@@ -132,6 +132,27 @@ class Round12bPropertySuite extends SparkSpec {
     }
   }
 
+  it("ksTest equals the literal max-CDF-gap over the merged support") {
+    for (seed <- 1L to 5L) {
+      val g = Gen.zip(Gen.oneOf(true, false), Gen.chooseNum(0L, 15L))
+      val rows = samples(g, 70, seed)
+      val r = Stats.ksTest(rows.toDF("c", "v"), col("v"), col("c"))
+        .collect()(0)
+      val s1 = rows.filterNot(_._1).map(_._2)
+      val s2 = rows.filter(_._1).map(_._2)
+      val support = (s1 ++ s2).distinct.sorted
+      val num = support.map { x =>
+        math.abs(s1.count(_ <= x).toLong * s2.size.toLong -
+          s2.count(_ <= x).toLong * s1.size.toLong)
+      }.max
+      assert(r.getLong(0) === s1.size.toLong, s"seed=$seed")
+      assert(r.getLong(1) === s2.size.toLong)
+      assert(r.getLong(2) === num, s"seed=$seed")
+      assert(r.getDouble(3) === num.toDouble /
+        (s1.size.toDouble * s2.size.toDouble))
+    }
+  }
+
   it("kendallTau equals the pairwise triple loop") {
     for (seed <- 1L to 5L) {
       val g = Gen.zip(Gen.chooseNum(0L, 1L), Gen.chooseNum(0L, 15L),
