@@ -739,6 +739,51 @@ object Round12bQueries {
         ((m("a2") - m("a1")) - (m("b2") - m("b1"))).as("did"))
     }),
 
+    // Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    // daily-total slopes (integer micro-cents/day — Spark `div` and
+    // DuckDB `//` both truncate toward zero, so the scaled slopes are
+    // engine-identical even when negative) — the slope estimate one
+    // outlier day cannot drag, where q204's OLS follows it. Pairs are
+    // bounded (≤31 days per group); the median rides the global-rank
+    // recipe.
+    "q270_theil_sen" -> ((s, dir) => {
+      val daily = eventsUs(s, dir)
+        .groupBy(col("event_type"), expr(s"tsu div ${DayUs}L").as("day"))
+        .agg(sum(Stats.cents(col("value"))).as("y"))
+      val a = daily.select(col("event_type"), col("day").as("di"),
+        col("y").as("yi"))
+      val b = daily.select(col("event_type"), col("day").as("dj"),
+        col("y").as("yj"))
+      val pairs = a.join(b, Seq("event_type"))
+        .filter(col("dj") > col("di"))
+        .select(col("event_type"), col("di"), col("dj"),
+          expr("((yj - yi) * 1000000L) div (dj - di)").as("slope"))
+      GlobalOrder.groupMedianOfLong(pairs, "event_type", "slope",
+          Seq(col("di"), col("dj")))
+        .orderBy("event_type")
+    }),
+
+    // Odds ratio of the 2×2 (hash arm × ever-purchased) user table:
+    // OR = ad/bc from four exact integer cells — the association
+    // effect-size read alongside q253's SRM and q269's DiD. One
+    // per-user pass, one combinable 4-cell fold.
+    "q271_odds_ratio" -> ((s, dir) => {
+      val arm = pmod(graft.functions.Portable.hash60(
+        concat(lit("arm:"), col("user_id").cast("string"))), lit(2L))
+      val per = eventsUs(s, dir).groupBy(col("user_id"))
+        .agg(count_if(col("event_type") === "purchase").as("np"))
+        .select(arm.as("arm"), (col("np") > 0L).as("conv"))
+      val cells = per.agg(
+        count_if(col("arm") === 0L && col("conv")).as("a"),
+        count_if(col("arm") === 0L && !col("conv")).as("b"),
+        count_if(col("arm") === 1L && col("conv")).as("c"),
+        count_if(col("arm") === 1L && !col("conv")).as("d"))
+      cells.select(col("a"), col("b"), col("c"), col("d"),
+        when(col("b") =!= 0L && col("c") =!= 0L,
+          (col("a") * col("d")).cast("double") /
+            (col("b") * col("c")).cast("double")).as("odds_ratio"))
+    }),
+
     // Per-user signed running balance (purchases/signups credit,
     // clicks/views/errors debit): closing balance, worst drawdown, and
     // the first overdraft instant — the semi-additive balance audit via
@@ -1565,7 +1610,44 @@ object Round12bQueries {
                  ((${m("a2")} - ${m("a1")}) - (${m("b2")} - ${m("b1")}))
                    AS did
           FROM a"""
-    }
+    },
+
+    "q270_theil_sen" ->
+      s"""WITH daily AS (SELECT event_type,
+                                epoch_us(ts) // $DayUs AS day,
+                                CAST(sum(${centsSql("value")}) AS BIGINT)
+                                  AS y
+                         FROM events GROUP BY 1, 2),
+          p AS (SELECT a.event_type,
+                       ((b.y - a.y) * 1000000) // (b.day - a.day)
+                         AS slope
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND b.day > a.day)
+          SELECT event_type, count(*) AS n, median(slope) AS median
+          FROM p GROUP BY 1 ORDER BY event_type""",
+
+    "q271_odds_ratio" ->
+      """WITH per AS (SELECT CAST(('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 AS arm,
+                            count(CASE WHEN event_type = 'purchase'
+                              THEN 1 END) > 0 AS conv
+                     FROM events GROUP BY user_id),
+          c AS (SELECT
+                  CAST(count(CASE WHEN arm = 0 AND conv THEN 1 END)
+                    AS BIGINT) AS a,
+                  CAST(count(CASE WHEN arm = 0 AND NOT conv THEN 1 END)
+                    AS BIGINT) AS b,
+                  CAST(count(CASE WHEN arm = 1 AND conv THEN 1 END)
+                    AS BIGINT) AS c,
+                  CAST(count(CASE WHEN arm = 1 AND NOT conv THEN 1 END)
+                    AS BIGINT) AS d
+                FROM per)
+          SELECT a, b, c, d,
+                 CASE WHEN b <> 0 AND c <> 0
+                      THEN CAST(a * d AS DOUBLE)
+                           / CAST(b * c AS DOUBLE) END AS odds_ratio
+          FROM c"""
   )
 
   /** DuckDB twin of [[graft.ext.Similarity.knnBrute]]'s cosine (the q30
