@@ -957,6 +957,156 @@ object Stats {
           .as("ks"))
   }
 
+  /** Per-group Wald–Wolfowitz runs test over an ordered series: is the
+    * above/below-median sign sequence random, or does it clump (regime
+    * persistence) / alternate (overcorrection)? The distribution-free
+    * randomness screen that complements [[cusumPeak]] (level shifts) and
+    * [[pettittChangepoint]] (rank shifts). Rows equal to the median are
+    * dropped (the standard convention); returns
+    * (group, n1 above, n2 below, runs, z) with z null when either side
+    * is empty or the variance degenerates (n < 2).
+    *
+    * Exactness: the group median of a LongType column lands on the .5
+    * grid ([[GlobalOrder.groupMedianOfLong]]), so DOUBLED values compare
+    * against the doubled median in exact integers — no epsilon; n1, n2
+    * and the run count are exact int64 under any partitioning (runs are
+    * counted as run STARTS — a first row or a sign flip — via
+    * [[GlobalOrder.withLagPerKey]]'s boundary stitch, no per-group
+    * window sort); z is one fixed IEEE formula over the three integers.
+    * (group, ts, tieCols) must be a total order; group/ts/value
+    * LongType.
+    */
+  def runsTest(df: DataFrame, groupCol: String, tsCol: String,
+               valueCol: String, tieCols: Seq[Column]): DataFrame = {
+    GlobalOrder.requireFresh(df, "__graft_m2", "__graft_sgn",
+      "__graft_prev", "n1", "n2", "runs", "z")
+    val med = GlobalOrder.groupMedianOfLong(df, groupCol, valueCol,
+      tieCols)
+    val signed = df
+      .join(broadcast(med.select(col(groupCol),
+        (col("median") * 2.0).cast("long").as("__graft_m2"))),
+        Seq(groupCol))
+      .withColumn("__graft_sgn",
+        when(col(valueCol) * 2L > col("__graft_m2"), 1L)
+          .when(col(valueCol) * 2L < col("__graft_m2"), 0L))
+      .filter(col("__graft_sgn").isNotNull)
+    val lagged = GlobalOrder.withLagPerKey(signed, groupCol, tsCol,
+      "__graft_sgn", tieCols, out = "__graft_prev")
+    val agg = lagged.groupBy(groupCol).agg(
+      count_if(col("__graft_sgn") === 1L).as("n1"),
+      count_if(col("__graft_sgn") === 0L).as("n2"),
+      count_if(col("__graft_prev").isNull ||
+        col("__graft_prev") =!= col("__graft_sgn")).as("runs"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n1") + d("n2")
+    val two = lit(2.0) * d("n1") * d("n2")
+    val mu = two / n + lit(1.0)
+    val sig2 = two * (two - n) / (n * n * (n - lit(1.0)))
+    agg.select(col(groupCol), col("n1"), col("n2"), col("runs"),
+      when(col("n1") > 0L && col("n2") > 0L &&
+        col("n1") + col("n2") >= 2L && sig2 > 0.0,
+        (d("runs") - mu) / sqrt(sig2)).as("z"))
+  }
+
+  /** Per-group Pettitt changepoint: the rank-based single-changepoint
+    * statistic K = max_t |U_t| with
+    * U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j) — the robust sibling of
+    * [[cusumPeak]] (which follows the VALUES and so follows one junk
+    * spike; Pettitt follows midranks, which a 10⁹-cent outlier moves by
+    * at most one rank). Uses the rank identity
+    * U_t = Σ_{i≤t} 2·midrank(x_i) − t(n+1), an exact int64 with the
+    * doubled-midrank trick ([[spearmanRho]]'s 2·cum − c + 1). Returns
+    * (group, n, k, cp) — k the exact statistic, cp the EARLIEST ts
+    * attaining it.
+    *
+    * Shape: one (group, value) compaction + rank stitch, then ONE fused
+    * [[GlobalOrder.withRunningTotalsPerKey]] pass in (group, ts) order
+    * carrying the running rank sum AND the running index (the PLANS.md
+    * multi-measure rule), then a combinable max and one argmin join.
+    * Overflow budget: t·(n+1) ≤ n² per group must fit int64 (n ≤ ~3e9
+    * rows per group). (group, ts, tieCols) and (group, value, tieCols)
+    * must be total orders; group/ts/value LongType.
+    */
+  def pettittChangepoint(df: DataFrame, groupCol: String, tsCol: String,
+                         valueCol: String,
+                         tieCols: Seq[Column]): DataFrame = {
+    GlobalOrder.requireFresh(df, "__graft_c", "__graft_rt", "__graft_r2",
+      "__graft_s2", "__graft_i", "__graft_one", "__graft_u", "n", "k",
+      "cp")
+    val compact = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__graft_c"))
+    val ranks = GlobalOrder.withRunningTotalPerKey(compact, groupCol,
+        valueCol, "__graft_c", Seq.empty, out = "__graft_rt")
+      .select(col(groupCol), col(valueCol),
+        (col("__graft_rt") * 2L - col("__graft_c") + 1L).as("__graft_r2"))
+    val ranked = df.join(ranks, Seq(groupCol, valueCol))
+      .withColumn("__graft_one", lit(1L))
+    val run = GlobalOrder.withRunningTotalsPerKey(ranked, groupCol,
+      tsCol, Seq("__graft_r2", "__graft_one"), tieCols,
+      outs = Seq("__graft_s2", "__graft_i"))
+    val totals = run.groupBy(groupCol)
+      .agg(max(col("__graft_i")).as("n"))
+    val u = run.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("n"), col(tsCol),
+        abs(col("__graft_s2") -
+          col("__graft_i") * (col("n") + 1L)).as("__graft_u"))
+    val k = u.groupBy(groupCol)
+      .agg(max(col("n")).as("n"), max(col("__graft_u")).as("k"))
+    u.select(col(groupCol), col(tsCol), col("__graft_u"))
+      .join(broadcast(k), Seq(groupCol))
+      .filter(col("__graft_u") === col("k"))
+      .groupBy(groupCol)
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        min(col(tsCol)).as("cp"))
+  }
+
+  /** Lead–lag cross-correlation between two integer series sharing an
+    * index: Pearson r of (x(i), y(i + lag)) per lag — "do purchases
+    * follow clicks, and by how many days?". [[laggedPearson]]'s
+    * autocorrelation machinery generalized to a PAIR of measures and
+    * SIGNED lags (negative lag = y leads x). Input must be ONE row per
+    * index with both measures (pre-join the series; absent periods are
+    * the caller's densify/zero-fill decision). Returns
+    * (lag, n_pairs, r) with the six pair sums exact int64 and r one
+    * fixed IEEE formula; degenerate lags (n < 2 or a constant side)
+    * yield null r.
+    *
+    * Shape: one self-equi-join on the shifted index per lag (each a
+    * co-partitioned shuffle of per-index rows, or a broadcast when the
+    * compacted series is small), then one combinable six-sum fold per
+    * lag. Keep |lags| modest — cost is linear in it.
+    */
+  def crossCorr(df: DataFrame, idxCol: String, xCol: String,
+                yCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty, "crossCorr needs at least one lag")
+    GlobalOrder.requireFresh(df, "__graft_i", "__graft_x", "__graft_y",
+      "lag", "n_pairs", "r")
+    val base = df.select(col(idxCol).as("__graft_i"),
+      col(xCol).as("__graft_x"), col(yCol).as("__graft_y"))
+    val pairs = lags.map { l =>
+      val shifted = base.select(
+        (col("__graft_i") - l.toLong).as("__graft_i"),
+        col("__graft_y").as("__graft_yl"))
+      base.drop("__graft_y")
+        .join(shifted, Seq("__graft_i"))
+        .select(lit(l.toLong).as("lag"), col("__graft_x"),
+          col("__graft_yl").as("__graft_y"))
+    }.reduce(_ unionByName _)
+    val agg = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__graft_x")).as("__sx"), sum(col("__graft_y")).as("__sy"),
+      sum(col("__graft_x") * col("__graft_x")).as("__sxx"),
+      sum(col("__graft_y") * col("__graft_y")).as("__syy"),
+      sum(col("__graft_x") * col("__graft_y")).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n_pairs") * d("__sxy") - d("__sx") * d("__sy")
+    val vx = d("n_pairs") * d("__sxx") - d("__sx") * d("__sx")
+    val vy = d("n_pairs") * d("__syy") - d("__sy") * d("__sy")
+    agg.select(col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2L && vx =!= 0.0 && vy =!= 0.0,
+        cov / sqrt(vx * vy)).as("r"))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

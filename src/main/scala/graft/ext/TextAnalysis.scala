@@ -512,4 +512,56 @@ object TextAnalysis {
         .as("n_digit_runs"),
       md5(regexp_replace(noEmail, LongDigitsRe, "<NUM>")).as("scrub_md5"))
   }
+
+  /** Per-group Flesch reading-ease census — the curation signal for
+    * "is this slice textbook prose or tag soup", complementing the
+    * punctuation/stopword quality score (`qualityScore`) with a
+    * sentence/syllable-structure read. Counts per document: W = latin
+    * words (`[A-Za-z]+` matches), S = sentences (`[.!?]+` terminator
+    * runs, floored at 1), Y = syllable proxy (`[aeiouyAEIOUY]+` vowel
+    * runs). All three are RE2-safe patterns counted identically by any
+    * regex engine.
+    *
+    * Returns one row per group: exact int64 totals (n_docs, words,
+    * sentences, syllables), the CORPUS-level score
+    * 206.835 − 1.015·(ΣW/ΣS) − 84.6·(ΣY/ΣW) — one fixed IEEE formula
+    * over exact sums, NOT an average of per-doc doubles (a double sum
+    * would accumulate in partition order) — and the per-doc band census
+    * (n_easy ≥ 60 > n_medium ≥ 30 > n_hard), deterministic because each
+    * per-doc score is the same fixed formula on both engines. Docs with
+    * zero latin words are counted in n_nonlatin and excluded from the
+    * bands. One combinable projection+fold — no shuffle of text.
+    */
+  def readabilityCensus(docs: DataFrame, groupCol: Column,
+                        textCol: Column): DataFrame = {
+    val w = size(regexp_extract_all(textCol, lit("[A-Za-z]+"), lit(0)))
+      .cast("long")
+    val sRaw = size(regexp_extract_all(textCol, lit("[.!?]+"), lit(0)))
+      .cast("long")
+    val s = greatest(sRaw, lit(1L))
+    val y = size(regexp_extract_all(textCol, lit("[aeiouyAEIOUY]+"),
+      lit(0))).cast("long")
+    val score = lit(206.835) -
+      lit(1.015) * (w.cast("double") / s.cast("double")) -
+      lit(84.6) * (y.cast("double") / w.cast("double"))
+    docs.select(groupCol.as("g"), w.as("__w"), s.as("__s"), y.as("__y"),
+        when(w > 0L, score).as("__score"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("words"),
+        sum(col("__s")).as("sentences"),
+        sum(col("__y")).as("syllables"),
+        count_if(col("__score").isNull).as("n_nonlatin"),
+        count_if(col("__score") >= 60.0).as("n_easy"),
+        count_if(col("__score") >= 30.0 && col("__score") < 60.0)
+          .as("n_medium"),
+        count_if(col("__score") < 30.0).as("n_hard"))
+      .withColumn("corpus_score",
+        when(col("words") > 0L,
+          lit(206.835) -
+            lit(1.015) * (col("words").cast("double") /
+              col("sentences").cast("double")) -
+            lit(84.6) * (col("syllables").cast("double") /
+              col("words").cast("double"))))
+  }
 }

@@ -276,4 +276,40 @@ object TimeSeries {
       .select(col(keyCol), col("n_idx"), col("n_runs"), col("longest"),
         col("__graft_best").getField("s").as("longest_start"))
   }
+
+  /** Per-key seasonal-naive forecast backtest: score the zero-parameter
+    * forecast ŷ(p) = y(p − period) against the actuals — the floor any
+    * real forecasting model must beat, and the first drift alarm when a
+    * series stops being seasonal (its own MAE jumps). Input is the
+    * PER-PERIOD aggregate (one row per (key, period), integer value —
+    * run the combinable daily rollup first); only periods where both
+    * the actual and its period-back ancestor exist are scored.
+    *
+    * Returns (key, n scored periods, sum_abs_err, mae, bias): the error
+    * sums are exact int64 in the caller's integer units under any
+    * partitioning; mae = Σ|e|/n and bias = Σe/n are each ONE IEEE
+    * division. Shape: one self-equi-join on (key, period + period-shift)
+    * — co-partitioned on the same key columns as the rollup that built
+    * the input, so at 100 TB the join moves one row per key-period,
+    * never raw events — then one combinable three-sum fold.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, keyCol: String, idxCol: String,
+                            valueCol: String, period: Long): DataFrame = {
+    require(period > 0L, s"period must be positive, got $period")
+    GlobalOrder.requireFresh(df, "__graft_f", "__graft_e", "n",
+      "sum_abs_err", "mae", "bias")
+    val forecast = df.select(col(keyCol),
+      (col(idxCol) + period).as(idxCol), col(valueCol).as("__graft_f"))
+    df.join(forecast, Seq(keyCol, idxCol))
+      .withColumn("__graft_e", col(valueCol) - col("__graft_f"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("__graft_e"))).as("sum_abs_err"),
+        sum(col("__graft_e")).as("__graft_se"))
+      .select(col(keyCol), col("n"), col("sum_abs_err"),
+        (col("sum_abs_err").cast("double") / col("n").cast("double"))
+          .as("mae"),
+        (col("__graft_se").cast("double") / col("n").cast("double"))
+          .as("bias"))
+  }
 }
