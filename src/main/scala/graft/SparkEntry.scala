@@ -52,5 +52,5 @@ object SparkEntry {
     Round2Queries.dynamicOracleSql ++ Round4Queries.dynamicOracleSql ++
       Round6Queries.dynamicOracleSql ++ Round7Queries.dynamicOracleSql ++
       Round10Queries.dynamicOracleSql ++ Round11Queries.dynamicOracleSql ++
-      Round12Queries.dynamicOracleSql
+      Round12Queries.dynamicOracleSql ++ Round12cQueries.dynamicOracleSql
 }

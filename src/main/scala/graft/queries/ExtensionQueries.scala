@@ -47,7 +47,7 @@ object ExtensionQueries {
   private val LshPlanes = 8
   private val EmbDim = 64
 
-  private def inList(ws: Seq[String]): String =
+  private[queries] def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   // ---- queries ------------------------------------------------------------
@@ -98,7 +98,7 @@ object ExtensionQueries {
 
   private val enIn = inList(TextAnalysis.enStopwords)
 
-  private val langCols = TextAnalysis.langStopwords.map { case (l, ws) =>
+  private[queries] val langCols = TextAnalysis.langStopwords.map { case (l, ws) =>
     s"len(list_filter($tokSql, t -> t IN ${inList(ws)})) AS c_$l"
   }.mkString(", ")
 

@@ -148,6 +148,170 @@ object Round12cQueries {
             Stats.cents(col("value"))).otherwise(0L)).as("y"))
       Stats.crossCorr(daily, "day", "x", "y", Seq(-3, -2, -1, 0, 1, 2, 3))
         .orderBy("lag")
+    }),
+
+    // One-way ANOVA of daily totals across day-of-week groups: how much
+    // of each type's daily variance is weekly seasonality (eta², F)?
+    // SSB/SST via the Σ S_g²/n_g identity over the FIXED 7-bin alphabet
+    // — 14 conditional integer sums in ONE combinable pass, the seven
+    // per-bin double terms folded left-to-right (the tvdDrift
+    // discipline), so the statistic is bit-portable where a naive
+    // groupBy-variance would sum doubles in partition order.
+    "q278_dow_anova" -> ((s, dir) => {
+      val daily = dailyByType(s, dir)
+        .withColumn("dow", expr("day % 7"))
+      val sums = (0 until 7).flatMap { d =>
+        Seq(count_if(col("dow") === d.toLong).as(s"__n$d"),
+          sum(when(col("dow") === d.toLong, col("y")).otherwise(0L))
+            .as(s"__s$d"))
+      } :+ sum(col("y") * col("y")).as("__syy")
+      val piv = daily.groupBy(col("event_type"))
+        .agg(sums.head, sums.tail: _*)
+      val nAll = (0 until 7).map(d => col(s"__n$d")).reduce(_ + _)
+      val stAll = (0 until 7).map(d => col(s"__s$d")).reduce(_ + _)
+      val kAll = (0 until 7).map(d =>
+        when(col(s"__n$d") > 0L, 1L).otherwise(0L)).reduce(_ + _)
+      val withTot = piv.withColumn("n_days", nAll)
+        .withColumn("__st", stAll).withColumn("__k", kAll)
+      def dd(c: String) = col(c).cast("double")
+      val t = (0 until 7).map { d =>
+        when(col(s"__n$d") > 0L,
+          dd(s"__s$d") * dd(s"__s$d") / dd(s"__n$d")).otherwise(0.0)
+      }.reduce(_ + _)
+      val grand = dd("__st") * dd("__st") / dd("n_days")
+      val w2 = withTot.withColumn("__ssb", t - grand)
+        .withColumn("__sst", dd("__syy") - grand)
+      w2.select(col("event_type"), col("n_days"),
+          when(col("__sst") =!= 0.0, col("__ssb") / col("__sst"))
+            .as("eta2"),
+          when(col("__k") > 1L && col("n_days") > col("__k") &&
+            col("__sst") - col("__ssb") =!= 0.0,
+            (col("__ssb") / (dd("__k") - lit(1.0))) /
+              ((col("__sst") - col("__ssb")) /
+                (dd("n_days") - dd("__k")))).as("f"))
+        .orderBy("event_type")
+    }),
+
+    // Cohort LTV curve: cumulative purchase revenue per signup-week
+    // cohort by age week, divided by the cohort's user count — the
+    // revenue companion of q165's retention triangle. Weekly cents are
+    // exact; the cumulative ride is one boundary-stitch running total
+    // per cohort; LTV is one division.
+    "q279_ltv_curve" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+        .withColumn("day", expr(s"tsu div ${DayUs}L"))
+      val per = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("day")))
+          .as("cday"))
+        .filter(col("cday").isNotNull)
+      val sizes = per.groupBy(expr("cday div 7").as("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+      val weekly = ev.filter(col("event_type") === "purchase")
+        .join(per, Seq("user_id"))
+        .filter(col("day") >= col("cday"))
+        .groupBy(expr("cday div 7").as("cohort"),
+          expr("(day - cday) div 7").as("age_week"))
+        .agg(sum(Stats.cents(col("value"))).as("wk_cents"))
+      graft.ext.GlobalOrder.withRunningTotalPerKey(weekly, "cohort",
+          "age_week", "wk_cents", Seq.empty, out = "cum_cents")
+        .join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("age_week"), col("n_users"),
+          col("cum_cents"),
+          (col("cum_cents").cast("double") /
+            col("n_users").cast("double")).as("ltv"))
+        .orderBy("cohort", "age_week")
+    }),
+
+    // Blocking-quality audit for the dedup/ER pipelines: per language,
+    // how well does the (n_chars div 50) blocking key cut the pairwise
+    // comparison space? Candidate pairs Σ b(b−1)/2 vs the unblocked
+    // n(n−1)/2, largest block, reduction ratio — the go/no-go check
+    // before any O(pairs) matcher (q212's spanning-star ER, q244's
+    // sorted neighborhood) is allowed near 100 TB.
+    "q280_blocking_quality" -> ((s, dir) => {
+      val blocks = Readers.table(s, dir, "documents")
+        .groupBy(col("lang"), expr("n_chars div 50").as("bucket"))
+        .agg(count(lit(1)).as("b"))
+      blocks.groupBy(col("lang"))
+        .agg(sum(col("b")).as("n_docs"),
+          count(lit(1)).as("n_blocks"),
+          sum(expr("(b * (b - 1)) div 2")).as("cand_pairs"),
+          max(col("b")).as("largest_block"))
+        .withColumn("__total", expr("(n_docs * (n_docs - 1)) div 2"))
+        .select(col("lang"), col("n_docs"), col("n_blocks"),
+          col("cand_pairs"), col("largest_block"),
+          when(col("__total") > 0L,
+            lit(1.0) - col("cand_pairs").cast("double") /
+              col("__total").cast("double")).as("reduction_ratio"))
+        .orderBy("lang")
+    }),
+
+    // Language-ID confusion census: the q24 stopword classifier scored
+    // against the ground-truth lang column — per (actual, predicted)
+    // counts, the model-audit gate for the heuristic (zh has no
+    // stopword list, so it must land in 'und').
+    "q281_langid_confusion" -> ((s, dir) => {
+      val docs = Readers.table(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.langId(docs)
+          .select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // Silhouette-style separation audit of the labeled embedding space:
+    // per label — points whose OWN-centroid distance beats the nearest
+    // OTHER centroid (n_well), and the min/max margin b² − a². The
+    // between-class companion of q215's within-class compactness; every
+    // reduction (count, min, max) is order-invariant, so the report is
+    // bit-portable without integerizing the distances. Distances are
+    // local codegen'd expressions over plan-constant centroids — no
+    // vector shuffles, no |points|×|centroids| join.
+    "q282_silhouette" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val (labels, cents) = Round11Queries.labelCentroids(s, dir)
+      val e = Readers.table(s, dir, "embeddings").select(
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val vn2 = dot(col("v"), col("v"))
+      val d2s = labels.zip(cents).map { case (l, c) =>
+        val cLit = array(c.map(lit): _*)
+        val cN2 = c.foldLeft(0.0)((s2, x) => s2 + x * x)
+        l -> (vn2 - lit(2.0) * dot(col("v"), cLit) + lit(cN2))
+      }
+      val a2 = d2s.foldLeft(lit(null).cast("double")) {
+        case (acc, (l, d2)) => when(col("label") === l, d2).otherwise(acc)
+      }
+      val b2 = least(d2s.map { case (l, d2) =>
+        when(col("label") =!= l, d2) }: _*)
+      e.select(col("label"), a2.as("__a2"), b2.as("__b2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("__b2") > col("__a2")).as("n_well"),
+          min(col("__b2") - col("__a2")).as("min_margin"),
+          max(col("__b2") - col("__a2")).as("max_margin"))
+        .orderBy("label")
+    }),
+
+    // Mood's median test cells: is each event type's daily-total
+    // distribution centered where the pooled median is? Above/below
+    // the GLOBAL exact median (doubled-grid compare, ties dropped),
+    // then the chi-square contribution per (type, side) cell — the
+    // distribution-free location test built from two existing exact
+    // primitives (medianOfLong + chisqCells).
+    "q283_mood_median" -> ((s, dir) => {
+      val daily = dailyByType(s, dir)
+      val med = graft.ext.GlobalOrder.medianOfLong(daily, "y",
+        Seq(col("event_type"), col("day")))
+      val signed = daily.crossJoin(broadcast(med.select(
+          (col("median") * 2.0).cast("long").as("__m2"))))
+        .withColumn("side",
+          when(col("y") * 2L > col("__m2"), "above")
+            .when(col("y") * 2L < col("__m2"), "below"))
+        .filter(col("side").isNotNull)
+      Stats.chisqCells(signed, "event_type", "side")
+        .orderBy("event_type", "side")
     })
   )
 
@@ -373,6 +537,172 @@ object Round12cQueries {
                                      - CAST(sy AS DOUBLE)
                                        * CAST(sy AS DOUBLE)))
                       END AS r
-          FROM a ORDER BY lag"""
+          FROM a ORDER BY lag""",
+
+    "q278_dow_anova" -> {
+      val nCols = (0 until 7).map(d =>
+        s"CAST(count(CASE WHEN dow = $d THEN 1 END) AS BIGINT) AS n$d")
+      val sCols = (0 until 7).map(d =>
+        s"CAST(sum(CASE WHEN dow = $d THEN y ELSE 0 END) AS BIGINT) AS s$d")
+      val nSum = (0 until 7).map(d => s"n$d").mkString(" + ")
+      val sSum = (0 until 7).map(d => s"s$d").mkString(" + ")
+      val kSum = (0 until 7).map(d =>
+        s"(CASE WHEN n$d > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val tSum = (0 until 7).map(d =>
+        s"""(CASE WHEN n$d > 0
+                  THEN CAST(s$d AS DOUBLE) * CAST(s$d AS DOUBLE)
+                       / CAST(n$d AS DOUBLE)
+                  ELSE 0.0 END)""").mkString(" + ")
+      s"""WITH daily AS ($DailySql),
+          d2 AS (SELECT event_type, day % 7 AS dow, y FROM daily),
+          piv AS (SELECT event_type,
+                         ${(nCols ++ sCols).mkString(",\n                         ")},
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM d2 GROUP BY 1),
+          t1 AS (SELECT *, $nSum AS n_days, $sSum AS st, $kSum AS k
+                 FROM piv),
+          t2 AS (SELECT *, $tSum AS t,
+                        CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                          / CAST(n_days AS DOUBLE) AS grand
+                 FROM t1),
+          t3 AS (SELECT *, t - grand AS ssb,
+                        CAST(syy AS DOUBLE) - grand AS sst
+                 FROM t2)
+          SELECT event_type, n_days,
+                 CASE WHEN sst <> 0 THEN ssb / sst END AS eta2,
+                 CASE WHEN k > 1 AND n_days > k AND sst - ssb <> 0
+                      THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+                           / ((sst - ssb)
+                              / (CAST(n_days AS DOUBLE)
+                                 - CAST(k AS DOUBLE)))
+                      END AS f
+          FROM t3 ORDER BY event_type"""
+    },
+
+    "q279_ltv_curve" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+                             epoch_us(ts) // $DayUs AS day, value
+                      FROM events),
+          per AS (SELECT user_id,
+                         min(CASE WHEN event_type = 'signup'
+                           THEN day END) AS cday
+                  FROM ev GROUP BY 1),
+          ok AS (SELECT * FROM per WHERE cday IS NOT NULL),
+          sizes AS (SELECT cday // 7 AS cohort,
+                           CAST(count(*) AS BIGINT) AS n_users
+                    FROM ok GROUP BY 1),
+          weekly AS (SELECT cday // 7 AS cohort,
+                            (day - cday) // 7 AS age_week,
+                            CAST(sum(${centsSql("value")}) AS BIGINT)
+                              AS wk_cents
+                     FROM ev JOIN ok USING (user_id)
+                     WHERE event_type = 'purchase' AND day >= cday
+                     GROUP BY 1, 2),
+          run AS (SELECT cohort, age_week,
+                         CAST(sum(wk_cents) OVER (PARTITION BY cohort
+                           ORDER BY age_week) AS BIGINT) AS cum_cents
+                  FROM weekly)
+          SELECT cohort, age_week, n_users, cum_cents,
+                 CAST(cum_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+                   AS ltv
+          FROM run JOIN sizes USING (cohort)
+          ORDER BY cohort, age_week""",
+
+    "q280_blocking_quality" ->
+      """WITH b AS (SELECT lang, n_chars // 50 AS bucket,
+                           CAST(count(*) AS BIGINT) AS b
+                    FROM documents GROUP BY 1, 2),
+          a AS (SELECT lang, CAST(sum(b) AS BIGINT) AS n_docs,
+                       CAST(count(*) AS BIGINT) AS n_blocks,
+                       CAST(sum((b * (b - 1)) // 2) AS BIGINT)
+                         AS cand_pairs,
+                       CAST(max(b) AS BIGINT) AS largest_block
+                FROM b GROUP BY 1),
+          t AS (SELECT *, (n_docs * (n_docs - 1)) // 2 AS total
+                FROM a)
+          SELECT lang, n_docs, n_blocks, cand_pairs, largest_block,
+                 CASE WHEN total > 0
+                      THEN 1.0 - CAST(cand_pairs AS DOUBLE)
+                           / CAST(total AS DOUBLE)
+                      END AS reduction_ratio
+          FROM t ORDER BY lang""",
+
+    "q281_langid_confusion" ->
+      s"""WITH c AS (SELECT doc_id, lang, ${ExtensionQueries.langCols}
+                     FROM documents),
+          p AS (SELECT lang,
+                       CASE WHEN c_en + c_es + c_fr + c_de = 0
+                              THEN 'und'
+                            WHEN c_en >= c_es AND c_en >= c_fr
+                              AND c_en >= c_de THEN 'en'
+                            WHEN c_es >= c_fr AND c_es >= c_de
+                              THEN 'es'
+                            WHEN c_fr >= c_de THEN 'fr'
+                            ELSE 'de' END AS lang_pred
+                FROM c)
+          SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q283_mood_median" ->
+      s"""WITH daily AS ($DailySql),
+          m AS (SELECT median(y) AS med FROM daily),
+          sg AS (SELECT event_type,
+                        CASE WHEN 2 * y > CAST(2 * med AS BIGINT)
+                               THEN 'above'
+                             WHEN 2 * y < CAST(2 * med AS BIGINT)
+                               THEN 'below' END AS side
+                 FROM daily, m),
+          c AS (SELECT event_type, side, count(*) AS o
+                FROM sg WHERE side IS NOT NULL GROUP BY 1, 2),
+          rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+                 FROM c GROUP BY 1),
+          ct AS (SELECT side, CAST(sum(o) AS BIGINT) AS ct
+                 FROM c GROUP BY 1),
+          t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+          j AS (SELECT c.event_type, c.side, o,
+                       (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                         / CAST(n AS DOUBLE) AS expected
+                FROM c JOIN rt USING (event_type) JOIN ct USING (side)
+                CROSS JOIN t)
+          SELECT event_type, side, o, expected,
+                 (CAST(o AS DOUBLE) - expected)
+                   * (CAST(o AS DOUBLE) - expected) / expected
+                   AS contrib
+          FROM j ORDER BY event_type, side"""
   )
+
+  /** q282's oracle depends on the run-time-learned label centroids —
+    * rendered per (session, sfDir) like q215/q224 (the q64 mechanism).
+    */
+  val dynamicOracleSql: Map[String, (SparkSession, String) => String] =
+    Map(
+      "q282_silhouette" -> ((s, dir) => {
+        val (labels, cents) = Round11Queries.labelCentroids(s, dir)
+        val values = labels.zip(cents).map { case (l, c) =>
+          val cn2 = c.foldLeft(0.0)((s2, x) => s2 + x * x)
+          c.map(x => s"'$x'::DOUBLE")
+            .mkString(s"($l, [", ", ", s"], '$cn2'::DOUBLE)")
+        }.mkString(", ")
+        s"""WITH cents(l, cv, cn2) AS (VALUES $values),
+            e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                         CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            en AS (SELECT vec_id, label, v,
+                          list_dot_product(v, v) AS vn2 FROM e),
+            a AS (SELECT vec_id, label,
+                         vn2 - 2 * list_dot_product(v, cv) + cn2 AS a2
+                  FROM en JOIN cents ON cents.l = en.label),
+            b AS (SELECT vec_id,
+                         min(vn2 - 2 * list_dot_product(v, cv) + cn2)
+                           AS b2
+                  FROM en JOIN cents ON cents.l <> en.label
+                  GROUP BY 1),
+            j AS (SELECT a.label, a2, b2 FROM a JOIN b USING (vec_id))
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(CASE WHEN b2 > a2 THEN 1 END) AS BIGINT)
+                     AS n_well,
+                   min(b2 - a2) AS min_margin,
+                   max(b2 - a2) AS max_margin
+            FROM j GROUP BY 1 ORDER BY label"""
+      }))
 }
