@@ -1332,6 +1332,59 @@ object ScaleBench {
               col("k"), 4)
             .agg(count(lit(1))).collect()
         }
+      },
+      "km_risk_hot_day" -> { n =>
+        time {
+          // the q272 shape under maximal skew: HALF of n subjects
+          // censor/convert on ONE duration day. The subject table is
+          // touched once by a combinable per-day count; the risk-set
+          // stitch scans |distinct days| (≤365) rows regardless of n.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 365L).as("dur"),
+            (col("id") % 3 === 0).as("ev"))
+          graft.ext.Survival.kmRiskTable(df, "dur", col("ev"))
+            .agg(count(lit(1)), sum("n_risk")).collect()
+        }
+      },
+      "pettitt_hot_key" -> { n =>
+        time {
+          // the q275 shape under maximal skew: HALF of n rows on ONE
+          // key. One rank stitch over the (key, value) compaction +
+          // one fused (rank-sum, index) stitch. Budget: t(n+1) ≈
+          // (n/2)² = 2.5e15 and ΣR2 ≤ 2(n/2)² — both « 2^63.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("g"),
+            col("id").as("t"), (col("id") % 97L).as("v"))
+          graft.ext.Stats.pettittChangepoint(df, "g", "t", "v",
+            Seq.empty).agg(count(lit(1)), sum("k")).collect()
+        }
+      },
+      "runs_hot_key" -> { n =>
+        time {
+          // the q274 shape under maximal skew: HALF of n rows on ONE
+          // key. Two hot-group-safe median passes (global-rank recipe)
+          // + one lag stitch + a combinable three-count fold.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("g"),
+            col("id").as("t"), (col("id") % 97L).as("v"))
+          graft.ext.Stats.runsTest(df, "g", "t", "v", Seq.empty)
+            .agg(count(lit(1)), sum("runs")).collect()
+        }
+      },
+      "crosscorr_dense" -> { n =>
+        time {
+          // the q277 shape: a dense n-row index with 7 lags — seven
+          // co-partitioned self-equi-joins of (index, value) rows plus
+          // one combinable six-sum fold per lag; cost must stay linear
+          // in n × |lags|.
+          val df = spark.range(n).select(col("id").as("i"),
+            (col("id") % 97L).as("x"), (col("id") * 31L % 89L).as("y"))
+          graft.ext.Stats.crossCorr(df, "i", "x", "y",
+            Seq(-3, -2, -1, 0, 1, 2, 3)).agg(sum("n_pairs")).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

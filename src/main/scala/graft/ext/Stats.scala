@@ -1060,6 +1060,65 @@ object Stats {
         min(col(tsCol)).as("cp"))
   }
 
+  /** Kruskal–Wallis H over a FIXED small group alphabet: the k-sample
+    * rank ANOVA — "do these k cohorts share a location?" without the
+    * normality assumption [[welchT]] leans on (and its k = 2 limit).
+    * Returns ONE row (n, t_ties, h, h_corrected) with
+    * H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1) over pooled midranks and
+    * the tie-corrected H' = H / (1 − ΣT/(N³−N)), ΣT = Σ(t³−t) over tie
+    * blocks.
+    *
+    * Determinism discipline: pooled doubled midranks via the
+    * [[spearmanRho]] compaction identity (2·cum − c + 1, exact int64);
+    * per-group rank sums and counts PIVOTED to 2k columns in one
+    * combinable pass; the k per-group double terms R2_g²/(4n_g) fold
+    * LEFT-TO-RIGHT in group order (the [[tvdDrift]] rule — a sum() over
+    * group rows would accumulate doubles in partition order); H then
+    * H' are fixed IEEE formulas. `binCol` a long in [0, k), k ≤ 64 (a
+    * column count). Overflow budget: Σ(t³−t) needs the largest tie
+    * block ≤ ~2M rows — pre-jitter or sub-bucket beyond.
+    */
+  def kruskalWallis(df: DataFrame, binCol: String, valueCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+    GlobalOrder.requireFresh(df, "__graft_c", "__graft_rt", "__graft_r2",
+      "__graft_k0", "n", "t_ties", "h", "h_corrected")
+    val compact = df.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__graft_c"))
+      .withColumn("__graft_k0", lit(0L))
+    val ranks = GlobalOrder.withRunningTotalPerKey(compact, "__graft_k0",
+        valueCol, "__graft_c", Seq.empty, out = "__graft_rt")
+      .select(col(valueCol),
+        (col("__graft_rt") * 2L - col("__graft_c") + 1L).as("__graft_r2"))
+    val ties = compact.agg(
+      sum(col("__graft_c") * col("__graft_c") * col("__graft_c") -
+        col("__graft_c")).as("t_ties"))
+    val sums = (0 until k).flatMap { g =>
+      Seq(count_if(col(binCol) === g.toLong).as(s"__n$g"),
+        sum(when(col(binCol) === g.toLong, col("__graft_r2"))
+          .otherwise(0L)).as(s"__r$g"))
+    }
+    val piv = df.join(ranks, Seq(valueCol))
+      .agg(sums.head, sums.tail: _*)
+      .crossJoin(broadcast(ties))
+    def d(c: String) = col(c).cast("double")
+    val nTot = (0 until k).map(g => col(s"__n$g")).reduce(_ + _)
+    val s = (0 until k).map { g =>
+      when(col(s"__n$g") > 0L,
+        d(s"__r$g") * d(s"__r$g") / (lit(4.0) * d(s"__n$g")))
+        .otherwise(0.0)
+    }.reduce(_ + _)
+    val withN = piv.withColumn("n", nTot)
+    val h = lit(12.0) / (d("n") * (d("n") + lit(1.0))) * s -
+      lit(3.0) * (d("n") + lit(1.0))
+    val corr = lit(1.0) - d("t_ties") /
+      (d("n") * d("n") * d("n") - d("n"))
+    withN.withColumn("h", when(col("n") >= 2L, h))
+      .select(col("n"), col("t_ties"), col("h"),
+        when(col("h").isNotNull && corr > 0.0, col("h") / corr)
+          .as("h_corrected"))
+  }
+
   /** Lead–lag cross-correlation between two integer series sharing an
     * index: Pearson r of (x(i), y(i + lag)) per lag — "do purchases
     * follow clicks, and by how many days?". [[laggedPearson]]'s

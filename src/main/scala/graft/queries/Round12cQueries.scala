@@ -312,6 +312,67 @@ object Round12cQueries {
         .filter(col("side").isNotNull)
       Stats.chisqCells(signed, "event_type", "side")
         .orderBy("event_type", "side")
+    }),
+
+    // Kruskal–Wallis H across the 5 event types' daily totals: the
+    // k-sample rank ANOVA (q187's Welch t is 2-sample and
+    // normality-leaning; q278's ANOVA follows values — this follows
+    // midranks). Pooled doubled midranks exact, tie term Σ(t³−t)
+    // exact, per-type terms folded in fixed order, H and the
+    // tie-corrected H′ one fixed formula each.
+    "q284_kruskal_wallis" -> ((s, dir) =>
+      Stats.kruskalWallis(
+          dailyByType(s, dir).select(typeKeyCol.as("tk"), col("y")),
+          "tk", "y", k = 5)),
+
+    // Streaming seasonal-naive forecast monitor: alert when a closing
+    // day's total deviates >50% from the same type's total 7 days
+    // earlier — bounded 9-day ledger state per type, alerts on the
+    // closing event so the bounded run hash-equals the batch twin.
+    "q285_streaming_forecast" -> ((s, dir) =>
+      StreamingQueries.runEventsStream(s, dir, "q285_events") { raw =>
+        import s.implicits._
+        val typed = raw.select(col("event_type"),
+            expr("ts div 1000").as("tsu"), col("event_id"),
+            Stats.cents(col("value")).as("cents"),
+            timestamp_micros(expr("ts div 1000")).as("ts"))
+          .as[graft.streaming.EventStream.TypedCents]
+        val out = graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.forecastAlerts(typed).toDF(),
+          StreamingQueries.memName("q285_mem_"),
+          outputMode = org.apache.spark.sql.streaming.OutputMode
+            .Append(),
+          statePartitions = Some(8))
+        out.orderBy("event_type", "day")
+      }),
+
+    // Weekly growth accounting: every active (user, week) classified
+    // as new / retained / resurrected, churn derived as
+    // active(w−1) − retained(w) — the canonical DAU-decomposition
+    // read. One distinct pass, one per-user lag stitch, one
+    // combinable fold; every count exact.
+    "q286_growth_accounting" -> ((s, dir) => {
+      val wk = eventsUs(s, dir)
+        .select(col("user_id"),
+          expr(s"(tsu div ${DayUs}L) div 7").as("wk"))
+        .distinct()
+      val first = wk.groupBy(col("user_id")).agg(min(col("wk")).as("fw"))
+      val lag = graft.ext.GlobalOrder.withLagPerKey(wk, "user_id",
+        "wk", "wk", Seq.empty, out = "prev")
+      val cls = lag.join(first, Seq("user_id"))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_active"),
+          count_if(col("wk") === col("fw")).as("n_new"),
+          count_if(col("prev") === col("wk") - 1L).as("n_retained"),
+          count_if(col("prev").isNotNull &&
+            col("prev") < col("wk") - 1L).as("n_resurrected"))
+      cls.join(cls.select((col("wk") + 1L).as("wk"),
+          col("n_active").as("__pa")), Seq("wk"), "left")
+        .select(col("wk"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"),
+          (coalesce(col("__pa"), lit(0L)) - col("n_retained"))
+            .as("n_churned"))
+        .orderBy("wk")
     })
   )
 
@@ -668,7 +729,89 @@ object Round12cQueries {
                  (CAST(o AS DOUBLE) - expected)
                    * (CAST(o AS DOUBLE) - expected) / expected
                    AS contrib
-          FROM j ORDER BY event_type, side"""
+          FROM j ORDER BY event_type, side""",
+
+    "q284_kruskal_wallis" -> {
+      val bin = TypeCodes.map { case (n, c) =>
+        s"WHEN '$n' THEN $c" }.mkString("CASE event_type ", " ", " END")
+      val nCols = (0 until 5).map(g =>
+        s"CAST(count(CASE WHEN tk = $g THEN 1 END) AS BIGINT) AS n$g")
+      val rCols = (0 until 5).map(g =>
+        s"CAST(sum(CASE WHEN tk = $g THEN r2 ELSE 0 END) AS BIGINT) AS r$g")
+      val nSum = (0 until 5).map(g => s"n$g").mkString(" + ")
+      val sSum = (0 until 5).map(g =>
+        s"""(CASE WHEN n$g > 0
+                  THEN CAST(r$g AS DOUBLE) * CAST(r$g AS DOUBLE)
+                       / (4.0 * CAST(n$g AS DOUBLE))
+                  ELSE 0.0 END)""").mkString(" + ")
+      s"""WITH daily AS ($DailySql),
+          b AS (SELECT $bin AS tk, y FROM daily),
+          c AS (SELECT y, count(*) AS c FROM b GROUP BY 1),
+          r AS (SELECT y, CAST(2 * cum - c + 1 AS BIGINT) AS r2
+                FROM (SELECT y, c, sum(c) OVER (ORDER BY y) AS cum
+                      FROM c) t),
+          tt AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t_ties
+                 FROM c),
+          j AS (SELECT tk, r2 FROM b JOIN r USING (y)),
+          piv AS (SELECT
+                    ${(nCols ++ rCols).mkString(",\n                    ")}
+                  FROM j),
+          t1 AS (SELECT *, $nSum AS n FROM piv CROSS JOIN tt),
+          t2 AS (SELECT *, $sSum AS s FROM t1),
+          t3 AS (SELECT n, t_ties,
+                        CASE WHEN n >= 2
+                             THEN 12.0 / (CAST(n AS DOUBLE)
+                                    * (CAST(n AS DOUBLE) + 1.0)) * s
+                                  - 3.0 * (CAST(n AS DOUBLE) + 1.0)
+                             END AS h,
+                        1.0 - CAST(t_ties AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+                          AS corr
+                 FROM t2)
+          SELECT n, t_ties, h,
+                 CASE WHEN h IS NOT NULL AND corr > 0
+                      THEN h / corr END AS h_corrected
+          FROM t3"""
+    },
+
+    "q285_streaming_forecast" ->
+      s"""WITH daily AS ($DailySql),
+          mx AS (SELECT event_type, CAST(max(day) AS BIGINT) AS mx
+                 FROM daily GROUP BY 1),
+          j AS (SELECT a.event_type, a.day, a.y, b.y AS prev
+                FROM daily a
+                JOIN daily b ON a.event_type = b.event_type
+                  AND a.day = b.day + 7
+                JOIN mx ON mx.event_type = a.event_type
+                  AND a.day < mx.mx)
+          SELECT event_type, day, y AS total_cents, prev AS prev_cents
+          FROM j WHERE abs(y - prev) * 2 > prev
+          ORDER BY event_type, day""",
+
+    "q286_growth_accounting" ->
+      s"""WITH ev AS (SELECT user_id,
+                             (epoch_us(ts) // $DayUs) // 7 AS wk
+                      FROM events GROUP BY 1, 2),
+          f AS (SELECT user_id, min(wk) AS fw FROM ev GROUP BY 1),
+          l AS (SELECT user_id, wk,
+                       lag(wk) OVER (PARTITION BY user_id
+                         ORDER BY wk) AS prev
+                FROM ev),
+          c AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+                       CAST(count(CASE WHEN wk = fw THEN 1 END)
+                         AS BIGINT) AS n_new,
+                       CAST(count(CASE WHEN prev = wk - 1 THEN 1 END)
+                         AS BIGINT) AS n_retained,
+                       CAST(count(CASE WHEN prev IS NOT NULL
+                         AND prev < wk - 1 THEN 1 END) AS BIGINT)
+                         AS n_resurrected
+                FROM l JOIN f USING (user_id) GROUP BY 1)
+          SELECT c.wk AS wk, c.n_active, c.n_new, c.n_retained,
+                 c.n_resurrected,
+                 coalesce(p.n_active, 0) - c.n_retained AS n_churned
+          FROM c LEFT JOIN c p ON c.wk = p.wk + 1
+          ORDER BY 1"""
   )
 
   /** q282's oracle depends on the run-time-learned label centroids —

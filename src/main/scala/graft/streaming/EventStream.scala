@@ -241,6 +241,92 @@ object EventStream {
       }
   }
 
+  private val DayUs = 86400000000L
+
+  /** One typed event for the forecast monitor: integer cents, micros,
+    * and the timestamp twin that carries the watermark. */
+  final case class TypedCents(event_type: String, tsu: Long,
+                              event_id: Long, cents: Long, ts: Timestamp)
+  // public: the state encoder's generated code instantiates these
+  // reflectively
+  final case class DayLedger(totals: Map[Long, Long], closedUpTo: Long)
+  final case class ForecastAlert(event_type: String, day: Long,
+                                 total_cents: Long, prev_cents: Long)
+
+  /** Streaming seasonal-naive forecast monitor: per event type, when a
+    * day CLOSES (the first event of a later day arrives), compare its
+    * total against the total 7 days earlier and alert when it deviates
+    * by more than 50% (|y − ŷ|·2 > ŷ, exact integers) — the streaming
+    * twin of the batch backtest's residual screen
+    * ([[graft.ext.TimeSeries.seasonalNaiveBacktest]]), with q273/q285
+    * gating the shared semantics. Alerting on the CLOSING event (the
+    * [[gapAlerts]] rule) keeps the bounded run hash-equal to the batch
+    * twin; a timeout-fired close would depend on watermark arrival
+    * timing.
+    *
+    * State per type is ONE day-ledger bounded by construction: only the
+    * newest day is ever open (every older day closes the moment a later
+    * event arrives), and closed days older than newest − 8 are pruned —
+    * a closed day is only ever read again as the 7-day-back forecast
+    * base. So state is ≤ 9 (day, total) pairs per key regardless of
+    * stream length, plus the same event-time timeout discipline as
+    * [[throttledPings]] for abandoned keys. Same per-batch slice sort
+    * and in-order-across-batches contract as the other custom-state
+    * operators.
+    */
+  def forecastAlerts(events: Dataset[TypedCents],
+                     watermarkDelay: String = "10 minutes")
+      : Dataset[ForecastAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DayLedger, ForecastAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, batch: Iterator[TypedCents],
+         state: GroupState[DayLedger]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toArray.sortBy(e => (e.tsu, e.event_id))
+            var totals = state.getOption.map(_.totals)
+              .getOrElse(Map.empty[Long, Long])
+            var closedUpTo = state.getOption.map(_.closedUpTo)
+              .getOrElse(Long.MinValue)
+            var lastTsu = 0L
+            val alerts = Seq.newBuilder[ForecastAlert]
+            sorted.foreach { e =>
+              val day = Math.floorDiv(e.tsu, DayUs)
+              // close every still-open older day (at most one: the
+              // previous maximum) before folding this event in
+              totals.keys.filter(k => k < day && k > closedUpTo)
+                .toSeq.sorted.foreach { k =>
+                  val y = totals(k)
+                  totals.get(k - 7L).foreach { p =>
+                    if (math.abs(y - p) * 2L > p)
+                      alerts += ForecastAlert(typ, k, y, p)
+                  }
+                }
+              closedUpTo = math.max(closedUpTo, day - 1L)
+              totals = totals.updated(day,
+                totals.getOrElse(day, 0L) + e.cents)
+              if (totals.size > 9)
+                totals = totals.filter(_._1 >= day - 8L)
+              lastTsu = math.max(lastTsu, e.tsu)
+            }
+            if (sorted.nonEmpty) {
+              state.update(DayLedger(totals, closedUpTo))
+              // expire once the watermark is 9 days past last activity:
+              // nothing the ledger holds can still close with an alert
+              state.setTimeoutTimestamp(lastTsu / 1000L +
+                9L * (DayUs / 1000L))
+            }
+            alerts.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen,
     * keeping state only within the watermark horizon — the streaming twin
     * of batch exact dedup, with bounded state (late duplicates beyond the

@@ -199,6 +199,95 @@ class Round12cSuite extends SparkSpec {
     }
   }
 
+  describe("Stats.kruskalWallis") {
+    it("matches the textbook H on random k-sample data") {
+      for (seed <- 1L to 5L) {
+        val g = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 9L))
+        val rows = samples(g, 45, seed)
+        val got = Stats.kruskalWallis(rows.toDF("tk", "y"), "tk", "y",
+            k = 4)
+          .as[(Long, Long, Option[Double], Option[Double])]
+          .collect().head
+        val n = rows.size
+        val sorted = rows.map(_._2).sorted
+        def midrank(v: Long): Double = {
+          val lo = sorted.indexOf(v) + 1
+          val hi = sorted.lastIndexOf(v) + 1
+          (lo + hi) / 2.0
+        }
+        val byG = rows.groupBy(_._1)
+        val s = byG.values.map { vs =>
+          val r = vs.map(v => midrank(v._2)).sum
+          r * r / vs.size
+        }.sum
+        val h = 12.0 / (n.toDouble * (n + 1)) * s - 3.0 * (n + 1)
+        val ties = rows.map(_._2).groupBy(identity).values
+          .map(t => t.size.toLong)
+          .map(t => t * t * t - t).sum
+        val corr = 1.0 - ties.toDouble /
+          (n.toDouble * n * n - n)
+        assert(got._1 == n.toLong)
+        assert(got._2 == ties, s"seed=$seed ties")
+        assert(math.abs(got._3.get - h) < 1e-9, s"seed=$seed h")
+        assert(math.abs(got._4.get - h / corr) < 1e-9, s"seed=$seed")
+      }
+    }
+  }
+
+  describe("EventStream.forecastAlerts") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    val DayUs = 86400000000L
+
+    def tc(typ: String, day: Long, id: Long, cents: Long) = {
+      val tsu = day * DayUs + id * 1000000L
+      EventStream.TypedCents(typ, tsu, id, cents,
+        new Timestamp(tsu / 1000L))
+    }
+
+    it("alerts on >50% deviation vs 7 days back, across batches, " +
+       "and never on the still-open day") {
+      implicit val sc = spark.sqlContext
+      val src = MemoryStream[EventStream.TypedCents]
+      val q = EventStream.forecastAlerts(src.toDS()).toDF()
+        .writeStream.format("memory").queryName("fcast_test")
+        .outputMode("append").start()
+      // day 0 total 100, day 7 total 260 (alert when day 7 closes),
+      // day 8 still open (no alert even though 8-1=7... no base at 1)
+      src.addData(tc("a", 0, 1, 60), tc("a", 0, 2, 40))
+      q.processAllAvailable()
+      src.addData(tc("a", 7, 3, 260)) // closes day 0: no 7-back base
+      q.processAllAvailable()
+      src.addData(tc("a", 8, 4, 100)) // closes day 7: |260-100|*2>100
+      q.processAllAvailable()
+      src.addData(tc("a", 14, 5, 90)) // closes day 8: no base at day 1
+      q.processAllAvailable()
+      val rows = spark.table("fcast_test")
+        .orderBy("day").collect()
+      q.stop()
+      assert(rows.map(r => (r.getAs[Long]("day"),
+        r.getAs[Long]("total_cents"), r.getAs[Long]("prev_cents")))
+        .toSeq == Seq((7L, 260L, 100L)))
+      // day 14 is open: 14-7=7 present in the pruned ledger but no
+      // alert until a later event closes it
+    }
+
+    it("stays quiet inside the 50% band") {
+      implicit val sc = spark.sqlContext
+      val src = MemoryStream[EventStream.TypedCents]
+      val q = EventStream.forecastAlerts(src.toDS()).toDF()
+        .writeStream.format("memory").queryName("fcast_quiet")
+        .outputMode("append").start()
+      src.addData(tc("b", 0, 1, 100), tc("b", 7, 2, 149),
+        tc("b", 8, 3, 1)) // closes day 7: |149-100|*2=98 <= 100
+      q.processAllAvailable()
+      val n = spark.table("fcast_quiet").count()
+      q.stop()
+      assert(n == 0L)
+    }
+  }
+
   describe("TextAnalysis.readabilityCensus") {
     it("counts words/sentences/syllable-runs and bands correctly") {
       val docs = Seq(
