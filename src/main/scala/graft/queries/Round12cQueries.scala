@@ -373,6 +373,83 @@ object Round12cQueries {
           (coalesce(col("__pa"), lit(0L)) - col("n_retained"))
             .as("n_churned"))
         .orderBy("wk")
+    }),
+
+    // k-anonymity / l-diversity audit of the documents table under the
+    // (lang, n_chars-bucket) quasi-identifier with `source` as the
+    // sensitive attribute: the privacy census a dataset runs before
+    // release — achieved k (min group size), rows in groups below
+    // k = 5, and groups whose sensitive attribute has fewer than 2
+    // distinct values (homogeneity attack). Two combinable levels:
+    // per-QI-group (size, distinct-sensitive), then one fold.
+    "q287_k_anonymity" -> ((s, dir) => {
+      val groups = Readers.table(s, dir, "documents")
+        .groupBy(col("lang"), expr("n_chars div 100").as("bucket"))
+        .agg(count(lit(1)).as("sz"),
+          count_distinct(col("source")).as("ls"))
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("sz")).as("n_rows"),
+        min(col("sz")).as("achieved_k"),
+        min(col("ls")).as("achieved_l"),
+        sum(when(col("sz") < 5L, col("sz")).otherwise(0L))
+          .as("rows_below_k5"),
+        count_if(col("ls") < 2L).as("groups_low_diversity"))
+    }),
+
+    // Corpus-geometry audit: histogram of pairwise squared L2
+    // distances over a DETERMINISTIC hash sample of the embedding
+    // space — collapsed embeddings pile into the low buckets, healthy
+    // spreads don't. The sample modulus is the scale knob (pairs are
+    // (N/mod)²/2, chosen at the scan so no all-pairs join ever forms);
+    // bucket = floor(d2 / width) capped at 24, floor/IEEE identical on
+    // both engines.
+    "q288_embed_dist_histogram" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val e = Readers.table(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(4L)) === 0L)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+      val a = e.select(col("vec_id").as("ida"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("idb"), col("v").as("vb"))
+      val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+      val d2 = dot(col("va"), col("va")) -
+        lit(2.0) * dot(col("va"), col("vb")) +
+        dot(col("vb"), col("vb"))
+      pairs.select(least(floor(d2 / lit(0.5)).cast("long"), lit(24L))
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
+    }),
+
+    // Burstiness index per event type: B = (σ − μ)/(σ + μ) over the
+    // pooled per-user inter-event gaps (minutes) — B → −1 periodic,
+    // ~0 Poisson, → 1 bursty. The dispersion read q237's cadence
+    // median can't give. One lag stitch on the composite (user, type)
+    // key + one combinable three-sum fold; σ and B are one fixed
+    // formula over exact integer sums.
+    "q289_burstiness" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select(
+        (col("user_id") * 8L + typeKeyCol).as("utk"),
+        col("tsu"), col("event_id"))
+      val lag = graft.ext.GlobalOrder.withLagPerKey(ev, "utk", "tsu",
+        "tsu", Seq(col("event_id")), out = "prev")
+      val gaps = lag.filter(col("prev").isNotNull)
+        .select(pmod(col("utk"), lit(8L)).as("tk"),
+          expr("(tsu - prev) div 60000000").as("g"))
+      val agg = gaps.groupBy(col("tk")).agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("__sx"),
+        sum(col("g") * col("g")).as("__sxx"))
+      def d(c: String) = col(c).cast("double")
+      val mean = d("__sx") / d("n_gaps")
+      val variance = (d("n_gaps") * d("__sxx") - d("__sx") * d("__sx")) /
+        (d("n_gaps") * (d("n_gaps") - lit(1.0)))
+      val sd = sqrt(variance)
+      agg.select(typeNameCol("tk").as("event_type"), col("n_gaps"),
+          when(col("n_gaps") >= 2L && variance >= 0.0 &&
+            sd + mean =!= 0.0, (sd - mean) / (sd + mean)).as("b"))
+        .orderBy("event_type")
     })
   )
 
@@ -811,7 +888,83 @@ object Round12cQueries {
                  c.n_resurrected,
                  coalesce(p.n_active, 0) - c.n_retained AS n_churned
           FROM c LEFT JOIN c p ON c.wk = p.wk + 1
-          ORDER BY 1"""
+          ORDER BY 1""",
+
+    "q287_k_anonymity" ->
+      """WITH g AS (SELECT lang, n_chars // 100 AS bucket,
+                           CAST(count(*) AS BIGINT) AS sz,
+                           CAST(count(DISTINCT source) AS BIGINT) AS ls
+                    FROM documents GROUP BY 1, 2)
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(sz) AS BIGINT) AS n_rows,
+                 CAST(min(sz) AS BIGINT) AS achieved_k,
+                 CAST(min(ls) AS BIGINT) AS achieved_l,
+                 CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                   AS BIGINT) AS rows_below_k5,
+                 CAST(count(CASE WHEN ls < 2 THEN 1 END) AS BIGINT)
+                   AS groups_low_diversity
+          FROM g""",
+
+    "q288_embed_dist_histogram" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id % 4 = 0),
+          p AS (SELECT list_dot_product(a.v, a.v)
+                       - 2 * list_dot_product(a.v, b.v)
+                       + list_dot_product(b.v, b.v) AS d2
+                FROM e a JOIN e b ON a.vec_id < b.vec_id),
+          h AS (SELECT least(CAST(floor(d2 / 0.5) AS BIGINT), 24)
+                  AS bucket FROM p)
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM h GROUP BY 1 ORDER BY bucket""",
+
+    "q289_burstiness" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu,
+                           event_id
+                    FROM events),
+          l AS (SELECT event_type, tsu,
+                       lag(tsu) OVER (PARTITION BY user_id, event_type
+                         ORDER BY tsu, event_id) AS prev
+                FROM e),
+          g AS (SELECT event_type, (tsu - prev) // 60000000 AS gp
+                FROM l WHERE prev IS NOT NULL),
+          a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                       CAST(sum(gp) AS BIGINT) AS sx,
+                       CAST(sum(gp * gp) AS BIGINT) AS sxx
+                FROM g GROUP BY 1)
+          SELECT event_type, n_gaps,
+                 CASE WHEN n_gaps >= 2
+                       AND (CAST(n_gaps AS DOUBLE)
+                              * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n_gaps AS DOUBLE)
+                              * (CAST(n_gaps AS DOUBLE) - 1.0)) >= 0
+                       AND sqrt((CAST(n_gaps AS DOUBLE)
+                                   * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE))
+                                / (CAST(n_gaps AS DOUBLE)
+                                   * (CAST(n_gaps AS DOUBLE) - 1.0)))
+                           + CAST(sx AS DOUBLE)
+                             / CAST(n_gaps AS DOUBLE) <> 0
+                      THEN (sqrt((CAST(n_gaps AS DOUBLE)
+                                    * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE)
+                                    * CAST(sx AS DOUBLE))
+                                 / (CAST(n_gaps AS DOUBLE)
+                                    * (CAST(n_gaps AS DOUBLE) - 1.0)))
+                            - CAST(sx AS DOUBLE)
+                              / CAST(n_gaps AS DOUBLE))
+                           / (sqrt((CAST(n_gaps AS DOUBLE)
+                                      * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE)
+                                      * CAST(sx AS DOUBLE))
+                                   / (CAST(n_gaps AS DOUBLE)
+                                      * (CAST(n_gaps AS DOUBLE)
+                                         - 1.0)))
+                              + CAST(sx AS DOUBLE)
+                                / CAST(n_gaps AS DOUBLE))
+                      END AS b
+          FROM a ORDER BY event_type"""
   )
 
   /** q282's oracle depends on the run-time-learned label centroids —
