@@ -353,6 +353,53 @@ object Stats {
     (means, invert(cov))
   }
 
+  /** Dominant principal direction of the embedding cloud, learned by
+    * deterministic power iteration on the EXACT fixed-point covariance
+    * ([[embeddingCovariance]]'s integer sums): (means, unit eigenvector,
+    * eigenvalue). The d×d matrix is collected to the driver (d²
+    * doubles) and iterated a FIXED `iters` times from the fixed
+    * all-ones start in plain driver code — no RNG, no convergence test,
+    * so the model is a pure function of the data and the oracle
+    * rendered from the same constants is engine-independent (the
+    * [[mahalanobisModel]] discipline). Sign convention: the first
+    * nonzero component is made positive. Degenerate (zero) covariance
+    * returns the start vector with eigenvalue 0.
+    */
+  def pcaPowerModel(df: DataFrame, idCol: String, vecCol: String,
+                    dims: Int, scale: Int = 65536, iters: Int = 100)
+      : (Array[Double], Array[Double], Double) = {
+    val moments = df
+      .select(posexplode(slice(col(vecCol), 1, dims)).as(Seq("i", "x")))
+      .select(col("i"), cents(col("x").cast("double"), scale).as("xc"))
+      .groupBy("i").agg(count(lit(1)).as("n"), sum("xc").as("sx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val means = moments.map { case (_, n, sx) =>
+      (sx.toDouble / n) / scale.toDouble
+    }
+    val cov = Array.ofDim[Double](dims, dims)
+    embeddingCovariance(df, idCol, vecCol, dims, scale).collect()
+      .foreach { r =>
+        require(!r.isNullAt(3),
+          s"pcaPowerModel needs >= 2 rows per dimension pair; " +
+            s"pair (${r.getLong(0)}, ${r.getLong(1)}) has n=${r.getLong(2)}")
+        val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt,
+          r.getDouble(3))
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0.0) v = w.map(_ / norm)
+    }
+    v.find(_ != 0.0).foreach(first => if (first < 0) v = v.map(-_))
+    val eig = (0 until dims).map(i =>
+      v(i) * (0 until dims).map(j => cov(i)(j) * v(j)).sum).sum
+    (means, v, eig)
+  }
+
   /** Per-row squared Mahalanobis distance under a [[mahalanobisModel]]:
     * d² = (x−μ)ᵀ Σ⁻¹ (x−μ), built as ONE fixed expression over the
     * model constants — left-associated term sum, each term

@@ -450,6 +450,49 @@ object Round12cQueries {
           when(col("n_gaps") >= 2L && variance >= 0.0 &&
             sd + mean =!= 0.0, (sd - mean) / (sd + mean)).as("b"))
         .orderBy("event_type")
+    }),
+
+    // Principal-direction projection census: power-iterate the EXACT
+    // fixed-point covariance on the driver (deterministic model, the
+    // q177 mahalanobis discipline), then histogram every vector's
+    // score along the top eigenvector — the collapsed-embedding /
+    // dominant-axis audit. The projection is one codegen'd dot against
+    // plan constants; no vector shuffles.
+    "q290_pca_projection" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val e = Readers.table(s, dir, "embeddings")
+      val (means, vec, eig) = Stats.pcaPowerModel(e, "vec_id",
+        "embedding", dims = 8)
+      val mv = means.zip(vec).map { case (m, v) => m * v }.sum
+      val vLit = array(vec.map(lit): _*)
+      val score = dot(slice(col("embedding").cast("array<double>"),
+        1, 8), vLit) - lit(mv)
+      e.select(least(greatest(floor(score / lit(0.25)).cast("long"),
+          lit(-24L)), lit(24L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .withColumn("eigval", lit(eig))
+        .orderBy("bucket")
+    }),
+
+    // Conformal-style forecast error intervals: the p50/p90 of the
+    // seasonal-naive |error| per event type — the calibration band a
+    // monitor (q285) should alert OUTSIDE of, from exact order
+    // statistics (global-rank picks, hot-group-safe), not a t-interval.
+    "q291_forecast_interval" -> ((s, dir) => {
+      val daily = dailyByType(s, dir)
+      val f = daily.select(col("event_type"),
+        (col("day") + 7L).as("day"), col("y").as("__f"))
+      val errs = daily.join(f, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"),
+          abs(col("y") - col("__f")).as("ae"))
+      val p50 = graft.ext.GlobalOrder.groupQuantileOfLong(errs,
+        "event_type", "ae", 50, Seq(col("day")), out = "p50_abs_err")
+      val p90 = graft.ext.GlobalOrder.groupQuantileOfLong(errs,
+        "event_type", "ae", 90, Seq(col("day")), out = "p90_abs_err")
+      p50.join(p90.drop("n"), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("p50_abs_err"),
+          col("p90_abs_err"))
+        .orderBy("event_type")
     })
   )
 
@@ -964,7 +1007,25 @@ object Round12cQueries {
                               + CAST(sx AS DOUBLE)
                                 / CAST(n_gaps AS DOUBLE))
                       END AS b
-          FROM a ORDER BY event_type"""
+          FROM a ORDER BY event_type""",
+
+    "q291_forecast_interval" ->
+      s"""WITH daily AS ($DailySql),
+          e AS (SELECT a.event_type, a.day, abs(a.y - b.y) AS ae
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type
+                 AND a.day = b.day + 7),
+          r AS (SELECT event_type, ae,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY ae, day) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM e)
+          SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                 CAST(max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1
+                   THEN ae END) AS BIGINT) AS p50_abs_err,
+                 CAST(max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1
+                   THEN ae END) AS BIGINT) AS p90_abs_err
+          FROM r GROUP BY 1 ORDER BY event_type"""
   )
 
   /** q282's oracle depends on the run-time-learned label centroids —
@@ -972,6 +1033,21 @@ object Round12cQueries {
     */
   val dynamicOracleSql: Map[String, (SparkSession, String) => String] =
     Map(
+      "q290_pca_projection" -> ((s, dir) => {
+        val (means, vec, eig) = Stats.pcaPowerModel(
+          Readers.table(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = 8)
+        val mv = means.zip(vec).map { case (m, v) => m * v }.sum
+        val vSql = vec.map(x => s"'$x'::DOUBLE")
+          .mkString("[", ", ", "]")
+        s"""SELECT least(greatest(CAST(floor(
+                     (list_dot_product(CAST(embedding AS DOUBLE[])[1:8],
+                        $vSql) - '$mv'::DOUBLE) / 0.25) AS BIGINT),
+                     -24), 24) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   '$eig'::DOUBLE AS eigval
+            FROM embeddings GROUP BY 1 ORDER BY bucket"""
+      }),
       "q282_silhouette" -> ((s, dir) => {
         val (labels, cents) = Round11Queries.labelCentroids(s, dir)
         val values = labels.zip(cents).map { case (l, c) =>

@@ -288,6 +288,36 @@ class Round12cSuite extends SparkSpec {
     }
   }
 
+  describe("Stats.pcaPowerModel") {
+    it("recovers the dominant axis of an elongated cloud") {
+      // points spread ±10 along dim 0, ±0.1 along dim 1, 0 elsewhere
+      val rows = (0 until 40).map { i =>
+        val t = (i - 20) / 2.0
+        (i.toLong, Seq.tabulate(8)(d =>
+          if (d == 0) t.toFloat
+          else if (d == 1) (0.01 * (i % 5 - 2)).toFloat else 0.0f))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val (means, vec, eig) = Stats.pcaPowerModel(df, "vec_id",
+        "embedding", dims = 8)
+      assert(math.abs(means(0)) < 0.3)
+      assert(math.abs(math.abs(vec(0)) - 1.0) < 1e-3,
+        s"v=${vec.toSeq}") // dominant axis is dim 0
+      assert(vec(0) > 0.0) // sign convention: first component positive
+      assert(eig > 1.0) // variance along dim 0 is ~35
+      assert(math.abs(vec.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    it("is deterministic run-to-run") {
+      val rows = (0 until 30).map(i => (i.toLong,
+        Seq.tabulate(8)(d => ((i * 31 + d * 17) % 13 / 13.0).toFloat)))
+      val df = rows.toDF("vec_id", "embedding")
+      val a = Stats.pcaPowerModel(df, "vec_id", "embedding", 8)
+      val b = Stats.pcaPowerModel(df.repartition(7), "vec_id",
+        "embedding", 8)
+      assert(a._2.toSeq == b._2.toSeq && a._3 == b._3)
+    }
+  }
+
   describe("TextAnalysis.readabilityCensus") {
     it("counts words/sentences/syllable-runs and bands correctly") {
       val docs = Seq(
