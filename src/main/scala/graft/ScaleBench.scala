@@ -1374,6 +1374,20 @@ object ScaleBench {
             .agg(count(lit(1)), sum("runs")).collect()
         }
       },
+      "ks_drift_bins" -> { n =>
+        time {
+          // the q292 shape: 16 cohorts vs baseline in ONE pivot
+          // compaction + ONE fused 16-column running-counts stitch over
+          // the value support (100k distinct values), then a combinable
+          // 16-way max. Cost must stay linear in n — the K comparisons
+          // ride one pass.
+          val df = spark.range(n).select(
+            (col("id") % 16L).as("m"),
+            (pmod(hash(col("id")), lit(100000))).cast("long").as("v"))
+          graft.ext.Stats.ksDriftBins(df, "m", "v", k = 16)
+            .agg(sum(col("ks_num")), count(lit(1))).collect()
+        }
+      },
       "crosscorr_dense" -> { n =>
         time {
           // the q277 shape: a dense n-row index with 7 lags — seven

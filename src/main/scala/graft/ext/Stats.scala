@@ -1213,6 +1213,62 @@ object Stats {
         cov / sqrt(vx * vy)).as("r"))
   }
 
+  /** K-cohort Kolmogorov–Smirnov drift monitor against a baseline
+    * cohort: per bin b ≠ `baselineBin`, the exact KS distance between
+    * bin b's value distribution and the baseline's — the "did this
+    * month's distribution move" production monitor, [[ksTest]]
+    * generalized from one pair to K-vs-baseline WITHOUT K passes.
+    *
+    * Shape: one combinable (value → K per-bin counts) pivot compaction
+    * (the [[tvdDrift]] fixed-alphabet rule, bins ≤ 64 are a COLUMN
+    * count), then ONE fused [[GlobalOrder.withRunningTotalsPerKey]]
+    * stitch carrying all K running counts in value order over the
+    * compacted support, then one combinable K-way max. Every cumulative
+    * count and cross-product gap |r_b·n_base − r_base·n_b| is exact
+    * int64; each ks is one final division. Overflow budget:
+    * n_b · n_base must fit int64 (≤ ~3e9 rows per cohort). Returns
+    * (bin, n, ks_num, ks) for non-empty bins ≠ baseline; `binCol` a
+    * long in [0, k).
+    */
+  def ksDriftBins(df: DataFrame, binCol: String, valueCol: String,
+                  k: Int, baselineBin: Int = 0): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+    require(baselineBin >= 0 && baselineBin < k,
+      s"baselineBin must be in [0, $k), got $baselineBin")
+    GlobalOrder.requireFresh(df, "__graft_k0", "bin", "n", "ks_num",
+      "ks")
+    val counts = (0 until k).map(b =>
+      count_if(col(binCol) === b.toLong).as(s"__c$b"))
+    val compact = df.groupBy(col(valueCol))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("__graft_k0", lit(0L))
+    val run = GlobalOrder.withRunningTotalsPerKey(compact, "__graft_k0",
+      valueCol, (0 until k).map(b => s"__c$b"), Seq.empty,
+      outs = (0 until k).map(b => s"__r$b"))
+    val tots = run.agg(
+      (0 until k).map(b => sum(col(s"__c$b")).as(s"__n$b")).head,
+      (0 until k).map(b => sum(col(s"__c$b")).as(s"__n$b")).tail: _*)
+    val gapped = run.crossJoin(broadcast(tots))
+    val maxes = gapped.agg(
+      (0 until k).map { b =>
+        max(abs(col(s"__r$baselineBin") * col(s"__n$b") -
+          col(s"__r$b") * col(s"__n$baselineBin"))).as(s"__g$b")
+      }.head,
+      (0 until k).map { b =>
+        max(abs(col(s"__r$baselineBin") * col(s"__n$b") -
+          col(s"__r$b") * col(s"__n$baselineBin"))).as(s"__g$b")
+      }.tail ++ (0 until k).map(b => max(col(s"__n$b")).as(s"__m$b")): _*)
+    (0 until k).filter(_ != baselineBin).map { b =>
+      maxes.select(lit(b.toLong).as("bin"), col(s"__m$b").as("n"),
+        col(s"__g$b").as("ks_num"),
+        when(col(s"__m$b") > 0L && col(s"__m$baselineBin") > 0L,
+          col(s"__g$b").cast("double") /
+            (col(s"__m$b").cast("double") *
+              col(s"__m$baselineBin").cast("double"))).as("ks"))
+    }.reduce(_ unionByName _)
+      .filter(col("n") > 0L)
+  }
+
   /** Gauss-Jordan inverse with partial pivoting — driver-side, d ≤ a few
     * hundred. Deterministic for a given matrix. */
   private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {

@@ -493,6 +493,26 @@ object Round12cQueries {
         .select(col("event_type"), col("n"), col("p50_abs_err"),
           col("p90_abs_err"))
         .orderBy("event_type")
+    }),
+
+    // Daily KS drift monitor: each day's purchase-value distribution
+    // against the FIRST day — K exact two-sample KS distances from ONE
+    // fused running-counts stitch over the value support (q268 is one
+    // pair; this is the production K-vs-baseline monitor without K
+    // passes). The first day comes from one scalar pre-pass (a driver
+    // constant, the sanctioned model mechanism; the oracle derives the
+    // same minimum in SQL).
+    "q292_ks_drift" -> ((s, dir) => {
+      val e0 = eventsUs(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(expr(s"tsu div ${DayUs}L").as("day"),
+          Stats.cents(col("value")).as("v"))
+      val minDay = e0.agg(min(col("day"))).first().getLong(0)
+      val e = e0.select(least(col("day") - minDay, lit(31L)).as("m"),
+        col("v"))
+      Stats.ksDriftBins(e, "m", "v", k = 32, baselineBin = 0)
+        .withColumnRenamed("bin", "day_idx")
+        .orderBy("day_idx")
     })
   )
 
@@ -1025,7 +1045,42 @@ object Round12cQueries {
                    THEN ae END) AS BIGINT) AS p50_abs_err,
                  CAST(max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1
                    THEN ae END) AS BIGINT) AS p90_abs_err
-          FROM r GROUP BY 1 ORDER BY event_type"""
+          FROM r GROUP BY 1 ORDER BY event_type""",
+
+    "q292_ks_drift" ->
+      s"""WITH e0 AS (SELECT epoch_us(ts) // $DayUs AS day,
+                             ${centsSql("value")} AS v
+                      FROM events WHERE event_type = 'purchase'),
+          md AS (SELECT min(day) AS md FROM e0),
+          e AS (SELECT least(day - md, 31) AS m, v FROM e0, md),
+          vals AS (SELECT DISTINCT v FROM e),
+          mon AS (SELECT m, CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1),
+          c AS (SELECT m, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY 1, 2),
+          grid AS (SELECT mon.m, vals.v FROM mon CROSS JOIN vals),
+          g2 AS (SELECT grid.m, grid.v, coalesce(c.c, 0) AS c
+                 FROM grid LEFT JOIN c ON c.m = grid.m
+                   AND c.v = grid.v),
+          r AS (SELECT m, v,
+                       CAST(sum(c) OVER (PARTITION BY m ORDER BY v)
+                         AS BIGINT) AS r
+                FROM g2),
+          b AS (SELECT v, r AS rb FROM r WHERE m = 0),
+          nb AS (SELECT n AS n0 FROM mon WHERE m = 0),
+          g AS (SELECT r.m, mon.n,
+                       CAST(max(abs(b.rb * mon.n - r.r * nb.n0))
+                         AS BIGINT) AS ks_num,
+                       max(nb.n0) AS n0
+                FROM r JOIN b USING (v)
+                JOIN mon ON mon.m = r.m CROSS JOIN nb
+                WHERE r.m <> 0 GROUP BY 1, 2)
+          SELECT CAST(m AS BIGINT) AS day_idx, n, ks_num,
+                 CASE WHEN n > 0 AND n0 > 0
+                      THEN CAST(ks_num AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n0 AS DOUBLE))
+                      END AS ks
+          FROM g ORDER BY day_idx"""
   )
 
   /** q282's oracle depends on the run-time-learned label centroids —

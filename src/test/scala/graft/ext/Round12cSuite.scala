@@ -288,6 +288,35 @@ class Round12cSuite extends SparkSpec {
     }
   }
 
+  describe("Stats.ksDriftBins") {
+    it("agrees with pairwise ksTest for every bin vs baseline") {
+      for (seed <- 1L to 3L) {
+        val g = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 12L))
+        val rows = samples(g, 80, seed)
+        val drift = Stats.ksDriftBins(rows.toDF("m", "v"), "m", "v",
+            k = 4, baselineBin = 0)
+          .as[(Long, Long, Long, Option[Double])].collect()
+          .map(r => r._1 -> r).toMap
+        for (b <- 1L to 3L) {
+          val pair = rows.filter(r => r._1 == 0L || r._1 == b)
+          val bn = rows.count(_._1 == b).toLong
+          if (bn == 0L) assert(!drift.contains(b), s"seed=$seed b=$b")
+          else {
+            val ks = Stats.ksTest(pair.toDF("m", "v"), col("v"),
+                col("m") === b)
+              .as[(Long, Long, Long, Option[Double])].collect().head
+            val (_, n, num, d) = drift(b)
+            // ksTest's support is the PAIR's values; ksDriftBins runs
+            // over the pooled support — extra points never change the
+            // max gap of a step function, so the statistics agree
+            assert(n == bn && num == ks._3 && d == ks._4,
+              s"seed=$seed b=$b got=${drift(b)} want=$ks")
+          }
+        }
+      }
+    }
+  }
+
   describe("Stats.pcaPowerModel") {
     it("recovers the dominant axis of an elongated cloud") {
       // points spread ±10 along dim 0, ±0.1 along dim 1, 0 elsewhere
