@@ -513,6 +513,54 @@ object Round12cQueries {
       Stats.ksDriftBins(e, "m", "v", k = 32, baselineBin = 0)
         .withColumnRenamed("bin", "day_idx")
         .orderBy("day_idx")
+    }),
+
+    // Duplicate-cluster size census: how much of the corpus sits in
+    // near-duplicate clusters of each size — the dedup QA read on top
+    // of q65's connected components (size 1 = documents untouched by
+    // any candidate pair, counted against the corpus total). Cluster
+    // sizes come out of one per-component count; the census is a
+    // second combinable fold over |components| rows.
+    "q293_dedup_cluster_census" -> ((s, dir) => {
+      import graft.ext.{Dedup, DedupGroups}
+      val docs = Readers.table(s, dir, "documents")
+      val comp = DedupGroups.connectedComponents(
+        Dedup.jaccardPairs(docs, 0.5))
+      val sizes = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"))
+      val census = sizes.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+      val totals = docs.agg(count(lit(1)).as("__total"))
+        .crossJoin(broadcast(
+          sizes.agg(coalesce(sum(col("sz")), lit(0L)).as("__in"))))
+      val singletons = totals.select(lit(1L).as("cluster_size"),
+        (col("__total") - col("__in")).as("n_clusters"),
+        (col("__total") - col("__in")).as("n_docs"))
+      census.unionByName(singletons)
+        .filter(col("n_clusters") > 0L)
+        .orderBy("cluster_size")
+    }),
+
+    // Effective sample size of value-weighted purchases per type:
+    // ESS = (Σw)²/Σw² — the importance-sampling diagnostic for q82's
+    // weighted sampling (ESS ≪ n means a few heavy rows dominate any
+    // weighted estimate). Two exact integer sums, two divisions.
+    "q294_ess" -> ((s, dir) => {
+      val agg = eventsUs(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(8L)).as("cohort"),
+          Stats.cents(col("value")).as("w"))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("__sw"),
+          sum(col("w") * col("w")).as("__sww"))
+      def d(c: String) = col(c).cast("double")
+      agg.select(col("cohort"), col("n"),
+          when(col("__sww") > 0L,
+            d("__sw") * d("__sw") / d("__sww")).as("ess"),
+          when(col("__sww") > 0L,
+            d("__sw") * d("__sw") / d("__sww") / d("n")).as("ess_ratio"))
+        .orderBy("cohort")
     })
   )
 
@@ -1080,7 +1128,47 @@ object Round12cQueries {
                       THEN CAST(ks_num AS DOUBLE)
                            / (CAST(n AS DOUBLE) * CAST(n0 AS DOUBLE))
                       END AS ks
-          FROM g ORDER BY day_idx"""
+          FROM g ORDER BY day_idx""",
+
+    "q293_dedup_cluster_census" -> {
+      val compSql = Round2Queries.oracleSql("q65_dedup_groups")
+      s"""WITH comp AS (SELECT doc_id, component FROM ($compSql) t),
+          sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                    FROM comp GROUP BY 1),
+          census AS (SELECT sz AS cluster_size,
+                            CAST(count(*) AS BIGINT) AS n_clusters,
+                            CAST(sum(sz) AS BIGINT) AS n_docs
+                     FROM sizes GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS total
+                  FROM documents),
+          inc AS (SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS inn
+                  FROM sizes),
+          singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+                             total - inn AS n_clusters,
+                             total - inn AS n_docs
+                      FROM tot, inc)
+          SELECT * FROM (SELECT * FROM census
+                         UNION ALL SELECT * FROM singles) u
+          WHERE n_clusters > 0 ORDER BY cluster_size"""
+    },
+
+    "q294_ess" ->
+      s"""WITH w AS (SELECT user_id % 8 AS cohort,
+                            ${centsSql("value")} AS w
+                     FROM events WHERE event_type = 'purchase'),
+          a AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(w) AS BIGINT) AS sw,
+                       CAST(sum(w * w) AS BIGINT) AS sww
+                FROM w GROUP BY 1)
+          SELECT CAST(cohort AS BIGINT) AS cohort, n,
+                 CASE WHEN sww > 0
+                      THEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                           / CAST(sww AS DOUBLE) END AS ess,
+                 CASE WHEN sww > 0
+                      THEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                           / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)
+                      END AS ess_ratio
+          FROM a ORDER BY cohort"""
   )
 
   /** q282's oracle depends on the run-time-learned label centroids —
