@@ -136,37 +136,31 @@ object Warehouse {
     * LSN / commit timestamp is); attribute comparison is null-safe
     * (`<=>`), so null→value and value→null transitions open intervals.
     *
-    * SKEW CAVEAT: per-key windows sort a key's whole version chain in
-    * one task. Dimension keys have bounded histories by nature, so this
-    * is the right plan HERE; a retry-storm changelog (millions of
-    * versions of one key — `changelog_hot_key`) should be collapsed
-    * through [[applyChangelog]]'s combinable argmax first — or, when
-    * the full history of a hot key is genuinely wanted and key/version
-    * are LongType, built with [[scd2HistoryBig]] (boundary-stitch
-    * ranks + uniform (key, rank) self-joins, no per-key window).
+    * Since round 13 this IS the boundary-stitch build — the per-key
+    * lag/lead window formulation is retired from the library (it sorted
+    * a key's whole version chain in one task; a retry-storm changelog
+    * put 10⁸ versions of one key into one sort — the exact hot-key
+    * straggler `scd2_hot_key` adversarializes). The contract that was
+    * implicit in the window version is now FAIL-LOUD: key and version
+    * must be LongType (the range-stitch needs an orderable 64-bit grid;
+    * a CDC log's LSN / micros timestamp is), and versions must be
+    * distinct per key. Narrower integrals just cast; non-integral keys
+    * should map through a surrogate (e.g. `hash60` plus a collision
+    * audit) before building. The old window formulation survives only
+    * as the independent test oracle (`Scd2WindowOracle` in the suite).
     */
   def scd2History(changes: DataFrame, keyCol: String, versionCol: String,
                   attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "scd2History needs at least one tracked attribute")
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    val w = Window.partitionBy(keyCol).orderBy(versionCol)
-    val changed = attrCols
-      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
-      .reduce(_ || _)
-    // each key's FIRST version always opens the initial interval — and
-    // that must be detected off the lag of the (non-null by contract)
-    // VERSION column, not the attr comparison: a first version whose
-    // tracked attrs are all null would make every null<=>null true and
-    // silently drop the key's opening interval otherwise
-    val isFirst = lag(col(versionCol), 1).over(w).isNull
-    changes
-      .withColumn("__graft_chg", isFirst || changed)
-      .filter(col("__graft_chg"))
-      .drop("__graft_chg")
-      .withColumn("valid_from", col(versionCol))
-      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
-      .withColumn("is_current", col("valid_to").isNull)
+    import org.apache.spark.sql.types.LongType
+    Seq(keyCol, versionCol).foreach { c =>
+      val dt = changes.schema(c).dataType
+      require(dt == LongType,
+        s"scd2History is the hot-key-safe boundary-stitch build and needs " +
+          s"LongType key/version columns; '$c' is $dt — cast it to long " +
+          s"or derive a surrogate key first")
+    }
+    scd2HistoryBig(changes, keyCol, versionCol, attrCols)
   }
 
   /** [[scd2History]] re-expressed hot-key-safe: identical semantics

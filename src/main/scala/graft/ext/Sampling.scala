@@ -76,32 +76,114 @@ object Sampling {
     df.filter(hashBucket(key, buckets) < floor(weight * buckets))
 
   /** Class-balanced cap: keep at most `n` rows per group, chosen by a
-    * deterministic order (window row_number — one shuffle on the group
-    * key). `orderCol` ties are broken by a hash of the whole row, so the
-    * kept set is stable across runs/partitionings even for non-unique
-    * order columns (row_number alone would tie-break by arrival order).
+    * deterministic (orderCol, tie) order. `orderCol` ties are broken by
+    * a hash of the whole row, so the kept set is stable across
+    * runs/partitionings even for non-unique order columns.
     *
-    * SKEW CAVEAT: a window sort cannot be split — a group holding half
-    * the input sorts in one task (AQE skew handling applies to joins,
-    * not window partitions). Curation groups (source, lang) are
-    * few-and-large but BOUNDED in count, not in size: when the hot-group
-    * risk is real and group/order columns are LongType, use
-    * [[capPerGroupBig]] (the boundary-stitch rank, no window at all);
-    * for numeric order columns
-    * [[graft.functions.TopKFunctions.topkPerGroup]] (bounded O(k)
-    * per-partition state, `topk_hot_group` shape 0.16) plus a
-    * join-back also applies — the trade is its (key, id) row identity
-    * vs this operator's arbitrary-row exactness under hash-tie
-    * collisions.
+    * Window-free since round 13 (this was the library's last per-key
+    * window with unbounded-chain exposure): the plan is a two-level
+    * bounded cap, the same exactness argument as
+    * [[graft.functions.TopKFunctions.topkPerGroup]] — per-group top-n of
+    * a union is the top-n of the parts' top-ns.
+    *
+    *  1. PARTIAL: one `mapPartitions` scan keeps, per group seen in the
+    *     partition, only its n smallest rows by (order, tie) in a bounded
+    *     heap (state ≤ min(groups-in-partition, `maxCombinerGroups`) × n
+    *     rows; overflow FLUSHES the buffers and restarts — flushed
+    *     partials re-cap downstream like another partition's, and a row a
+    *     full heap discarded can never re-enter the global top-n because
+    *     the n better rows it lost to were emitted).
+    *  2. FINAL: hash-repartition on the group, sort WITHIN each
+    *     partition by (group, order, tie) — a partition now holds ≤ n ×
+    *     upstream-partitions rows per group, so no hot-group straggler —
+    *     and stream-count the first n of each group run with O(1) state.
+    *
+    * A group holding half the corpus therefore never sorts in one task
+    * (the old row_number window did exactly that; AQE splits skewed
+    * joins, never window partitions). `orderCol` must be an atomic
+    * orderable type (numeric, string, boolean, date/timestamp, decimal —
+    * what a window `orderBy` accepts); kept rows are exact, arbitrary
+    * only under full (order, hash-tie) collisions, as before. For
+    * LongType group/order columns [[capPerGroupBig]] (boundary-stitch
+    * running rank) remains the alternative with rank-value output.
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
-                  n: Int): DataFrame = {
-    val tieBreak = pmod(hash(df.columns.map(col).toSeq: _*), lit(1 << 30))
-    val w = Window.partitionBy(groupCol).orderBy(col(orderCol), tieBreak)
-    val rn = s"__rn_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.withColumn(rn, row_number().over(w))
-      .filter(col(rn) <= n)
-      .drop(rn)
+                  n: Int, maxCombinerGroups: Int = 1 << 15): DataFrame = {
+    require(n >= 0, s"cap must be >= 0, got $n")
+    require(maxCombinerGroups >= 1,
+      s"maxCombinerGroups must be >= 1, got $maxCombinerGroups")
+    val outCols = df.columns.toSeq
+    if (n == 0) return df.limit(0)
+    val tie = "__graft_cap_tie"
+    val tieBreak = pmod(hash(outCols.map(col): _*), lit(1 << 30))
+      .cast("long")
+    val work = df.withColumn(tie, tieBreak)
+    val schema = work.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val oIdx = schema.fieldIndex(orderCol)
+    val tIdx = schema.fieldIndex(tie)
+    // nulls-first ascending on the order value (window orderBy default),
+    // then the hash tie; external Row values of every atomic Spark type
+    // implement Comparable
+    def cmpOrd(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    // larger (order, tie) = evicted first
+    val worstFirst = new Ordering[org.apache.spark.sql.Row] {
+      def compare(x: org.apache.spark.sql.Row,
+                  y: org.apache.spark.sql.Row): Int = {
+        val c = cmpOrd(x.get(oIdx), y.get(oIdx))
+        if (c != 0) c else java.lang.Long.compare(x.getLong(tIdx), y.getLong(tIdx))
+      }
+    }
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val partial = work.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]
+      def drain(): Iterator[org.apache.spark.sql.Row] = {
+        val out = acc.values.toArray
+        acc.clear()
+        out.iterator.flatMap(_.iterator)
+      }
+      val batches = it.flatMap { r =>
+        val g = r.get(gIdx)
+        val flush = !acc.contains(g) && acc.size >= maxCombinerGroups
+        val pre = if (flush) drain() else Iterator.empty
+        val heap = acc.getOrElseUpdate(g,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (heap.size < n) heap.enqueue(r)
+        else if (worstFirst.compare(r, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(r)
+        }
+        pre
+      }
+      batches ++ new Iterator[org.apache.spark.sql.Row] {
+        private var inner: Iterator[org.apache.spark.sql.Row] = null
+        private def tail = { if (inner == null) inner = drain(); inner }
+        def hasNext: Boolean = tail.hasNext
+        def next(): org.apache.spark.sql.Row = tail.next()
+      }
+    }(enc)
+    val capped = partial
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol), col(tie))
+      .mapPartitions { it =>
+        var curGroup: Any = null
+        var started = false
+        var kept = 0
+        it.filter { r =>
+          val g = r.get(gIdx)
+          if (!started || !java.util.Objects.equals(g, curGroup)) {
+            started = true; curGroup = g; kept = 0
+          }
+          kept += 1
+          kept <= n
+        }
+      }(enc)
+    capped.select(outCols.map(col): _*)
   }
 
   /** Hot-group-safe exact per-group cap: keep the first `n` rows of

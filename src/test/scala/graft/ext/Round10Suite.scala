@@ -33,7 +33,7 @@ class Round10Suite extends SparkSpec {
         df.select("k", "attr", "valid_from", "valid_to", "is_current")
           .as[(Long, Option[String], Long, Option[Long], Boolean)]
           .collect().sortBy(r => (r._1, r._3)).toSeq
-      val want = norm(Warehouse.scd2History(changes, "k", "ver", Seq("attr")))
+      val want = norm(Scd2WindowOracle(changes, "k", "ver", Seq("attr")))
       val got = norm(Warehouse.scd2HistoryBig(changes, "k", "ver", Seq("attr")))
       assert(got == want)
       assert(want.count(r => r._1 == 1L) == 3) // 10 opens, 20 changes, 40 reopens

@@ -340,7 +340,7 @@ class Round9Suite extends SparkSpec {
   }
 
   describe("Warehouse.scd2HistoryBig") {
-    it("matches scd2History bit-for-bit, null attrs included") {
+    it("matches the window oracle bit-for-bit, null attrs included") {
       import graft.engine.Warehouse
       // hot key 0 carries half the versions; attr nulls exercise the
       // <=> change test (null -> null must NOT open a new interval)
@@ -356,7 +356,7 @@ class Round9Suite extends SparkSpec {
         .select(cols.head, cols.tail: _*)
         .as[(Long, Option[String], Long, Option[Long], Boolean)]
         .collect().toSet
-      val want = Warehouse.scd2History(changes, "k", "ver", Seq("attr"))
+      val want = Scd2WindowOracle(changes, "k", "ver", Seq("attr"))
         .select(cols.head, cols.tail: _*)
         .as[(Long, Option[String], Long, Option[Long], Boolean)]
         .collect().toSet
