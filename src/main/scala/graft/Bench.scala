@@ -346,10 +346,14 @@ object Bench {
         (sweepTotals.size < 2 || elapsed() < budgetSec)
     }
     // the reference's one published perf number, re-measured per round
-    // (after the sweeps: a stall here can't displace query timings)
+    // (after the sweeps: a stall here can't displace query timings).
+    // min-of-3, same estimator discipline as the query sweeps: the r12
+    // single-shot read 2.866 s vs r11's 1.454 s on a visibly contended
+    // box — n=1 cannot distinguish contention from a code regression,
+    // and this number is compared round-over-round in every verdict.
     try {
-      val (sec, _) = IngestBench.run(spark, 10)
-      ingest = Some((10, sec))
+      val secs = (1 to 3).map { _ => IngestBench.run(spark, 10)._1 }
+      ingest = Some((10, secs.min))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] ingest measurement failed: ${e.getMessage}")

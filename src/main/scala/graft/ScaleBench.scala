@@ -1399,6 +1399,112 @@ object ScaleBench {
           graft.ext.Stats.crossCorr(df, "i", "x", "y",
             Seq(-3, -2, -1, 0, 1, 2, 3)).agg(sum("n_pairs")).collect()
         }
+      },
+      "substring_dedup_boilerplate" -> { n =>
+        time {
+          // duplicatedSpans' web-corpus adversary: n/200 docs, EVERY one
+          // opening with the same 16-token boilerplate sentence plus an
+          // 8-token unique tail — so each of the 9 all-boilerplate
+          // window positions is a corpus-universal gram (df = corpus).
+          // The frequency count collapses map-side (one row per gram per
+          // partition however hot), the flag-back join's skew is AQE's
+          // to split, and the span fold is bounded by the doc's own
+          // token count. Linear per_row_ratio certifies all three.
+          val m = n / 200
+          val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+          val docs = spark.range(m).select(col("id").as("doc_id"),
+            concat(lit(boiler + " "), concat_ws(" ",
+              (0 until 8).map(j => concat(lit(s"u$j."),
+                pmod(hash(col("id"), lit(j)), lit(1000000000))
+                  .cast("string"))): _*)).as("text"))
+          graft.ext.Dedup.duplicatedSpans(docs, 8)
+            .agg(sum("dup_tokens"), sum("n_spans"), count(lit(1)))
+            .collect()
+        }
+      },
+      "local_clustering_hub" -> { n =>
+        time {
+          // localClustering's hub-degree adversary (triangle_hub's graph
+          // — a degree-(n/500) star plus K10 cliques — but through the
+          // per-node coefficient operator, whose oriented wedge join
+          // must fan out by the LOW-degree endpoint: each star leaf has
+          // degree 1, so the star contributes ZERO wedges; a naive
+          // shared-endpoint join would emit (n/500)²/2 rows at the hub).
+          val m = n / 50
+          val star = spark.range(m / 10)
+            .select(lit(-1L).as("src"), col("id").as("dst"))
+          val comm = spark.range(m / 5)
+            .select(col("id").as("v"),
+              explode(when(col("id") % 10 < 9,
+                sequence((col("id") % 10 + 1).cast("int"), lit(9)))
+                .otherwise(array())).as("j"))
+            .select((col("v") + 1000000L).as("src"),
+              (col("v") - (col("v") % 10) + col("j") + 1000000L).as("dst"))
+          graft.ext.Graph.localClustering(star.unionAll(comm))
+            .agg(sum("tri"), sum("deg"), count(lit(1))).collect()
+        }
+      },
+      "assortativity_hub" -> { n =>
+        time {
+          // q260's celebrity adversary: n distinct edges, HALF pointing
+          // at ONE supplier. Both degree counts are combinable (the hot
+          // key collapses map-side); the degree join-back on sk is the
+          // skewed leg AQE splits; the six-sum fold is one pass.
+          val e = spark.range(n).select(col("id").as("ck"),
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("sk"))
+          val dc = e.groupBy("ck").agg(count(lit(1)).as("dc"))
+          val ds = e.groupBy("sk").agg(count(lit(1)).as("ds"))
+          e.join(dc, "ck").join(ds, "sk").agg(
+            count(lit(1)), sum(col("dc") * col("ds"))).collect()
+        }
+      },
+      "hits_hub" -> { n =>
+        time {
+          // q267's celebrity adversary: a bipartite click graph with
+          // HALF the edges on one authority. Every stage is a combinable
+          // count/sum grouped by one side, each normalization is one
+          // broadcast scalar, and the two propagation joins key on the
+          // skewed side — AQE's split, never a window. Mirrors the q267
+          // formulation (1.5 power iterations, integer micro-units).
+          val norm = 1000000L
+          val e = spark.range(n).select(col("id").as("ck"),
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("sk"))
+          def normalized(df: DataFrame, key: String, v: String,
+                         out: String): DataFrame = {
+            val tot = df.agg(sum(col(v)).as("__t"))
+            df.crossJoin(broadcast(tot))
+              .selectExpr(key, s"($v * ${norm}L) div __t AS $out")
+          }
+          val a1n = normalized(
+            e.groupBy("sk").agg((count(lit(1)) * norm).as("a1")),
+            "sk", "a1", "a1n")
+          val h1n = normalized(
+            e.join(a1n, "sk").groupBy("ck").agg(sum(col("a1n")).as("h1")),
+            "ck", "h1", "h1n")
+          val a2n = normalized(
+            e.join(h1n, "ck").groupBy("sk").agg(sum(col("h1n")).as("a2")),
+            "sk", "a2", "a2n")
+          a2n.agg(sum("a2n"), count(lit(1))).collect()
+        }
+      },
+      "pagerank_weighted_hub" -> { n =>
+        time {
+          // q226's adversary: n/10 weighted edges, HALF converging on
+          // ONE node (weights 1..9, so the Σw(src) denominator and the
+          // (rank·w) div sw contribution both exercise the integer
+          // path). The hot node's contributions partial-aggregate
+          // map-side; 3 iterations bound job-count cost.
+          val m = n / 10
+          val e = spark.range(m).select(col("id").as("src"),
+            when(col("id") % 2 === 0, lit(-1L))
+              .otherwise(col("id") % 1000L).as("dst"),
+            (col("id") % 9L + 1L).as("w"))
+          val r = graft.ext.Graph.pagerankWeightedInt(e, iterations = 3)
+          r.agg(sum("rank"), count(lit(1))).collect()
+          graft.ext.Graph.releaseRanks(r)
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

@@ -356,6 +356,191 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact Jaccard pairs with the candidate strategy AUTO-SELECTED from a
+    * measured df-distribution probe — the round-8 crossover
+    * (docs/PLANS.md "Prefix-filter vs dfCap crossover") promoted from a
+    * hand choice to a data-driven one. Both branches are EXACT (the
+    * plain inverted index runs uncapped; the prefix filter verifies
+    * against full shingle sets), so the result is identical either way —
+    * only the plan differs:
+    *
+    *  - plain [[jaccardPairs]]: ~2 corpus passes + Σ df·(df−1)/2
+    *    candidate pairs through the self-join. Fastest on flat-df
+    *    corpora (no boilerplate), unrunnable once one shingle's df
+    *    approaches √corpus (d²/2 pair bomb).
+    *  - [[jaccardPairsPrefix]]: ~3 corpus passes + a per-doc rank
+    *    window, near-zero candidates from hot shingles. ~1.5× slower on
+    *    clean corpora, the only runnable plan on boilerplate-heavy ones.
+    *
+    * The probe shingles a deterministic ~1/`sampleMod` hash-sample of
+    * documents and aggregates TWO numbers — postings `Σ df` and
+    * candidate pairs `Σ df·(df−1)/2`. Under uniform doc sampling at rate
+    * p, E[df_s] ≈ p·df, so pairs/postings scales by p between sample and
+    * corpus: the full-corpus pairs-per-posting ratio is estimated as
+    * `(pairs_s/postings_s)·sampleMod` and the prefix branch is chosen
+    * when it exceeds `passBudget` (default 3.0: candidate generation
+    * would out-cost the prefix's one extra corpus pass with margin).
+    * When the sample is too small to trust (postings below a floor — a
+    * test-scale corpus), the probe re-runs on the full corpus, which at
+    * that size costs nothing. The probe's 1-row collect is a documented
+    * O(1) model read; total probe cost is one shingle pass over ~p of
+    * the corpus — amortized against a join whose cost it can change by
+    * orders of magnitude.
+    */
+  def jaccardPairsAuto(docs: DataFrame, threshold: Double, n: Int = 3,
+                       passBudget: Double = 3.0,
+                       sampleMod: Int = 50): DataFrame = {
+    require(passBudget > 0 && sampleMod >= 1,
+      s"passBudget > 0 and sampleMod >= 1 required, got $passBudget/$sampleMod")
+    def probe(d: DataFrame): (Long, Double) = {
+      val r = shingles(d, n).groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .agg(sum(col("df")).as("postings"),
+          sum(col("df") * (col("df") - 1) / 2.0).as("pairs"))
+        .collect()(0)
+      if (r.isNullAt(0)) (0L, 0.0) else (r.getLong(0), r.getDouble(1))
+    }
+    val sampled = docs.filter(
+      pmod(graft.functions.Portable.hash60(
+        concat(lit("jpa:"), col("doc_id").cast("string"))),
+        lit(sampleMod)) === 0)
+    val (postS, pairS) = probe(sampled)
+    val (postings, estRatio) =
+      if (postS >= 10000L) (postS, pairS / postS * sampleMod)
+      else { val (pf, rf) = probe(docs); (pf, if (pf == 0) 0.0 else rf / pf) }
+    val usePrefix = postings > 0 && estRatio > passBudget
+    if (usePrefix) jaccardPairsPrefix(docs, threshold, n)
+    else jaccardPairs(docs, threshold, n)
+  }
+
+  /** Exact substring-level duplication at token grain — the suffix-gram
+    * re-expression of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": find
+    * every substring of ≥ L tokens that occurs more than once in the
+    * corpus; their suffix array becomes a distributed L-gram frequency
+    * join here, which finds the identical spans at L-token resolution
+    * without a global suffix sort). Every L-token window is hashed
+    * (hash60 over the space-joined tokens); windows whose corpus
+    * occurrence count ≥ `minCount` are duplicated-by-construction
+    * (that window IS a repeated substring of length exactly L), and a
+    * doc's overlapping/adjacent flagged windows merge into maximal
+    * duplicated spans. Output per document: `n_spans`, `dup_tokens`
+    * (tokens covered by duplicated spans), `n_tokens`, and `dup_ratio` —
+    * the signal exact-substring curation thresholds on. Documents
+    * shorter than L tokens carry zero spans (but still appear).
+    *
+    * Scale: the window hash is a 60-bit long BEFORE any shuffle (the
+    * gramNovelty key-width lesson); the frequency table is a plain
+    * map-side-combinable count (a corpus-universal boilerplate window
+    * collapses to one row per map partition); the flag-back is an equi
+    * join on the long hash whose skew AQE splits; and the span merge is
+    * a per-document `aggregate()` fold over the doc's SORTED flagged
+    * positions — bounded by the document's own token count, i.e. by the
+    * text cell already held in one row, so no per-key window and no
+    * unbounded state anywhere (`substring_dedup_boilerplate` shape).
+    */
+  def duplicatedSpans(docs: DataFrame, L: Int,
+                      minCount: Long = 2L): DataFrame = {
+    require(L >= 1, s"window length must be >= 1, got $L")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tokens"))
+    val grams = tokenWindows(docs, L)
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("g")
+    val flagged = grams.join(freq, Seq("g"), "left_semi")
+    // fold sorted flagged positions into maximal spans: windows [p, p+L)
+    // merge while the next start is within prev start + L (overlap or
+    // adjacency). state = (dup_tokens, n_spans, island_start, island_last)
+    val folded = flagged.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"),
+        aggregate(col("ps"),
+          struct(lit(0L).as("dt"), lit(0L).as("ns"),
+            lit(-1L).as("s"), lit(-1L).as("e")),
+          (st, p) => when(st.getField("s") === -1L,
+              struct(st.getField("dt").as("dt"), st.getField("ns").as("ns"),
+                p.cast("long").as("s"), p.cast("long").as("e")))
+            .when(p <= st.getField("e") + L,
+              struct(st.getField("dt").as("dt"), st.getField("ns").as("ns"),
+                st.getField("s").as("s"), p.cast("long").as("e")))
+            .otherwise(struct(
+              (st.getField("dt") + st.getField("e") - st.getField("s") + L).as("dt"),
+              (st.getField("ns") + 1L).as("ns"),
+              p.cast("long").as("s"), p.cast("long").as("e"))),
+          st => struct(
+            when(st.getField("s") === -1L, st.getField("dt"))
+              .otherwise(st.getField("dt") + st.getField("e") - st.getField("s") + L)
+              .as("dt"),
+            when(st.getField("s") === -1L, st.getField("ns"))
+              .otherwise(st.getField("ns") + 1L).as("ns"))).as("agg"))
+      .select(col("doc_id"), col("agg.ns").as("n_spans"),
+        col("agg.dt").as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(folded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("n_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_ratio"))
+  }
+
+  /** (doc_id, pos, g): every L-token window of every document, position
+    * 1-based, `g` the 60-bit hash of the space-joined window — the
+    * shared gram table of [[duplicatedSpans]] and [[spanProvenance]].
+    * Pure projection + explode, no shuffle; the hash is a long BEFORE
+    * any downstream exchange (the gramNovelty key-width lesson).
+    */
+  private def tokenWindows(docs: DataFrame, L: Int): DataFrame =
+    docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - (L - 1), lit(1))))
+          .as("pos"))
+      .filter(col("pos") <= size(col("w")) - (L - 1))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Portable.hash60(concat_ws(" ",
+          (0 until L).map(j => element_at(col("w"), col("pos") + j)): _*))
+          .as("g"))
+
+  /** Provenance attribution over [[duplicatedSpans]]' duplicated
+    * windows: each window occurring ≥ `minCount` times has a CANONICAL
+    * owner — the minimum doc_id holding it — and each document reports
+    * how many of its duplicated windows it owns vs borrows
+    * (`owned_share` null when the doc has none). This is the "which
+    * copy do we keep" half of exact-substring curation: a doc with high
+    * dup_ratio but owned_share ≈ 1 is the boilerplate SOURCE; the same
+    * ratio with owned_share ≈ 0 is a derivative copy.
+    *
+    * Scale: the owner is a `min` riding the same map-side-combinable
+    * count aggregate (one row per gram per map partition even for a
+    * corpus-universal window); the flag-back equi join on the long hash
+    * is AQE-skew-splittable; no window, no unbounded state.
+    */
+  def spanProvenance(docs: DataFrame, L: Int,
+                     minCount: Long = 2L): DataFrame = {
+    require(L >= 1, s"window length must be >= 1, got $L")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val grams = tokenWindows(docs, L)
+    val hot = grams.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("owner"))
+      .filter(col("cnt") >= minCount)
+      .select("g", "owner")
+    val per = grams.join(hot, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("owned_windows"))
+    docs.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("owned_windows"), lit(0L)).as("owned_windows"),
+        when(col("dup_windows") > 0L,
+          col("owned_windows").cast("double") / col("dup_windows"))
+          .as("owned_share"))
+  }
+
   /** Containment (overlap-coefficient) near-dup pairs: for every (a < b)
     * pair sharing a shingle, the fraction of EACH document's shingle set
     * found in the other — `|A∩B|/|A|` and `|A∩B|/|B|` — kept when either

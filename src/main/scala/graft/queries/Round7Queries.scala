@@ -103,12 +103,15 @@ object Round7Queries {
         .orderBy("l_returnflag")
     }),
 
-    // PPJoin-style prefix-filtered exact Jaccard: candidates generated
-    // only from each document's rarest shingles — the oracle is the
-    // PLAIN exact Jaccard join, so the prefix filter's exactness (no
-    // lost pairs) is part of the gated contract, not a paper citation.
+    // PPJoin-style prefix-filtered exact Jaccard — since round 13 the
+    // candidate strategy is AUTO-SELECTED from a measured df probe
+    // (Dedup.jaccardPairsAuto): flat-df corpus -> plain inverted index
+    // (~1.5x fewer corpus passes), boilerplate df -> prefix filter. Both
+    // branches are exact, so the oracle (the PLAIN exact Jaccard join)
+    // gates the auto-selection's result-invisibility, whichever branch
+    // the probe picks at the gate's SF.
     "q118_jaccard_prefix" -> ((s, dir) =>
-      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), PrefixJaccardT)
+      Dedup.jaccardPairsAuto(t(s, dir, "documents"), PrefixJaccardT)
         .orderBy("doc_a", "doc_b")),
 
     // Containment (overlap-coefficient) pairs: the asymmetric

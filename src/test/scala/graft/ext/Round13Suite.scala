@@ -90,4 +90,72 @@ class Round13Suite extends SparkSpec {
       assert(e.getMessage.contains("LongType"))
     }
   }
+
+  describe("Dedup.duplicatedSpans (exact substring dedup)") {
+    it("finds and merges repeated L-token spans, including within-doc") {
+      // docs 1 and 2 share tokens a1..a9 (two overlapping 8-windows ->
+      // one merged 9-token span); doc 3 repeats its own 8-gram twice
+      // (within-doc dup); doc 4 is unique; doc 5 is shorter than L
+      val a9 = (1 to 9).map(i => s"a$i").mkString(" ")
+      val d3 = ((1 to 8).map(i => s"c$i") ++ Seq("x") ++
+        (1 to 8).map(i => s"c$i")).mkString(" ")
+      val docs = Seq(
+        (1L, s"$a9 t1 t2 t3"), (2L, s"s1 s2 $a9"),
+        (3L, d3), (4L, (1 to 20).map(i => s"u$i").mkString(" ")),
+        (5L, "short doc")
+      ).toDF("doc_id", "text")
+      val got = Dedup.duplicatedSpans(docs, 8)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .sortBy(_._1).toList
+      assert(got == List(
+        (1L, 1L, 9L, 12L, 9.0 / 12),   // span a1..a9
+        (2L, 1L, 9L, 11L, 9.0 / 11),
+        (3L, 2L, 16L, 17L, 16.0 / 17), // both copies flagged, gap at "x"
+        (4L, 0L, 0L, 20L, 0.0),
+        (5L, 0L, 0L, 2L, 0.0)))
+    }
+
+    it("merges ADJACENT windows (contiguous duplicated text, one span)") {
+      // a 16-token block repeated across two docs: windows at pos 1..9
+      // all flagged, pos 9 = pos 1 + 8 adjacency included -> ONE span
+      val b16 = (1 to 16).map(i => s"b$i").mkString(" ")
+      val docs = Seq((1L, s"$b16 p q"), (2L, s"z $b16")).toDF("doc_id", "text")
+      val got = Dedup.duplicatedSpans(docs, 8)
+        .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toList
+      assert(got.map(r => (r._1, r._2, r._3)) ==
+        List((1L, 1L, 16L), (2L, 1L, 16L)))
+    }
+  }
+
+  describe("Dedup.spanProvenance") {
+    it("attributes duplicated windows to the minimum doc_id owner") {
+      val a8 = (1 to 8).map(i => s"a$i").mkString(" ")
+      val docs = Seq(
+        (10L, s"$a8 x y"), (20L, s"p $a8"), (30L, s"q r $a8"),
+        (40L, (1 to 10).map(i => s"w$i").mkString(" "))
+      ).toDF("doc_id", "text")
+      val got = Dedup.spanProvenance(docs, 8)
+        .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toList
+      assert(got == List(
+        (10L, 1L, 1L, Some(1.0)), (20L, 1L, 0L, Some(0.0)),
+        (30L, 1L, 0L, Some(0.0)), (40L, 0L, 0L, None)))
+    }
+  }
+
+  describe("Dedup.jaccardPairsAuto") {
+    it("matches the plain exact join whichever branch the probe picks") {
+      val boiler = (1 to 6).map(i => s"b$i").mkString(" ")
+      val docs = spark.range(60).select(col("id").as("doc_id"),
+        concat(lit(boiler + " "), col("id").cast("string"),
+          lit(" tail"), (col("id") % 7).cast("string")).as("text"))
+      val want = Dedup.jaccardPairs(docs, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      // force EACH branch via the budget knob: both must be exact
+      val viaPrefix = Dedup.jaccardPairsAuto(docs, 0.5, passBudget = 1e-9)
+        .as[(Long, Long, Double)].collect().toSet
+      val viaPlain = Dedup.jaccardPairsAuto(docs, 0.5, passBudget = 1e9)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaPrefix == want && viaPlain == want && want.nonEmpty)
+    }
+  }
 }
