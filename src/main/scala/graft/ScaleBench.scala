@@ -1467,15 +1467,29 @@ object ScaleBench {
           // broadcast scalar, and the two propagation joins key on the
           // skewed side — AQE's split, never a window. Mirrors the q267
           // formulation (1.5 power iterations, integer micro-units).
+          // Customer population bounded at 1e5: the micro-unit grid has
+          // norm=1e6 cells, so >1e6 EQUAL hub scores would all round to
+          // zero and the next normalization would divide by zero — a
+          // real contract of the integer formulation (documented here by
+          // construction), not a scale defect: edges per node grow, node
+          // count doesn't.
           val norm = 1000000L
-          val e = spark.range(n).select(col("id").as("ck"),
+          val e = spark.range(n).select(pmod(col("id"), lit(100000L)).as("ck"),
             when(col("id") % 2 === 0, lit(0L))
               .otherwise(col("id") % 1000L).as("sk"))
+          // divide-first normalization: q267's (v·norm) div t overflows
+          // int64 once a hot score passes ~9.2e18/norm ≈ 9e12 (hit here
+          // at 100M edges: a1_hot = 5e7·10⁶, ×10⁶ = 5e19) — v div
+          // (t div norm) computes the same micro-share with the
+          // multiplication replaced by a pre-division of the TOTAL,
+          // overflow-free for any v that itself fits int64. Rounding
+          // differs in the last micro-unit, which the oracle-facing
+          // q267 can't accept at its bounded SF but a shape can.
           def normalized(df: DataFrame, key: String, v: String,
                          out: String): DataFrame = {
             val tot = df.agg(sum(col(v)).as("__t"))
             df.crossJoin(broadcast(tot))
-              .selectExpr(key, s"($v * ${norm}L) div __t AS $out")
+              .selectExpr(key, s"$v div (__t div ${norm}L) AS $out")
           }
           val a1n = normalized(
             e.groupBy("sk").agg((count(lit(1)) * norm).as("a1")),

@@ -371,4 +371,31 @@ object Analytics {
           (col("n_a").cast("double") * col("n_b").cast("double")))
           .as("lift"))
   }
+
+  /** Reciprocal rank fusion over any number of ranked lists: each list
+    * contributes `1/(kConst + rank)` per id and the fused score is the
+    * sum — the standard zero-tuning way to combine heterogeneous
+    * retrievers (BM25 + dense ANN + recency) whose raw scores are not
+    * comparable. Ids absent from a list simply contribute nothing
+    * (standard RRF).
+    *
+    * Determinism discipline: each contribution is the INTEGER
+    * pico-ratio `10¹² div (kConst + rank)`, so the fused sum is exact
+    * under any partitioning and list order — a double `1/(k+r)` sum
+    * over 3+ lists would depend on add order. One union + one
+    * combinable groupBy; ranks come in as columns (build them with
+    * [[GlobalOrder.withRowNumber]] — no window). The final score is a
+    * single IEEE division by 10¹².
+    */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, rankCol: String,
+              kConst: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(kConst >= 0, s"kConst must be >= 0, got $kConst")
+    ranked.map(df => df.select(col(idCol),
+        expr(s"1000000000000L div ($kConst + $rankCol)").as("__pico")))
+      .reduce(_ unionAll _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lists"), sum(col("__pico")).as("rrf_pico"))
+      .withColumn("rrf", col("rrf_pico").cast("double") / 1e12)
+  }
 }

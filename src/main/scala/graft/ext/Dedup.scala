@@ -541,6 +541,41 @@ object Dedup {
           .as("owned_share"))
   }
 
+  /** Cross-attribute duplication FLOW over [[spanProvenance]]'s
+    * windows: for every duplicated L-token window held by a document
+    * that is NOT its canonical owner (min doc_id), one (owner_attr →
+    * borrower_attr) edge — aggregated to the matrix "how many duplicated
+    * windows does source B carry that source A owns". The
+    * which-source-scrapes-which census that decides where dedup effort
+    * (or a licensing conversation) goes. Diagonal rows are within-source
+    * copying (owner ≠ doc but same attr).
+    *
+    * Scale: the owner rides the combinable (count, min) gram aggregate;
+    * attrs attach via two joins against the SMALL (doc_id, attr)
+    * projection — broadcast when it fits, AQE-split otherwise; the
+    * matrix groupBy is |attrs|² rows. No window, no unbounded state.
+    */
+  def dupFlow(docs: DataFrame, L: Int, attrCol: String,
+              minCount: Long = 2L): DataFrame = {
+    require(L >= 1, s"window length must be >= 1, got $L")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val grams = tokenWindows(docs, L)
+    val hot = grams.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("owner"))
+      .filter(col("cnt") >= minCount)
+      .select("g", "owner")
+    val attrs = docs.select(col("doc_id"), col(attrCol))
+    val borrowed = grams.join(hot, Seq("g"))
+      .filter(col("doc_id") =!= col("owner"))
+    borrowed
+      .join(attrs.select(col("doc_id"),
+        col(attrCol).as("borrower_attr")), Seq("doc_id"))
+      .join(attrs.select(col("doc_id").as("owner"),
+        col(attrCol).as("owner_attr")), Seq("owner"))
+      .groupBy("owner_attr", "borrower_attr")
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
   /** Containment (overlap-coefficient) near-dup pairs: for every (a < b)
     * pair sharing a shingle, the fraction of EACH document's shingle set
     * found in the other — `|A∩B|/|A|` and `|A∩B|/|B|` — kept when either

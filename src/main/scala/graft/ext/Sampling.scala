@@ -223,4 +223,25 @@ object Sampling {
                          out: String = "running_tokens"): DataFrame =
     GlobalOrder.withRunningTotal(df, sortCols, tokensCol, out)
       .filter(col(out) <= budget)
+
+  /** Deterministic epoch shuffle: a 1-based global position for every
+    * row in the pseudo-random order keyed by md5("epoch<e>:" + key) —
+    * the training-data ordering primitive ("shuffle the corpus
+    * differently every epoch, identically on every engine and re-run").
+    * Each epoch is an independent permutation (the seed is baked into
+    * the hash input); the position comes from
+    * [[GlobalOrder.withRowNumber]]'s range shuffle + O(p) stitch, so no
+    * single executor ever holds the global order — the same recipe that
+    * makes [[Packing]] corpus-order-safe. Hash ties (rare but possible)
+    * are broken by the key itself, keeping the order total.
+    */
+  def epochOrder(df: DataFrame, key: Column, epoch: Int,
+                 out: String = "shuffle_pos"): DataFrame = {
+    val ek = "__graft_epoch_key"
+    GlobalOrder.withRowNumber(
+        df.withColumn(ek, hash60(concat(lit(s"epoch$epoch:"),
+          key.cast("string")))),
+        Seq(col(ek), key), out)
+      .drop(ek)
+  }
 }

@@ -1291,4 +1291,65 @@ object Stats {
     }
     Array.tabulate(n, n)((i, j) => m(i)(n + j))
   }
+
+  /** Winsorized mean per group over a LongType measure: exact DISCRETE
+    * quantile fences at `lo`/`hi` (the element at rank `ceil(q·n)` —
+    * DuckDB's `quantile_disc` convention, so the oracle replays it
+    * verbatim), every value clamped to [q_lo, q_hi], and the mean taken
+    * over the clamped INTEGERS — one IEEE division per group at the
+    * very end, so the result is bit-identical under any partitioning
+    * (a double `avg` of clamped values would depend on partial-sum
+    * order). The outlier-robust location estimate curation thresholds
+    * want when MAD is too aggressive (it discards magnitude entirely).
+    *
+    * Scale: pass 1 compacts to per-(group, value) counts — combinable,
+    * hot values collapse map-side; pass 2 folds each group's SORTED
+    * value support through one `aggregate()` walk (state = running
+    * count + the two fences), bounded by the group's DISTINCT value
+    * count — the [[tvdDrift]] bounded-support contract, not row count;
+    * pass 3 re-scans the fact side once, clamps against the broadcast
+    * fences, and sums exact integers. No window, no unbounded state.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+                     lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi,
+      s"need 0 <= lo <= hi <= 1, got $lo/$hi")
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"winsorizedMean needs a LongType measure; $valueCol is " +
+        df.schema(valueCol).dataType.toString)
+    val cells = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val packed = cells.groupBy(groupCol)
+      .agg(sort_array(collect_list(struct(col("__v"), col("__c"))))
+        .as("__arr"), sum(col("__c")).as("n"))
+      // ceil over the SAME IEEE product both engines compute; rank is
+      // 1-based inclusive
+      .withColumn("__rlo", ceil(lit(lo) * col("n")).cast("long"))
+      .withColumn("__rhi", ceil(lit(hi) * col("n")).cast("long"))
+    val fences = packed.select(col(groupCol), col("n"),
+      aggregate(col("__arr"),
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("lo"),
+          lit(null).cast("long").as("hi")),
+        (st, e) => {
+          val cum2 = st.getField("cum") + e.getField("__c")
+          struct(cum2.as("cum"),
+            coalesce(st.getField("lo"),
+              when(cum2 >= greatest(col("__rlo"), lit(1L)),
+                e.getField("__v"))).as("lo"),
+            coalesce(st.getField("hi"),
+              when(cum2 >= greatest(col("__rhi"), lit(1L)),
+                e.getField("__v"))).as("hi"))
+        }).as("__f"))
+      .select(col(groupCol), col("n"), col("__f.lo").as("q_lo"),
+        col("__f.hi").as("q_hi"))
+    df.join(broadcast(fences), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(first(col("n")).as("n"), first(col("q_lo")).as("q_lo"),
+        first(col("q_hi")).as("q_hi"),
+        sum(least(greatest(col(valueCol), col("q_lo")), col("q_hi")))
+          .as("__s"))
+      .select(col(groupCol), col("n"), col("q_lo"), col("q_hi"),
+        (col("__s").cast("double") / col("n")).as("win_mean"))
+  }
 }

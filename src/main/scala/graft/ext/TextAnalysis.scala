@@ -564,4 +564,51 @@ object TextAnalysis {
             lit(84.6) * (col("syllables").cast("double") /
               col("words").cast("double"))))
   }
+
+  /** Per-document bigram language-model fluency score — the cheap
+    * corpus-statistics stand-in for a perplexity filter (CCNet-style
+    * quality gating without shipping a trained LM): for every bigram
+    * instance (w1, w2) in a document, the corpus conditional frequency
+    * c(w1 w2)/c(w1) measures how "expected" the continuation is, and
+    * the document's score is the mean over its bigram instances.
+    * Word-salad and boilerplate-shredded documents score low; fluent
+    * text re-using the corpus's common continuations scores high.
+    *
+    * Determinism discipline: each conditional frequency is the INTEGER
+    * micro-ratio `(c2 · 10⁶) div c1` (c2 ≤ c1 always, so the value is
+    * a bounded long), summed exactly per document under any
+    * partitioning; the only IEEE operation is the final division.
+    * Token and bigram identities are 60-bit hashes BEFORE any shuffle
+    * (the gramNovelty key-width lesson). Two combinable count
+    * aggregates + two equi-joins back to the bigram instances (AQE
+    * splits the stopword-bigram skew) + one per-doc sum. Documents with
+    * fewer than two tokens report zero bigrams and a null score.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    import graft.functions.Portable.hash60
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .select(hash60(col("tok")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("c1"))
+    val bi = toks
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - 1, lit(1))))
+          .as("i"))
+      .filter(col("i") <= size(col("w")) - 1)
+      .select(col("doc_id"),
+        hash60(element_at(col("w"), col("i"))).as("h1"),
+        hash60(concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1))).as("h2"))
+    val big = bi.groupBy("h2").agg(count(lit(1)).as("c2"))
+    val scored = bi.join(uni, Seq("h1")).join(big, Seq("h2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(c2 * 1000000L) div c1")).as("lm_micro"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_micro"), lit(0L)).as("lm_micro"),
+        when(col("n_bigrams") > 0L, col("lm_micro").cast("double") /
+          (col("n_bigrams") * 1000000L)).as("lm_score"))
+  }
 }
