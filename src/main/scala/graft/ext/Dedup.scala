@@ -380,16 +380,19 @@ object Dedup {
     * `(pairs_s/postings_s)·sampleMod` and the prefix branch is chosen
     * when it exceeds `passBudget` (default 3.0: candidate generation
     * would out-cost the prefix's one extra corpus pass with margin).
-    * When the sample is too small to trust (postings below a floor — a
-    * test-scale corpus), the probe re-runs on the full corpus, which at
-    * that size costs nothing. The probe's 1-row collect is a documented
-    * O(1) model read; total probe cost is one shingle pass over ~p of
-    * the corpus — amortized against a join whose cost it can change by
+    * When the sample is too small to trust (postings below `probeFloor`
+    * — a test-scale corpus; at 2000 sampled postings the pair estimate's
+    * relative error is already a few percent, far inside the decision
+    * margin), the probe re-runs on the full corpus, which at that size
+    * costs nothing. The probe's 1-row collect is a documented O(1)
+    * model read; total probe cost is one shingle pass over ~p of the
+    * corpus — amortized against a join whose cost it can change by
     * orders of magnitude.
     */
   def jaccardPairsAuto(docs: DataFrame, threshold: Double, n: Int = 3,
                        passBudget: Double = 3.0,
-                       sampleMod: Int = 50): DataFrame = {
+                       sampleMod: Int = 50,
+                       probeFloor: Long = 2000L): DataFrame = {
     require(passBudget > 0 && sampleMod >= 1,
       s"passBudget > 0 and sampleMod >= 1 required, got $passBudget/$sampleMod")
     def probe(d: DataFrame): (Long, Double) = {
@@ -406,7 +409,7 @@ object Dedup {
         lit(sampleMod)) === 0)
     val (postS, pairS) = probe(sampled)
     val (postings, estRatio) =
-      if (postS >= 10000L) (postS, pairS / postS * sampleMod)
+      if (postS >= probeFloor) (postS, pairS / postS * sampleMod)
       else { val (pf, rf) = probe(docs); (pf, if (pf == 0) 0.0 else rf / pf) }
     val usePrefix = postings > 0 && estRatio > passBudget
     if (usePrefix) jaccardPairsPrefix(docs, threshold, n)
