@@ -375,24 +375,30 @@ object Dedup {
     * The probe shingles a deterministic ~1/`sampleMod` hash-sample of
     * documents and aggregates TWO numbers — postings `Σ df` and
     * candidate pairs `Σ df·(df−1)/2`. Under uniform doc sampling at rate
-    * p, E[df_s] ≈ p·df, so pairs/postings scales by p between sample and
-    * corpus: the full-corpus pairs-per-posting ratio is estimated as
+    * p, a doc pair survives with probability p², so E[pairs_s] =
+    * p²·pairs while E[postings_s] ≈ p·postings: the full-corpus
+    * pairs-per-posting ratio is estimated as
     * `(pairs_s/postings_s)·sampleMod` and the prefix branch is chosen
     * when it exceeds `passBudget` (default 3.0: candidate generation
     * would out-cost the prefix's one extra corpus pass with margin).
-    * When the sample is too small to trust (postings below `probeFloor`
-    * — a test-scale corpus; at 2000 sampled postings the pair estimate's
-    * relative error is already a few percent, far inside the decision
-    * margin), the probe re-runs on the full corpus, which at that size
-    * costs nothing. The probe's 1-row collect is a documented O(1)
-    * model read; total probe cost is one shingle pass over ~p of the
-    * corpus — amortized against a join whose cost it can change by
-    * orders of magnitude.
+    *
+    * TRUST RULE (measured, round 13): the sample is decisive only when
+    * it holds ≥ `pairFloor` sampled PAIRS — pairs, not postings, are
+    * the concentration-bearing quantity, because p² sampling
+    * concentrates pair evidence into rare C(df_s,2) ≥ 1 events whose
+    * variance dwarfs the posting count's (a 2% sample of the sf0.1
+    * corpus held 5k postings but too few pairs, under-read the 4.9
+    * true ratio and mis-picked the plain branch — exact still, +50%
+    * runtime). Below the floor the probe re-runs on the full corpus
+    * (one df pass — the price of a reliable answer on corpora too
+    * small for p² evidence; at web scale pairs_s is astronomically
+    * above the floor and the ~1/sampleMod pass is all you pay). The
+    * probe's 1-row collect is a documented O(1) model read.
     */
   def jaccardPairsAuto(docs: DataFrame, threshold: Double, n: Int = 3,
                        passBudget: Double = 3.0,
-                       sampleMod: Int = 50,
-                       probeFloor: Long = 2000L): DataFrame = {
+                       sampleMod: Int = 10,
+                       pairFloor: Double = 500.0): DataFrame = {
     require(passBudget > 0 && sampleMod >= 1,
       s"passBudget > 0 and sampleMod >= 1 required, got $passBudget/$sampleMod")
     def probe(d: DataFrame): (Long, Double) = {
@@ -409,7 +415,7 @@ object Dedup {
         lit(sampleMod)) === 0)
     val (postS, pairS) = probe(sampled)
     val (postings, estRatio) =
-      if (postS >= probeFloor) (postS, pairS / postS * sampleMod)
+      if (pairS >= pairFloor && postS > 0) (postS, pairS / postS * sampleMod)
       else { val (pf, rf) = probe(docs); (pf, if (pf == 0) 0.0 else rf / pf) }
     val usePrefix = postings > 0 && estRatio > passBudget
     if (usePrefix) jaccardPairsPrefix(docs, threshold, n)

@@ -1352,4 +1352,65 @@ object Stats {
       .select(col(groupCol), col("n"), col("q_lo"), col("q_hi"),
         (col("__s").cast("double") / col("n")).as("win_mean"))
   }
+
+  /** Cross-cohort quantile normalization: map every cohort's value
+    * distribution onto the REFERENCE cohort's — value v in cohort c
+    * goes to the reference element at discrete rank
+    * `ceil((cum_c(v)/n_c) · n_ref)` (the [[winsorizedMean]] /
+    * `quantile_disc` rank convention). The batch-effect remover for
+    * mixed-provenance training data: after mapping, every source's
+    * length/score distribution IS the reference's, so downstream
+    * thresholds mean the same thing everywhere. Returns the per-(cohort,
+    * value) mapping table (cohort, value, n_rows, mapped) — join it back
+    * to the fact table to materialize normalized rows.
+    *
+    * Determinism: ranks and counts are exact integers; the only IEEE
+    * step is the rank fraction `(cum/n)·n_ref`, written as the identical
+    * expression in the oracle, so `ceil` lands identically. Scale: the
+    * whole computation lives on the per-cohort value SUPPORT (the
+    * [[tvdDrift]] bounded-support contract — distinct values, not
+    * rows): one combinable (cohort, value) count, one sorted-array fold
+    * per cohort for cumulative counts, and one O(|support|) lookup fold
+    * per DISTINCT (cohort, value) against the broadcast reference
+    * array. No window, no per-row work beyond the first count.
+    */
+  def quantileNormalize(df: DataFrame, cohortCol: String,
+                        valueCol: String, refCohort: String): DataFrame = {
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"quantileNormalize needs a LongType measure; $valueCol is " +
+        df.schema(valueCol).dataType.toString)
+    val cells = df.groupBy(col(cohortCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    // per cohort: sorted (value, count) support with inclusive
+    // cumulative counts, exploded back to rows
+    val packed = cells.groupBy(cohortCol)
+      .agg(sort_array(collect_list(struct(col("__v"), col("__c"))))
+        .as("__arr"), sum(col("__c")).as("n"))
+    val withCum = packed.select(col(cohortCol), col("n"),
+        posexplode(col("__arr")).as(Seq("__i", "__e")),
+        col("__arr"))
+      .select(col(cohortCol), col("n"), col("__e.__v").as("__v"),
+        col("__e.__c").as("__c"),
+        aggregate(slice(col("__arr"), lit(1), col("__i") + 1),
+          lit(0L), (acc, e) => acc + e.getField("__c")).as("__cum"))
+    val ref = withCum.filter(col(cohortCol) === refCohort)
+      .groupBy(lit(1).as("__one"))
+      .agg(sort_array(collect_list(struct(col("__v"), col("__cum"))))
+        .as("__ref"), max(col("__cum")).as("__nref"))
+    withCum.crossJoin(broadcast(ref.drop("__one")))
+      // clamp to n_ref: the IEEE fraction can land an ulp above 1.0 at
+      // the top rank, and ceil would then ask for rank n_ref + 1 (the
+      // oracle clamps with the same expression)
+      .withColumn("__r",
+        least(ceil((col("__cum").cast("double") / col("n")) * col("__nref"))
+          .cast("long"), col("__nref")))
+      .select(col(cohortCol), col("__v").as(valueCol),
+        col("__c").as("n_rows"),
+        aggregate(col("__ref"),
+          lit(null).cast("long"),
+          (found, e) => coalesce(found,
+            when(e.getField("__cum") >= col("__r"), e.getField("__v"))))
+          .as("mapped"))
+  }
 }

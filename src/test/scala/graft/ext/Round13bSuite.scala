@@ -81,6 +81,21 @@ class Round13bSuite extends SparkSpec {
     }
   }
 
+  describe("Stats.quantileNormalize") {
+    it("maps each cohort's ranks onto the reference's discrete quantiles") {
+      val df = (Seq(10L, 20L, 30L, 40L).map(("r", _)) ++
+        Seq(("x", 5L), ("x", 5L), ("x", 7L))).toDF("g", "v")
+      val out = Stats.quantileNormalize(df, "g", "v", "r")
+      assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+      val got = out.as[(String, Long, Long, Long)].collect().sorted.toList
+      // x: cum(5)=2 of 3 -> rank ceil(2/3*4)=3 -> 30; cum(7)=3 -> 4 -> 40
+      // r maps onto itself (all rank products exact here)
+      assert(got == List(
+        ("r", 10L, 1L, 10L), ("r", 20L, 1L, 20L), ("r", 30L, 1L, 30L),
+        ("r", 40L, 1L, 40L), ("x", 5L, 2L, 30L), ("x", 7L, 1L, 40L)))
+    }
+  }
+
   describe("Dedup.dupFlow") {
     it("attributes borrowed windows owner-source -> borrower-source") {
       val a8 = (1 to 8).map(i => s"a$i").mkString(" ")
