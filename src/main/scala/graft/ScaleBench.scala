@@ -1503,6 +1503,41 @@ object ScaleBench {
           a2n.agg(sum("a2n"), count(lit(1))).collect()
         }
       },
+      "winsorize_hot_value" -> { n =>
+        time {
+          // winsorizedMean's adversary: n rows, HALF on ONE value, a
+          // 100k-value cold tail, 4 groups. The (group, value) count is
+          // the only row-level pass (the hot value collapses map-side);
+          // everything after runs on the ≤100k-entry support arrays.
+          val df = spark.range(n).select(
+            (col("id") % 4L).as("g"),
+            when(col("id") % 2 === 0, lit(777L))
+              .otherwise(pmod(hash(col("id")), lit(100000)).cast("long"))
+              .as("v"))
+          graft.ext.Stats.winsorizedMean(df, "g", "v")
+            .agg(sum("q_lo"), sum("q_hi"), sum("win_mean")).collect()
+        }
+      },
+      "quantile_normalize_support" -> { n =>
+        time {
+          // quantileNormalize's adversary: two cohorts, 5k-value
+          // support, half of all rows on one hot value. Row-level work
+          // is ONE combinable count; the per-(cohort, value) mapping
+          // fold is O(support) per distinct value, so the operator's
+          // support-QUADRATIC term (5k² here) is a constant w.r.t. n —
+          // linear per_row_ratio certifies it stays off the row axis.
+          // (The bounded-support contract is real: at 10⁵ distinct
+          // values the S² lookups dominate; compact or bucket first.)
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit("ref")).otherwise(lit("c1"))
+              .as("g"),
+            when(col("id") % 4 < 2, lit(999L))
+              .otherwise(pmod(hash(col("id")), lit(5000)).cast("long"))
+              .as("v"))
+          graft.ext.Stats.quantileNormalize(df, "g", "v", "ref")
+            .agg(sum("mapped"), count(lit(1))).collect()
+        }
+      },
       "pagerank_weighted_hub" -> { n =>
         time {
           // q226's adversary: n/10 weighted edges, HALF converging on

@@ -1372,7 +1372,10 @@ object Stats {
     * rows): one combinable (cohort, value) count, one sorted-array fold
     * per cohort for cumulative counts, and one O(|support|) lookup fold
     * per DISTINCT (cohort, value) against the broadcast reference
-    * array. No window, no per-row work beyond the first count.
+    * array. No window, no per-row work beyond the first count — but the
+    * support term is QUADRATIC (S lookups × S-element folds): fine to
+    * ~10⁴ distinct values (`quantile_normalize_support` shape), compact
+    * to coarser bins first beyond that.
     */
   def quantileNormalize(df: DataFrame, cohortCol: String,
                         valueCol: String, refCohort: String): DataFrame = {
