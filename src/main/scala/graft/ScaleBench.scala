@@ -1554,6 +1554,60 @@ object ScaleBench {
           r.agg(sum("rank"), count(lit(1))).collect()
           graft.ext.Graph.releaseRanks(r)
         }
+      },
+      "term_chi2_hot_term" -> { n =>
+        time {
+          // termChi2's (and freqOfFreqs') adversary: n tokens, HALF the
+          // corpus is ONE stopword, 1M-term cold tail, 10% in-target.
+          // The only row-level pass is the (term, in-target) count —
+          // the hot term collapses map-side — and everything after runs
+          // on the vocabulary grain. Linear per_row_ratio certifies it.
+          val docs = spark.range(n / 20).select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 20).map(j =>
+              when(pmod(hash(col("id"), lit(j)), lit(2)) === 0, lit("the"))
+                .otherwise(concat(lit("t"),
+                  pmod(hash(col("id"), lit(j + 100)), lit(1000000))
+                    .cast("string")))): _*).as("text"),
+            (col("id") % 10L).as("slice"))
+          graft.ext.TextAnalysis.termChi2(docs, col("slice") === 0L)
+            .agg(sum("k1"), sum("k2"), sum("chi2")).collect()
+        }
+      },
+      "keywords_hot_slice" -> { n =>
+        time {
+          // sourceKeywords' adversary: ONE slice holds half the corpus
+          // (tf keys (slice, term) land on one slice), plus the same
+          // stopword dominating every document (hot df key). The
+          // per-slice top-k is the bounded TopKLongPairs aggregate —
+          // O(k) state however hot the slice — and tf/df counts
+          // partial-aggregate map-side.
+          val docs = spark.range(n / 20).select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 20).map(j =>
+              when(pmod(hash(col("id"), lit(j)), lit(2)) === 0, lit("the"))
+                .otherwise(concat(lit("t"),
+                  pmod(hash(col("id"), lit(j + 100)), lit(100000))
+                    .cast("string")))): _*).as("text"),
+            when(col("id") % 2 === 0, lit("hot"))
+              .otherwise(concat(lit("s"), (col("id") % 50L).cast("string")))
+              .as("source"))
+          graft.ext.TextAnalysis.sourceKeywords(docs, "source", 10)
+            .agg(sum("score"), count(lit(1))).collect()
+        }
+      },
+      "moments_hot_group" -> { n =>
+        time {
+          // higherMoments' adversary: HALF of n rows in one group, 55k-
+          // magnitude values whose x^4 forces the decimal path. One
+          // combinable groupBy, O(1) state — flat per-row cost is the
+          // certificate that decimal power sums don't change the shape.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 100L).as("g"),
+            (pmod(hash(col("id")), lit(55000)) + 1L).as("v"))
+          graft.ext.Stats.higherMoments(df, "g", col("v"))
+            .agg(sum("skew_micro"), sum("kurt_micro"), count(lit(1)))
+            .collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

@@ -1353,6 +1353,95 @@ object Stats {
         (col("__s").cast("double") / col("n")).as("win_mean"))
   }
 
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * columns of the same frame (rater-vs-rater, or model-vs-ground-truth
+    * as in the langId audit). κ = (p_o − p_e) / (1 − p_e), where p_o is
+    * observed agreement and p_e the agreement expected if the two
+    * labelings were independent (Σ over labels of marginal products).
+    * The single-scalar companion of the full confusion census: the
+    * number a curation pipeline thresholds on before trusting a cheap
+    * classifier to stand in for an expensive one.
+    *
+    * Determinism: every input to the final expression is an exact
+    * integer (n, n_agree, Σ rowᵢ·colᵢ); the κ double is derived by the
+    * identical formula on both engines. Scale: two label-marginal
+    * aggregates (label cardinality is tiny by definition of a
+    * categorical rating) + one count — all combinable, no window, and
+    * the marginal join runs on the label domain, not the fact table.
+    * Degenerate case p_e = 1 (both raters constant) yields null κ.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val totals = df.agg(count(lit(1)).as("n"),
+      count_if(col(aCol) === col(bCol)).as("n_agree"))
+    val ma = df.groupBy(col(aCol).as("__l")).agg(count(lit(1)).as("__na"))
+    val mb = df.groupBy(col(bCol).as("__l")).agg(count(lit(1)).as("__nb"))
+    val peNum = ma.join(mb, Seq("__l"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("pe_num"))
+    val nd = col("n").cast("double")
+    val po = col("n_agree").cast("double") / nd
+    val pe = col("pe_num").cast("double") / (nd * nd)
+    totals.crossJoin(peNum).select(col("n"), col("n_agree"),
+      po.as("p_o"), pe.as("p_e"),
+      when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Per-group higher central moments of an integer measure: exact
+    * power sums Σx..Σx⁴ (per-row powers multiplied IN DECIMAL(38,0) —
+    * a long wraps silently at cents⁴ of a 55k-cent value), from which
+    * mean, population skewness g₁ = m₃/m₂^{3/2} and EXCESS kurtosis
+    * g₂ = m₄/m₂² − 3 are derived. The shape diagnostics behind
+    * heavy-tail screens (quality-score distributions, length
+    * distributions) that variance alone can't see.
+    *
+    * Determinism: the sums are exact (combinable decimals, any order),
+    * but DECIMAL→DOUBLE is NOT correctly rounded on every engine
+    * (DuckDB's int128 cast is ~1 ulp off true for > 2⁵³ sums), so raw
+    * derived doubles would flap on a hash gate. Skewness/kurtosis are
+    * therefore SNAPPED to an exact micro-unit integer grid
+    * (⌊g·10⁶ + ½⌋ as long) and the reported doubles derived from the
+    * micro longs — ulp-level engine drift is absorbed by the grid (the
+    * [[cents]] integerization discipline, applied to outputs). `mean`
+    * stays a raw double: LONG→DOUBLE is hardware-correctly-rounded on
+    * both engines, so sx/n is bit-equal without snapping. |x| must fit
+    * 3·10⁹ (x² in long before the decimal widening); |g₁|, |g₂| ≤ 9·10¹²
+    * for the micro grid — any physical distribution qualifies. Scale:
+    * ONE combinable groupBy, no window, O(1) state per group.
+    * Skew/kurtosis are null for degenerate groups (n < 2 or zero
+    * variance).
+    */
+  def higherMoments(df: DataFrame, groupCol: String,
+                    xLong: Column): DataFrame = {
+    val x = xLong.cast("long")
+    val dec = "decimal(38,0)"
+    val x2 = x * x
+    val agg = df.groupBy(groupCol).agg(
+      count(x).as("n"),
+      sum(x).as("sx"),
+      sum(x2.cast(dec)).as("sxx"),
+      sum(x2.cast(dec) * x).as("sx3"),
+      sum(x2.cast(dec) * x2).as("sx4"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mean = d("sx") / nd
+    // central moments from raw power sums (population normalization)
+    val m2 = d("sxx") / nd - mean * mean
+    val m3 = d("sx3") / nd - lit(3.0) * mean * (d("sxx") / nd) +
+      lit(2.0) * mean * mean * mean
+    val m4 = d("sx4") / nd - lit(4.0) * mean * (d("sx3") / nd) +
+      lit(6.0) * mean * mean * (d("sxx") / nd) -
+      lit(3.0) * mean * mean * mean * mean
+    val ok = col("n") >= 2 && m2 > 0.0
+    def micro(g: Column): Column =
+      floor(g * 1e6 + lit(0.5)).cast("long")
+    val skewMicro = when(ok, micro(m3 / sqrt(m2 * m2 * m2)))
+    val kurtMicro = when(ok, micro(m4 / (m2 * m2) - lit(3.0)))
+    agg.select(col(groupCol), col("n"), mean.as("mean"),
+      skewMicro.as("skew_micro"),
+      kurtMicro.as("kurt_micro"),
+      (skewMicro.cast("double") / 1e6).as("skewness"),
+      (kurtMicro.cast("double") / 1e6).as("excess_kurtosis"))
+  }
+
   /** Cross-cohort quantile normalization: map every cohort's value
     * distribution onto the REFERENCE cohort's — value v in cohort c
     * goes to the reference element at discrete rank

@@ -611,4 +611,104 @@ object TextAnalysis {
         when(col("n_bigrams") > 0L, col("lm_micro").cast("double") /
           (col("n_bigrams") * 1000000L)).as("lm_score"))
   }
+
+  /** χ² association between every vocabulary term and ONE target corpus
+    * slice (source, language, quality tier): the 2×2 contingency of
+    * token occurrences (term-in-target, term-elsewhere vs rest) scored
+    * with the standard χ² statistic. The feature-selection /
+    * importance-weighting primitive (DSIR-style domain relevance): high
+    * χ² terms are what makes the target slice LOOK like itself, and
+    * per-term scores feed importance-resampled corpus selection.
+    *
+    * Determinism: all contingency cells are exact combinable integers;
+    * χ² is ONE fixed IEEE expression over them (the signed cross-product
+    * difference `k1·(n2−k2) − k2·(n1−k1)` stays exact in long — ≤ n1·n2
+    * — and is squared in double, deterministically rounded the same on
+    * both engines). Scale: one tokenize pass, one combinable
+    * (term, in-target) count (hot terms collapse map-side), a 1-row
+    * broadcast of the totals — no window, no join on the token stream.
+    * Terms making up the WHOLE corpus (n = N) are χ²-null (degenerate
+    * margin).
+    */
+  def termChi2(docs: DataFrame, targetPred: Column): DataFrame = {
+    val toks = docs.select(explode(wsTokens(col("text"))).as("term"),
+      when(targetPred, 1L).otherwise(0L).as("__t"))
+    val cells = toks.groupBy("term").agg(
+      sum(col("__t")).as("k1"),
+      sum(lit(1L) - col("__t")).as("k2"))
+    val totals = cells.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
+    def d(c: String) = col(c).cast("double")
+    val diff = (col("k1") * (col("n2") - col("k2")) -
+      col("k2") * (col("n1") - col("k1"))).cast("double")
+    val n = d("n1") + d("n2")
+    val rowT = d("k1") + d("k2")
+    val rowR = n - rowT
+    val chi2 = n * (diff * diff) / (d("n1") * d("n2") * rowT * rowR)
+    cells.crossJoin(broadcast(totals))
+      .select(col("term"), col("k1"), col("k2"),
+        when(d("n1") > 0.0 && d("n2") > 0.0 && rowR > 0.0, chi2)
+          .as("chi2"))
+  }
+
+  /** Good–Turing frequency-of-frequencies census, octave-bucketed: how
+    * many distinct terms occur with corpus frequency in [2^b, 2^{b+1}),
+    * and how much token mass each octave carries. The head-vs-tail
+    * shape of the vocabulary — the input to smoothing estimators and
+    * the evidence behind tokenizer vocab-size choices (a fat octave-0
+    * tail is hapax noise a BPE vocab shouldn't spend slots on).
+    *
+    * Octave = length(bin(c)) − 1 = ⌊log₂ c⌋ — exact integer string
+    * arithmetic on both engines (the [[tokenRarity]] trick; no float
+    * log). Scale: one combinable term count, one vocabulary-sized
+    * octave aggregate; no window, no join.
+    */
+  def freqOfFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(wsTokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__c"))
+      .groupBy((length(bin(col("__c"))) - 1).cast("long").as("octave"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__c")).as("token_mass"),
+        min(col("__c")).as("min_freq"),
+        max(col("__c")).as("max_freq"))
+
+  /** Top-k characteristic terms per corpus slice by integer TF-IDF:
+    * score = tf(slice, term) · bits(N_docs div df(term)) — term
+    * frequency within the slice times the binary-magnitude idf
+    * (⌊log₂⌋ + 1 of the inverse document frequency ratio, the
+    * [[tokenRarity]] integer-idf). The per-source keyword extractor
+    * behind corpus cards and mixture audits: what vocabulary
+    * distinguishes this slice.
+    *
+    * Exactness at the CUT: the score is an exact long and ties break on
+    * the term's md5-hash, so top-k MEMBERSHIP is deterministic — no
+    * float-epsilon rank flips across engines (the reason the score
+    * avoids a float idf). Scale: tf is one combinable (slice, term)
+    * count; df is vocabulary-sized; the per-slice top-k runs on the
+    * bounded-state [[graft.functions.TopKLongPairs]] aggregate (O(k)
+    * per slice, map-side pruned — no window); the term-string join-back
+    * touches only slices·k rows broadcast against the vocabulary.
+    */
+  def sourceKeywords(docs: DataFrame, sliceCol: String, k: Int): DataFrame = {
+    import graft.functions.Portable.hash60
+    val toks = docs.select(col(sliceCol), col("doc_id"),
+      explode(wsTokens(col("text"))).as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfT = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"),
+        length(bin(expr("n_docs div df"))).cast("long").as("idf_bits"))
+    val tf = toks.groupBy(col(sliceCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(dfT, "term")
+      .select(col(sliceCol), hash60(col("term")).as("__h"),
+        (col("tf") * col("idf_bits")).as("__score"))
+    val top = graft.functions.TopKFunctions.topkPerGroup(scored,
+      Seq(col(sliceCol)), col("__score"), col("__h"), k)
+    dfT.select(hash60(col("term")).as("id"), col("term"), col("df"),
+        col("idf_bits"))
+      .join(broadcast(top), Seq("id"))
+      .select(col(sliceCol), col("rnk"), col("term"),
+        col("key").as("score"), col("df"), col("idf_bits"))
+  }
 }
