@@ -1608,6 +1608,43 @@ object ScaleBench {
             .agg(sum("skew_micro"), sum("kurt_micro"), count(lit(1)))
             .collect()
         }
+      },
+      "trigram_hot_user" -> { n =>
+        time {
+          // sequenceTrigrams under markov_hot_user's skew: HALF of n
+          // events on ONE user through TWO chained boundary-stitch lags
+          // (a per-key window would sort n/2 rows in one task twice),
+          // then |codes|^3 combinable count groups.
+          val ev = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("user_id"),
+            col("id").as("tsu"),
+            pmod(hash(col("id")), lit(5)).cast("long").as("code"))
+          graft.ext.Analytics.sequenceTrigrams(ev, "user_id", "tsu",
+              "code", Seq(col("tsu")))
+            .agg(count(lit(1)), sum("n")).collect()
+        }
+      },
+      "slice_jaccard_universal_gram" -> { n =>
+        time {
+          // sliceGramJaccard's adversary: 50 slices, every 20-token doc
+          // opens with the same 8 universal tokens — so ~6 corpus-
+          // universal grams each expand to the full 50x49/2 pair rows in
+          // the intersection self-join (the documented |grams|*S^2
+          // bound), while the unique tails exercise the distinct
+          // (slice, gram) shuffle at n-token volume.
+          val m = n / 20
+          val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+          val docs = spark.range(m).select(col("id").as("doc_id"),
+            concat(lit(boiler + " "), concat_ws(" ",
+              (0 until 12).map(j => concat(lit(s"u$j."),
+                pmod(hash(col("id"), lit(j)), lit(1000000))
+                  .cast("string"))): _*)).as("text"),
+            concat(lit("s"), (col("id") % 50L).cast("string"))
+              .as("source"))
+          graft.ext.Dedup.sliceGramJaccard(docs, "source")
+            .agg(sum("inter"), sum("jaccard"), count(lit(1))).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

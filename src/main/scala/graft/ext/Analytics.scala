@@ -398,4 +398,123 @@ object Analytics {
       .agg(count(lit(1)).as("n_lists"), sum(col("__pico")).as("rrf_pico"))
       .withColumn("rrf", col("rrf_pico").cast("double") / 1e12)
   }
+
+  /** Per-key consecutive-triple counts over a total order — the order-3
+    * extension of [[transitionCounts]] and the sequential-pattern-mining
+    * primitive ("which 3-step behavioral motifs dominate"). Two chained
+    * [[GlobalOrder.withLagPerKey]] stitches append lag-1 and lag-2 (the
+    * lag of the lag column), then one combinable count per (c1, c2, c3)
+    * code triple. Hot-key-safe by construction: no per-key window, a
+    * user with 10⁸ events costs two range-partitioned scans, never a
+    * single-task sort. Codes must be LongType (hash names first; join
+    * them back on the tiny code dimension).
+    */
+  def sequenceTrigrams(df: DataFrame, keyCol: String, tsCol: String,
+                       codeCol: String, tieCols: Seq[Column]): DataFrame = {
+    val l1 = GlobalOrder.withLagPerKey(df, keyCol, tsCol, codeCol,
+      tieCols, out = "__p1")
+    val l2 = GlobalOrder.withLagPerKey(l1, keyCol, tsCol, "__p1",
+      tieCols, out = "__p2")
+    l2.filter(col("__p1").isNotNull && col("__p2").isNotNull)
+      .groupBy(col("__p2").as("c1"), col("__p1").as("c2"),
+        col(codeCol).as("c3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Exact rational arithmetic for the driver-side stationary solve:
+    * gcd-reduced BigInt fractions, so Gaussian elimination is exact and
+    * the result is the unique mathematical answer — no float iteration
+    * residual to leak into a hash-compared gate.
+    */
+  private final case class Rat(num: BigInt, den: BigInt) {
+    def +(o: Rat): Rat = Rat.make(num * o.den + o.num * den, den * o.den)
+    def -(o: Rat): Rat = Rat.make(num * o.den - o.num * den, den * o.den)
+    def *(o: Rat): Rat = Rat.make(num * o.num, den * o.den)
+    def /(o: Rat): Rat = Rat.make(num * o.den, den * o.num)
+    def isZero: Boolean = num == 0
+  }
+  private object Rat {
+    val zero: Rat = Rat(0, 1)
+    val one: Rat = Rat(1, 1)
+    def make(n: BigInt, d: BigInt): Rat = {
+      require(d != 0, "rational division by zero")
+      val s = if (d < 0) -1 else 1
+      val g = n.gcd(d)
+      if (g == 0) Rat(0, 1) else Rat(s * n / g, s * d / g)
+    }
+  }
+
+  /** Stationary distribution of the empirical per-key transition chain:
+    * row-normalize [[transitionCounts]] into the Markov matrix P and
+    * solve πP = π, Σπ = 1 EXACTLY (driver-side Gaussian elimination
+    * over BigInt rationals on the k×k count matrix — k = code
+    * cardinality, the same O(k²) driver model read as the covariance /
+    * PCA operators). The long-run behavioral mix the chain converges
+    * to — what a session simulator or traffic model needs from the
+    * event log.
+    *
+    * Exactness: counts are integers, the solve is rational, and π is
+    * emitted on the micro grid (⌊π·10⁶⌋ via exact BigInt division), so
+    * the result is bit-portable with NO iteration residual (a float
+    * power-iteration would leave engine-visible drift). Requires an
+    * irreducible chain over ≤ `maxStates` codes: a state with no
+    * outgoing transitions or a singular system fails loud rather than
+    * returning a garbage distribution.
+    *
+    * Returns (code, out_n, pi_micro, pi): out_n the SQL-verifiable
+    * outgoing-transition count, π the exact stationary mass.
+    */
+  def markovStationary(df: DataFrame, keyCol: String, tsCol: String,
+                       codeCol: String, tieCols: Seq[Column],
+                       maxStates: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = transitionCounts(df, keyCol, tsCol, codeCol, tieCols)
+      .as[(Long, Long, Long)].collect()
+    val states = counts.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val k = states.length
+    require(k >= 1, "markovStationary: no transitions in input")
+    require(k <= maxStates,
+      s"markovStationary: $k states exceeds maxStates=$maxStates — the " +
+        "driver-side solve is O(k^3); raise the cap only deliberately")
+    val idx = states.zipWithIndex.toMap
+    val cnt = Array.ofDim[Long](k, k)
+    counts.foreach { case (a, b, n) => cnt(idx(a))(idx(b)) = n }
+    val outN = Array.tabulate(k)(i => cnt(i).sum)
+    states.zipWithIndex.foreach { case (s, i) =>
+      require(outN(i) > 0,
+        s"markovStationary: state $s has no outgoing transitions " +
+          "(reducible chain) — the stationary distribution is undefined")
+    }
+    // rows of A: (P^T - I)π = 0 balance rows, with the last row
+    // replaced by Σπ = 1 (coefficients AND the RHS are all 1)
+    val a = Array.tabulate(k, k + 1) { (r, c) =>
+      if (r == k - 1) Rat.one
+      else if (c == k) Rat.zero
+      else {
+        val p = Rat.make(cnt(c)(r), outN(c)) // P^T
+        if (r == c) p - Rat.one else p
+      }
+    }
+    // exact Gaussian elimination, first-nonzero pivoting (deterministic)
+    for (col0 <- 0 until k) {
+      val piv = (col0 until k).find(r => !a(r)(col0).isZero)
+        .getOrElse(throw new IllegalArgumentException(
+          "markovStationary: singular system (reducible chain)"))
+      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+      val d = a(col0)(col0)
+      for (c <- col0 to k) a(col0)(c) = a(col0)(c) / d
+      for (r <- 0 until k if r != col0 && !a(r)(col0).isZero) {
+        val f = a(r)(col0)
+        for (c <- col0 to k) a(r)(c) = a(r)(c) - (f * a(col0)(c))
+      }
+    }
+    val pi = Array.tabulate(k)(i => a(i)(k))
+    val rows = states.zipWithIndex.map { case (s, i) =>
+      val micro = (pi(i).num * 1000000 / pi(i).den).toLong
+      (s, outN(i), micro, micro.toDouble / 1e6)
+    }
+    spark.createDataset(rows.toSeq)
+      .toDF("code", "out_n", "pi_micro", "pi")
+  }
 }

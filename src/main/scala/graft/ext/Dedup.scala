@@ -836,4 +836,44 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Cross-SLICE n-gram Jaccard matrix: exact set overlap between the
+    * distinct-gram vocabularies of every corpus slice pair (source,
+    * domain, crawl snapshot). The slice-level duplication audit — "how
+    * much of source B is re-scraped source A" — at gram-SET grain,
+    * complementing [[duplicatedSpans]]' doc-positional attribution.
+    *
+    * Scale contract: `sliceCol` is a SLICE key (sources/domains, ≤ ~10³
+    * values), NOT a document key — a gram present in s slices expands
+    * to s(−1)/2 pair rows in the intersection join, so cardinality is
+    * bounded by |grams|·S², never |docs|². The per-slice gram sets are
+    * one distinct groupBy (hot grams collapse map-side per slice);
+    * slice sizes broadcast onto the ≤ S² result. All counts exact
+    * integers; Jaccard is one IEEE division.
+    */
+  def sliceGramJaccard(docs: DataFrame, sliceCol: String,
+                       n: Int = 3): DataFrame = {
+    val grams = shinglesRaw(
+      docs.select(col(sliceCol).as("doc_id"), col("text")), n)
+      .select(col("doc_id").as("__slice"), hash60(col("shingle")).as("__h"))
+      .distinct()
+    val sizes = grams.groupBy(col("__slice")).agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.__h") === col("b.__h") &&
+          col("a.__slice") < col("b.__slice"))
+      .groupBy(col("a.__slice").as("slice_a"),
+        col("b.__slice").as("slice_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("__slice").as("slice_a"),
+        col("sz").as("size_a"))), Seq("slice_a"))
+      .join(broadcast(sizes.select(col("__slice").as("slice_b"),
+        col("sz").as("size_b"))), Seq("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("size_a"),
+        col("size_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
 }

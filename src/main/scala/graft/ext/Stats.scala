@@ -1385,6 +1385,34 @@ object Stats {
       when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** Model-calibration (reliability) bins: fixed-width buckets over an
+    * integer micro-unit score in [0, 10⁶] vs a binary outcome — per bin
+    * the row count, positive count, and observed rate. The reliability
+    * diagram behind "can this cheap quality/language score's VALUE be
+    * trusted as a probability", the companion of [[rocAuc]] (which
+    * checks ranking, not calibration).
+    *
+    * Determinism: the bin index is exact integer arithmetic
+    * (`score·B div 10⁶`, capped at B−1 so score = 10⁶ lands in the top
+    * bin), counts are exact, and the rate is one IEEE division of
+    * exact longs — bit-identical on both engines. Scale: ONE combinable
+    * groupBy on a ≤ B-key domain; no window, no join.
+    */
+  def calibrationBins(df: DataFrame, scoreMicro: Column, pos: Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    df.select(scoreMicro.cast("long").as("__s"),
+        when(pos, 1L).otherwise(0L).as("__p"))
+      .select(least(expr(s"(__s * $bins) div 1000000"),
+          lit((bins - 1).toLong)).as("bin"),
+        col("__p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("rate"))
+  }
+
   /** Per-group higher central moments of an integer measure: exact
     * power sums Σx..Σx⁴ (per-row powers multiplied IN DECIMAL(38,0) —
     * a long wraps silently at cents⁴ of a 55k-cent value), from which
