@@ -1645,6 +1645,45 @@ object ScaleBench {
           graft.ext.Dedup.sliceGramJaccard(docs, "source")
             .agg(sum("inter"), sum("jaccard"), count(lit(1))).collect()
         }
+      },
+      "pq_adc_scan" -> { n =>
+        time {
+          // Pq encode + ADC over an n/10-vector corpus (dim 8, m=2,
+          // k=8 codebooks as plan literals) with 4 fixed queries:
+          // encode is one codegen'd projection; the ADC join carries
+          // only (vec_id, subspace, code) rows against a broadcast
+          // lookup table, and the (query, vec) distance aggregate is
+          // combinable. Linear per_row_ratio certifies that the
+          // vectors themselves never travel through the join.
+          val m = n / 10
+          val books = Seq.tabulate(2)(s => Seq.tabulate(8)(c =>
+            Seq.tabulate(4)(j => (c * 10 + j + s).toDouble)))
+          val model = graft.ext.Pq.Model(books, dim = 8)
+          val corpus = spark.range(m).select(col("id").as("vec_id"),
+            array((0 until 8).map(j =>
+              (pmod(hash(col("id"), lit(j)), lit(80)).cast("double"))): _*)
+              .as("embedding"))
+          val queries = corpus.filter(col("vec_id") < 4)
+          graft.ext.Pq.adcKnn(queries,
+              graft.ext.Pq.encode(corpus, model), model, 10)
+            .agg(sum("dist_micro"), count(lit(1))).collect()
+        }
+      },
+      "coverage_hot_slice" -> { n =>
+        time {
+          // greedyCoverage's adversary: 100 slices, HALF of all
+          // (slice, elem) incidence rows on ONE slice, 3 steps. Each
+          // step is one distinct + anti-join + combinable count — the
+          // hot slice concentrates anti-join probes but never builds
+          // per-slice state beyond the count.
+          val inc = spark.range(n / 4).select(
+            when(col("id") % 2 === 0, lit("hot"))
+              .otherwise(concat(lit("s"), (col("id") % 100L).cast("string")))
+              .as("slice"),
+            pmod(hash(col("id")), lit(n / 40)).as("e"))
+          graft.ext.Sampling.greedyCoverage(inc, "slice", "e", 3)
+            .agg(sum("gain"), max("cum_coverage")).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-side half of a large-scale ANN
+  * stack (FAISS's IVF+PQ): split each d-dim vector into `m` subvectors,
+  * learn a tiny k-means codebook PER subspace, and store each vector as
+  * `m` small integer codes. A 100 TB embedding corpus compresses to
+  * m·log₂(k) bits per vector, and asymmetric-distance (ADC) search scans
+  * CODES with per-query lookup tables — the corpus vectors themselves
+  * never travel through the join.
+  *
+  *  - TRAIN: one bounded, deterministic k-means per subspace (the
+  *    [[IvfIndex.trainCentroids]] sampling discipline — quality needs a
+  *    representative sample, not every vector).
+  *  - ENCODE: per-subspace nearest-code assignment as ONE codegen'd
+  *    projection over codebook literals (squared-Euclidean identity,
+  *    ties to the lowest code — the [[IvfIndex]] operation order, so
+  *    encoding is SQL-expressible and hash-verifiable). The per-row
+  *    reconstruction error is emitted on the exact micro grid: a later
+  *    SUM of err_micro longs is order-invariant where a double sum
+  *    would not be.
+  *  - ADC SEARCH: per query, an m·k lookup table of partial distances
+  *    (micro longs) is built against the codebooks; corpus CODES join
+  *    the table and the total distance is an exact integer sum, so
+  *    top-k membership and tie order (distance, then vec_id) are
+  *    deterministic on any engine. The per-query top-k runs on the
+  *    bounded [[graft.functions.TopKLongPairs]] aggregate.
+  */
+object Pq {
+
+  final case class Model(books: Seq[Seq[Seq[Double]]], dim: Int) {
+    def m: Int = books.size
+    def subDim: Int = dim / books.size
+  }
+
+  /** Learn `k`-code codebooks for `m` equal subspaces of `dim`-dim
+    * vectors from a deterministic sample (same discipline as IVF
+    * training: Lloyd passes run over the bounded sample only).
+    */
+  def trainCodebooks(spark: SparkSession, corpus: DataFrame, dim: Int,
+                     m: Int, k: Int, seed: Long = 42L,
+                     maxTrainVectors: Long = 100000L): Model = {
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    val vecs = corpus.select(col("embedding").cast("array<double>").as("v"))
+    val n = vecs.count()
+    val frac = math.min(1.0, maxTrainVectors.toDouble / math.max(n, 1L))
+    val train = (if (frac >= 1.0) vecs
+                 else vecs.sample(withReplacement = false, frac, seed))
+      .cache()
+    val books = (0 until m).map { s =>
+      val slices = train.select(array_to_vector(
+        slice(col("v"), s * sub + 1, sub)).as("features"))
+      new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
+        .fit(slices).clusterCenters.toSeq.map(_.toArray.toSeq)
+    }
+    train.unpersist()
+    Model(books, dim)
+  }
+
+  /** Squared distance between subvector s of `v` and a code centroid,
+    * in the engine-portable order: v·v − 2·v·c + c·c, dot products
+    * folded left-to-right (DuckDB list_dot_product's order).
+    */
+  private def subD2(v: Column, model: Model, s: Int, c: Seq[Double]): Column = {
+    val sub = model.subDim
+    def el(j: Int): Column = element_at(v, s * sub + 1 + j)
+    val vv = (0 until sub).map(j => el(j) * el(j)).reduce(_ + _)
+    val vc = (0 until sub).map(j => el(j) * lit(c(j))).reduce(_ + _)
+    val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+    vv - lit(2.0) * vc + lit(cc)
+  }
+
+  /** Encode every vector: per-subspace nearest code (argmin via the
+    * sorted-struct trick, ties to the lowest code) plus the row's total
+    * reconstruction error ⌊Σ_s d²·10⁶ + ½⌋ as an exact long. One
+    * projection, no shuffle.
+    */
+  def encode(corpus: DataFrame, model: Model): DataFrame = {
+    val v = col("__v")
+    val base = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("__v"))
+    val mins = (0 until model.m).map { s =>
+      array_min(array(model.books(s).zipWithIndex.map { case (c, i) =>
+        struct(subD2(v, model, s, c).as("d2"), lit(i).as("code"))
+      }: _*))
+    }
+    val codeCols = mins.zipWithIndex.map { case (mn, s) =>
+      mn.getField("code").cast("long").as(s"code$s") }
+    val err = mins.map(_.getField("d2")).reduce(_ + _)
+    base.select(col("vec_id") +: codeCols :+
+      floor(err * 1e6 + lit(0.5)).cast("long").as("err_micro"): _*)
+  }
+
+  /** ADC k-nearest-neighbors: queries keep their EXACT subvectors; the
+    * corpus is represented only by its codes. Distances are per-query
+    * micro-long lookup sums — exact integers, so ranking is
+    * deterministic (distance asc, vec_id asc). `queries` and `corpus`
+    * must both expose (vec_id, embedding).
+    */
+  def adcKnn(queries: DataFrame, corpusCodes: DataFrame, model: Model,
+             k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val lut = broadcast(
+      queries.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("__q"))
+        .crossJoin(
+          model.books.zipWithIndex.flatMap { case (book, s) =>
+            book.indices.map(i => (s, i))
+          }.toDF("__s", "__code")))
+    val withD = lut.select(col("query_id"), col("__s"), col("__code"),
+      model.books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.foldLeft(lit(null).cast("double")) {
+          case (acc, (c, i)) =>
+            when(col("__s") === s && col("__code") === i,
+              subD2(col("__q"), model, s, c)).otherwise(acc)
+        }
+      }.reduce(coalesce(_, _)).as("__d2"))
+      .select(col("query_id"), col("__s"), col("__code"),
+        floor(col("__d2") * 1e6 + lit(0.5)).cast("long").as("d_micro"))
+    val melted = corpusCodes.select(col("vec_id") +:
+      (0 until model.m).map(s => col(s"code$s")): _*)
+      .select(col("vec_id"), explode(array((0 until model.m).map { s =>
+        struct(lit(s).as("__s"), col(s"code$s").as("__code"))
+      }: _*)).as("__sc"))
+      .select(col("vec_id"), col("__sc.__s").as("__s"),
+        col("__sc.__code").as("__code"))
+    val dists = melted.join(broadcast(withD), Seq("__s", "__code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_micro")).as("dist_micro"))
+      .filter(col("query_id") =!= col("vec_id"))
+    graft.functions.TopKFunctions.topkPerGroup(dists,
+        Seq(col("query_id")), -col("dist_micro"), col("vec_id"), k)
+      .select(col("query_id"), col("rnk"), col("id").as("neighbor_id"),
+        (-col("key")).as("dist_micro"))
+  }
+}

@@ -244,4 +244,60 @@ object Sampling {
         Seq(col(ek), key), out)
       .drop(ek)
   }
+
+  /** Greedy max-coverage slice selection (facility-location-lite data
+    * mixing): pick `steps` slices one at a time, each maximizing the
+    * count of NOT-yet-covered elements (distinct grams, topics, users)
+    * — the classic submodular-coverage greedy with its (1 − 1/e)
+    * guarantee, the principled answer to "which k sources buy the most
+    * vocabulary". Ties break (gain DESC, slice ASC), making the
+    * selection a total order and therefore engine-portable.
+    *
+    * Scale: each step is one anti-join of the (slice, elem) incidence
+    * against the covered-element set plus one combinable count — the
+    * driver holds only the ≤ `steps` picks (an O(steps) model read, the
+    * [[Stats.pcaPowerModel]] discipline), never element sets. `steps`
+    * is the job multiplier; keep it ≤ ~20. Fails loud when no remaining
+    * slice adds coverage (picking past saturation is a caller bug).
+    * Returns (step, slice, gain, cum_coverage).
+    */
+  def greedyCoverage(df: DataFrame, sliceCol: String, elemCol: String,
+                     steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64,
+      s"steps must be in [1, 64], got $steps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(col(sliceCol).cast("string").as("__slice"),
+      col(elemCol).as("__e")).distinct().cache()
+    try {
+      val picks = scala.collection.mutable.ListBuffer
+        .empty[(Long, String, Long, Long)]
+      var cum = 0L
+      for (step <- 1 to steps) {
+        val taken = picks.map(_._2).toSeq
+        val remaining =
+          if (taken.isEmpty) g
+          else g.filter(!col("__slice")
+            .isin(taken.map(_.asInstanceOf[Any]): _*))
+        val uncovered =
+          if (taken.isEmpty) remaining
+          else remaining.join(
+            g.filter(col("__slice")
+                .isin(taken.map(_.asInstanceOf[Any]): _*))
+              .select(col("__e")).distinct(),
+            Seq("__e"), "left_anti")
+        val best = uncovered.groupBy(col("__slice"))
+          .agg(count(lit(1)).as("__gain"))
+          .orderBy(col("__gain").desc, col("__slice"))
+          .limit(1).as[(String, Long)].collect()
+        require(best.nonEmpty,
+          s"greedyCoverage: no remaining slice adds coverage at step " +
+            s"$step of $steps — the corpus saturated early")
+        cum += best.head._2
+        picks += ((step.toLong, best.head._1, best.head._2, cum))
+      }
+      spark.createDataset(picks.toSeq)
+        .toDF("step", "slice", "gain", "cum_coverage")
+    } finally g.unpersist()
+  }
 }
