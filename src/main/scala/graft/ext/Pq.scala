@@ -140,4 +140,70 @@ object Pq {
       .select(col("query_id"), col("rnk"), col("id").as("neighbor_id"),
         (-col("key")).as("dist_micro"))
   }
+
+  /** The composed FAISS-style stack — IVF coarse probe + PQ fine rank:
+    * queries pick their `nProbe` nearest IVF cells (cosine, the
+    * [[IvfIndex.knn]] probe), and only the CODES of vectors in probed
+    * cells are ranked by exact-integer ADC distance. At 100 TB the scan
+    * touches ~nProbe/nCells of the corpus and moves m bytes per
+    * candidate instead of the vector — the memory-bandwidth shape real
+    * billion-vector serving uses. Every step after the two k-means fits
+    * (cell assignment, probing, code assignment, lookup distances,
+    * ranking) is engine-portable and oracle-checked.
+    */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame,
+               ivfCentroids: Seq[Seq[Double]], model: Model, k: Int,
+               nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.dot
+    val spark = corpus.sparkSession
+    val ivf = IvfIndex.fromCentroids(spark, corpus, ivfCentroids)
+    val codes = encode(corpus, model)
+      .join(ivf.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qv_n2", dot(col("qv"), col("qv")))
+    val cellRank = Window.partitionBy("query_id")
+      .orderBy(desc("cell_score"), asc("cell"))
+    val probed = q.crossJoin(broadcast(ivf.centroids))
+      .withColumn("cell_score",
+        dot(col("qv"), col("cv")) / sqrt(col("qv_n2") * col("cv_n2")))
+      .withColumn("cell_rnk", row_number().over(cellRank))
+      .filter(col("cell_rnk") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    // candidate (query, vec) pairs: codes of probed cells only
+    val cand = codes.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val lut = broadcast(
+      queries.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("__q"))
+        .crossJoin {
+          import spark.implicits._
+          model.books.zipWithIndex.flatMap { case (book, s) =>
+            book.indices.map(i => (s, i))
+          }.toDF("__s", "__code")
+        }
+        .select(col("query_id"), col("__s"), col("__code"),
+          floor(model.books.zipWithIndex.map { case (book, s) =>
+            book.zipWithIndex.foldLeft(lit(null).cast("double")) {
+              case (acc, (c, i)) =>
+                when(col("__s") === s && col("__code") === i,
+                  subD2(col("__q"), model, s, c)).otherwise(acc)
+            }
+          }.reduce(coalesce(_, _)) * 1e6 + lit(0.5)).cast("long")
+            .as("d_micro")))
+    val melted = cand.select(col("query_id"), col("vec_id"),
+        explode(array((0 until model.m).map { s =>
+          struct(lit(s).as("__s"), col(s"code$s").as("__code"))
+        }: _*)).as("__sc"))
+      .select(col("query_id"), col("vec_id"),
+        col("__sc.__s").as("__s"), col("__sc.__code").as("__code"))
+    val dists = melted.join(broadcast(lut), Seq("query_id", "__s", "__code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_micro")).as("dist_micro"))
+    graft.functions.TopKFunctions.topkPerGroup(dists,
+        Seq(col("query_id")), -col("dist_micro"), col("vec_id"), k)
+      .select(col("query_id"), col("rnk"), col("id").as("neighbor_id"),
+        (-col("key")).as("dist_micro"))
+  }
 }

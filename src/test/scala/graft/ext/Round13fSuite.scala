@@ -55,6 +55,23 @@ class Round13fSuite extends SparkSpec {
     }
   }
 
+  describe("Pq.ivfPqKnn") {
+    it("prunes to probed cells and ranks by ADC with vec_id ties") {
+      // cells: c0=[1,1,1,1] holds v1,v3,v4; c1=[10,10,0,0] holds v2.
+      // query [0,0,5,5] probes c0 only (cosine .707 vs 0) at nProbe=1;
+      // ADC dist is 50e6 for all three candidates -> vec_id order
+      val cents = Seq(Seq(1.0, 1.0, 1.0, 1.0), Seq(10.0, 10.0, 0.0, 0.0))
+      val q = Seq((100L, Seq(0.0f, 0.0f, 5.0f, 5.0f)))
+        .toDF("vec_id", "embedding")
+      val got = Pq.ivfPqKnn(corpus, q, cents, model, 3, nProbe = 1)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toList
+      assert(got == List(
+        (100L, 1L, 1L, 50000000L),
+        (100L, 2L, 3L, 50000000L),
+        (100L, 3L, 4L, 50000000L)))
+    }
+  }
+
   describe("Sampling.greedyCoverage") {
     it("selects slices by exact marginal gain with total tie order") {
       val inc = Seq(
