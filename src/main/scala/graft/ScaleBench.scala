@@ -1684,6 +1684,42 @@ object ScaleBench {
           graft.ext.Sampling.greedyCoverage(inc, "slice", "e", 3)
             .agg(sum("gain"), max("cum_coverage")).collect()
         }
+      },
+      "attribution_hot_user" -> { n =>
+        time {
+          // markovRemovalEffect's adversary: HALF of n events on ONE
+          // user, 5 channel codes + a conversion code every ~50 events.
+          // Truncation is a per-user min + equi-join, pair edges ride
+          // the boundary-stitch lag (no per-user window), the count
+          // matrix is O(k^2) driver state, and the k+1 rational solves
+          // are corpus-size-independent.
+          val conv = 999L
+          val ev = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("u"),
+            col("id").as("t"), col("id").as("eid"),
+            when(pmod(hash(col("id")), lit(50)) === 0, lit(conv))
+              .otherwise(pmod(hash(col("id"), lit(7)), lit(5)).cast("long"))
+              .as("code"))
+          graft.ext.Analytics.markovRemovalEffect(ev, "u", "t", "code",
+              col("eid"), convCode = conv)
+            .agg(sum("out_n"), sum("removal_micro")).collect()
+        }
+      },
+      "ols2_hot_group" -> { n =>
+        time {
+          // groupLinFit2's adversary: half of n rows in one group. One
+          // combinable 9-sum groupBy, O(1) state — flat per-row cost.
+          val df = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 100L).as("g"),
+            (pmod(hash(col("id")), lit(50)) + 1L).as("x1"),
+            (pmod(hash(col("id"), lit(1)), lit(10))).as("x2"),
+            (pmod(hash(col("id"), lit(2)), lit(10000)) + 1L).as("y"))
+          graft.ext.Stats.groupLinFit2(df, "g", col("y"), col("x1"),
+              col("x2"))
+            .agg(sum("b0"), sum("b1"), sum("b2")).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

@@ -444,6 +444,26 @@ object Analytics {
     }
   }
 
+  /** Exact Gaussian elimination over the augmented k×(k+1) rational
+    * system, first-nonzero pivoting (deterministic); returns the
+    * solution vector, throws `msg` on a singular system.
+    */
+  private def gaussSolve(a: Array[Array[Rat]], msg: String): Array[Rat] = {
+    val k = a.length
+    for (col0 <- 0 until k) {
+      val piv = (col0 until k).find(r => !a(r)(col0).isZero)
+        .getOrElse(throw new IllegalArgumentException(msg))
+      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+      val d = a(col0)(col0)
+      for (c <- col0 to k) a(col0)(c) = a(col0)(c) / d
+      for (r <- 0 until k if r != col0 && !a(r)(col0).isZero) {
+        val f = a(r)(col0)
+        for (c <- col0 to k) a(r)(c) = a(r)(c) - (f * a(col0)(c))
+      }
+    }
+    Array.tabulate(k)(i => a(i)(k))
+  }
+
   /** Stationary distribution of the empirical per-key transition chain:
     * row-normalize [[transitionCounts]] into the Markov matrix P and
     * solve πP = π, Σπ = 1 EXACTLY (driver-side Gaussian elimination
@@ -496,25 +516,110 @@ object Analytics {
         if (r == c) p - Rat.one else p
       }
     }
-    // exact Gaussian elimination, first-nonzero pivoting (deterministic)
-    for (col0 <- 0 until k) {
-      val piv = (col0 until k).find(r => !a(r)(col0).isZero)
-        .getOrElse(throw new IllegalArgumentException(
-          "markovStationary: singular system (reducible chain)"))
-      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
-      val d = a(col0)(col0)
-      for (c <- col0 to k) a(col0)(c) = a(col0)(c) / d
-      for (r <- 0 until k if r != col0 && !a(r)(col0).isZero) {
-        val f = a(r)(col0)
-        for (c <- col0 to k) a(r)(c) = a(r)(c) - (f * a(col0)(c))
-      }
-    }
-    val pi = Array.tabulate(k)(i => a(i)(k))
+    val pi = gaussSolve(a, "markovStationary: singular system " +
+      "(reducible chain)")
     val rows = states.zipWithIndex.map { case (s, i) =>
       val micro = (pi(i).num * 1000000 / pi(i).den).toLong
       (s, outN(i), micro, micro.toDouble / 1e6)
     }
     spark.createDataset(rows.toSeq)
       .toDF("code", "out_n", "pi_micro", "pi")
+  }
+
+  /** Markov removal-effect attribution (the first-principles alternative
+    * to last-touch / linear credit): model each key's journey as a chain
+    * START → touches → {CONV, NULL}, truncated at the FIRST conversion;
+    * a channel's credit is how much the chain's conversion probability
+    * drops when every transition into that channel is re-routed to NULL
+    * — the standard removal-effect construction, solved EXACTLY per
+    * channel with driver-side rational elimination (k+1 systems of size
+    * ≤ k+1 on integer counts — no float iteration, no residual).
+    *
+    * Journey semantics: events at-or-before the key's first `convCode`
+    * event participate; the conv event itself becomes the absorbing CONV
+    * state, non-converting journeys end last-touch → NULL, and START
+    * edges go to each key's first event. Every edge count is
+    * SQL-verifiable (lag stitch + min/max-by over the [[ordKey]] order);
+    * only the solved probabilities need rendering into a dynamic
+    * oracle. Returns one row per non-conv channel:
+    * (code, out_n, conv_micro ⌊P·10⁶⌋ of the FULL chain — identical on
+    * every row — removal_micro, removal_effect). Fails loud when no
+    * journey converts (attribution undefined).
+    *
+    * Scale: truncation is one min-aggregate + broadcast-joinable filter;
+    * pair edges ride [[GlobalOrder.withLagPerKey]] (hot keys safe); the
+    * count matrix is O(k²) driver state, the pcaPowerModel model-read
+    * discipline.
+    */
+  def markovRemovalEffect(df: DataFrame, keyCol: String, tsCol: String,
+                          codeCol: String, tieCol: Column, convCode: Long,
+                          maxStates: Int = 64): DataFrame = {
+    import graft.functions.Portable.ordKey
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Start = -1L; val Conv = -2L; val Null = -3L
+    val ev = df.select(col(keyCol), col(tsCol), tieCol.as("__tie"),
+      col(codeCol).as("__code"),
+      ordKey(col(tsCol), tieCol).as("__ok"))
+    val fc = ev.filter(col("__code") === convCode)
+      .groupBy(keyCol).agg(min(col("__ok")).as("__fc"))
+    // key-keyed equi-join (NOT broadcast: fc is one row per converting
+    // key — corpus-sized at scale; AQE picks the strategy)
+    val trunc = ev.join(fc, Seq(keyCol), "left")
+      .filter(col("__fc").isNull || col("__ok") <= col("__fc"))
+    val mapped = (c: Column) => when(c === convCode, Conv).otherwise(c)
+    val pairEdges = GlobalOrder.withLagPerKey(
+        trunc.select(col(keyCol), col(tsCol), col("__tie"), col("__code"),
+          col("__fc")),
+        keyCol, tsCol, "__code", Seq(col("__tie")), out = "__prev")
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("src"), mapped(col("__code")).as("dst"))
+    val startEdges = trunc.groupBy(keyCol)
+      .agg(min_by(col("__code"), col("__ok")).as("__first"))
+      .select(lit(Start).as("src"), mapped(col("__first")).as("dst"))
+    val nullEdges = trunc.filter(col("__fc").isNull)
+      .groupBy(keyCol)
+      .agg(max_by(col("__code"), col("__ok")).as("__last"))
+      .select(col("__last").as("src"), lit(Null).as("dst"))
+    val counts = pairEdges.unionAll(startEdges).unionAll(nullEdges)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    val channels = counts.map(_._1).filter(_ != Start).distinct.sorted
+    require(channels.length + 1 <= maxStates,
+      s"markovRemovalEffect: ${channels.length + 1} transient states " +
+        s"exceed maxStates=$maxStates")
+    val cnt = counts.map(t => (t._1, t._2) -> t._3).toMap
+      .withDefaultValue(0L)
+    def solveConv(transient: Seq[Long]): Rat = {
+      val idx = transient.zipWithIndex.toMap
+      val k = transient.length
+      val outPer = transient.map(s =>
+        counts.filter(_._1 == s).map(_._3).sum)
+      val a = Array.tabulate(k, k + 1) { (r, c) =>
+        val s = transient(r)
+        if (c == k) Rat.make(cnt((s, Conv)), 1)
+        else {
+          val t = transient(c)
+          val q = Rat.make(cnt((s, t)), 1)
+          if (r == c) Rat.make(outPer(r), 1) - q else Rat.zero - q
+        }
+      }
+      gaussSolve(a, "markovRemovalEffect: singular absorbing system")(
+        idx(Start))
+    }
+    val full = solveConv(Start +: channels)
+    require(!full.isZero,
+      "markovRemovalEffect: no journey converts — attribution undefined")
+    val convMicro = (full.num * 1000000 / full.den).toLong
+    val rows = channels.map { c =>
+      val without = solveConv(Start +: channels.filterNot(_ == c))
+      val re = Rat.one - (without / full)
+      val reMicro = (re.num * 1000000 / re.den).toLong
+      val outN = counts.filter(_._1 == c).map(_._3).sum
+      (c, outN, convMicro, reMicro, reMicro.toDouble / 1e6)
+    }
+    spark.createDataset(rows.toSeq)
+      .toDF("code", "out_n", "conv_micro", "removal_micro",
+        "removal_effect")
   }
 }

@@ -1385,6 +1385,95 @@ object Stats {
       when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** Per-group two-feature OLS (ŷ = b0 + b1·x1 + b2·x2) in closed form:
+    * one combinable pass collects the exact integer normal-equation
+    * sums, then Cramer's rule over the 3×3 system in ONE fixed double
+    * expression — the multi-feature extension of [[groupLinFit]], for
+    * "does x2 explain anything x1 doesn't" questions without an
+    * iterative solver. Determinism: every sum is an exact long
+    * (LONG→DOUBLE is correctly rounded everywhere), and the determinant
+    * expansion is mirrored verbatim in the oracle, so the betas are
+    * bit-identical. Inputs must be integer-valued columns sized so each
+    * product sum stays under 2⁵³ (cents-grid discipline; widen to
+    * decimal sums past that). Degenerate groups (n < 3 or a singular
+    * system — collinear features) yield null betas, not a throw. One
+    * groupBy, no window, O(1) state per group.
+    */
+  def groupLinFit2(df: DataFrame, groupCol: String, yL: Column,
+                   x1L: Column, x2L: Column): DataFrame = {
+    val ok0 = yL.isNotNull && x1L.isNotNull && x2L.isNotNull
+    val y = when(ok0, yL.cast("long"))
+    val x1 = when(ok0, x1L.cast("long"))
+    val x2 = when(ok0, x2L.cast("long"))
+    val agg = df.groupBy(groupCol).agg(
+      count(y).as("n"),
+      sum(x1).as("sx1"), sum(x2).as("sx2"), sum(y).as("sy"),
+      sum(x1 * x1).as("sx11"), sum(x1 * x2).as("sx12"),
+      sum(x2 * x2).as("sx22"),
+      sum(x1 * y).as("sx1y"), sum(x2 * y).as("sx2y"))
+    def d(c: String) = col(c).cast("double")
+    val (n, sx1, sx2, sy) = (d("n"), d("sx1"), d("sx2"), d("sy"))
+    val (sx11, sx12, sx22) = (d("sx11"), d("sx12"), d("sx22"))
+    val (sx1y, sx2y) = (d("sx1y"), d("sx2y"))
+    val det = n * (sx11 * sx22 - sx12 * sx12) -
+      sx1 * (sx1 * sx22 - sx12 * sx2) +
+      sx2 * (sx1 * sx12 - sx11 * sx2)
+    val det0 = sy * (sx11 * sx22 - sx12 * sx12) -
+      sx1 * (sx1y * sx22 - sx12 * sx2y) +
+      sx2 * (sx1y * sx12 - sx11 * sx2y)
+    val det1 = n * (sx1y * sx22 - sx12 * sx2y) -
+      sy * (sx1 * sx22 - sx12 * sx2) +
+      sx2 * (sx1 * sx2y - sx1y * sx2)
+    val det2 = n * (sx11 * sx2y - sx1y * sx12) -
+      sx1 * (sx1 * sx2y - sx1y * sx2) +
+      sy * (sx1 * sx12 - sx11 * sx2)
+    val ok = col("n") >= 3 && det =!= 0.0
+    agg.select(col(groupCol), col("n"),
+      when(ok, det0 / det).as("b0"),
+      when(ok, det1 / det).as("b1"),
+      when(ok, det2 / det).as("b2"))
+  }
+
+  /** CUPED variance reduction (the standard experimentation trick):
+    * adjust each cohort's post-period mean by θ·(its pre-period mean −
+    * the global pre mean), with θ = cov(pre, post)/var(pre) learned on
+    * the POOLED units — pre-period behavior that predicts the metric is
+    * subtracted out, shrinking the variance of the treatment contrast
+    * without biasing it. Input is one row per experimental UNIT with
+    * integer (cents-grid) pre/post measures.
+    *
+    * Determinism: all five pooled sums and the per-cohort sums are
+    * exact longs (LONG→DOUBLE correctly rounded on both engines), and
+    * θ / the adjusted means are fixed mirrored expressions — bit-equal
+    * with no snapping. θ is null (and adjusted = raw mean) when
+    * var(pre) = 0. Two combinable aggregates + a 1-row broadcast; no
+    * window, no join on units.
+    */
+  def cupedAdjust(df: DataFrame, cohortCol: String, preL: Column,
+                  postL: Column): DataFrame = {
+    val pre = preL.cast("long")
+    val post = postL.cast("long")
+    val pooled = df.agg(count(lit(1)).as("__n"),
+      sum(pre).as("__sp"), sum(post).as("__sq"),
+      sum(pre * pre).as("__spp"), sum(pre * post).as("__spq"))
+    val byCohort = df.groupBy(cohortCol).agg(
+      count(lit(1)).as("n"), sum(pre).as("__spc"),
+      sum(post).as("__sqc"))
+    def d(c: String) = col(c).cast("double")
+    val nd = d("__n")
+    val varPre = d("__spp") - d("__sp") * d("__sp") / nd
+    val covPp = d("__spq") - d("__sp") * d("__sq") / nd
+    val theta = when(varPre > 0.0, covPp / varPre)
+    val preMean = d("__sp") / nd
+    val meanPost = d("__sqc") / d("n")
+    val meanPre = d("__spc") / d("n")
+    byCohort.crossJoin(broadcast(pooled))
+      .select(col(cohortCol), col("n"), meanPost.as("mean_post"),
+        theta.as("theta"),
+        coalesce(meanPost - theta * (meanPre - preMean), meanPost)
+          .as("mean_adj"))
+  }
+
   /** Model-calibration (reliability) bins: fixed-width buckets over an
     * integer micro-unit score in [0, 10⁶] vs a binary outcome — per bin
     * the row count, positive count, and observed rate. The reliability
