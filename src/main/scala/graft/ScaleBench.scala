@@ -1720,6 +1720,56 @@ object ScaleBench {
               col("x2"))
             .agg(sum("b0"), sum("b1"), sum("b2")).collect()
         }
+      },
+      "conformal_hot_key" -> { n =>
+        time {
+          // conformalBacktest's adversary: HALF of all (key, idx) rows
+          // on ONE key over a 10k-step index. The lag join is
+          // key+idx-keyed (no fanout), the calibration quantile rides
+          // the boundary-stitch row number (no per-key window sort),
+          // coverage is one combinable count.
+          val m = n / 4
+          val df = spark.range(m).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 1000L).as("k"),
+            (col("id") % 10000L).as("i"),
+            pmod(hash(col("id")), lit(100000)).as("y"))
+            .groupBy("k", "i").agg(max("y").as("y"))
+          graft.ext.TimeSeries.conformalBacktest(df, "k", "i", "y",
+              lag = 7, calLo = 10, calHi = 6000, testLo = 6001,
+              testHi = 9999, pPct = 90)
+            .agg(sum("q_hat"), sum("n_covered"), count(lit(1))).collect()
+        }
+      },
+      "bt_pairs_hot_user" -> { n =>
+        time {
+          // Bradley-Terry's distributed stage under user skew: HALF of
+          // n events on ONE user. The per-(user, item) aggregate
+          // collapses map-side; the pair self-join fans out only
+          // items² per user (items = 8 here, bounded by the item
+          // domain, NOT by the user's event count).
+          val ev = spark.range(n).select(
+            when(col("id") % 2 === 0, lit(0L))
+              .otherwise(col("id") % 100000L).as("u"),
+            pmod(hash(col("id")), lit(8)).cast("long").as("item"),
+            (pmod(hash(col("id"), lit(1)), lit(10000)) + 1L).as("c"))
+          val ut = ev.groupBy("u", "item")
+            .agg(sum("c").as("s"), count(lit(1)).as("cnt"))
+          val pairs = ut.as("a").join(ut.as("b"),
+              col("a.u") === col("b.u") && col("a.item") < col("b.item"))
+            .select(col("a.item").as("ia"), col("b.item").as("ib"),
+              (col("a.s") * col("b.cnt") - col("b.s") * col("a.cnt"))
+                .as("d"))
+          val wa = pairs.filter(col("d") > 0)
+            .groupBy(col("ia").as("wa"), col("ib").as("la"))
+            .agg(count(lit(1)).as("w"))
+          val wb = pairs.filter(col("d") < 0)
+            .groupBy(col("ib").as("wa"), col("ia").as("la"))
+            .agg(count(lit(1)).as("w"))
+          graft.ext.Analytics.bradleyTerry(wa.unionAll(wb), "wa", "la",
+              "w")
+            .agg(sum("bt_micro"), count(lit(1))).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

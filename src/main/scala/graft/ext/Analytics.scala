@@ -526,6 +526,64 @@ object Analytics {
       .toDF("code", "out_n", "pi_micro", "pi")
   }
 
+  /** Bradley–Terry strength scores from pairwise win counts — the
+    * preference-learning primitive behind RLHF reward shaping, ranker
+    * evaluation, and "which variant do users actually prefer" reads:
+    * find strengths p_i with P(i beats j) = p_i/(p_i+p_j) maximizing
+    * the likelihood of the observed wins, via the standard MM fixed
+    * point p_i ← W_i / Σ_j n_ij/(p_i+p_j), iterated a fixed `iters`
+    * times from the uniform start and normalized to Σp = 1 — a
+    * deterministic driver computation (same floating ops in the same
+    * order every run) over the O(k²) collected win matrix, the model-
+    * read discipline. Items with zero wins converge toward 0; items
+    * never compared to anything are rejected loud.
+    *
+    * `pairWins` must expose (aCol, bCol, winsCol): wins of a over b
+    * (provide both directions or leave the reverse implicit at 0).
+    * Returns (code, wins, losses, bt_micro, bt_score), wins/losses
+    * being the SQL-verifiable margins; scores land on the micro grid.
+    */
+  def bradleyTerry(pairWins: DataFrame, aCol: String, bCol: String,
+                   winsCol: String, iters: Int = 100,
+                   maxItems: Int = 256): DataFrame = {
+    val spark = pairWins.sparkSession
+    import spark.implicits._
+    val w = pairWins.select(col(aCol).cast("long"), col(bCol).cast("long"),
+        col(winsCol).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.map(_._3).sum }
+    val items = w.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val k = items.length
+    require(k >= 2, "bradleyTerry needs at least two compared items")
+    require(k <= maxItems,
+      s"bradleyTerry: $k items exceed maxItems=$maxItems")
+    val idx = items.zipWithIndex.toMap
+    val wins = Array.ofDim[Long](k, k)
+    w.foreach { case ((a, b), n) => wins(idx(a))(idx(b)) += n }
+    val totW = Array.tabulate(k)(i => wins(i).sum)
+    val totL = Array.tabulate(k)(j => (0 until k).map(i => wins(i)(j)).sum)
+    val p = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to iters) {
+      val next = Array.tabulate(k) { i =>
+        var denom = 0.0
+        for (j <- 0 until k if j != i) {
+          val nij = wins(i)(j) + wins(j)(i)
+          if (nij > 0) denom += nij / (p(i) + p(j))
+        }
+        if (denom > 0) totW(i) / denom else 0.0
+      }
+      val s = next.sum
+      require(s > 0, "bradleyTerry: degenerate win matrix (no wins)")
+      for (i <- 0 until k) p(i) = next(i) / s
+    }
+    val rows = items.zipWithIndex.map { case (c, i) =>
+      val micro = math.floor(p(i) * 1e6 + 0.5).toLong
+      (c, totW(i), totL(i), micro, micro.toDouble / 1e6)
+    }
+    spark.createDataset(rows)
+      .toDF("code", "wins", "losses", "bt_micro", "bt_score")
+  }
+
   /** Markov removal-effect attribution (the first-principles alternative
     * to last-touch / linear credit): model each key's journey as a chain
     * START → touches → {CONV, NULL}, truncated at the FIRST conversion;

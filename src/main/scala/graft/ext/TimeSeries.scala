@@ -312,4 +312,54 @@ object TimeSeries {
         (col("__graft_se").cast("double") / col("n").cast("double"))
           .as("bias"))
   }
+
+  /** Conformal interval backtest for a lag-`lag` seasonal-naive
+    * forecaster: per key, the absolute residual |y(t) − y(t − lag)| is
+    * collected on a CALIBRATION index window, its exact discrete
+    * `pPct` quantile becomes the interval half-width q̂ (split-conformal
+    * — distribution-free coverage ≥ pPct up to discreteness), and the
+    * TEST window reports how often the interval actually covered. The
+    * ML-ops gate behind "can we trust this forecast band" — with every
+    * quantity an exact integer (cents residuals, rank-picked quantile
+    * via [[GlobalOrder.groupQuantileOfLong]]'s boundary-stitch — no
+    * per-key window) and coverage one final IEEE division.
+    *
+    * `series` must expose (keyCol, idxCol LongType, yCol LongType)
+    * with one row per (key, idx). Returns per key:
+    * (key, n_cal, q_hat, n_test, n_covered, coverage).
+    */
+  def conformalBacktest(series: DataFrame, keyCol: String, idxCol: String,
+                        yCol: String, lag: Int,
+                        calLo: Long, calHi: Long,
+                        testLo: Long, testHi: Long,
+                        pPct: Int): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1, got $lag")
+    require(calHi < testLo,
+      s"calibration window [$calLo,$calHi] must precede test " +
+        s"[$testLo,$testHi] — leakage otherwise")
+    val base = series.select(col(keyCol), col(idxCol).cast("long").as("__i"),
+      col(yCol).cast("long").as("__y"))
+    val resid = base.as("a")
+      .join(base.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col("b.__i") === col("a.__i") - lag)
+      .select(col(s"a.$keyCol").as(keyCol), col("a.__i").as("__i"),
+        abs(col("a.__y") - col("b.__y")).as("__r"))
+    val cal = resid.filter(col("__i") >= calLo && col("__i") <= calHi)
+    val qhat = GlobalOrder.groupQuantileOfLong(cal, keyCol, "__r", pPct,
+        tieCols = Seq(col("__i")), out = "q_hat")
+      .select(col(keyCol), col("n").as("n_cal"), col("q_hat"))
+    // key-keyed equi-join (NOT broadcast: one q̂ row per key — key
+    // cardinality is unbounded in general; AQE picks the strategy)
+    resid.filter(col("__i") >= testLo && col("__i") <= testHi)
+      .join(qhat, Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(first(col("n_cal")).as("n_cal"), first(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        count_if(col("__r") <= col("q_hat")).as("n_covered"))
+      .select(col(keyCol), col("n_cal"), col("q_hat"), col("n_test"),
+        col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
 }
