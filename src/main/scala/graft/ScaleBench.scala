@@ -1770,6 +1770,20 @@ object ScaleBench {
               "w")
             .agg(sum("bt_micro"), count(lit(1))).collect()
         }
+      },
+      "kcenter_scan" -> { n =>
+        time {
+          // kCenterSeeds at k=4 over n/10 dim-8 vectors: each greedy
+          // step is ONE codegen'd literal projection + a TakeOrdered
+          // argmax — k linear corpus passes, no join, no shuffle.
+          val m = n / 10
+          val corpus = spark.range(m).select(col("id").as("vec_id"),
+            array((0 until 8).map(j =>
+              pmod(hash(col("id"), lit(j)), lit(1000))
+                .cast("float")): _*).as("embedding"))
+          graft.ext.Similarity.kCenterSeeds(corpus, 4)
+            .agg(sum("dmin_micro"), count(lit(1))).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

@@ -58,4 +58,56 @@ object Mixture {
             .otherwise(0L)))
       .drop("__exact", "__base", "__rk")
   }
+
+  /** Water-filling (capacity-capped leveling) allocation: spend
+    * `budget` units across slices as EVENLY as availability allows —
+    * every slice gets min(n_slice, L) with the water level L the
+    * largest integer keeping the total within budget. The
+    * "uniform-up-to-availability" mixture curation wants when
+    * proportional allocation ([[withAllocation]]) would just mirror the
+    * corpus skew it is trying to correct. Exact integer arithmetic
+    * end-to-end; the level search runs on the collected per-slice
+    * counts (slice cardinality is a bounded mixture dimension — the
+    * O(k) model-read discipline). Returns
+    * (slice, n, alloc, level, leftover): Σalloc = min(budget, Σn) −
+    * leftover with leftover < #unsaturated slices (the sub-level
+    * remainder is deliberately NOT distributed — callers wanting
+    * exact exhaustion top up by slice order explicitly).
+    */
+  def waterFill(perSlice: DataFrame, sliceCol: String, nCol: String,
+                budget: Long, maxSlices: Int = 100000): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = perSlice.sparkSession
+    import spark.implicits._
+    val counts = perSlice.select(col(sliceCol).cast("string"),
+        col(nCol).cast("long"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    require(counts.length <= maxSlices,
+      s"waterFill: ${counts.length} slices exceed maxSlices=$maxSlices")
+    require(counts.forall(_._2 >= 0), "waterFill: negative slice count")
+    val sorted = counts.map(_._2).sorted
+    val k = sorted.length
+    // walk the sorted breakpoints: with the i smallest slices saturated
+    // (cum tokens), the level for the remaining k-i slices is
+    // (budget - cum) div (k - i); it is the TRUE level iff it lands in
+    // [sorted(i-1), sorted(i)) — i.e. saturates exactly those i.
+    var level = 0L
+    var cum = 0L
+    var found = false
+    for (i <- 0 until k if !found) {
+      val cand = (budget - cum) / (k - i)
+      if (cand < sorted(i)) {
+        level = math.max(cand, 0L)
+        found = true
+      } else cum += sorted(i)
+    }
+    if (!found) level = if (k == 0) 0L else sorted.last // budget >= Σn
+    val alloc = counts.map { case (s, n) => math.min(n, level) }
+    val leftover = math.min(budget, counts.map(_._2).sum) - alloc.sum
+    val rows = counts.zip(alloc).map { case ((s, n), a) =>
+      (s, n, a, level, leftover)
+    }
+    spark.createDataset(rows.toSeq)
+      .toDF(sliceCol, "n", "alloc", "level", "leftover")
+  }
 }

@@ -135,4 +135,51 @@ object Similarity {
         round(pairCosine("va", "vb"), 6).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** k-center greedy (farthest-point) diversity seeds — the coreset /
+    * diverse-subset selector curation pipelines use to cover an
+    * embedding space with k exemplars (2-approximation to the optimal
+    * k-center cover): seed with the LOWEST vec_id, then k−1 times pick
+    * the point farthest (exact L2², micro grid) from everything
+    * selected so far, ties to the lowest vec_id — a total order, so the
+    * selection is engine-portable and fully SQL-expressible (the
+    * selected vectors are data values, not learned constants: the
+    * oracle recomputes every step from the parquet itself).
+    *
+    * Scale: each of the k−1 steps is ONE corpus projection against ≤ k
+    * literal vectors (the [[graft.ext.IvfIndex]] embedded-literal
+    * assignment shape — no join, no shuffle) plus a 1-row argmax;
+    * driver state is O(k·dim). k is the job multiplier — keep it small
+    * (≤ ~64); selected rows keep dmin = 0 and simply never win again.
+    * Returns (step, vec_id, dmin_micro).
+    */
+  def kCenterSeeds(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"), asDouble(col("embedding"))
+      .as("v"))
+    val first = vecs.orderBy("vec_id").limit(1)
+      .as[(Long, Seq[Double])].collect().head
+    var selected = Vector(first)
+    val out = scala.collection.mutable.ListBuffer(
+      (1L, first._1, 0L))
+    for (step <- 2 to k) {
+      val d2s = selected.map { case (_, c) =>
+        val cLit = array(c.map(lit): _*)
+        val cn2 = c.foldLeft(0.0)((a, x) => a + x * x)
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cLit) +
+          lit(cn2)
+      }
+      val dmin = if (d2s.size == 1) d2s.head else least(d2s: _*)
+      val pick = vecs
+        .select(col("vec_id"), col("v"),
+          floor(dmin * 1e6 + lit(0.5)).cast("long").as("d"))
+        .orderBy(col("d").desc, col("vec_id"))
+        .limit(1).as[(Long, Seq[Double], Long)].collect().head
+      selected :+= ((pick._1, pick._2))
+      out += ((step.toLong, pick._1, pick._3))
+    }
+    spark.createDataset(out.toSeq).toDF("step", "vec_id", "dmin_micro")
+  }
 }
