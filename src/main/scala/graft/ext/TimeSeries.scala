@@ -362,4 +362,54 @@ object TimeSeries {
         (col("n_covered").cast("double") / col("n_test").cast("double"))
           .as("coverage"))
   }
+
+  /** Interrupted-time-series effect read (the pre/post causal
+    * template): fit the pre-window linear trend per key in closed form
+    * (exact integer normal-equation sums — [[graft.ext.Stats.groupLinFit]]'s
+    * moment discipline), extrapolate it over the post window, and
+    * report the TOTAL divergence Σ(actual − predicted). The total is
+    * computed as `Σy − (n_post·a + b·Σx)` — one combinable aggregate
+    * per window, never an ordered float running sum — so the effect is
+    * bit-portable. The "did the launch change the level" read that a
+    * bare pre/post mean diff gets wrong whenever the series already
+    * trends.
+    *
+    * `series` must expose (keyCol, idxCol LongType, yCol LongType),
+    * one row per (key, idx); index arithmetic is relative to `preLo`
+    * to keep x² sums small. Keys with a degenerate pre fit (n < 2 or
+    * zero x-variance) emit null slope/effect. Returns
+    * (key, n_pre, slope, intercept, n_post, actual_total, pred_total,
+    * effect_total).
+    */
+  def interruptedTrend(series: DataFrame, keyCol: String, idxCol: String,
+                       yCol: String, preLo: Long, preHi: Long,
+                       postLo: Long, postHi: Long): DataFrame = {
+    require(preHi < postLo,
+      s"pre window [$preLo,$preHi] must precede post [$postLo,$postHi]")
+    val base = series.select(col(keyCol),
+      (col(idxCol).cast("long") - preLo).as("__x"),
+      col(yCol).cast("long").as("__y"))
+    val pre = base.filter(col("__x") >= 0 && col("__x") <= preHi - preLo)
+      .groupBy(keyCol).agg(count(lit(1)).as("n_pre"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val post = base.filter(col("__x") >= postLo - preLo &&
+        col("__x") <= postHi - preLo)
+      .groupBy(keyCol).agg(count(lit(1)).as("n_post"),
+        sum(col("__x")).as("__px"), sum(col("__y")).as("actual_total"))
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n_pre")
+    val denom = nd * d("__sxx") - d("__sx") * d("__sx")
+    val ok = col("n_pre") >= 2 && denom =!= 0.0
+    val b = (nd * d("__sxy") - d("__sx") * d("__sy")) / denom
+    val a = (d("__sy") - b * d("__sx")) / nd
+    val predTotal = d("n_post") * a + b * d("__px")
+    pre.join(post, Seq(keyCol))
+      .select(col(keyCol), col("n_pre"),
+        when(ok, b).as("slope"), when(ok, a).as("intercept"),
+        col("n_post"), col("actual_total"),
+        when(ok, predTotal).as("pred_total"),
+        when(ok, d("actual_total") - predTotal).as("effect_total"))
+  }
 }

@@ -35,7 +35,23 @@ object Round13iQueries {
       Mixture.waterFill(perSource, "source", "n", budget)
         .orderBy("source")
     }),
+
+    // Interrupted time series: fit the Jan 1-22 daily trend per event
+    // type, extrapolate over Jan 23-30, report the total divergence —
+    // the trend-aware pre/post causal read.
+    "q327_its" -> ((s, dir) => {
+      val daily = graft.engine.Readers.eventsNanos(s, dir)
+        .groupBy(col("event_type"),
+          expr(s"(ts div 1000) div ${DayUs}L").as("day"))
+        .agg(sum(graft.ext.Stats.cents(col("value"))).as("y"))
+      graft.ext.TimeSeries.interruptedTrend(daily, "event_type", "day",
+          "y", preLo = 19723L, preHi = 19744L,
+          postLo = 19745L, postHi = 19752L)
+        .orderBy("event_type")
+    }),
   )
+
+  private val DayUs = 86400000000L
 
   /** d²(a, b) in the canonical engine-portable order. */
   private def d2Sql(a: String, b: String): String =
@@ -79,6 +95,57 @@ object Round13iQueries {
           UNION ALL SELECT 3, vec_id, d FROM p3
           UNION ALL SELECT 4, vec_id, d FROM p4
           ORDER BY step""",
+
+    "q327_its" ->
+      s"""WITH daily AS (SELECT event_type,
+                                epoch_us(ts) // $DayUs AS day,
+                                CAST(sum(CAST(floor(value * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS y
+                         FROM events GROUP BY 1, 2),
+          pre AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pre,
+                         CAST(sum(day - 19723) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum((day - 19723) * (day - 19723))
+                              AS BIGINT) AS sxx,
+                         CAST(sum((day - 19723) * y) AS BIGINT) AS sxy
+                  FROM daily WHERE day BETWEEN 19723 AND 19744
+                  GROUP BY 1),
+          post AS (SELECT event_type,
+                          CAST(count(*) AS BIGINT) AS n_post,
+                          CAST(sum(day - 19723) AS BIGINT) AS px,
+                          CAST(sum(y) AS BIGINT) AS actual_total
+                   FROM daily WHERE day BETWEEN 19745 AND 19752
+                   GROUP BY 1),
+          m AS (SELECT pre.event_type, n_pre,
+                       CAST(n_pre AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxx AS DOUBLE) AS sxxd,
+                       CAST(sxy AS DOUBLE) AS sxyd,
+                       n_post, px, actual_total
+                FROM pre JOIN post USING (event_type)),
+          f AS (SELECT event_type, n_pre, n_post, actual_total, px, nd,
+                       nd * sxxd - sxd * sxd AS denom,
+                       (nd * sxyd - sxd * syd) /
+                         (nd * sxxd - sxd * sxd) AS b,
+                       sxd, syd
+                FROM m),
+          g AS (SELECT event_type, n_pre, n_post, actual_total, px,
+                       denom, b, (syd - b * sxd) / nd AS a
+                FROM f)
+          SELECT event_type, n_pre,
+                 CASE WHEN n_pre >= 2 AND denom <> 0.0 THEN b END
+                   AS slope,
+                 CASE WHEN n_pre >= 2 AND denom <> 0.0 THEN a END
+                   AS intercept,
+                 n_post, actual_total,
+                 CASE WHEN n_pre >= 2 AND denom <> 0.0
+                      THEN CAST(n_post AS DOUBLE) * a +
+                           b * CAST(px AS DOUBLE) END AS pred_total,
+                 CASE WHEN n_pre >= 2 AND denom <> 0.0
+                      THEN CAST(actual_total AS DOUBLE) -
+                           (CAST(n_post AS DOUBLE) * a +
+                            b * CAST(px AS DOUBLE)) END AS effect_total
+          FROM g ORDER BY event_type""",
   )
 
   /** q326's oracle: per-source counts are genuine; the water level and

@@ -22,6 +22,32 @@ class Round13iSuite extends SparkSpec {
     }
   }
 
+  describe("TimeSeries.interruptedTrend") {
+    it("extrapolates the exact pre trend and reports total divergence") {
+      // key a: y = 10 + 2x on pre x=0..4 (idx 100..104); post idx
+      // 107..108 actual 50, 60 -> pred 24 + 26 = 50, effect 60.
+      val rows = (0L to 4L).map(x => ("a", 100L + x, 10L + 2 * x)) ++
+        Seq(("a", 107L, 50L), ("a", 108L, 60L))
+      val got = TimeSeries.interruptedTrend(rows.toDF("k", "i", "y"),
+          "k", "i", "y", preLo = 100, preHi = 104, postLo = 107,
+          postHi = 108)
+        .as[(String, Long, Option[Double], Option[Double], Long, Long,
+          Option[Double], Option[Double])].collect().head
+      assert(got._2 == 5L && got._5 == 2L && got._6 == 110L)
+      assert(got._3.contains(2.0) && got._4.contains(10.0))
+      assert(got._7.contains(50.0) && got._8.contains(60.0))
+    }
+
+    it("nulls the fit for degenerate pre windows") {
+      val rows = Seq(("a", 100L, 5L), ("a", 107L, 9L))
+      val got = TimeSeries.interruptedTrend(rows.toDF("k", "i", "y"),
+          "k", "i", "y", 100, 104, 107, 108)
+        .as[(String, Long, Option[Double], Option[Double], Long, Long,
+          Option[Double], Option[Double])].collect().head
+      assert(got._3.isEmpty && got._8.isEmpty)
+    }
+  }
+
   describe("Mixture.waterFill") {
     it("levels the budget across slices up to availability") {
       // counts 1, 5, 10; budget 9 -> level 4: alloc 1+4+4 = 9, left 0
