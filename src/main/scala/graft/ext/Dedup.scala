@@ -336,10 +336,18 @@ object Dedup {
           .orderBy(col("df"), col("shingle"))))
     val prefix = ranked.filter(col("rnk") <=
       col("n_shingles") - ceil(col("n_shingles") * threshold) + 1)
+    // size-compatibility prune BEFORE the shingle fan-out: J >= t
+    // forces t·|A| <= |B| and t·|B| <= |A| (J <= min/max), so an
+    // incompatible candidate pair is dropped from one doc-level row
+    // instead of being verified through |A| shingle rows. Result-
+    // invisible (the final jaccard >= threshold filter subsumes it) —
+    // the q118 hash pins that.
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_shingles") * threshold <= col("b.n_shingles") &&
+          col("b.n_shingles") * threshold <= col("a.n_shingles"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val aSide = sh.select(col("doc_id").as("doc_a"), col("shingle"),
