@@ -97,33 +97,90 @@ object Pq {
       floor(err * 1e6 + lit(0.5)).cast("long").as("err_micro"): _*)
   }
 
+  /** Broadcast budget for the per-query ADC lookup table, in ROWS
+    * (|queries|·m·k). 4M rows ≈ 100–150 MB broadcast — comfortable on
+    * any executor; beyond it [[adcKnn]]/[[ivfPqKnn]] fall back to
+    * hash-chunked query batches instead of silently OOMing the driver
+    * (each query's top-k is independent, so partitioning the query set
+    * and unioning the per-batch results is semantics-identical).
+    */
+  val DefaultMaxLutRows: Long = 1L << 22
+
+  /** LUT rows one query contributes: Σ_s |book_s| (= m·k for uniform
+    * codebooks). */
+  private def lutRowsPerQuery(model: Model): Long =
+    model.books.map(_.size.toLong).sum
+
+  /** Per-query ADC lookup table (query_id, __s, __code, d_micro):
+    * partial squared distance from the query's subvector `s` to code
+    * centroid `code`, on the exact micro grid. One projection over
+    * codebook literals per (query × m·k) row — the ONLY piece of the
+    * ADC scan that carries real vectors, and the piece the
+    * [[DefaultMaxLutRows]] budget bounds. Shared by [[adcKnn]] and
+    * [[ivfPqKnn]] so the two ADC paths cannot drift.
+    */
+  private def adcLut(queries: DataFrame, model: Model): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__q"))
+      .crossJoin(
+        model.books.zipWithIndex.flatMap { case (book, s) =>
+          book.indices.map(i => (s, i))
+        }.toDF("__s", "__code"))
+      .select(col("query_id"), col("__s"), col("__code"),
+        floor(model.books.zipWithIndex.map { case (book, s) =>
+          book.zipWithIndex.foldLeft(lit(null).cast("double")) {
+            case (acc, (c, i)) =>
+              when(col("__s") === s && col("__code") === i,
+                subD2(col("__q"), model, s, c)).otherwise(acc)
+          }
+        }.reduce(coalesce(_, _)) * 1e6 + lit(0.5)).cast("long")
+          .as("d_micro"))
+  }
+
+  /** Fail-loud LUT budgeting: split `queries` into the fewest
+    * hash-disjoint batches whose per-batch LUT fits `maxLutRows`.
+    * Returns per-batch filter predicates (None = no chunking needed).
+    * Costs one count over the query frame — a documented model read,
+    * O(|queries|) with a combinable aggregate, and the price of never
+    * broadcasting an unbounded |queries|·m·k table. The hash split is
+    * plan-side only: every query lands in exactly one batch, so the
+    * unioned result is identical to the unchunked run.
+    */
+  private def batchPredicates(queries: DataFrame, model: Model,
+                              maxLutRows: Long): Seq[Option[Column]] = {
+    val per = lutRowsPerQuery(model)
+    require(maxLutRows >= per,
+      s"maxLutRows=$maxLutRows cannot hold even one query's $per-row LUT")
+    val nQ = queries.select(col("vec_id")).distinct().count()
+    val nBatches = math.max(1L,
+      math.ceil(nQ.toDouble * per / maxLutRows).toLong)
+    require(nBatches <= Int.MaxValue, s"absurd batch count $nBatches")
+    if (nBatches == 1L) Seq(None)
+    else (0 until nBatches.toInt).map(b =>
+      Some(pmod(hash(col("vec_id")), lit(nBatches.toInt)) === b))
+  }
+
   /** ADC k-nearest-neighbors: queries keep their EXACT subvectors; the
     * corpus is represented only by its codes. Distances are per-query
     * micro-long lookup sums — exact integers, so ranking is
     * deterministic (distance asc, vec_id asc). `queries` and `corpus`
-    * must both expose (vec_id, embedding).
+    * must both expose (vec_id, embedding). The per-query LUT broadcast
+    * is budgeted by `maxLutRows`: a query set too large for one
+    * broadcast is processed in hash-disjoint batches (each batch scans
+    * the code table once — the honest serving cost) and unioned;
+    * results are identical either way.
     */
   def adcKnn(queries: DataFrame, corpusCodes: DataFrame, model: Model,
-             k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val lut = broadcast(
-      queries.select(col("vec_id").as("query_id"),
-          col("embedding").cast("array<double>").as("__q"))
-        .crossJoin(
-          model.books.zipWithIndex.flatMap { case (book, s) =>
-            book.indices.map(i => (s, i))
-          }.toDF("__s", "__code")))
-    val withD = lut.select(col("query_id"), col("__s"), col("__code"),
-      model.books.zipWithIndex.map { case (book, s) =>
-        book.zipWithIndex.foldLeft(lit(null).cast("double")) {
-          case (acc, (c, i)) =>
-            when(col("__s") === s && col("__code") === i,
-              subD2(col("__q"), model, s, c)).otherwise(acc)
-        }
-      }.reduce(coalesce(_, _)).as("__d2"))
-      .select(col("query_id"), col("__s"), col("__code"),
-        floor(col("__d2") * 1e6 + lit(0.5)).cast("long").as("d_micro"))
+             k: Int, maxLutRows: Long = DefaultMaxLutRows): DataFrame =
+    batchPredicates(queries, model, maxLutRows).map { pred =>
+      adcKnnBatch(pred.map(queries.filter).getOrElse(queries),
+        corpusCodes, model, k)
+    }.reduce(_.union(_))
+
+  private def adcKnnBatch(queries: DataFrame, corpusCodes: DataFrame,
+                          model: Model, k: Int): DataFrame = {
     val melted = corpusCodes.select(col("vec_id") +:
       (0 until model.m).map(s => col(s"code$s")): _*)
       .select(col("vec_id"), explode(array((0 until model.m).map { s =>
@@ -131,7 +188,8 @@ object Pq {
       }: _*)).as("__sc"))
       .select(col("vec_id"), col("__sc.__s").as("__s"),
         col("__sc.__code").as("__code"))
-    val dists = melted.join(broadcast(withD), Seq("__s", "__code"))
+    val dists = melted.join(broadcast(adcLut(queries, model)),
+        Seq("__s", "__code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d_micro")).as("dist_micro"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -153,16 +211,27 @@ object Pq {
     */
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame,
                ivfCentroids: Seq[Seq[Double]], model: Model, k: Int,
-               nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.dot
+               nProbe: Int,
+               maxLutRows: Long = DefaultMaxLutRows): DataFrame = {
     val spark = corpus.sparkSession
     val ivf = IvfIndex.fromCentroids(spark, corpus, ivfCentroids)
     val codes = encode(corpus, model)
       .join(ivf.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    batchPredicates(queries, model, maxLutRows).map { pred =>
+      ivfPqKnnBatch(codes, ivf,
+        pred.map(queries.filter).getOrElse(queries), model, k, nProbe)
+    }.reduce(_.union(_))
+  }
+
+  private def ivfPqKnnBatch(codes: DataFrame, ivf: IvfIndex.Model,
+                            queries: DataFrame, model: Model, k: Int,
+                            nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.dot
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
       .withColumn("qv_n2", dot(col("qv"), col("qv")))
+    // nCells rows per query — bounded by the index, not the data
     val cellRank = Window.partitionBy("query_id")
       .orderBy(desc("cell_score"), asc("cell"))
     val probed = q.crossJoin(broadcast(ivf.centroids))
@@ -174,31 +243,14 @@ object Pq {
     // candidate (query, vec) pairs: codes of probed cells only
     val cand = codes.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-    val lut = broadcast(
-      queries.select(col("vec_id").as("query_id"),
-          col("embedding").cast("array<double>").as("__q"))
-        .crossJoin {
-          import spark.implicits._
-          model.books.zipWithIndex.flatMap { case (book, s) =>
-            book.indices.map(i => (s, i))
-          }.toDF("__s", "__code")
-        }
-        .select(col("query_id"), col("__s"), col("__code"),
-          floor(model.books.zipWithIndex.map { case (book, s) =>
-            book.zipWithIndex.foldLeft(lit(null).cast("double")) {
-              case (acc, (c, i)) =>
-                when(col("__s") === s && col("__code") === i,
-                  subD2(col("__q"), model, s, c)).otherwise(acc)
-            }
-          }.reduce(coalesce(_, _)) * 1e6 + lit(0.5)).cast("long")
-            .as("d_micro")))
     val melted = cand.select(col("query_id"), col("vec_id"),
         explode(array((0 until model.m).map { s =>
           struct(lit(s).as("__s"), col(s"code$s").as("__code"))
         }: _*)).as("__sc"))
       .select(col("query_id"), col("vec_id"),
         col("__sc.__s").as("__s"), col("__sc.__code").as("__code"))
-    val dists = melted.join(broadcast(lut), Seq("query_id", "__s", "__code"))
+    val dists = melted.join(broadcast(adcLut(queries, model)),
+        Seq("query_id", "__s", "__code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d_micro")).as("dist_micro"))
     graft.functions.TopKFunctions.topkPerGroup(dists,

@@ -177,6 +177,14 @@ object Similarity {
           floor(dmin * 1e6 + lit(0.5)).cast("long").as("d"))
         .orderBy(col("d").desc, col("vec_id"))
         .limit(1).as[(Long, Seq[Double], Long)].collect().head
+      // fail loud instead of silently emitting duplicate seeds: dmin = 0
+      // for EVERY remaining point means the distinct vector space (at
+      // micro resolution) is already covered — k asked for more centers
+      // than distinct vectors exist (the greedyCoverage saturation rule)
+      require(pick._3 > 0L,
+        s"kCenterSeeds: step $step found no point at positive distance " +
+          s"from the ${selected.size} selected centers — k=$k exceeds " +
+          "the corpus's distinct vector count (at micro resolution)")
       selected :+= ((pick._1, pick._2))
       out += ((step.toLong, pick._1, pick._3))
     }

@@ -622,9 +622,10 @@ object TextAnalysis {
     *
     * Determinism: all contingency cells are exact combinable integers;
     * χ² is ONE fixed IEEE expression over them (the signed cross-product
-    * difference `k1·(n2−k2) − k2·(n1−k1)` stays exact in long — ≤ n1·n2
-    * — and is squared in double, deterministically rounded the same on
-    * both engines). Scale: one tokenize pass, one combinable
+    * difference `k1·(n2−k2) − k2·(n1−k1)` is computed in decimal(38,0)
+    * — exact for any long-typed cells, where a long product would wrap
+    * silently past ~3e9 tokens per side — then squared in double,
+    * deterministically rounded the same on both engines). Scale: one tokenize pass, one combinable
     * (term, in-target) count (hot terms collapse map-side), a 1-row
     * broadcast of the totals — no window, no join on the token stream.
     * Terms making up the WHOLE corpus (n = N) are χ²-null (degenerate
@@ -638,8 +639,13 @@ object TextAnalysis {
       sum(lit(1L) - col("__t")).as("k2"))
     val totals = cells.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
     def d(c: String) = col(c).cast("double")
-    val diff = (col("k1") * (col("n2") - col("k2")) -
-      col("k2") * (col("n1") - col("k1"))).cast("double")
+    // cross-product difference in decimal(38,0): each factor fits a long,
+    // so each product fits decimal(38,0) (< 10^38 ≥ (2^63)^2) — no silent
+    // long wrap once token totals pass ~3e9 per side; the ONE double cast
+    // happens after the exact subtraction
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val diff = (dec(col("k1")) * dec(col("n2") - col("k2")) -
+      dec(col("k2")) * dec(col("n1") - col("k1"))).cast("double")
     val n = d("n1") + d("n2")
     val rowT = d("k1") + d("k2")
     val rowR = n - rowT
