@@ -1669,6 +1669,31 @@ object ScaleBench {
             .agg(sum("dist_micro"), count(lit(1))).collect()
         }
       },
+      "adc_query_batch" -> { n =>
+        time {
+          // the chunked packed-ADC serving shape: 64 fixed queries
+          // whose LUT budget admits only a QUARTER of them per batch
+          // (4 hash-disjoint batches), m=16/k=16 codebooks riding as
+          // reference objects, corpus n/10 code rows. Each batch scans
+          // the code table once — the honest serving cost — so the
+          // per_row_ratio certifies the chunk machinery adds only the
+          // fixed 4x scan factor, nothing superlinear.
+          val m = n / 10
+          val dim = 16
+          val books = Seq.tabulate(16)(s => Seq.tabulate(16)(c =>
+            Seq((c * 16 + s).toDouble)))
+          val model = graft.ext.Pq.Model(books, dim)
+          val corpus = spark.range(m).select(col("id").as("vec_id"),
+            array((0 until dim).map(j =>
+              (pmod(hash(col("id"), lit(j)), lit(256)).cast("double"))): _*)
+              .as("embedding"))
+          val queries = corpus.filter(col("vec_id") < 64)
+          graft.ext.Pq.adcKnnPacked(queries,
+              graft.ext.Pq.encodePacked(corpus, model), model, 10,
+              maxLutRows = 16L * 16 * 16)
+            .agg(sum("dist_micro"), count(lit(1))).collect()
+        }
+      },
       "coverage_hot_slice" -> { n =>
         time {
           // greedyCoverage's adversary: 100 slices, HALF of all

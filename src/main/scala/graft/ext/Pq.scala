@@ -63,6 +63,71 @@ object Pq {
     Model(books, dim)
   }
 
+  /** Learn codebooks with a DRIVER-LOCAL deterministic Lloyd solver over
+    * a bounded collected sample — the trainer for large (m, k) shapes
+    * where [[trainCodebooks]]'s m separate Spark KMeans fits cost more
+    * than the whole query (measured: 32 fits ≈ 30 s; this path ≈ one
+    * sample job + milliseconds). The collect is a documented bounded
+    * model read: ≤ maxTrainVectors × dim doubles (default 20k × 64 ≈
+    * 10 MB). Training quality only affects RECALL (which the q330 gate
+    * asserts); correctness is independent of the codebooks because the
+    * oracle re-derives everything from the rendered centroids.
+    *
+    * Determinism: the sample is the deterministic [[DataFrame.sample]]
+    * (seeded) sorted by vec_id on the driver; init = the first k sample
+    * subvectors; 10 Lloyd iterations; nearest-centroid ties to the
+    * lowest index; an emptied cluster keeps its previous centroid.
+    */
+  def trainCodebooksLocal(spark: SparkSession, corpus: DataFrame, dim: Int,
+                          m: Int, k: Int, seed: Long = 42L,
+                          maxTrainVectors: Long = 20000L): Model = {
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val n = vecs.count()
+    val frac = math.min(1.0, maxTrainVectors.toDouble / math.max(n, 1L))
+    val sample = (if (frac >= 1.0) vecs
+                  else vecs.sample(withReplacement = false, frac, seed))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    require(sample.length >= k,
+      s"need at least k=$k training vectors, sampled ${sample.length}")
+    val books = (0 until m).map { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub,
+        math.min((s + 1) * sub, v.length)))
+      val cents = Array.tabulate(k)(i => pts(i).clone())
+      for (_ <- 1 to 10) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val cnts = new Array[Long](k)
+        pts.foreach { p =>
+          var best = 0
+          var bestD2 = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var d2 = 0.0
+            var j = 0
+            while (j < sub && j < p.length) {
+              val d = p(j) - cents(c)(j); d2 += d * d; j += 1
+            }
+            if (d2 < bestD2) { bestD2 = d2; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < sub && j < p.length) {
+            sums(best)(j) += p(j); j += 1
+          }
+          cnts(best) += 1
+        }
+        for (c <- 0 until k if cnts(c) > 0L; j <- 0 until sub)
+          cents(c)(j) = sums(c)(j) / cnts(c)
+      }
+      cents.map(_.toSeq).toSeq
+    }
+    Model(books, dim)
+  }
+
   /** Squared distance between subvector s of `v` and a code centroid,
     * in the engine-portable order: v·v − 2·v·c + c·c, dot products
     * folded left-to-right (DuckDB list_dot_product's order).
@@ -178,6 +243,52 @@ object Pq {
       adcKnnBatch(pred.map(queries.filter).getOrElse(queries),
         corpusCodes, model, k)
     }.reduce(_.union(_))
+
+  /** Packed encode: all m codes as ONE array<long> column — the
+    * full-dimension form. Codebooks ride as codegen reference objects
+    * ([[graft.functions.PqEncodePacked]]), so the projection stays in
+    * whole-stage codegen at ANY (m, k) — the literal [[encode]] path is
+    * unusable past ~2k plan literals (the [[IvfIndex]] 64 KB lesson).
+    * Requires uniform code counts across books.
+    */
+  def encodePacked(corpus: DataFrame, model: Model): DataFrame =
+    corpus.select(col("vec_id"),
+      graft.functions.PqFunctions.pqCodes(
+        col("embedding").cast("array<double>"), model.books).as("codes"))
+
+  /** Packed ADC k-NN over [[encodePacked]] codes: each query broadcasts
+    * ONE m·k-long lookup array; the code scan computes Σ_s lut[s·k+code_s]
+    * in a single codegen'd loop per (query, vector) pair — no melt, no
+    * per-subspace shuffle rows, exact integer distances. The
+    * query×corpus pairing is a crossJoin against the BROADCAST bounded
+    * query batch (the LUT budget caps it), and the per-query top-k is
+    * the combinable [[graft.functions.TopKLongPairs]] aggregate — so
+    * the only shuffle is the final bounded top-k merge.
+    */
+  def adcKnnPacked(queries: DataFrame, corpusCodes: DataFrame,
+                   model: Model, k: Int,
+                   maxLutRows: Long = DefaultMaxLutRows): DataFrame =
+    batchPredicates(queries, model, maxLutRows).map { pred =>
+      adcKnnPackedBatch(pred.map(queries.filter).getOrElse(queries),
+        corpusCodes, model, k)
+    }.reduce(_.union(_))
+
+  private def adcKnnPackedBatch(queries: DataFrame, corpusCodes: DataFrame,
+                                model: Model, k: Int): DataFrame = {
+    val nCodes = model.books.head.size
+    val lutQ = broadcast(queries.select(col("vec_id").as("query_id"),
+      graft.functions.PqFunctions.pqAdcLut(
+        col("embedding").cast("array<double>"), model.books).as("__lut")))
+    val dists = corpusCodes.crossJoin(lutQ)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.PqFunctions.pqAdcDist(col("codes"), col("__lut"),
+          nCodes).as("dist_micro"))
+    graft.functions.TopKFunctions.topkPerGroup(dists,
+        Seq(col("query_id")), -col("dist_micro"), col("vec_id"), k)
+      .select(col("query_id"), col("rnk"), col("id").as("neighbor_id"),
+        (-col("key")).as("dist_micro"))
+  }
 
   private def adcKnnBatch(queries: DataFrame, corpusCodes: DataFrame,
                           model: Model, k: Int): DataFrame = {

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Pq
+
+/** Round-14 first batch: the FULL-DIMENSION product-quantization stack
+  * at usable recall. Round 13 gated an 8-of-64-dimension PQ demo whose
+  * honest recall audit topped out at 0.05–0.30 — the missing 56
+  * dimensions, not the codebook size, were the ceiling (measured: at
+  * dim=8 recall stays ~0.1 for every (m, k); at dim=64 it climbs with
+  * codebook capacity to 0.89–0.95 at m=64/k=64 across all three SFs).
+  * This family quantizes ALL 64 dimensions with the packed
+  * matrix-reference expressions ([[graft.functions.PqEncodePacked]]),
+  * trains with the driver-local deterministic Lloyd solver
+  * ([[Pq.trainCodebooksLocal]] — one bounded sample read instead of m
+  * Spark fits), and GATES the recall: q330 fails loud on BOTH engines
+  * (Spark `raise_error`, DuckDB `error()`) if any query's recall@20
+  * drops below 0.7, so a regression in training, encoding, or the ADC
+  * scan turns the round red instead of silently degrading quality.
+  */
+object Round14Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val Dim = 64
+  private val M = 64
+  private val K = 64
+  private val NQ = 5
+  private val AdcK = 5
+  private val RecallK = 20
+  private val RecallFloor = 0.7
+
+  /** One local-Lloyd fit per sf dir (the q64/q315 centroid-cache
+    * discipline: query and generated oracle must see the same codebooks
+    * within a run).
+    */
+  private val hiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pq.Model]()
+  private def hiModel(s: SparkSession, dir: String): Pq.Model =
+    hiCache.computeIfAbsent(dir, _ =>
+      Pq.trainCodebooksLocal(s, t(s, dir, "embeddings"), Dim, M, K))
+
+  private def hiAdc(s: SparkSession, dir: String, k: Int,
+                    maxLutRows: Long): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = hiModel(s, dir)
+    Pq.adcKnnPacked(e.filter(col("vec_id") < NQ),
+      Pq.encodePacked(e, model), model, k, maxLutRows)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Recall@20 of the full-dim packed ADC ranking against the exact
+    // 64-dim L2 top-20, GATED at 0.7 per query: the number that makes
+    // the PQ stack an operator instead of a demo.
+    "q330_pq_hi_recall" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < NQ)
+      val adc = hiAdc(s, dir, RecallK, Pq.DefaultMaxLutRows)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = q.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val exactD = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          floor((dot(col("v"), col("v")) -
+            lit(2.0) * dot(col("v"), col("qv")) +
+            dot(col("qv"), col("qv"))) * 1e6 + lit(0.5)).cast("long")
+            .as("d_micro"))
+      val exact = graft.functions.TopKFunctions.topkPerGroup(exactD,
+          Seq(col("query_id")), -col("d_micro"), col("vec_id"), RecallK)
+        .select(col("query_id"), col("id").as("neighbor_id"))
+      exact.join(adc.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+        .select(col("query_id"), col("n_exact"), col("n_overlap"),
+          when(col("n_overlap").cast("double") /
+              col("n_exact").cast("double") >= RecallFloor,
+            col("n_overlap").cast("double") / col("n_exact").cast("double"))
+            .otherwise(raise_error(concat(
+              lit(s"pq hi recall below $RecallFloor for query "),
+              col("query_id")))).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // The packed ADC top-k itself: per-query LUT arrays broadcast, one
+    // codegen'd loop per (query, code-row) pair, exact integer ranking.
+    "q331_pq_hi_adc" -> ((s, dir) =>
+      hiAdc(s, dir, AdcK, Pq.DefaultMaxLutRows)
+        .orderBy("query_id", "rnk")),
+
+    // Chunk-invisibility, in-gate: the SAME scan with a LUT budget that
+    // forces the NQ queries through 3 hash-disjoint batches must hash
+    // identically to q331's oracle (which knows nothing of batching).
+    "q332_pq_adc_chunked" -> ((s, dir) =>
+      hiAdc(s, dir, AdcK, 2L * M * K)
+        .orderBy("query_id", "rnk")),
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+
+  /** m-generic packed-PQ SQL prelude: ALL codebooks as one
+    * (s, code, cv) VALUES relation, per-(vector, subspace) nearest-code
+    * assignment with (d2 ASC, code ASC) ties — the strict-< scan order
+    * of [[graft.functions.PqEncodePacked]] — and the per-query micro
+    * lookup table. Components render as 'x'::DOUBLE (bare SQL decimal
+    * literals parse as DECIMAL whose DOUBLE cast is not correctly
+    * rounded — the q64 lesson).
+    */
+  private def packedSql(model: Pq.Model): String = {
+    val sub = model.subDim
+    val bookValues = model.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, i) =>
+        c.map(x => s"'$x'::DOUBLE").mkString(s"($s, $i, [", ", ", "])")
+      }
+    }.mkString(", ")
+    def d2(vs: String, cv: String) =
+      s"list_dot_product($vs, $vs) - 2 * list_dot_product($vs, $cv) + " +
+        s"list_dot_product($cv, $cv)"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        books(s, code, cv) AS (VALUES $bookValues),
+        subs AS (SELECT unnest(generate_series(0, ${model.m - 1})) AS s),
+        sv AS (SELECT e.vec_id, subs.s,
+                      list_slice(e.v, subs.s * $sub + 1,
+                                 (subs.s + 1) * $sub) AS sv
+               FROM e CROSS JOIN subs),
+        asn AS (SELECT vec_id, s, code FROM (
+                  SELECT sv.vec_id, sv.s, b.code,
+                         row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                           ORDER BY ${d2("sv.sv", "b.cv")} ASC,
+                                    b.code ASC) AS rnk
+                  FROM sv JOIN books b ON b.s = sv.s) t WHERE rnk = 1),
+        q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $NQ),
+        qsv AS (SELECT q.query_id, subs.s,
+                       list_slice(q.v, subs.s * $sub + 1,
+                                  (subs.s + 1) * $sub) AS sv
+                FROM q CROSS JOIN subs),
+        lut AS (SELECT qsv.query_id, b.s, b.code,
+                       CAST(floor((${d2("qsv.sv", "b.cv")}) * 1000000.0
+                         + 0.5) AS BIGINT) AS d
+                FROM qsv JOIN books b ON b.s = qsv.s),
+        dist AS (SELECT l.query_id, a.vec_id,
+                        CAST(sum(l.d) AS BIGINT) AS dist_micro
+                 FROM asn a
+                 JOIN lut l ON l.s = a.s AND l.code = a.code
+                 WHERE a.vec_id <> l.query_id
+                 GROUP BY 1, 2)"""
+  }
+
+  private def adcTopkSql(model: Pq.Model, k: Int): String =
+    s"""WITH ${packedSql(model)},
+        r AS (SELECT query_id, vec_id AS neighbor_id, dist_micro,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist_micro ASC, vec_id ASC) AS rnk
+              FROM dist)
+        SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+               dist_micro
+        FROM r WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  val dynamicOracleSql: Map[String, (SparkSession, String) => String] =
+    Map(
+      "q330_pq_hi_recall" -> ((s, dir) => {
+        val model = hiModel(s, dir)
+        s"""WITH ${packedSql(model)},
+            adc AS (SELECT query_id, vec_id FROM (
+                      SELECT query_id, vec_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist_micro ASC, vec_id ASC) AS rnk
+                      FROM dist) t WHERE rnk <= $RecallK),
+            edist AS (SELECT q.query_id, c.vec_id,
+                             CAST(floor((list_dot_product(c.v, c.v)
+                               - 2 * list_dot_product(c.v, q.v)
+                               + list_dot_product(q.v, q.v)) * 1000000.0
+                               + 0.5) AS BIGINT) AS d_micro
+                      FROM e c CROSS JOIN q
+                      WHERE c.vec_id <> q.query_id),
+            exact AS (SELECT query_id, vec_id FROM (
+                        SELECT query_id, vec_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d_micro ASC, vec_id ASC) AS rnk
+                        FROM edist) t WHERE rnk <= $RecallK),
+            rec AS (SELECT ex.query_id,
+                           CAST(count(*) AS BIGINT) AS n_exact,
+                           CAST(sum(CASE WHEN adc.vec_id IS NOT NULL
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_overlap
+                    FROM exact ex
+                    LEFT JOIN adc ON adc.query_id = ex.query_id
+                      AND adc.vec_id = ex.vec_id
+                    GROUP BY 1)
+            SELECT query_id, n_exact, n_overlap,
+                   CASE WHEN CAST(n_overlap AS DOUBLE)
+                          / CAST(n_exact AS DOUBLE) >= $RecallFloor
+                        THEN CAST(n_overlap AS DOUBLE)
+                          / CAST(n_exact AS DOUBLE)
+                        ELSE CAST(error('pq hi recall below floor')
+                                  AS DOUBLE)
+                   END AS recall
+            FROM rec ORDER BY query_id"""
+      }),
+
+      "q331_pq_hi_adc" -> ((s, dir) => adcTopkSql(hiModel(s, dir), AdcK)),
+
+      // identical SQL to q331 — the oracle knows nothing of batching;
+      // the chunked Spark run must reproduce it bit-for-bit
+      "q332_pq_adc_chunked" -> ((s, dir) =>
+        adcTopkSql(hiModel(s, dir), AdcK)))
+}

@@ -123,6 +123,48 @@ class Round14Suite extends SparkSpec {
       }
       assert(e.getMessage.contains("cannot hold even one query"))
     }
+
+    it("packed encode emits the same codes as the literal projection") {
+      val lit2 = Pq.encode(corpus, model)
+        .select(col("vec_id"), col("code0"), col("code1"))
+        .as[(Long, Long, Long)].collect().toSet
+      val packed = Pq.encodePacked(corpus, model)
+        .select(col("vec_id"), element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 2).as("c1"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(packed == lit2)
+    }
+
+    it("packed ADC reproduces the literal ADC ranking and distances") {
+      val q = corpus.filter(col("vec_id") <= 5L)
+      val viaLit = Pq.adcKnn(q, Pq.encode(corpus, model), model, 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val viaPacked = Pq.adcKnnPacked(q, Pq.encodePacked(corpus, model),
+          model, 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(viaPacked == viaLit)
+    }
+
+    it("packed ADC chunked == unchunked") {
+      val q = corpus.filter(col("vec_id") <= 9L)
+      val codes = Pq.encodePacked(corpus, model)
+      val full = Pq.adcKnnPacked(q, codes, model, 5)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val chunked = Pq.adcKnnPacked(q, codes, model, 5, maxLutRows = 8L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(chunked == full)
+    }
+
+    it("local Lloyd trainer is deterministic and k-complete") {
+      val vecs = (1L to 200L).map { i =>
+        (i, Seq.tabulate(4)(j => ((i * 31 + j * 17) % 13).toFloat))
+      }.toDF("vec_id", "embedding")
+      val a = Pq.trainCodebooksLocal(spark, vecs, 4, 2, 8)
+      val b = Pq.trainCodebooksLocal(spark, vecs, 4, 2, 8)
+      assert(a == b, "two fits over the same data differ")
+      assert(a.books.size == 2 && a.books.forall(_.size == 8))
+      assert(a.books.forall(_.forall(_.size == 2)))
+    }
   }
 
   describe("TextAnalysis.termChi2 decimal cross-product") {
