@@ -1422,6 +1422,35 @@ object ScaleBench {
             .collect()
         }
       },
+      "gram_merge_hot" -> { n =>
+        time {
+          // the incremental substring-dedup seam under a corpus-universal
+          // hot gram: two n/400-doc shards, EVERY doc opening with the
+          // same 16-token boilerplate; each shard's (g, cnt, owner)
+          // stats build independently (combinable count+min — the hot
+          // gram collapses to one row per map partition), merge is one
+          // hash aggregate over gram-hash rows, and only shard 2
+          // re-flags against the merged corpus-wide table. Linear
+          // per_row_ratio certifies the merge adds no superlinear cost
+          // over the one-shot substring_dedup_boilerplate shape.
+          val m = n / 400
+          val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+          def shard(tag: Int) = spark.range(m).select(
+            (col("id") * 2 + tag).as("doc_id"),
+            concat(lit(boiler + " "), concat_ws(" ",
+              (0 until 8).map(j => concat(lit(s"u$j."),
+                pmod(hash(col("id"), lit(j), lit(tag)), lit(1000000000))
+                  .cast("string"))): _*)).as("text"))
+          val s0 = shard(0)
+          val s1 = shard(1)
+          val merged = graft.ext.Dedup.mergeGramStats(Seq(
+            graft.ext.Dedup.gramStats(s0, 8),
+            graft.ext.Dedup.gramStats(s1, 8)))
+          graft.ext.Dedup.duplicatedSpansFromStats(s1, merged, 8)
+            .agg(sum("dup_tokens"), sum("n_spans"), count(lit(1)))
+            .collect()
+        }
+      },
       "local_clustering_hub" -> { n =>
         time {
           // localClustering's hub-degree adversary (triangle_hub's graph

@@ -457,14 +457,53 @@ object Dedup {
     * unbounded state anywhere (`substring_dedup_boilerplate` shape).
     */
   def duplicatedSpans(docs: DataFrame, L: Int,
-                      minCount: Long = 2L): DataFrame = {
+                      minCount: Long = 2L): DataFrame =
+    duplicatedSpansFromStats(docs, gramStats(docs, L), L, minCount)
+
+  /** Per-shard persistable gram-statistics table: (g, cnt, owner) — the
+    * corpus frequency AND canonical owner (min doc_id) of every L-token
+    * window hash. This is the INCREMENTAL seam of exact-substring
+    * dedup: a pipeline that grows by shards persists one table per
+    * shard and merges with [[mergeGramStats]] instead of re-hashing the
+    * whole corpus per run (the q142 incremental-MinHash pattern).
+    * Both aggregates are map-side combinable: a corpus-universal
+    * boilerplate window collapses to one row per map partition
+    * (`gram_merge_hot` shape).
+    */
+  def gramStats(docs: DataFrame, L: Int): DataFrame = {
+    require(L >= 1, s"window length must be >= 1, got $L")
+    tokenWindows(docs, L).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("owner"))
+  }
+
+  /** Merge shard gram tables: counts ADD and owners take the MIN over
+    * any partition of the corpus into shards, so
+    * merge(gramStats(A), gramStats(B)) ≡ gramStats(A ∪ B) exactly —
+    * oracle-gated by q333 (merged shards vs the full-corpus recompute
+    * hash). Associative and commutative: shards can merge in any order,
+    * pairwise or all at once.
+    */
+  def mergeGramStats(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "mergeGramStats needs at least one table")
+    tables.reduce(_.unionByName(_)).groupBy("g")
+      .agg(sum(col("cnt")).as("cnt"), min(col("owner")).as("owner"))
+  }
+
+  /** [[duplicatedSpans]] against a SUPPLIED gram-statistics table (a
+    * [[gramStats]] output or a [[mergeGramStats]] of shard tables) —
+    * the incremental re-flag path: when a new shard arrives, merge its
+    * stats into the persisted table and re-flag ONLY the affected
+    * documents instead of re-counting the corpus. `docs` may be any
+    * subset of the corpus the stats were built from.
+    */
+  def duplicatedSpansFromStats(docs: DataFrame, stats: DataFrame, L: Int,
+                               minCount: Long = 2L): DataFrame = {
     require(L >= 1, s"window length must be >= 1, got $L")
     require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tokens"))
     val grams = tokenWindows(docs, L)
-    val freq = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount).select("g")
+    val freq = stats.filter(col("cnt") >= minCount).select("g")
     val flagged = grams.join(freq, Seq("g"), "left_semi")
     // fold sorted flagged positions into maximal spans: windows [p, p+L)
     // merge while the next start is within prev start + L (overlap or
@@ -539,8 +578,7 @@ object Dedup {
     require(L >= 1, s"window length must be >= 1, got $L")
     require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
     val grams = tokenWindows(docs, L)
-    val hot = grams.groupBy("g")
-      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("owner"))
+    val hot = gramStats(docs, L)
       .filter(col("cnt") >= minCount)
       .select("g", "owner")
     val per = grams.join(hot, Seq("g"))
@@ -577,8 +615,7 @@ object Dedup {
     require(L >= 1, s"window length must be >= 1, got $L")
     require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
     val grams = tokenWindows(docs, L)
-    val hot = grams.groupBy("g")
-      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("owner"))
+    val hot = gramStats(docs, L)
       .filter(col("cnt") >= minCount)
       .select("g", "owner")
     val attrs = docs.select(col("doc_id"), col(attrCol))

@@ -102,9 +102,84 @@ object Round14Queries {
     "q332_pq_adc_chunked" -> ((s, dir) =>
       hiAdc(s, dir, AdcK, 2L * M * K)
         .orderBy("query_id", "rnk")),
+
+    // Incremental exact-substring dedup, merge-equivalence in-gate: the
+    // corpus split into two shards by doc_id parity, each shard's
+    // persistable (g, cnt, owner) table built independently, merged
+    // with the combinable (sum, min) merge — and the re-flagged spans
+    // must hash-match q295's FULL-CORPUS recompute oracle exactly.
+    "q333_gram_merge_spans" -> ((s, dir) => {
+      import graft.ext.Dedup
+      val docs = t(s, dir, "documents")
+      val sh0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val sh1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val merged = Dedup.mergeGramStats(Seq(
+        Dedup.gramStats(sh0, SpanL), Dedup.gramStats(sh1, SpanL)))
+      Dedup.duplicatedSpansFromStats(docs, merged, SpanL)
+        .orderBy("doc_id")
+    }),
+
+    // The incremental ARRIVAL path: a new shard (odd doc_ids) lands,
+    // its stats merge into the persisted even-shard table, and only the
+    // NEW shard's documents re-flag — against corpus-wide frequencies.
+    "q334_gram_merge_incr" -> ((s, dir) => {
+      import graft.ext.Dedup
+      val docs = t(s, dir, "documents")
+      val sh0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val sh1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val merged = Dedup.mergeGramStats(Seq(
+        Dedup.gramStats(sh0, SpanL), Dedup.gramStats(sh1, SpanL)))
+      Dedup.duplicatedSpansFromStats(sh1, merged, SpanL)
+        .orderBy("doc_id")
+    }),
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** q295's window length — the merge queries must re-derive the SAME
+    * spans the full-corpus query gates, so the parameter is shared.
+    */
+  private val SpanL = 8
+
+  private val tokSql = raw"string_split_regex(trim(text), '\s+')"
+  private def hash60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Full-corpus substring-dedup recompute (q295's oracle verbatim,
+    * with an optional final doc filter): the merged-shard queries must
+    * reproduce it bit-for-bit — the oracle knows nothing of shards.
+    */
+  private def spanOracle(docFilter: String): String =
+    s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
+        sz AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM w),
+        p AS (SELECT doc_id, i,
+                     ${hash60Sql(s"array_to_string(w[i:i+${SpanL - 1}], ' ')")} AS g
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - ${SpanL - 1})) AS i
+                    FROM w)),
+        hot AS (SELECT g FROM p GROUP BY g HAVING count(*) >= 2),
+        f AS (SELECT doc_id, i FROM p WHERE g IN (SELECT g FROM hot)),
+        b AS (SELECT doc_id, i,
+                     CASE WHEN i - lag(i) OVER (PARTITION BY doc_id
+                                                ORDER BY i) <= $SpanL
+                          THEN 0 ELSE 1 END AS brk FROM f),
+        isl AS (SELECT doc_id, i,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+                FROM b),
+        sp AS (SELECT doc_id, isl, min(i) AS s, max(i) AS e
+               FROM isl GROUP BY 1, 2),
+        d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(e - s + $SpanL) AS BIGINT) AS dup_tokens
+              FROM sp GROUP BY 1)
+        SELECT sz.doc_id,
+               CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               sz.n_tokens,
+               CAST(coalesce(d.dup_tokens, 0) AS DOUBLE) / sz.n_tokens
+                 AS dup_ratio
+        FROM sz LEFT JOIN d USING (doc_id) $docFilter ORDER BY doc_id"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q333_gram_merge_spans" -> spanOracle(""),
+    "q334_gram_merge_incr" -> spanOracle("WHERE sz.doc_id % 2 = 1"))
 
   /** m-generic packed-PQ SQL prelude: ALL codebooks as one
     * (s, code, cv) VALUES relation, per-(vector, subspace) nearest-code

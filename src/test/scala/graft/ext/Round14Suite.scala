@@ -167,6 +167,41 @@ class Round14Suite extends SparkSpec {
     }
   }
 
+  describe("Dedup incremental gram-stats merge") {
+    it("merge of randomized shards == full-corpus recompute") {
+      val rnd = new scala.util.Random(141)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val docs = (1L to 60L).map { id =>
+        val len = 3 + rnd.nextInt(12)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      for (l <- Seq(2, 3); nShards <- Seq(2, 3)) {
+        val shards = (0 until nShards).map(i =>
+          docs.filter(pmod(col("doc_id"), lit(nShards)) === i))
+        val merged = Dedup.mergeGramStats(
+          shards.map(Dedup.gramStats(_, l)))
+        val viaMerge = Dedup.duplicatedSpansFromStats(docs, merged, l)
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+        val full = Dedup.duplicatedSpans(docs, l)
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+        assert(viaMerge == full, s"L=$l, $nShards shards: merge drifted")
+      }
+    }
+
+    it("merged owners equal full-corpus owners (provenance seam)") {
+      val docs = Seq(
+        (5L, "x y z w"), (2L, "x y z q"), (9L, "x y z w")
+      ).toDF("doc_id", "text")
+      val shards = Seq(docs.filter(col("doc_id") < 5L),
+        docs.filter(col("doc_id") >= 5L))
+      val merged = Dedup.mergeGramStats(shards.map(Dedup.gramStats(_, 3)))
+        .as[(Long, Long, Long)].collect().toSet
+      val full = Dedup.gramStats(docs, 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(merged == full)
+    }
+  }
+
   describe("TextAnalysis.termChi2 decimal cross-product") {
     it("matches the hand-computed chi-square on a tiny corpus") {
       val docs = Seq(
