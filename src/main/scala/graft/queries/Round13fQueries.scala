@@ -14,6 +14,16 @@ import graft.functions.Portable.hash60
   * code assignment, reconstruction error, lookup-table distances,
   * ranking — is re-expressed in the dynamic oracle from the rendered
   * codebooks and hash-checked.
+  *
+  * ROUND-14 NOTE: this family quantizes only the FIRST 8 of the
+  * embeddings' 64 dimensions (Dim below), which is why q319's honest
+  * recall audit reports ~0.05–0.30 — the distance mass in the other 56
+  * dimensions is invisible to ADC by construction. It stays gated as
+  * the SMALL-configuration exercise of the literal-codebook path
+  * (plan-time constant folding, m=2 oracle shape); the full-dimension,
+  * usable-recall stack is the q330 family
+  * ([[Round14Queries]] + [[graft.ext.Pq.encodePacked]]), whose recall
+  * is gated ≥ 0.7.
   */
 object Round13fQueries {
 
