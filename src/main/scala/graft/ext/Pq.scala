@@ -214,8 +214,9 @@ object Pq {
     * unioned result is identical to the unchunked run.
     */
   private def batchPredicates(queries: DataFrame, model: Model,
-                              maxLutRows: Long): Seq[Option[Column]] = {
-    val per = lutRowsPerQuery(model)
+                              maxLutRows: Long,
+                              lutMultiplier: Long = 1L): Seq[Option[Column]] = {
+    val per = lutRowsPerQuery(model) * lutMultiplier
     require(maxLutRows >= per,
       s"maxLutRows=$maxLutRows cannot hold even one query's $per-row LUT")
     val nQ = queries.select(col("vec_id")).distinct().count()
@@ -332,6 +333,74 @@ object Pq {
       ivfPqKnnBatch(codes, ivf,
         pred.map(queries.filter).getOrElse(queries), model, k, nProbe)
     }.reduce(_.union(_))
+  }
+
+  /** IVFADC proper — the FAISS billion-vector layout: PQ codes over
+    * RESIDUALS (v − centroid[cell]) instead of raw vectors, so each
+    * cell's codebook budget covers only the local displacement — at the
+    * same (m, k) the quantization error is strictly smaller than
+    * [[ivfPqKnn]]'s raw-vector codes. Queries probe their `nProbe`
+    * nearest cells (the q64 cosine probe), build ONE packed LUT per
+    * (query, probed cell) from the query's residual against that cell,
+    * and candidates are ranked by exact-integer ADC over their residual
+    * codes. The LUT broadcast is |queries|·nProbe·m·k rows, budgeted by
+    * `maxLutRows` with the same hash-chunked fallback. At 100 TB the
+    * join moves CODES + per-(query, cell) LUT arrays — residual vectors
+    * never travel.
+    */
+  def ivfAdcResidualKnn(corpus: DataFrame, queries: DataFrame,
+                        ivfCentroids: Seq[Seq[Double]], model: Model,
+                        k: Int, nProbe: Int,
+                        maxLutRows: Long = DefaultMaxLutRows): DataFrame = {
+    val spark = corpus.sparkSession
+    val ivf = IvfIndex.fromCentroids(spark, corpus, ivfCentroids)
+    // residual codes: one broadcast join to attach the cell centroid,
+    // one codegen'd elementwise subtract + packed encode — no shuffle
+    val codes = ivf.assigned
+      .join(broadcast(ivf.centroids.select(col("cell"), col("cv"))),
+        Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PqFunctions.pqCodes(
+          zip_with(col("v"), col("cv"), (a, b) => a - b),
+          model.books).as("codes"))
+    batchPredicates(queries, model, maxLutRows, lutMultiplier = nProbe)
+      .map { pred =>
+        ivfAdcResidualBatch(codes, ivf,
+          pred.map(queries.filter).getOrElse(queries), model, k, nProbe)
+      }.reduce(_.union(_))
+  }
+
+  private def ivfAdcResidualBatch(codes: DataFrame, ivf: IvfIndex.Model,
+                                  queries: DataFrame, model: Model,
+                                  k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.dot
+    val nCodes = model.books.head.size
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qv_n2", dot(col("qv"), col("qv")))
+    // nCells rows per query — bounded by the index, not the data
+    val cellRank = Window.partitionBy("query_id")
+      .orderBy(desc("cell_score"), asc("cell"))
+    val probed = q.crossJoin(broadcast(ivf.centroids))
+      .withColumn("cell_score",
+        dot(col("qv"), col("cv")) / sqrt(col("qv_n2") * col("cv_n2")))
+      .withColumn("cell_rnk", row_number().over(cellRank))
+      .filter(col("cell_rnk") <= nProbe)
+      .select(col("query_id"), col("cell"), col("qv"), col("cv"))
+    val lutQ = broadcast(probed.select(col("query_id"), col("cell"),
+      graft.functions.PqFunctions.pqAdcLut(
+        zip_with(col("qv"), col("cv"), (a, b) => a - b),
+        model.books).as("__lut")))
+    val dists = codes.join(lutQ, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.PqFunctions.pqAdcDist(col("codes"), col("__lut"),
+          nCodes).as("dist_micro"))
+    graft.functions.TopKFunctions.topkPerGroup(dists,
+        Seq(col("query_id")), -col("dist_micro"), col("vec_id"), k)
+      .select(col("query_id"), col("rnk"), col("id").as("neighbor_id"),
+        (-col("key")).as("dist_micro"))
   }
 
   private def ivfPqKnnBatch(codes: DataFrame, ivf: IvfIndex.Model,

@@ -132,7 +132,89 @@ object Round14Queries {
       Dedup.duplicatedSpansFromStats(sh1, merged, SpanL)
         .orderBy("doc_id")
     }),
+
+    // Unbiased pass@k (Chen et al. 2021's combinatorial estimator) —
+    // the LLM-eval primitive: per task (user) with n samples and c
+    // successes, pass@k = 1 − C(n−c,k)/C(n,k), computed as the exact
+    // k-factor falling product (k fixed → closed form, left-assoc IEEE
+    // identical on both engines), snapped to the micro grid per task,
+    // then census'd per bucket from exact integer sums.
+    "q335_pass_at_k" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c"))
+        .filter(col("n") >= PassK)
+      def fall(base: org.apache.spark.sql.Column) = (0 until PassK)
+        .map(i => (base - lit(i.toLong)).cast("double")).reduce(_ * _)
+      val pass = when(col("n") - col("c") < PassK, lit(1.0))
+        .otherwise(lit(1.0) - fall(col("n") - col("c")) / fall(col("n")))
+      per.select((col("user_id") % 10).as("bucket"),
+          floor(pass * 1e6 + lit(0.5)).cast("long").as("pm"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tasks"),
+          sum(col("pm")).as("pass_micro_sum"),
+          min(col("pm")).as("min_pass_micro"),
+          max(col("pm")).as("max_pass_micro"))
+        .select(col("bucket"), col("n_tasks"), col("pass_micro_sum"),
+          col("min_pass_micro"), col("max_pass_micro"),
+          (col("pass_micro_sum").cast("double") /
+            col("n_tasks").cast("double") / 1e6).as("mean_pass"))
+        .orderBy("bucket")
+    }),
+
+    // IVFADC proper: PQ codes over RESIDUALS (v − cell centroid) —
+    // strictly tighter quantization than raw-vector codes at the same
+    // (m, k); candidates from the cosine-probed cells, exact-integer
+    // ADC ranking. The billion-vector serving layout, hash-pinned.
+    "q336_ivf_adc_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Pq.ivfAdcResidualKnn(e, e.filter(col("vec_id") < NQ),
+          Round2Queries.ivfCentroids(s, dir), hiModel(s, dir),
+          AdcK, IvfProbe)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Residual-IVFADC recall audit vs the exact 64-dim top-20 — NO
+    // floor: unlike q330 (full scan), recall here is capped by probe
+    // coverage (nProbe/nCells of the corpus), and the audit exists to
+    // expose exactly that trade next to q330's.
+    "q337_residual_recall" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < NQ)
+      val adc = Pq.ivfAdcResidualKnn(e, q,
+          Round2Queries.ivfCentroids(s, dir), hiModel(s, dir),
+          RecallK, IvfProbe)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = q.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val exactD = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          floor((dot(col("v"), col("v")) -
+            lit(2.0) * dot(col("v"), col("qv")) +
+            dot(col("qv"), col("qv"))) * 1e6 + lit(0.5)).cast("long")
+            .as("d_micro"))
+      val exact = graft.functions.TopKFunctions.topkPerGroup(exactD,
+          Seq(col("query_id")), -col("d_micro"), col("vec_id"), RecallK)
+        .select(col("query_id"), col("id").as("neighbor_id"))
+      exact.join(adc.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+        .select(col("query_id"), col("n_exact"), col("n_overlap"),
+          (col("n_overlap").cast("double") /
+            col("n_exact").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
   )
+
+  private val PassK = 5
+  private val IvfProbe = 4
 
   /** q295's window length — the merge queries must re-derive the SAME
     * spans the full-corpus query gates, so the parameter is shared.
@@ -177,9 +259,120 @@ object Round14Queries {
                  AS dup_ratio
         FROM sz LEFT JOIN d USING (doc_id) $docFilter ORDER BY doc_id"""
 
+  private val passAtKSql: String = {
+    def fall(base: String) = (0 until PassK)
+      .map(i => s"CAST($base - $i AS DOUBLE)").mkString(" * ")
+    s"""WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(CASE WHEN event_type = 'purchase'
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+                              AS c
+                     FROM events GROUP BY 1
+                     HAVING count(*) >= $PassK),
+        p AS (SELECT user_id % 10 AS bucket,
+                     CAST(floor((CASE WHEN n - c < $PassK
+                                      THEN CAST(1.0 AS DOUBLE)
+                                      ELSE CAST(1.0 AS DOUBLE) -
+                                           (${fall("n - c")})
+                                           / (${fall("n")})
+                                 END) * 1000000.0 + 0.5) AS BIGINT) AS pm
+              FROM per)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_tasks,
+               CAST(sum(pm) AS BIGINT) AS pass_micro_sum,
+               CAST(min(pm) AS BIGINT) AS min_pass_micro,
+               CAST(max(pm) AS BIGINT) AS max_pass_micro,
+               CAST(sum(pm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0 AS mean_pass
+        FROM p GROUP BY 1 ORDER BY 1"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q333_gram_merge_spans" -> spanOracle(""),
-    "q334_gram_merge_incr" -> spanOracle("WHERE sz.doc_id % 2 = 1"))
+    "q334_gram_merge_incr" -> spanOracle("WHERE sz.doc_id % 2 = 1"),
+    "q335_pass_at_k" -> passAtKSql)
+
+  /** Residual-IVFADC SQL prelude: cell assignment over the FULL vector
+    * (q318's squared-Euclidean, ties to lowest cell), per-vector
+    * residual v − centroid[cell] (elementwise double subtraction — the
+    * zip_with order), packed-PQ assignment of the RESIDUAL slices,
+    * cosine probe, per-(query, probed-cell) residual LUT, and the ADC
+    * distance join. Ends with the `dist` CTE.
+    */
+  private def residualSql(model: Pq.Model,
+                          cents: Seq[Seq[Double]]): String = {
+    val sub = model.subDim
+    val bookValues = model.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, i) =>
+        c.map(x => s"'$x'::DOUBLE").mkString(s"($s, $i, [", ", ", "])")
+      }
+    }.mkString(", ")
+    val centValues = cents.zipWithIndex.map { case (c, i) =>
+      c.map(x => s"'$x'::DOUBLE").mkString(s"($i, [", ", ", "])")
+    }.mkString(", ")
+    def d2(vs: String, cv: String) =
+      s"list_dot_product($vs, $vs) - 2 * list_dot_product($vs, $cv) + " +
+        s"list_dot_product($cv, $cv)"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        books(s, code, bcv) AS (VALUES $bookValues),
+        subs AS (SELECT unnest(generate_series(0, ${model.m - 1})) AS s),
+        cents(cell, cv) AS (VALUES $centValues),
+        cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS cv_n2
+               FROM cents),
+        acell AS (SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, cn.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY (list_dot_product(e.v, e.v)
+                               - 2 * list_dot_product(e.v, cn.cv)
+                               + cn.cv_n2) ASC, cn.cell ASC) AS arnk
+                    FROM e CROSS JOIN cn) t WHERE arnk = 1),
+        rv AS (SELECT e.vec_id, a.cell,
+                      list_transform(list_zip(e.v, cn.cv),
+                                     x -> x[1] - x[2]) AS v
+               FROM e JOIN acell a USING (vec_id)
+               JOIN cn ON cn.cell = a.cell),
+        rsv AS (SELECT rv.vec_id, rv.cell, subs.s,
+                       list_slice(rv.v, subs.s * $sub + 1,
+                                  (subs.s + 1) * $sub) AS sv
+                FROM rv CROSS JOIN subs),
+        asn AS (SELECT vec_id, cell, s, code FROM (
+                  SELECT rsv.vec_id, rsv.cell, rsv.s, b.code,
+                         row_number() OVER (PARTITION BY rsv.vec_id, rsv.s
+                           ORDER BY ${d2("rsv.sv", "b.bcv")} ASC,
+                                    b.code ASC) AS rnk
+                  FROM rsv JOIN books b ON b.s = rsv.s) t WHERE rnk = 1),
+        q AS (SELECT vec_id AS query_id, v,
+                     list_dot_product(v, v) AS qv_n2
+              FROM e WHERE vec_id < $NQ),
+        probe AS (SELECT query_id, cell FROM (
+                    SELECT q.query_id, cn.cell,
+                           row_number() OVER (PARTITION BY q.query_id
+                             ORDER BY list_dot_product(q.v, cn.cv)
+                               / sqrt(q.qv_n2 * cn.cv_n2) DESC,
+                               cn.cell ASC) AS cell_rnk
+                    FROM q CROSS JOIN cn) t
+                  WHERE cell_rnk <= $IvfProbe),
+        qrv AS (SELECT p.query_id, p.cell,
+                       list_transform(list_zip(q.v, cn.cv),
+                                      x -> x[1] - x[2]) AS v
+                FROM probe p
+                JOIN q ON q.query_id = p.query_id
+                JOIN cn ON cn.cell = p.cell),
+        qsv AS (SELECT qrv.query_id, qrv.cell, subs.s,
+                       list_slice(qrv.v, subs.s * $sub + 1,
+                                  (subs.s + 1) * $sub) AS sv
+                FROM qrv CROSS JOIN subs),
+        lut AS (SELECT qsv.query_id, qsv.cell, b.s, b.code,
+                       CAST(floor((${d2("qsv.sv", "b.bcv")}) * 1000000.0
+                         + 0.5) AS BIGINT) AS d
+                FROM qsv JOIN books b ON b.s = qsv.s),
+        dist AS (SELECT l.query_id, a.vec_id,
+                        CAST(sum(l.d) AS BIGINT) AS dist_micro
+                 FROM asn a
+                 JOIN lut l ON l.cell = a.cell AND l.s = a.s
+                   AND l.code = a.code
+                 WHERE a.vec_id <> l.query_id
+                 GROUP BY 1, 2)"""
+  }
 
   /** m-generic packed-PQ SQL prelude: ALL codebooks as one
     * (s, code, cv) VALUES relation, per-(vector, subspace) nearest-code
@@ -287,5 +480,53 @@ object Round14Queries {
       // identical SQL to q331 — the oracle knows nothing of batching;
       // the chunked Spark run must reproduce it bit-for-bit
       "q332_pq_adc_chunked" -> ((s, dir) =>
-        adcTopkSql(hiModel(s, dir), AdcK)))
+        adcTopkSql(hiModel(s, dir), AdcK)),
+
+      "q336_ivf_adc_residual" -> ((s, dir) => {
+        val prelude = residualSql(hiModel(s, dir),
+          Round2Queries.ivfCentroids(s, dir))
+        s"""WITH $prelude,
+            r AS (SELECT query_id, vec_id AS neighbor_id, dist_micro,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist_micro ASC, vec_id ASC) AS rnk
+                  FROM dist)
+            SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+                   dist_micro
+            FROM r WHERE rnk <= $AdcK ORDER BY query_id, rnk"""
+      }),
+
+      "q337_residual_recall" -> ((s, dir) => {
+        val prelude = residualSql(hiModel(s, dir),
+          Round2Queries.ivfCentroids(s, dir))
+        s"""WITH $prelude,
+            adc AS (SELECT query_id, vec_id FROM (
+                      SELECT query_id, vec_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist_micro ASC, vec_id ASC) AS rnk
+                      FROM dist) t WHERE rnk <= $RecallK),
+            edist AS (SELECT q.query_id, c.vec_id,
+                             CAST(floor((list_dot_product(c.v, c.v)
+                               - 2 * list_dot_product(c.v, q.v)
+                               + list_dot_product(q.v, q.v)) * 1000000.0
+                               + 0.5) AS BIGINT) AS d_micro
+                      FROM e c CROSS JOIN q
+                      WHERE c.vec_id <> q.query_id),
+            exact AS (SELECT query_id, vec_id FROM (
+                        SELECT query_id, vec_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d_micro ASC, vec_id ASC) AS rnk
+                        FROM edist) t WHERE rnk <= $RecallK)
+            SELECT ex.query_id,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN adc.vec_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_overlap,
+                   CAST(sum(CASE WHEN adc.vec_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS recall
+            FROM exact ex
+            LEFT JOIN adc ON adc.query_id = ex.query_id
+              AND adc.vec_id = ex.vec_id
+            GROUP BY 1 ORDER BY 1"""
+      }))
 }

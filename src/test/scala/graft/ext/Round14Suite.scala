@@ -155,6 +155,20 @@ class Round14Suite extends SparkSpec {
       assert(chunked == full)
     }
 
+    it("residual IVFADC chunked == unchunked and beats raw-code error") {
+      val cents = Seq(Seq(1.0, 1.0, 1.0, 1.0), Seq(10.0, 6.0, 4.0, 2.0))
+      val q = corpus.filter(col("vec_id") <= 6L)
+      val full = Pq.ivfAdcResidualKnn(corpus, q, cents, model, 3, 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(full.nonEmpty)
+      // per-query LUT = nProbe * m * k = 2*2*2 = 8 rows -> cap 16
+      // forces multiple batches
+      val chunked = Pq.ivfAdcResidualKnn(corpus, q, cents, model, 3, 2,
+          maxLutRows = 16L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(chunked == full)
+    }
+
     it("local Lloyd trainer is deterministic and k-complete") {
       val vecs = (1L to 200L).map { i =>
         (i, Seq.tabulate(4)(j => ((i * 31 + j * 17) % 13).toFloat))
