@@ -49,13 +49,22 @@ object PqSweep {
       .cache()
     exact.count()
 
-    for ((m, k) <- Seq((8, 64), (16, 64), (32, 16), (32, 64), (64, 64))) {
+    for ((m, k, opq) <- Seq((8, 64, false), (16, 64, false),
+        (16, 64, true), (32, 16, false), (32, 64, false), (32, 64, true),
+        (64, 64, false))) {
       val t0 = System.nanoTime()
-      val model = graft.ext.Pq.trainCodebooksLocal(spark, e, dim, m, k)
+      val (ep, qp) = if (!opq) (e, q) else {
+        val perm = graft.ext.Pq.varianceBalancedPerm(e, dim, m)
+        def p(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), graft.ext.Pq.permuteVec(
+            col("embedding").cast("array<double>"), perm).as("embedding"))
+        (p(e), p(q))
+      }
+      val model = graft.ext.Pq.trainCodebooksLocal(spark, ep, dim, m, k)
       val tTrain = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val adc = graft.ext.Pq.adcKnnPacked(q,
-          graft.ext.Pq.encodePacked(e, model), model, recallK)
+      val adc = graft.ext.Pq.adcKnnPacked(qp,
+          graft.ext.Pq.encodePacked(ep, model), model, recallK)
         .select(col("query_id"), col("neighbor_id"))
       val rec = exact.join(adc.withColumn("__hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left")
@@ -65,7 +74,7 @@ object PqSweep {
         .agg(avg("recall").as("mean"), min("recall").as("min"))
         .collect()(0)
       val tAdc = (System.nanoTime() - t1) / 1e9
-      println(f"""{"m":$m,"k":$k,"train_sec":$tTrain%.2f,""" +
+      println(f"""{"m":$m,"k":$k,"opq":$opq,"train_sec":$tTrain%.2f,""" +
         f""""adc_sec":$tAdc%.2f,"mean_recall":${rec.getDouble(0)}%.4f,""" +
         f""""min_recall":${rec.getDouble(1)}%.4f}""")
     }

@@ -128,6 +128,53 @@ object Pq {
     Model(books, dim)
   }
 
+  /** Variance-balanced coordinate permutation — OPQ's cheap first-order
+    * approximation: PQ quantizes each subspace independently, so recall
+    * suffers when a few high-variance dimensions crowd into one
+    * subspace while others quantize near-constant noise. Order
+    * dimensions by corpus variance (one combinable aggregate over the
+    * posexploded vectors; ties to the lower index) and deal them to the
+    * m subspaces in a SNAKE (0,1,…,m−1,m−1,…,1,0,…) so per-subspace
+    * variance sums balance. Returns the permutation as the dimension
+    * index list, subspace-major, ascending within each subspace —
+    * fully determined by the data, so the oracle can re-apply it as a
+    * rendered index list. Apply with [[permuteVec]] before
+    * [[trainCodebooksLocal]]/[[encodePacked]]; queries must be
+    * permuted with the SAME list.
+    */
+  def varianceBalancedPerm(corpus: DataFrame, dim: Int, m: Int): Seq[Int] = {
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split into m=$m equal subspaces")
+    val stats = corpus
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .collect()
+    require(stats.length == dim,
+      s"expected $dim dimensions, saw ${stats.length}")
+    val byVar = stats.map { r =>
+      val n = r.getLong(1).toDouble
+      val s = r.getDouble(2)
+      (r.getInt(0), r.getDouble(3) / n - (s / n) * (s / n))
+    }.sortBy { case (j, v) => (-v, j) }.map(_._1)
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    byVar.zipWithIndex.foreach { case (j, r) =>
+      val round = r / m
+      val pos = r % m
+      val b = if (round % 2 == 0) pos else m - 1 - pos
+      buckets(b) :+= j
+    }
+    buckets.toSeq.flatMap(_.sorted)
+  }
+
+  /** Reorder an array<double> vector by a dimension-index permutation
+    * (0-based indices into the source vector).
+    */
+  def permuteVec(v: Column, perm: Seq[Int]): Column =
+    array(perm.map(j => element_at(v, j + 1)): _*)
+
   /** Squared distance between subvector s of `v` and a code centroid,
     * in the engine-portable order: v·v − 2·v·c + c·c, dot products
     * folded left-to-right (DuckDB list_dot_product's order).

@@ -50,7 +50,7 @@ object Round14Queries {
       Pq.encodePacked(e, model), model, k, maxLutRows)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Recall@20 of the full-dim packed ADC ranking against the exact
     // 64-dim L2 top-20, GATED at 0.7 per query: the number that makes
@@ -215,6 +215,79 @@ object Round14Queries {
 
   private val PassK = 5
   private val IvfProbe = 4
+  private val OpqM = 32
+  private val OpqK = 64
+
+  /** One (permutation, model) fit per sf dir for the OPQ-lite family —
+    * the permutation is data-derived (per-dim variances), so it renders
+    * into the oracle as an index list exactly like learned centroids.
+    */
+  private val opqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Int], Pq.Model)]()
+  private def opqModel(s: SparkSession, dir: String): (Seq[Int], Pq.Model) =
+    opqCache.computeIfAbsent(dir, _ => {
+      val e = t(s, dir, "embeddings")
+      val perm = Pq.varianceBalancedPerm(e, Dim, OpqM)
+      val ep = e.select(col("vec_id"), Pq.permuteVec(
+        col("embedding").cast("array<double>"), perm).as("embedding"))
+      (perm, Pq.trainCodebooksLocal(s, ep, Dim, OpqM, OpqK))
+    })
+
+  private def opqAdc(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val (perm, model) = opqModel(s, dir)
+    val e = t(s, dir, "embeddings")
+    def p(df: DataFrame) = df.select(col("vec_id"), Pq.permuteVec(
+      col("embedding").cast("array<double>"), perm).as("embedding"))
+    Pq.adcKnnPacked(p(e.filter(col("vec_id") < NQ)),
+      Pq.encodePacked(p(e), model), model, k)
+  }
+
+  /** OPQ-lite family: variance-balanced coordinate permutation before
+    * PQ — at m=32/k=64 (24 bytes/vector, HALF of q330's m=64 codes)
+    * the permutation lifts sf0.1 mean recall@20 0.67 → 0.76 (min
+    * 0.55 → 0.65; PLANS.md sweep table). Min recall stays under the
+    * 0.7 floor, so unlike q330 these gate the HASHES (permutation,
+    * codes, ranking all reproduced by the oracle from the rendered
+    * index list + codebooks) and q339 reports recall WITHOUT a floor —
+    * the honest audit of the bytes-vs-recall trade between
+    * configurations.
+    */
+  val opqQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q338_opq_adc" -> ((s, dir) =>
+      opqAdc(s, dir, AdcK).orderBy("query_id", "rnk")),
+
+    "q339_opq_recall" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < NQ)
+      val adc = opqAdc(s, dir, RecallK)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = q.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val exactD = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          floor((dot(col("v"), col("v")) -
+            lit(2.0) * dot(col("v"), col("qv")) +
+            dot(col("qv"), col("qv"))) * 1e6 + lit(0.5)).cast("long")
+            .as("d_micro"))
+      val exact = graft.functions.TopKFunctions.topkPerGroup(exactD,
+          Seq(col("query_id")), -col("d_micro"), col("vec_id"), RecallK)
+        .select(col("query_id"), col("id").as("neighbor_id"))
+      exact.join(adc.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+        .select(col("query_id"), col("n_exact"), col("n_overlap"),
+          (col("n_overlap").cast("double") /
+            col("n_exact").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+  )
 
   /** q295's window length — the merge queries must re-derive the SAME
     * spans the full-corpus query gates, so the parameter is shared.
@@ -382,7 +455,23 @@ object Round14Queries {
     * literals parse as DECIMAL whose DOUBLE cast is not correctly
     * rounded — the q64 lesson).
     */
-  private def packedSql(model: Pq.Model): String = {
+  private val defaultECte: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings)"""
+
+  /** Permuted-vector CTE: the variance-balanced permutation is
+    * data-derived, so it renders as a plain index list — the oracle
+    * re-applies it exactly like learned centroids.
+    */
+  private def permECte(perm: Seq[Int]): String = {
+    val items = perm.map(j => s"v0[${j + 1}]").mkString(", ")
+    s"""e AS (SELECT vec_id, [$items] AS v FROM
+          (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+           FROM embeddings))"""
+  }
+
+  private def packedSql(model: Pq.Model,
+                        eCte: String = defaultECte): String = {
     val sub = model.subDim
     val bookValues = model.books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (c, i) =>
@@ -392,8 +481,7 @@ object Round14Queries {
     def d2(vs: String, cv: String) =
       s"list_dot_product($vs, $vs) - 2 * list_dot_product($vs, $cv) + " +
         s"list_dot_product($cv, $cv)"
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-              FROM embeddings),
+    s"""$eCte,
         books(s, code, cv) AS (VALUES $bookValues),
         subs AS (SELECT unnest(generate_series(0, ${model.m - 1})) AS s),
         sv AS (SELECT e.vec_id, subs.s,
@@ -423,8 +511,9 @@ object Round14Queries {
                  GROUP BY 1, 2)"""
   }
 
-  private def adcTopkSql(model: Pq.Model, k: Int): String =
-    s"""WITH ${packedSql(model)},
+  private def adcTopkSql(model: Pq.Model, k: Int,
+                         eCte: String = defaultECte): String =
+    s"""WITH ${packedSql(model, eCte)},
         r AS (SELECT query_id, vec_id AS neighbor_id, dist_micro,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY dist_micro ASC, vec_id ASC) AS rnk
@@ -482,6 +571,53 @@ object Round14Queries {
       "q332_pq_adc_chunked" -> ((s, dir) =>
         adcTopkSql(hiModel(s, dir), AdcK)),
 
+      "q338_opq_adc" -> ((s, dir) => {
+        val (perm, model) = opqModel(s, dir)
+        adcTopkSql(model, AdcK, permECte(perm))
+      }),
+
+      // adc side runs over PERMUTED vectors; the exact side must use
+      // the ORIGINAL coordinate order — permutation preserves L2
+      // exactly as a set but not the left-to-right IEEE fold, so
+      // near-tie micro values could otherwise flip ranks
+      "q339_opq_recall" -> ((s, dir) => {
+        val (perm, model) = opqModel(s, dir)
+        s"""WITH ${packedSql(model, permECte(perm))},
+            adc AS (SELECT query_id, vec_id FROM (
+                      SELECT query_id, vec_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist_micro ASC, vec_id ASC) AS rnk
+                      FROM dist) t WHERE rnk <= $RecallK),
+            e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+            q0 AS (SELECT vec_id AS query_id, v FROM e0
+                   WHERE vec_id < $NQ),
+            edist AS (SELECT q0.query_id, c.vec_id,
+                             CAST(floor((list_dot_product(c.v, c.v)
+                               - 2 * list_dot_product(c.v, q0.v)
+                               + list_dot_product(q0.v, q0.v)) * 1000000.0
+                               + 0.5) AS BIGINT) AS d_micro
+                      FROM e0 c CROSS JOIN q0
+                      WHERE c.vec_id <> q0.query_id),
+            exact AS (SELECT query_id, vec_id FROM (
+                        SELECT query_id, vec_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d_micro ASC, vec_id ASC) AS rnk
+                        FROM edist) t WHERE rnk <= $RecallK)
+            SELECT ex.query_id,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN adc.vec_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_overlap,
+                   CAST(sum(CASE WHEN adc.vec_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS recall
+            FROM exact ex
+            LEFT JOIN adc ON adc.query_id = ex.query_id
+              AND adc.vec_id = ex.vec_id
+            GROUP BY 1 ORDER BY 1"""
+      }),
+
       "q336_ivf_adc_residual" -> ((s, dir) => {
         val prelude = residualSql(hiModel(s, dir),
           Round2Queries.ivfCentroids(s, dir))
@@ -529,4 +665,7 @@ object Round14Queries {
               AND adc.vec_id = ex.vec_id
             GROUP BY 1 ORDER BY 1"""
       }))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ opqQueries
 }

@@ -169,6 +169,27 @@ class Round14Suite extends SparkSpec {
       assert(chunked == full)
     }
 
+    it("variance-balanced permutation is a valid balanced permutation") {
+      val vecs = (1L to 100L).map { i =>
+        // dim 8: variances descend with j (scale shrinks), so the
+        // snake should pair high-variance with low-variance dims
+        (i, Seq.tabulate(8)(j =>
+          (((i * 31 + j * 17) % 13).toFloat / (j + 1))))
+      }.toDF("vec_id", "embedding")
+      val perm = Pq.varianceBalancedPerm(vecs, 8, 4)
+      assert(perm.sorted == (0 until 8))
+      // snake at m=4: round 1 deals (b0..b3), round 2 reversed — the
+      // top-variance dim and the bottom-variance dim land together
+      val buckets = perm.grouped(2).toSeq
+      assert(buckets.size == 4 && buckets.forall(_.size == 2))
+      val got = Pq.permuteVec(col("embedding").cast("array<double>"),
+        perm)
+      val first = vecs.select(got.as("p"))
+        .as[Seq[Double]].collect().head
+      val orig = vecs.as[(Long, Seq[Float])].collect().head._2
+      assert(first == perm.map(j => orig(j).toDouble))
+    }
+
     it("local Lloyd trainer is deterministic and k-complete") {
       val vecs = (1L to 200L).map { i =>
         (i, Seq.tabulate(4)(j => ((i * 31 + j * 17) % 13).toFloat))
