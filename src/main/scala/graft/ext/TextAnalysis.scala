@@ -656,6 +656,62 @@ object TextAnalysis {
           .as("chi2"))
   }
 
+  /** Pairwise bigram CROSS-ENTROPY matrix between corpus slices, on the
+    * integer-bits grid: for every (model slice M, eval slice E),
+    * H_bits(E‖M) ≈ Σ_b c_E(b) · ⌊log₂((N_M + V) div (c_M(b) + 1))⌋
+    * / N_E — eval slice E scored under model slice M's add-one-smoothed
+    * bigram distribution, the log quantized to whole bits via integer
+    * division + bit length (the [[tokenRarity]] trick: NO float log, so
+    * the matrix is bit-portable across engines). This is the
+    * domain-shift read behind mixture design (DSIR / importance
+    * sampling): a low off-diagonal cell means M's data models E well
+    * (cheap transfer); the diagonal is each slice's self-entropy floor.
+    *
+    * Scale: one combinable (slice, bigram-hash) count, a 1-row vocab
+    * frame and a |slices|-row totals frame (both broadcast), one
+    * |slices|-fan-out join from eval counts to model counts on the
+    * 60-bit hash (hot boilerplate bigrams are AQE's to split). No
+    * window, no per-key state. Returns
+    * (model_slice, eval_slice, n_bigrams, bits_total, mean_bits).
+    */
+  def crossEntropyBits(docs: DataFrame, sliceCol: String): DataFrame = {
+    import graft.functions.Portable.hash60
+    val toks = docs.select(col(sliceCol).as("__sl"),
+      wsTokens(col("text")).as("w"))
+    val bi = toks
+      .select(col("__sl"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - 1, lit(1))))
+          .as("i"))
+      .filter(col("i") <= size(col("w")) - 1)
+      .select(col("__sl"),
+        hash60(concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1))).as("h2"))
+    val cnt = bi.groupBy("__sl", "h2").agg(count(lit(1)).as("c"))
+    val vocab = cnt.agg(count_distinct(col("h2")).as("__v"))
+    val totals = cnt.groupBy("__sl").agg(sum(col("c")).as("__n"))
+    val evalSide = cnt.select(col("__sl").as("eval_slice"), col("h2"),
+        col("c").as("c_e"))
+      .crossJoin(broadcast(totals.select(col("__sl").as("model_slice"),
+        col("__n").as("n_m"))))
+      .crossJoin(broadcast(vocab))
+    val joined = evalSide.join(
+      cnt.select(col("__sl").as("model_slice"), col("h2"),
+        col("c").as("c_m")),
+      Seq("model_slice", "h2"), "left")
+      .withColumn("__num", (col("n_m") + col("__v")).cast("long"))
+      .withColumn("__den", coalesce(col("c_m"), lit(0L)) + lit(1L))
+    // whole-bit log via integer division + bit length — no float log
+    val bits = (length(bin(expr("__num div __den"))) - 1).cast("long")
+    joined
+      .groupBy("model_slice", "eval_slice")
+      .agg(sum(col("c_e")).as("n_bigrams"),
+        sum(col("c_e") * bits).as("bits_total"))
+      .select(col("model_slice"), col("eval_slice"), col("n_bigrams"),
+        col("bits_total"),
+        (col("bits_total").cast("double") /
+          col("n_bigrams").cast("double")).as("mean_bits"))
+  }
+
   /** Good–Turing frequency-of-frequencies census, octave-bucketed: how
     * many distinct terms occur with corpus frequency in [2^b, 2^{b+1}),
     * and how much token mass each octave carries. The head-vs-tail

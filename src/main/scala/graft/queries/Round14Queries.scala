@@ -257,6 +257,14 @@ object Round14Queries {
     "q338_opq_adc" -> ((s, dir) =>
       opqAdc(s, dir, AdcK).orderBy("query_id", "rnk")),
 
+    // Pairwise bigram cross-entropy between languages on the integer-
+    // bits grid (no float log — bit-portable): the domain-shift matrix
+    // behind mixture design; diagonal = self-entropy floor.
+    "q340_cross_entropy" -> ((s, dir) =>
+      graft.ext.TextAnalysis.crossEntropyBits(
+          t(s, dir, "documents"), "lang")
+        .orderBy("model_slice", "eval_slice")),
+
     "q339_opq_recall" -> ((s, dir) => {
       import graft.functions.VectorFunctions.dot
       val e = t(s, dir, "embeddings")
@@ -358,10 +366,40 @@ object Round14Queries {
         FROM p GROUP BY 1 ORDER BY 1"""
   }
 
+  private val crossEntropySql: String =
+    s"""WITH w AS (SELECT lang, $tokSql AS w FROM documents),
+        bi AS (SELECT lang,
+                      ${hash60Sql("array_to_string(w[i:i+1], ' ')")} AS h2
+               FROM (SELECT lang, w,
+                            unnest(generate_series(1, len(w) - 1)) AS i
+                     FROM w)),
+        cnt AS (SELECT lang, h2, CAST(count(*) AS BIGINT) AS c
+                FROM bi GROUP BY 1, 2),
+        v AS (SELECT CAST(count(DISTINCT h2) AS BIGINT) AS v FROM cnt),
+        tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+                FROM cnt GROUP BY 1),
+        pairs AS (SELECT tm.lang AS model_slice, e.lang AS eval_slice,
+                         e.c AS c_e,
+                         CAST(length(bin((tm.n + v.v)
+                           // (coalesce(cm.c, 0) + 1))) - 1 AS BIGINT)
+                           AS bits
+                  FROM cnt e
+                  CROSS JOIN tot tm
+                  CROSS JOIN v
+                  LEFT JOIN cnt cm ON cm.lang = tm.lang
+                    AND cm.h2 = e.h2)
+        SELECT model_slice, eval_slice,
+               CAST(sum(c_e) AS BIGINT) AS n_bigrams,
+               CAST(sum(c_e * bits) AS BIGINT) AS bits_total,
+               CAST(sum(c_e * bits) AS DOUBLE) / CAST(sum(c_e) AS DOUBLE)
+                 AS mean_bits
+        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val oracleSql: Map[String, String] = Map(
     "q333_gram_merge_spans" -> spanOracle(""),
     "q334_gram_merge_incr" -> spanOracle("WHERE sz.doc_id % 2 = 1"),
-    "q335_pass_at_k" -> passAtKSql)
+    "q335_pass_at_k" -> passAtKSql,
+    "q340_cross_entropy" -> crossEntropySql)
 
   /** Residual-IVFADC SQL prelude: cell assignment over the FULL vector
     * (q318's squared-Euclidean, ties to lowest cell), per-vector

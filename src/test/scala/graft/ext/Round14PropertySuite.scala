@@ -163,6 +163,55 @@ class Round14PropertySuite extends SparkSpec {
     }
   }
 
+  describe("TextAnalysis.crossEntropyBits") {
+    it("matches a from-scratch add-one bit-entropy recompute") {
+      val docs = Seq(
+        (1L, "a b a b c", "x"), (2L, "a b a b", "x"),
+        (3L, "c d c d e", "y"), (4L, "a b c d", "y")
+      ).toDF("doc_id", "text", "src")
+      val got = TextAnalysis.crossEntropyBits(docs, "src")
+        .as[(String, String, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r).toMap
+      // independent oracle: plain Scala bigram counts
+      val corpus = Seq(
+        "x" -> Seq("a b a b c", "a b a b"),
+        "y" -> Seq("c d c d e", "a b c d"))
+      def bigrams(t: String) = t.split("\\s+").sliding(2)
+        .map(_.mkString(" ")).toSeq
+      val cnt = corpus.map { case (s, ds) =>
+        s -> ds.flatMap(bigrams).groupBy(identity)
+          .map { case (b, v) => b -> v.size.toLong }
+      }.toMap
+      val vocab = cnt.values.flatMap(_.keys).toSet.size.toLong
+      for (m <- Seq("x", "y"); e <- Seq("x", "y")) {
+        val nM = cnt(m).values.sum
+        val bitsTotal = cnt(e).map { case (b, cE) =>
+          val ratio = (nM + vocab) / (cnt(m).getOrElse(b, 0L) + 1L)
+          cE * (63L - java.lang.Long.numberOfLeadingZeros(ratio))
+        }.sum
+        val nE = cnt(e).values.sum
+        val (_, _, gn, gb, gm) = got((m, e))
+        assert(gn == nE && gb == bitsTotal, s"($m,$e): $gb vs $bitsTotal")
+        assert(math.abs(gm - bitsTotal.toDouble / nE) < 1e-12)
+      }
+    }
+
+    it("diagonal is the row minimum on a separated corpus") {
+      val rnd2 = new scala.util.Random(40)
+      val docs = (1L to 40L).map { i =>
+        val src = if (i % 2 == 0) "x" else "y"
+        val vocab = if (src == "x") Vector("a", "b", "c")
+        else Vector("p", "q", "r")
+        (i, Seq.fill(10)(vocab(rnd2.nextInt(3))).mkString(" "), src)
+      }.toDF("doc_id", "text", "src")
+      val m = TextAnalysis.crossEntropyBits(docs, "src")
+        .as[(String, String, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._5).toMap
+      assert(m(("x", "x")) < m(("y", "x")))
+      assert(m(("y", "y")) < m(("x", "y")))
+    }
+  }
+
   describe("Analytics.bradleyTerry") {
     it("scores are an MM fixed point of the observed win matrix") {
       val items = 0L until 6L
