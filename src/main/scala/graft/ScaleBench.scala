@@ -1451,6 +1451,27 @@ object ScaleBench {
             .collect()
         }
       },
+      "xent_hot_bigram" -> { n =>
+        time {
+          // crossEntropyBits/dsirScoreBits' adversary: n/200 docs over
+          // 10 slices, EVERY doc sharing one universal boilerplate
+          // bigram (df = corpus) plus unique tails. The slice-bigram
+          // count collapses map-side; the |slices|-fan-out join from
+          // eval counts to model counts concentrates on the hot hash
+          // (AQE's to split); totals/vocab are 1-row broadcasts.
+          // Linear per_row_ratio certifies no superlinear fan-out.
+          val m = n / 200
+          val docs = spark.range(m).select(col("id").as("doc_id"),
+            concat(lit("hot1 hot2 "), concat_ws(" ",
+              (0 until 6).map(j => concat(lit(s"u$j."),
+                pmod(hash(col("id"), lit(j)), lit(1000000000))
+                  .cast("string"))): _*)).as("text"),
+            concat(lit("s"), (col("id") % 10L).cast("string"))
+              .as("src"))
+          graft.ext.TextAnalysis.crossEntropyBits(docs, "src")
+            .agg(sum("bits_total"), count(lit(1))).collect()
+        }
+      },
       "local_clustering_hub" -> { n =>
         time {
           // localClustering's hub-degree adversary (triangle_hub's graph

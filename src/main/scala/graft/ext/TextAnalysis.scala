@@ -712,6 +712,64 @@ object TextAnalysis {
           col("n_bigrams").cast("double")).as("mean_bits"))
   }
 
+  /** DSIR-style importance score per document, on the integer-bits
+    * grid: score_bits = Σ_b∈doc (bits_raw(b) − bits_target(b)), where
+    * bits_M(b) = ⌊log₂((N_M + V) div (c_M(b) + 1))⌋ is the add-one
+    * bigram surprisal under model M ([[crossEntropyBits]]'s whole-bit
+    * log — no float anywhere until the reported per-bigram mean).
+    * `raw` is the WHOLE corpus, `target` the rows matching
+    * `targetPred`: a positive score means the document is CHEAPER
+    * under the target model than under the corpus at large — it "looks
+    * like" the target domain — and ranking by score descending is
+    * exactly the importance-resampled data-selection order (Xie et
+    * al.'s DSIR, re-expressed with hashed n-grams and integer logs).
+    *
+    * Scale: two combinable bigram-count tables (target is a filtered
+    * second aggregate), both joined back to the doc-bigram stream on
+    * the 60-bit hash (AQE splits hot boilerplate bigrams), one per-doc
+    * combinable sum. No window, no per-key state. Returns
+    * (doc_id, n_bigrams, bits_raw, bits_target, score_bits,
+    * mean_score) with zero-bigram docs carried as nulls.
+    */
+  def dsirScoreBits(docs: DataFrame, targetPred: Column): DataFrame = {
+    import graft.functions.Portable.hash60
+    val toks = docs.select(col("doc_id"), when(targetPred, 1L)
+      .otherwise(0L).as("__t"), wsTokens(col("text")).as("w"))
+    val bi = toks
+      .select(col("doc_id"), col("__t"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - 1, lit(1))))
+          .as("i"))
+      .filter(col("i") <= size(col("w")) - 1)
+      .select(col("doc_id"), col("__t"),
+        hash60(concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1))).as("h2"))
+    val raw = bi.groupBy("h2").agg(count(lit(1)).as("c_raw"),
+      sum(col("__t")).as("c_tgt"))
+    val totals = raw.agg(sum(col("c_raw")).as("n_raw"),
+      sum(col("c_tgt")).as("n_tgt"),
+      count_distinct(col("h2")).as("__v"))
+    def bits(num: String, den: String) =
+      (length(bin(expr(s"$num div $den"))) - 1).cast("long")
+    val scored = bi.join(raw, Seq("h2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__nr", (col("n_raw") + col("__v")).cast("long"))
+      .withColumn("__dr", col("c_raw") + lit(1L))
+      .withColumn("__nt", (col("n_tgt") + col("__v")).cast("long"))
+      .withColumn("__dt", col("c_tgt") + lit(1L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(bits("__nr", "__dr")).as("bits_raw"),
+        sum(bits("__nt", "__dt")).as("bits_target"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bits_raw"), col("bits_target"),
+        (col("bits_raw") - col("bits_target")).as("score_bits"),
+        when(col("n_bigrams") > 0L,
+          (col("bits_raw") - col("bits_target")).cast("double") /
+            col("n_bigrams").cast("double")).as("mean_score"))
+  }
+
   /** Good–Turing frequency-of-frequencies census, octave-bucketed: how
     * many distinct terms occur with corpus frequency in [2^b, 2^{b+1}),
     * and how much token mass each octave carries. The head-vs-tail

@@ -265,6 +265,14 @@ object Round14Queries {
           t(s, dir, "documents"), "lang")
         .orderBy("model_slice", "eval_slice")),
 
+    // DSIR importance selection: per-doc whole-bit log-ratio between
+    // the raw-corpus and target (lang = 'en') bigram models; ranking
+    // by score descending = importance-resampled data selection.
+    "q341_dsir_score" -> ((s, dir) =>
+      graft.ext.TextAnalysis.dsirScoreBits(
+          t(s, dir, "documents"), col("lang") === "en")
+        .orderBy("doc_id")),
+
     "q339_opq_recall" -> ((s, dir) => {
       import graft.functions.VectorFunctions.dot
       val e = t(s, dir, "embeddings")
@@ -395,11 +403,49 @@ object Round14Queries {
                  AS mean_bits
         FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  private val dsirSql: String =
+    s"""WITH w AS (SELECT doc_id, lang, $tokSql AS w FROM documents),
+        bi AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                       AS t,
+                      ${hash60Sql("array_to_string(w[i:i+1], ' ')")} AS h2
+               FROM (SELECT doc_id, lang, w,
+                            unnest(generate_series(1, len(w) - 1)) AS i
+                     FROM w)),
+        raw AS (SELECT h2, CAST(count(*) AS BIGINT) AS c_raw,
+                       CAST(sum(t) AS BIGINT) AS c_tgt
+                FROM bi GROUP BY 1),
+        tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+                       CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM raw),
+        per AS (SELECT bi.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(length(bin((tot.n_raw + tot.v)
+                         // (raw.c_raw + 1))) - 1) AS BIGINT)
+                         AS bits_raw,
+                       CAST(sum(length(bin((tot.n_tgt + tot.v)
+                         // (raw.c_tgt + 1))) - 1) AS BIGINT)
+                         AS bits_target
+                FROM bi JOIN raw USING (h2) CROSS JOIN tot
+                GROUP BY 1),
+        d AS (SELECT doc_id FROM documents)
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               per.bits_raw, per.bits_target,
+               CAST(per.bits_raw - per.bits_target AS BIGINT)
+                 AS score_bits,
+               CASE WHEN per.n_bigrams > 0
+                    THEN CAST(per.bits_raw - per.bits_target AS DOUBLE)
+                         / CAST(per.n_bigrams AS DOUBLE)
+               END AS mean_score
+        FROM d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q333_gram_merge_spans" -> spanOracle(""),
     "q334_gram_merge_incr" -> spanOracle("WHERE sz.doc_id % 2 = 1"),
     "q335_pass_at_k" -> passAtKSql,
-    "q340_cross_entropy" -> crossEntropySql)
+    "q340_cross_entropy" -> crossEntropySql,
+    "q341_dsir_score" -> dsirSql)
 
   /** Residual-IVFADC SQL prelude: cell assignment over the FULL vector
     * (q318's squared-Euclidean, ties to lowest cell), per-vector

@@ -212,6 +212,57 @@ class Round14PropertySuite extends SparkSpec {
     }
   }
 
+  describe("TextAnalysis.dsirScoreBits") {
+    it("ranks target-domain documents above off-domain ones") {
+      val rnd2 = new scala.util.Random(41)
+      val docs = (1L to 60L).map { i =>
+        val tgt = i % 3 == 0
+        val vocab = if (tgt) Vector("t1", "t2", "t3")
+        else Vector("o1", "o2", "o3", "o4")
+        (i, Seq.fill(12)(vocab(rnd2.nextInt(vocab.size))).mkString(" "),
+          tgt)
+      }
+      val got = TextAnalysis.dsirScoreBits(
+          docs.toDF("doc_id", "text", "tgt"), col("tgt"))
+        .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+          Option[Double])].collect()
+        .map(r => r._1 -> r._6.get).toMap
+      val tgtScores = docs.filter(_._3).map(d => got(d._1))
+      val offScores = docs.filterNot(_._3).map(d => got(d._1))
+      assert(tgtScores.min > offScores.max,
+        s"target docs should dominate: min(tgt)=${tgtScores.min} " +
+          s"max(off)=${offScores.max}")
+    }
+
+    it("matches a from-scratch whole-bit recompute") {
+      val docs = Seq(
+        (1L, "a b a", true), (2L, "a b c", false), (3L, "b c b", false))
+      val got = TextAnalysis.dsirScoreBits(
+          docs.toDF("doc_id", "text", "tgt"), col("tgt"))
+        .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+          Option[Double])].collect()
+        .map(r => r._1 -> r).toMap
+      def bigrams(t: String) = t.split("\\s+").sliding(2)
+        .map(_.mkString(" ")).toSeq
+      val all = docs.flatMap(d => bigrams(d._2))
+      val raw = all.groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+      val tgt = docs.filter(_._3).flatMap(d => bigrams(d._2))
+        .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+      val (nRaw, nTgt, v) = (all.size.toLong,
+        tgt.values.sum, raw.size.toLong)
+      def bits(x: Long) = 63L - java.lang.Long.numberOfLeadingZeros(x)
+      for (d <- docs) {
+        val bs = bigrams(d._2)
+        val br = bs.map(b => bits((nRaw + v) / (raw(b) + 1))).sum
+        val bt = bs.map(b =>
+          bits((nTgt + v) / (tgt.getOrElse(b, 0L) + 1))).sum
+        val r = got(d._1)
+        assert(r._3.get == br && r._4.get == bt && r._5.get == br - bt,
+          s"doc ${d._1}: ${r._3.get}/${r._4.get} vs $br/$bt")
+      }
+    }
+  }
+
   describe("Analytics.bradleyTerry") {
     it("scores are an MM fixed point of the observed win matrix") {
       val items = 0L until 6L
