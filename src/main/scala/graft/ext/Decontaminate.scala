@@ -76,4 +76,56 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** FUZZY decontamination — the near-duplicate escape hatch exact
+    * n-gram matching misses (an eval item lightly paraphrased or
+    * re-tokenized into the training corpus): MinHash-LSH candidate
+    * pairs between corpus and benchmark ([[Dedup
+    * .minhashCandidatesIncremental]]'s incoming×existing banding — the
+    * benchmark side is the small "existing" index a deployment keeps
+    * banded), then EXACT shingle-Jaccard verification of candidates
+    * only, kept at `threshold`. Per flagged corpus document: how many
+    * benchmark items it near-matches and the best match by
+    * (jaccard-micro DESC, bench_id ASC) — an exact-integer tie order,
+    * with the reported double derived FROM the micro long (both
+    * engine-portable). Documents with no match ≥ threshold are absent
+    * (anti-join to keep the clean set).
+    *
+    * Scale: banding is O(docs × bands); the candidate join touches
+    * band-key collisions only; verification intersects shingle sets
+    * for CANDIDATE pairs only (the [[Dedup.jaccardPairsPrefix]]
+    * verification pattern). No window, no unbounded state.
+    */
+  def contaminatedFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                        threshold: Double, numHashes: Int = 16,
+                        rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val cand = Dedup.minhashCandidatesIncremental(corpus, benchmark,
+        numHashes, rowsPerBand, n)
+      .select(col("doc_in").as("doc_id"), col("doc_ex").as("bench_id"))
+    val shC = Dedup.shinglesRaw(corpus, n)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val shB = Dedup.shinglesRaw(benchmark, n)
+      .select(col("doc_id").as("bench_id"), col("shingle")).distinct()
+    val szC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    val szB = shB.groupBy("bench_id").agg(count(lit(1)).as("n_b"))
+    val inter = cand.join(shC, Seq("doc_id"))
+      .join(shB, Seq("bench_id", "shingle"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("i"))
+    val verified = inter
+      .join(szC, Seq("doc_id")).join(szB, Seq("bench_id"))
+      .withColumn("__u", col("n_c") + col("n_b") - col("i"))
+      .withColumn("j_micro", expr("(i * 1000000L) div __u"))
+      .filter(col("i").cast("double") / col("__u").cast("double")
+        >= threshold)
+    verified.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("j_micro"), (-col("bench_id")).as("__nb")))
+          .as("__best"))
+      .select(col("doc_id"), col("n_matches"),
+        (-col("__best.__nb")).as("best_bench_id"),
+        (col("__best.j_micro").cast("double") / 1e6).as("best_jaccard"))
+  }
 }

@@ -273,6 +273,18 @@ object Round14Queries {
           t(s, dir, "documents"), col("lang") === "en")
         .orderBy("doc_id")),
 
+    // Fuzzy decontamination: MinHash-banded candidates between corpus
+    // (doc_id % 29 ≠ 0) and "benchmark" (doc_id % 29 = 0), verified by
+    // exact shingle Jaccard ≥ 0.5 — the paraphrase-resistant escape
+    // hatch exact n-gram decontamination (q79/q139) misses.
+    "q342_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Decontaminate.contaminatedFuzzy(
+          docs.filter(pmod(col("doc_id"), lit(29)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(29)) === 0), 0.5)
+        .orderBy("doc_id")
+    }),
+
     "q339_opq_recall" -> ((s, dir) => {
       import graft.functions.VectorFunctions.dot
       val e = t(s, dir, "embeddings")
@@ -440,12 +452,54 @@ object Round14Queries {
                END AS mean_score
         FROM d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
 
+  private val fuzzyDecontSql: String = {
+    import ExtensionQueries.{shingleCte, minhashAggs, hash30Sql, bandSelects}
+    s"""WITH $shingleCte,
+        shh AS (SELECT doc_id, $hash30Sql AS h30 FROM sh),
+        sig AS (SELECT doc_id, $minhashAggs FROM shh GROUP BY doc_id),
+        banded AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id % 29 <> 0 AND b.doc_id % 29 = 0
+                  AND a.doc_id <> b.doc_id),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM sh GROUP BY 1),
+        inter AS (SELECT c.doc_id, c.bench_id,
+                         CAST(count(*) AS BIGINT) AS i
+                  FROM cand c
+                  JOIN sh x ON x.doc_id = c.doc_id
+                  JOIN sh y ON y.doc_id = c.bench_id
+                    AND y.shingle = x.shingle
+                  GROUP BY 1, 2),
+        v AS (SELECT i.doc_id, i.bench_id, i.i,
+                     CAST(x.n + y.n - i.i AS BIGINT) AS u
+              FROM inter i JOIN sz x ON x.doc_id = i.doc_id
+              JOIN sz y ON y.doc_id = i.bench_id),
+        f AS (SELECT doc_id, bench_id, (i * 1000000) // u AS j_micro
+              FROM v WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5),
+        r AS (SELECT doc_id, bench_id, j_micro,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY j_micro DESC, bench_id ASC) AS rnk
+              FROM f)
+        SELECT r.doc_id,
+               cnt.n_matches,
+               r.bench_id AS best_bench_id,
+               CAST(r.j_micro AS DOUBLE) / 1000000.0 AS best_jaccard
+        FROM r
+        JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+              FROM f GROUP BY 1) cnt ON cnt.doc_id = r.doc_id
+        WHERE r.rnk = 1
+        ORDER BY r.doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q333_gram_merge_spans" -> spanOracle(""),
     "q334_gram_merge_incr" -> spanOracle("WHERE sz.doc_id % 2 = 1"),
     "q335_pass_at_k" -> passAtKSql,
     "q340_cross_entropy" -> crossEntropySql,
-    "q341_dsir_score" -> dsirSql)
+    "q341_dsir_score" -> dsirSql,
+    "q342_fuzzy_decontaminate" -> fuzzyDecontSql)
 
   /** Residual-IVFADC SQL prelude: cell assignment over the FULL vector
     * (q318's squared-Euclidean, ties to lowest cell), per-vector
