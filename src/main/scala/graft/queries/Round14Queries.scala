@@ -24,6 +24,37 @@ object Round14Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Bounded documents-stream harness — [[StreamingQueries
+    * .runEventsStream]]'s symlink-scratch-dir pattern over
+    * documents.parquet (no nanos-ts handling needed); `copies` > 1 +
+    * maxFilesPerTrigger=1 feeds the same file as SEPARATE micro-batches
+    * so streaming state actually merges across arrivals.
+    */
+  private def runDocsStream(
+      s: SparkSession, dir: String, prefix: String, copies: Int,
+      options: Map[String, String] = Map.empty)(
+      use: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val streamDir = java.nio.file.Files.createTempDirectory(prefix)
+    val target = java.nio.file.Paths.get(dir).toAbsolutePath
+      .resolve("documents.parquet")
+    val links = (1 to copies).map { i =>
+      val l = streamDir.resolve(s"copy$i.parquet")
+      java.nio.file.Files.createSymbolicLink(l, target)
+      l
+    }
+    try use(s.readStream.schema(schema).options(options)
+      .parquet(streamDir.toString))
+    finally {
+      links.foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
+  }
+
   private val Dim = 64
   private val M = 64
   private val K = 64
@@ -273,6 +304,26 @@ object Round14Queries {
           t(s, dir, "documents"), col("lang") === "en")
         .orderBy("doc_id")),
 
+    // The gram-stats merge seam in STREAMING form: the same document
+    // file arrives as TWO micro-batches (maxFilesPerTrigger=1 over two
+    // symlinks), the streaming aggregate merges (count, min-owner)
+    // state across arrivals, and the final table must equal the batch
+    // recompute with doubled counts — q333's merge-equivalence
+    // restated as Structured Streaming state. Output is the cnt-census
+    // (the raw gram table is corpus-sized).
+    "q343_stream_gram_stats" -> ((s, dir) =>
+      runDocsStream(s, dir, "q343_docs_", copies = 2,
+          Map("maxFilesPerTrigger" -> "1")) { raw =>
+        val stats = graft.ext.Dedup.gramStats(
+          raw.select(col("doc_id"), col("text")), SpanL)
+        val out = graft.streaming.EventStream.runToMemory(stats,
+          StreamingQueries.memName("q343_mem_"),
+          statePartitions = Some(8))
+        out.groupBy("cnt")
+          .agg(count(lit(1)).as("n_grams"), sum(col("owner")).as("owner_sum"))
+          .orderBy("cnt")
+      }),
+
     // Fuzzy decontamination: MinHash-banded candidates between corpus
     // (doc_id % 29 ≠ 0) and "benchmark" (doc_id % 29 = 0), verified by
     // exact shingle Jaccard ≥ 0.5 — the paraphrase-resistant escape
@@ -499,7 +550,20 @@ object Round14Queries {
     "q335_pass_at_k" -> passAtKSql,
     "q340_cross_entropy" -> crossEntropySql,
     "q341_dsir_score" -> dsirSql,
-    "q342_fuzzy_decontaminate" -> fuzzyDecontSql)
+    "q342_fuzzy_decontaminate" -> fuzzyDecontSql,
+    "q343_stream_gram_stats" ->
+      s"""WITH w AS (SELECT doc_id, $tokSql AS w FROM documents),
+          p AS (SELECT doc_id,
+                       ${hash60Sql(s"array_to_string(w[i:i+${SpanL - 1}], ' ')")} AS g
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - ${SpanL - 1})) AS i
+                      FROM w)),
+          g AS (SELECT g, CAST(2 * count(*) AS BIGINT) AS cnt,
+                       CAST(min(doc_id) AS BIGINT) AS owner
+                FROM p GROUP BY 1)
+          SELECT cnt, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(owner) AS BIGINT) AS owner_sum
+          FROM g GROUP BY 1 ORDER BY cnt""")
 
   /** Residual-IVFADC SQL prelude: cell assignment over the FULL vector
     * (q318's squared-Euclidean, ties to lowest cell), per-vector
