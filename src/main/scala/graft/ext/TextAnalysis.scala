@@ -674,8 +674,10 @@ object TextAnalysis {
     * window, no per-key state. Returns
     * (model_slice, eval_slice, n_bigrams, bits_total, mean_bits).
     */
-  def crossEntropyBits(docs: DataFrame, sliceCol: String): DataFrame = {
+  def crossEntropyBits(docs: DataFrame, sliceCol: String,
+                       maxSlices: Int = 256): DataFrame = {
     import graft.functions.Portable.hash60
+    require(maxSlices >= 1, s"maxSlices must be >= 1, got $maxSlices")
     val toks = docs.select(col(sliceCol).as("__sl"),
       wsTokens(col("text")).as("w"))
     val bi = toks
@@ -689,6 +691,15 @@ object TextAnalysis {
     val cnt = bi.groupBy("__sl", "h2").agg(count(lit(1)).as("c"))
     val vocab = cnt.agg(count_distinct(col("h2")).as("__v"))
     val totals = cnt.groupBy("__sl").agg(sum(col("c")).as("__n"))
+    // fail loud before the |slices|-fan-out join and the |slices|²
+    // output: the matrix is a MODEL read, not a data product — a
+    // million-valued slice column here is a caller bug, and the
+    // broadcast totals frame would hide it until the driver OOMs
+    // (the markovStationary/bradleyTerry maxItems discipline)
+    val nSlices = totals.count()
+    require(nSlices <= maxSlices,
+      s"crossEntropyBits: $nSlices slices exceed maxSlices=$maxSlices " +
+        "— the pairwise matrix is quadratic in slices")
     val evalSide = cnt.select(col("__sl").as("eval_slice"), col("h2"),
         col("c").as("c_e"))
       .crossJoin(broadcast(totals.select(col("__sl").as("model_slice"),

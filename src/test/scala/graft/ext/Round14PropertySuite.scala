@@ -196,6 +196,16 @@ class Round14PropertySuite extends SparkSpec {
       }
     }
 
+    it("fails loud past the slice-count bound") {
+      val docs = (1L to 20L).map(i => (i, "a b c", s"s$i"))
+        .toDF("doc_id", "text", "src")
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.crossEntropyBits(docs, "src", maxSlices = 10)
+          .collect()
+      }
+      assert(e.getMessage.contains("exceed maxSlices"))
+    }
+
     it("diagonal is the row minimum on a separated corpus") {
       val rnd2 = new scala.util.Random(40)
       val docs = (1L to 40L).map { i =>
