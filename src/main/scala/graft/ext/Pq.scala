@@ -128,6 +128,40 @@ object Pq {
     Model(books, dim)
   }
 
+  /** Persist a trained model as a plain parquet table
+    * (s, code, cv array<double>, dim) — the production seam: codebooks
+    * are trained once, stored with the corpus codes, and reloaded by
+    * every serving job. Doubles round-trip parquet bit-exactly, so a
+    * reloaded model serves hash-identical rankings (q344 gates that
+    * against the in-memory model's oracle).
+    */
+  def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, i) => (s, i, c, model.dim) }
+    }.toDF("s", "code", "cv", "dim")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveModel]] table. The collect is bounded by the model
+    * size (m·k rows); ordering is reconstructed from the (s, code)
+    * keys, so the physical row order of the parquet never matters.
+    */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("s").cast("int"), col("code").cast("int"),
+        col("cv").cast("array<double>"), col("dim").cast("int"))
+      .as[(Int, Int, Seq[Double], Int)].collect()
+    require(rows.nonEmpty, s"empty PQ model at $path")
+    val dim = rows.head._4
+    require(rows.forall(_._4 == dim), s"inconsistent dim in $path")
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, b) =>
+      b.sortBy(_._2).map(_._3).toSeq
+    }
+    Model(books, dim)
+  }
+
   /** Variance-balanced coordinate permutation — OPQ's cheap first-order
     * approximation: PQ quantizes each subspace independently, so recall
     * suffers when a few high-variance dimensions crowd into one

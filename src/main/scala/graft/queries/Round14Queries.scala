@@ -304,6 +304,22 @@ object Round14Queries {
           t(s, dir, "documents"), col("lang") === "en")
         .orderBy("doc_id")),
 
+    // Persistence fidelity, in-gate: the hi model saved to parquet,
+    // RELOADED, and served — must hash-match q331's oracle, which was
+    // rendered from the in-memory model (doubles round-trip parquet
+    // bit-exactly; ordering reconstructed from (s, code) keys).
+    "q344_pq_model_roundtrip" -> ((s, dir) => {
+      val model = hiModel(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("q344_model_").resolve("pq").toString
+      Pq.saveModel(s, model, path)
+      val reloaded = Pq.loadModel(s, path)
+      val e = t(s, dir, "embeddings")
+      Pq.adcKnnPacked(e.filter(col("vec_id") < NQ),
+          Pq.encodePacked(e, reloaded), reloaded, AdcK)
+        .orderBy("query_id", "rnk")
+    }),
+
     // The gram-stats merge seam in STREAMING form: the same document
     // file arrives as TWO micro-batches (maxFilesPerTrigger=1 over two
     // symlinks), the streaming aggregate merges (count, min-owner)
@@ -767,6 +783,11 @@ object Round14Queries {
       }),
 
       "q331_pq_hi_adc" -> ((s, dir) => adcTopkSql(hiModel(s, dir), AdcK)),
+
+      // rendered from the IN-MEMORY model — the reloaded-model query
+      // must reproduce it bit-for-bit
+      "q344_pq_model_roundtrip" -> ((s, dir) =>
+        adcTopkSql(hiModel(s, dir), AdcK)),
 
       // identical SQL to q331 — the oracle knows nothing of batching;
       // the chunked Spark run must reproduce it bit-for-bit

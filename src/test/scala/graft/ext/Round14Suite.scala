@@ -190,6 +190,14 @@ class Round14Suite extends SparkSpec {
       assert(first == perm.map(j => orig(j).toDouble))
     }
 
+    it("model parquet roundtrip is exact") {
+      val path = java.nio.file.Files
+        .createTempDirectory("pq_rt_").resolve("m").toString
+      Pq.saveModel(spark, model, path)
+      val back = Pq.loadModel(spark, path)
+      assert(back == model)
+    }
+
     it("local Lloyd trainer is deterministic and k-complete") {
       val vecs = (1L to 200L).map { i =>
         (i, Seq.tabulate(4)(j => ((i * 31 + j * 17) % 13).toFloat))
