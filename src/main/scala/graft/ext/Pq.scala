@@ -38,8 +38,13 @@ object Pq {
   }
 
   /** Learn `k`-code codebooks for `m` equal subspaces of `dim`-dim
-    * vectors from a deterministic sample (same discipline as IVF
-    * training: Lloyd passes run over the bounded sample only).
+    * vectors from a bounded sample (same discipline as IVF training:
+    * Lloyd passes run over the bounded sample only). Deterministic per
+    * (data, partition layout) — Spark's seeded sample AND its KMeans
+    * init both depend on the physical split, so a repartitioned copy of
+    * the same corpus can train a different (equally valid) model; use
+    * [[trainCodebooksLocal]] when the model must be a pure function of
+    * the data.
     */
   def trainCodebooks(spark: SparkSession, corpus: DataFrame, dim: Int,
                      m: Int, k: Int, seed: Long = 42L,
@@ -73,8 +78,14 @@ object Pq {
     * asserts); correctness is independent of the codebooks because the
     * oracle re-derives everything from the rendered centroids.
     *
-    * Determinism: the sample is the deterministic [[DataFrame.sample]]
-    * (seeded) sorted by vec_id on the driver; init = the first k sample
+    * Determinism: the sample depends ONLY on the data, not on the
+    * parquet split or partition layout — rows are kept by a portable
+    * content hash of vec_id (`hash60("pqtrain:" + vec_id) % den == 0`,
+    * den sized so the expected sample is `maxTrainVectors`), sorted by
+    * vec_id on the driver, and capped at `maxTrainVectors` after the
+    * sort ([[DataFrame.sample]] with a seed is only deterministic for a
+    * FIXED partition layout — a repartitioned copy of the same corpus
+    * would have trained a different model). Init = the first k sample
     * subvectors; 10 Lloyd iterations; nearest-centroid ties to the
     * lowest index; an emptied cluster keeps its previous centroid.
     */
@@ -88,10 +99,17 @@ object Pq {
     val vecs = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val n = vecs.count()
-    val frac = math.min(1.0, maxTrainVectors.toDouble / math.max(n, 1L))
-    val sample = (if (frac >= 1.0) vecs
-                  else vecs.sample(withReplacement = false, frac, seed))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val sampled =
+      if (n <= maxTrainVectors) vecs
+      else {
+        val den = math.ceil(n.toDouble / maxTrainVectors).toLong
+        vecs.filter(pmod(graft.functions.Portable.hash60(
+          concat(lit("pqtrain:"), col("vec_id").cast("string"))),
+          lit(den)) === 0)
+      }
+    val cap = math.min(maxTrainVectors, Int.MaxValue.toLong).toInt
+    val sample = sampled.as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).take(cap).map(_._2.toArray)
     require(sample.length >= k,
       s"need at least k=$k training vectors, sampled ${sample.length}")
     val books = (0 until m).map { s =>
@@ -179,19 +197,30 @@ object Pq {
   def varianceBalancedPerm(corpus: DataFrame, dim: Int, m: Int): Seq[Int] = {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must split into m=$m equal subspaces")
+    // per-dim moments on the exact micro grid: a plain sum(double) is a
+    // float accumulation whose value depends on partition/merge order, so
+    // two runs over differently-split copies of the same corpus could
+    // rank two near-tied dimensions differently and emit different
+    // (equally valid) permutations. Snapping each element to ⌊x·10⁶+½⌋
+    // and summing as long / decimal(38,0) makes the ranking a pure
+    // function of the data; the ~1e-6 quantization is irrelevant to a
+    // variance ORDERING used only for subspace balancing.
+    val xm = floor(col("x") * 1e6 + lit(0.5)).cast("long")
     val stats = corpus
       .select(posexplode(col("embedding").cast("array<double>"))
         .as(Seq("j", "x")))
+      .select(col("j"), xm.as("xm"))
       .groupBy("j")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
-        sum(col("x") * col("x")).as("ss"))
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("s"),
+        sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("ss"))
       .collect()
     require(stats.length == dim,
       s"expected $dim dimensions, saw ${stats.length}")
     val byVar = stats.map { r =>
       val n = r.getLong(1).toDouble
-      val s = r.getDouble(2)
-      (r.getInt(0), r.getDouble(3) / n - (s / n) * (s / n))
+      val s = r.getLong(2).toDouble / 1e6
+      val ss = r.getDecimal(3).doubleValue() / 1e12
+      (r.getInt(0), ss / n - (s / n) * (s / n))
     }.sortBy { case (j, v) => (-v, j) }.map(_._1)
     val buckets = Array.fill(m)(Vector.empty[Int])
     byVar.zipWithIndex.foreach { case (j, r) =>
@@ -285,14 +314,19 @@ object Pq {
           .as("d_micro"))
   }
 
-  /** Fail-loud LUT budgeting: split `queries` into the fewest
-    * hash-disjoint batches whose per-batch LUT fits `maxLutRows`.
-    * Returns per-batch filter predicates (None = no chunking needed).
-    * Costs one count over the query frame — a documented model read,
-    * O(|queries|) with a combinable aggregate, and the price of never
-    * broadcasting an unbounded |queries|·m·k table. The hash split is
-    * plan-side only: every query lands in exactly one batch, so the
-    * unioned result is identical to the unchunked run.
+  /** Fail-loud LUT budgeting: split `queries` into hash-disjoint batches
+    * whose per-batch LUT fits `maxLutRows` — ENFORCED per batch, not just
+    * in expectation: hash skew can land most of a query set in one batch,
+    * so after picking the expected batch count the ACTUAL per-batch
+    * maximum is measured (one combinable aggregate over distinct query
+    * ids) and the batch count doubles until every batch fits (or a
+    * doubling cap fails loud — only reachable if many vec_ids share one
+    * hash value). Returns per-batch filter predicates (None = no chunking
+    * needed). Costs one distinct-count plus at most a few bounded
+    * aggregates over the query frame — the price of a budget that is a
+    * guarantee instead of an expectation. The hash split is plan-side
+    * only: every query lands in exactly one batch, so the unioned result
+    * is identical to the unchunked run.
     */
   private def batchPredicates(queries: DataFrame, model: Model,
                               maxLutRows: Long,
@@ -300,12 +334,32 @@ object Pq {
     val per = lutRowsPerQuery(model) * lutMultiplier
     require(maxLutRows >= per,
       s"maxLutRows=$maxLutRows cannot hold even one query's $per-row LUT")
-    val nQ = queries.select(col("vec_id")).distinct().count()
-    val nBatches = math.max(1L,
+    val ids = queries.select(col("vec_id")).distinct()
+    val nQ = ids.count()
+    var nBatches = math.max(1L,
       math.ceil(nQ.toDouble * per / maxLutRows).toLong)
     require(nBatches <= Int.MaxValue, s"absurd batch count $nBatches")
-    if (nBatches == 1L) Seq(None)
-    else (0 until nBatches.toInt).map(b =>
+    if (nBatches == 1L) return Seq(None)
+    val maxPerBatch = maxLutRows / per
+    var doublings = 0
+    var fits = false
+    while (!fits) {
+      val worst = ids
+        .groupBy(pmod(hash(col("vec_id")), lit(nBatches.toInt)).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n"))).collect()(0).getLong(0)
+      if (worst <= maxPerBatch) fits = true
+      else {
+        doublings += 1
+        require(doublings <= 20,
+          s"LUT batching cannot satisfy maxLutRows=$maxLutRows: " +
+            s"$worst queries share a batch after $doublings doublings " +
+            s"(budget holds $maxPerBatch per batch)")
+        nBatches *= 2
+        require(nBatches <= Int.MaxValue, s"absurd batch count $nBatches")
+      }
+    }
+    (0 until nBatches.toInt).map(b =>
       Some(pmod(hash(col("vec_id")), lit(nBatches.toInt)) === b))
   }
 

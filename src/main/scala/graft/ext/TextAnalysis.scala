@@ -639,10 +639,13 @@ object TextAnalysis {
       sum(lit(1L) - col("__t")).as("k2"))
     val totals = cells.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
     def d(c: String) = col(c).cast("double")
-    // cross-product difference in decimal(38,0): each factor fits a long,
-    // so each product fits decimal(38,0) (< 10^38 ≥ (2^63)^2) — no silent
-    // long wrap once token totals pass ~3e9 per side; the ONE double cast
-    // happens after the exact subtraction
+    // each FACTOR is cast to decimal(19,0) (a long always fits) so Spark
+    // widens the product type to decimal(38,0), which exactly holds any
+    // long×long product (< 10^38 ≥ (2^63)^2) — no silent long wrap once
+    // token totals pass ~3e9 per side; the ONE double cast happens after
+    // the exact subtraction. Keep the factor casts at 19,0: casting the
+    // factors to decimal(38,0) directly would make the product overflow
+    // the 38-digit ceiling instead.
     def dec(c: Column) = c.cast("decimal(19,0)")
     val diff = (dec(col("k1")) * dec(col("n2") - col("k2")) -
       dec(col("k2")) * dec(col("n1") - col("k1"))).cast("double")

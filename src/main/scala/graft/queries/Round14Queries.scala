@@ -255,6 +255,13 @@ object Round14Queries {
     */
   private val opqCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[Int], Pq.Model)]()
+
+  /** q344's saved-model parquet path, one per sf dir for the process
+    * lifetime (same keying as [[hiCache]]): repeated invocations reload
+    * the SAME persisted model instead of leaking a temp dir per call.
+    */
+  private val savedModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def opqModel(s: SparkSession, dir: String): (Seq[Int], Pq.Model) =
     opqCache.computeIfAbsent(dir, _ => {
       val e = t(s, dir, "embeddings")
@@ -307,12 +314,18 @@ object Round14Queries {
     // Persistence fidelity, in-gate: the hi model saved to parquet,
     // RELOADED, and served — must hash-match q331's oracle, which was
     // rendered from the in-memory model (doubles round-trip parquet
-    // bit-exactly; ordering reconstructed from (s, code) keys).
+    // bit-exactly; ordering reconstructed from (s, code) keys). The
+    // saved-model path is cached per sf dir (the hiCache discipline):
+    // benches and verify re-invoke query lambdas repeatedly, and a fresh
+    // temp dir per invocation was an unbounded temp-disk leak.
     "q344_pq_model_roundtrip" -> ((s, dir) => {
       val model = hiModel(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory("q344_model_").resolve("pq").toString
-      Pq.saveModel(s, model, path)
+      val path = savedModelCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("q344_model_").resolve("pq").toString
+        Pq.saveModel(s, model, p)
+        p
+      })
       val reloaded = Pq.loadModel(s, path)
       val e = t(s, dir, "embeddings")
       Pq.adcKnnPacked(e.filter(col("vec_id") < NQ),
