@@ -182,6 +182,33 @@ object Bench {
     // total).
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "target/bench_full.json")
+    // Self-decomposing deltas (round-14 verdict item 4): the total's
+    // round-over-round movement previously needed a hand decomposition
+    // into new-query cost / plan changes / fp-identical drift. The bench
+    // now reads the PREVIOUS round's committed full artifact
+    // (docs/bench_prev.json, refreshed each round) and emits, per query,
+    // (t_now, t_prev, fp_changed) plus the three aggregate buckets, so
+    // the adjudication is mechanical. Best-effort: no prev file → no
+    // delta block, everything else unchanged.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      "docs/bench_prev.json")
+    val (prevTimes, prevFps): (Map[String, Double], Map[String, String]) =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(prevPath))
+        import scala.jdk.CollectionConverters._
+        def strMap(field: String): Map[String, String] =
+          Option(node.get(field)).map(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty)
+        (strMap("queries").map { case (k, v) => k -> v.toDouble },
+          strMap("plan_fp"))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] no prev artifact ($prevPath): " +
+            e.getMessage)
+          (Map.empty, Map.empty)
+      }
     // (sizeMb, seconds) once the post-sweep ingest measurement has run
     var ingest: Option[(Int, Double)] = None
     val lineMax =
@@ -218,8 +245,36 @@ object Bench {
       val fullFps = jmap(results.map { case (k, _) =>
         short(k) -> planFps.getOrElse(k, "unmeasured")
       }, (s: String) => "\"" + s + "\"")
+      // per-query decomposition vs the prev round: [t_now, t_prev,
+      // fp_changed] (t_prev = -1 marks a NEW query; fp_changed = 1 only
+      // when both rounds measured a fingerprint and they differ)
+      val deltaRows = results.filter(_._2 >= 0).map { case (k, v) =>
+        val sk = short(k)
+        val tPrev = prevTimes.getOrElse(sk, -1.0)
+        val fpChanged = (prevFps.get(sk), planFps.get(k)) match {
+          case (Some(a), Some(b)) if a != "unmeasured" && b != "unmeasured" =>
+            if (a != b) 1 else 0
+          case _ => 0
+        }
+        (sk, v, tPrev, fpChanged)
+      }
+      val newSec = deltaRows.collect { case (_, v, p, _) if p < 0 => v }.sum
+      val fpChangedSec = deltaRows.collect {
+        case (_, v, p, 1) if p >= 0 => v - p }.sum
+      val fpSameSec = deltaRows.collect {
+        case (_, v, p, 0) if p >= 0 => v - p }.sum
+      val removed = prevTimes.keySet --
+        results.map { case (k, _) => short(k) }.toSet
+      val deltaAgg =
+        if (prevTimes.isEmpty) ""
+        else s""""delta":{"prev":"$prevPath","new_sec":${fmt(newSec)},"new_queries":${deltaRows.count(_._3 < 0)},"fp_changed_sec":${fmt(fpChangedSec)},"fp_changed_queries":${deltaRows.count(_._4 == 1)},"fp_same_drift_sec":${fmt(fpSameSec)},"removed_queries":${removed.size}},"""
+      val deltaDetail =
+        if (prevTimes.isEmpty) ""
+        else "\"delta_detail\":" + deltaRows.map { case (sk, v, p, fc) =>
+          "\"" + sk + "\":[" + fmt(v) + "," + fmt(p) + "," + fc + "]"
+        }.mkString("{", ",", "}") + ","
       val fullJson =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"max_stall_sec":${fmt(StallMeter.runMaxGapSec())},"retried":${retried.size},$ingestPart"stalls":${jmap(stallsAll, fmt)},"slow_meas":${jmap(slowAll.map { case (k, v) => k -> v.toLong }, (n: Long) => n.toString)},"meas":${jmap(results.map { case (k, _) => short(k) -> meas.getOrElse(k, 0).toLong }, (n: Long) => n.toString)},"plan_fp":$fullFps,"queries":$fullQs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"max_stall_sec":${fmt(StallMeter.runMaxGapSec())},"retried":${retried.size},$ingestPart$deltaAgg$deltaDetail"stalls":${jmap(stallsAll, fmt)},"slow_meas":${jmap(slowAll.map { case (k, v) => k -> v.toLong }, (n: Long) => n.toString)},"meas":${jmap(results.map { case (k, _) => short(k) -> meas.getOrElse(k, 0).toLong }, (n: Long) => n.toString)},"plan_fp":$fullFps,"queries":$fullQs,"sf":"$sfDir"}"""
       try {
         val p = java.nio.file.Paths.get(fullPath).toAbsolutePath
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -235,7 +290,7 @@ object Bench {
         (if (v < 0) Double.MinValue else -v)
       }
       val head =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"max_stall_sec":${fmt(StallMeter.runMaxGapSec())},"retried":${retried.size},$ingestPart"stalls":${jmap(stallsAll.sortBy(-_._2).take(8), fmt)},"slow_meas":${jmap(slowAll.sortBy(-_._2).take(8).map { case (k, v) => k -> v.toLong }, (n: Long) => n.toString)},"full":"$fullPath","""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sec":${fmt(streaming)},"relational_sec":${fmt(total - streaming)},"sweeps_completed":${sweepTotals.size},"sweep_sec":$sweeps,"max_stall_sec":${fmt(StallMeter.runMaxGapSec())},"retried":${retried.size},$ingestPart$deltaAgg"stalls":${jmap(stallsAll.sortBy(-_._2).take(8), fmt)},"slow_meas":${jmap(slowAll.sortBy(-_._2).take(8).map { case (k, v) => k -> v.toLong }, (n: Long) => n.toString)},"full":"$fullPath","""
       val tailPart = s""","sf":"$sfDir"}"""
       var used = head.length + tailPart.length + 60 // slack for omitted fields
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]

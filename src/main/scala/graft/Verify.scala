@@ -42,7 +42,9 @@ object Verify {
     val dynamic = SparkEntry.dynamicOracleSql
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, render) => name -> render(spark, sfDir) }
-    val json = (SparkEntry.oracleSql ++ dynamic)
+    val static = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val json = (static ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

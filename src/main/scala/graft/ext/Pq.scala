@@ -146,38 +146,76 @@ object Pq {
     Model(books, dim)
   }
 
+  /** Content hash of a model: md5 (hex) over dim, m, and every centroid
+    * double's IEEE-754 bits in (s, code, j) order. Two models are
+    * serving-equivalent iff their hashes match — the compatibility token
+    * that travels with persisted models ([[saveModel]]) and stamped code
+    * tables ([[encodePackedStamped]]) so codes encoded under one model
+    * can never be silently ADC-served under a different (same-shape)
+    * model.
+    */
+  def modelHash(model: Model): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    def putLong(l: Long): Unit = {
+      bb.clear(); bb.putLong(l); md.update(bb.array())
+    }
+    putLong(model.dim.toLong)
+    putLong(model.m.toLong)
+    for (book <- model.books; c <- book; x <- c)
+      putLong(java.lang.Double.doubleToLongBits(x))
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
   /** Persist a trained model as a plain parquet table
-    * (s, code, cv array<double>, dim) — the production seam: codebooks
-    * are trained once, stored with the corpus codes, and reloaded by
-    * every serving job. Doubles round-trip parquet bit-exactly, so a
-    * reloaded model serves hash-identical rankings (q344 gates that
-    * against the in-memory model's oracle).
+    * (s, code, cv array<double>, dim, model_hash) — the production seam:
+    * codebooks are trained once, stored with the corpus codes, and
+    * reloaded by every serving job. Doubles round-trip parquet
+    * bit-exactly, so a reloaded model serves hash-identical rankings
+    * (q344 gates that against the in-memory model's oracle). The
+    * [[modelHash]] rides in every row; [[loadModel]] recomputes it from
+    * the reloaded centroids and fails loud on any corruption or
+    * mixed-model table.
     */
   def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
     import spark.implicits._
+    val h = modelHash(model)
     model.books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (c, i) => (s, i, c, model.dim) }
-    }.toDF("s", "code", "cv", "dim")
+      book.zipWithIndex.map { case (c, i) => (s, i, c, model.dim, h) }
+    }.toDF("s", "code", "cv", "dim", "model_hash")
       .repartition(1).write.mode("overwrite").parquet(path)
   }
 
   /** Reload a [[saveModel]] table. The collect is bounded by the model
     * size (m·k rows); ordering is reconstructed from the (s, code)
-    * keys, so the physical row order of the parquet never matters.
+    * keys, so the physical row order of the parquet never matters. The
+    * stored [[modelHash]] must equal the hash recomputed from the
+    * reloaded centroids — a truncated file, a mixed-model directory, or
+    * any bit-level corruption fails loud here instead of serving wrong
+    * neighbors.
     */
   def loadModel(spark: SparkSession, path: String): Model = {
     import spark.implicits._
     val rows = spark.read.parquet(path)
       .select(col("s").cast("int"), col("code").cast("int"),
-        col("cv").cast("array<double>"), col("dim").cast("int"))
-      .as[(Int, Int, Seq[Double], Int)].collect()
+        col("cv").cast("array<double>"), col("dim").cast("int"),
+        col("model_hash"))
+      .as[(Int, Int, Seq[Double], Int, String)].collect()
     require(rows.nonEmpty, s"empty PQ model at $path")
     val dim = rows.head._4
     require(rows.forall(_._4 == dim), s"inconsistent dim in $path")
+    val stored = rows.map(_._5).distinct
+    require(stored.length == 1,
+      s"mixed model_hash values in $path: ${stored.mkString(", ")}")
     val books = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, b) =>
       b.sortBy(_._2).map(_._3).toSeq
     }
-    Model(books, dim)
+    val model = Model(books, dim)
+    val recomputed = modelHash(model)
+    require(recomputed == stored.head,
+      s"PQ model at $path fails its content hash: stored ${stored.head}, " +
+        s"recomputed $recomputed")
+    model
   }
 
   /** Variance-balanced coordinate permutation — OPQ's cheap first-order
@@ -391,6 +429,38 @@ object Pq {
     corpus.select(col("vec_id"),
       graft.functions.PqFunctions.pqCodes(
         col("embedding").cast("array<double>"), model.books).as("codes"))
+
+  /** [[encodePacked]] plus a `model_hash` column ([[modelHash]]) on every
+    * code row — the stamp that makes a persisted code table
+    * self-describing: any later serving job can prove the codes belong
+    * to the model it is about to ADC-serve with ([[adcKnnPackedChecked]])
+    * instead of trusting path conventions. One literal column; no extra
+    * pass, no shuffle.
+    */
+  def encodePackedStamped(corpus: DataFrame, model: Model): DataFrame =
+    encodePacked(corpus, model)
+      .withColumn("model_hash", lit(modelHash(model)))
+
+  /** [[adcKnnPacked]] over STAMPED codes with the compatibility check
+    * in-plan: every scanned code row's `model_hash` must equal the
+    * serving model's [[modelHash]], or the scan raises — codes encoded
+    * under a different (same-shape) model can never be silently ranked
+    * with this model's lookup tables. The check is a codegen'd
+    * conditional fused into the scan projection (no extra pass over the
+    * codes, no driver read), so it costs nothing at 100 TB and cannot
+    * be skipped by a mis-wired pipeline.
+    */
+  def adcKnnPackedChecked(queries: DataFrame, stampedCodes: DataFrame,
+                          model: Model, k: Int,
+                          maxLutRows: Long = DefaultMaxLutRows): DataFrame = {
+    val expected = modelHash(model)
+    val checked = stampedCodes.select(col("vec_id"),
+      when(col("model_hash") === expected, col("codes"))
+        .otherwise(raise_error(concat(
+          lit("PQ model mismatch: codes stamped "), col("model_hash"),
+          lit(s" but the serving model hashes $expected")))).as("codes"))
+    adcKnnPacked(queries, checked, model, k, maxLutRows)
+  }
 
   /** Packed ADC k-NN over [[encodePacked]] codes: each query broadcasts
     * ONE m·k-long lookup array; the code scan computes Σ_s lut[s·k+code_s]

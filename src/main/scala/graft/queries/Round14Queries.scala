@@ -55,13 +55,13 @@ object Round14Queries {
     }
   }
 
-  private val Dim = 64
+  private[queries] val Dim = 64
   private val M = 64
   private val K = 64
-  private val NQ = 5
-  private val AdcK = 5
-  private val RecallK = 20
-  private val RecallFloor = 0.7
+  private[queries] val NQ = 5
+  private[queries] val AdcK = 5
+  private[queries] val RecallK = 20
+  private[queries] val RecallFloor = 0.7
 
   /** One local-Lloyd fit per sf dir (the q64/q315 centroid-cache
     * discipline: query and generated oracle must see the same codebooks
@@ -69,7 +69,7 @@ object Round14Queries {
     */
   private val hiCache =
     new java.util.concurrent.ConcurrentHashMap[String, Pq.Model]()
-  private def hiModel(s: SparkSession, dir: String): Pq.Model =
+  private[queries] def hiModel(s: SparkSession, dir: String): Pq.Model =
     hiCache.computeIfAbsent(dir, _ =>
       Pq.trainCodebooksLocal(s, t(s, dir, "embeddings"), Dim, M, K))
 
@@ -245,7 +245,7 @@ object Round14Queries {
   )
 
   private val PassK = 5
-  private val IvfProbe = 4
+  private[queries] val IvfProbe = 4
   private val OpqM = 32
   private val OpqK = 64
 
@@ -400,7 +400,7 @@ object Round14Queries {
   /** q295's window length — the merge queries must re-derive the SAME
     * spans the full-corpus query gates, so the parameter is shared.
     */
-  private val SpanL = 8
+  private[queries] val SpanL = 8
 
   private val tokSql = raw"string_split_regex(trim(text), '\s+')"
   private def hash60Sql(e: String): String =
@@ -601,8 +601,9 @@ object Round14Queries {
     * cosine probe, per-(query, probed-cell) residual LUT, and the ADC
     * distance join. Ends with the `dist` CTE.
     */
-  private def residualSql(model: Pq.Model,
-                          cents: Seq[Seq[Double]]): String = {
+  private[queries] def residualSql(model: Pq.Model,
+                          cents: Seq[Seq[Double]],
+                          nProbe: Int = IvfProbe): String = {
     val sub = model.subDim
     val bookValues = model.books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (c, i) =>
@@ -654,7 +655,7 @@ object Round14Queries {
                                / sqrt(q.qv_n2 * cn.cv_n2) DESC,
                                cn.cell ASC) AS cell_rnk
                     FROM q CROSS JOIN cn) t
-                  WHERE cell_rnk <= $IvfProbe),
+                  WHERE cell_rnk <= $nProbe),
         qrv AS (SELECT p.query_id, p.cell,
                        list_transform(list_zip(q.v, cn.cv),
                                       x -> x[1] - x[2]) AS v
@@ -686,7 +687,7 @@ object Round14Queries {
     * literals parse as DECIMAL whose DOUBLE cast is not correctly
     * rounded — the q64 lesson).
     */
-  private val defaultECte: String =
+  private[queries] val defaultECte: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings)"""
 
@@ -701,7 +702,7 @@ object Round14Queries {
            FROM embeddings))"""
   }
 
-  private def packedSql(model: Pq.Model,
+  private[queries] def packedSql(model: Pq.Model,
                         eCte: String = defaultECte): String = {
     val sub = model.subDim
     val bookValues = model.books.zipWithIndex.flatMap { case (book, s) =>
@@ -742,7 +743,7 @@ object Round14Queries {
                  GROUP BY 1, 2)"""
   }
 
-  private def adcTopkSql(model: Pq.Model, k: Int,
+  private[queries] def adcTopkSql(model: Pq.Model, k: Int,
                          eCte: String = defaultECte): String =
     s"""WITH ${packedSql(model, eCte)},
         r AS (SELECT query_id, vec_id AS neighbor_id, dist_micro,

@@ -421,4 +421,37 @@ object EventStream {
     } finally statePartitions.foreach(_ => spark.conf.set(key, prev))
     df.sparkSession.table(name)
   }
+
+  /** [[runToMemory]] with a durable CHECKPOINT: state, offsets, and
+    * commits live under `checkpointDir`, so a later invocation with the
+    * SAME checkpoint dir (and a fresh sink name) resumes from the state
+    * store instead of reprocessing — already-committed source files are
+    * skipped and the restored aggregation state keeps accumulating. This
+    * is the restart-recovery seam a production incremental pipeline
+    * rides: the memory sink is ephemeral by design (Complete mode
+    * re-emits the full state table on every trigger), but the STATE is
+    * the durable artifact, which is exactly what the q349 gate and the
+    * kill-restart test pin.
+    */
+  def runToMemoryCheckpointed(df: DataFrame, name: String,
+                              checkpointDir: String,
+                              outputMode: OutputMode = OutputMode.Complete(),
+                              statePartitions: Option[Int] = None)
+  : DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(p => spark.conf.set(key, p.toString))
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally statePartitions.foreach(_ => spark.conf.set(key, prev))
+    df.sparkSession.table(name)
+  }
 }
