@@ -354,20 +354,27 @@ object Dedup {
       col("n_shingles").as("n_a"))
     val bSide = sh.select(col("doc_id").as("doc_b"), col("shingle"),
       col("n_shingles").as("n_b"))
-    // Verification joins are PINNED to shuffle-hash with the candidate
-    // side as build. Left to AQE, the corpus shingle table's measured
-    // shuffle size straddles the 10 MB broadcast threshold at bench SFs
-    // (260k rows ≈ 8-12 MB at sf0.1), so the executed plan flip-flopped
-    // between broadcasting the CORPUS side and a sort-merge join across
-    // otherwise-identical runs (round-14 verdict: the bench's one
-    // recurring fingerprint instability, ±1 s on its most expensive
-    // query). Broadcasting a corpus-scale side is also the wrong plan
-    // beyond toy SFs; shuffle-hash on the bounded candidate side is the
-    // one shape that is deterministic AND what you'd run at 100 TB —
-    // both sides shuffle on their keys, the build side is the
-    // prefix-pruned candidate set, nothing corpus-sized is collected.
+    // Verification joins are PINNED to sort-merge. Left to AQE, the
+    // corpus shingle table's measured shuffle size straddles the 10 MB
+    // broadcast threshold at bench SFs (260k rows ≈ 8-12 MB at sf0.1),
+    // so the executed plan flip-flopped between broadcasting the CORPUS
+    // side and a sort-merge join across otherwise-identical runs
+    // (round-14 verdict: the bench's one recurring fingerprint
+    // instability, ±1 s on its most expensive query). Broadcasting a
+    // corpus-scale side is the wrong plan beyond toy SFs, and
+    // shuffle-hash was measured to OOM at sf1: the build side of the
+    // second join is the candidate×shingle EXPANSION (Σ|A| over
+    // candidate pairs — pair-population-bound, ~100× sf0.1 at sf1), and
+    // Spark's shuffled-hash build cannot spill. Sort-merge is the one
+    // shape that is deterministic at every size AND spills — what you'd
+    // run at 100 TB, where both sides shuffle on their keys and nothing
+    // is collected or built in memory.
+    // Join 1 builds shuffled-hash on `cand` — a two-long-column pruned
+    // PAIRS table, the textbook hash-build side; join 2, whose left
+    // input is the expansion, is the one that must spill and stays
+    // sort-merge.
     cand.hint("shuffle_hash").join(aSide, Seq("doc_a"))
-      .hint("shuffle_hash").join(bSide, Seq("doc_b", "shingle"))
+      .hint("merge").join(bSide, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_inter"))
       .select(col("doc_a"), col("doc_b"),

@@ -33,19 +33,27 @@ object SparseSim {
     * must be the corpus document count (callers typically have it from
     * an upstream count; passing it keeps the operator single-pass).
     */
+  /** Exact-integer TF-IDF term weights (doc_id, tok, df, w) with
+    * `w = tf · length(bin(nDocs div df))` — shared by the pair join and
+    * the per-query ranking so the two lexical paths cannot drift.
+    */
+  private def weights(docs: DataFrame, nDocs: Long): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(df, "tok")
+      .select(col("doc_id"), col("tok"), col("df"),
+        (col("tf") * length(bin(expr(s"$nDocs div df"))).cast("long"))
+          .as("w"))
+  }
+
   def tfidfCosinePairs(docs: DataFrame, nDocs: Long, threshold: Double,
                        dfCap: Long = 1000L): DataFrame = {
     require(nDocs >= 1, s"nDocs must be >= 1, got $nDocs")
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold must be in (0, 1], got $threshold")
-    val tf = docs
-      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = tf.join(df, "tok")
-      .select(col("doc_id"), col("tok"), col("df"),
-        (col("tf") * length(bin(expr(s"$nDocs div df"))).cast("long"))
-          .as("w"))
+    val w = weights(docs, nDocs)
     val norm2 = w.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("n2"))
     // candidates only from sub-cap terms (the d²/2 guard)
@@ -72,5 +80,57 @@ object SparseSim {
           sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 6)
           .as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Per-QUERY lexical ranking: TF-IDF cosine of each query document
+    * (doc_id < nQueries — the ANN family's NQ convention) against every
+    * corpus document sharing at least one sub-cap term, top-k by cosine
+    * on the exact micro grid (ties to the lower doc id). The lexical
+    * half of hybrid retrieval: candidates come from the same
+    * rare-term inverted index as [[tfidfCosinePairs]] (a boilerplate
+    * term with df = d would alone pair every query with d docs; the cap
+    * bounds it and corpus-universal terms carry no ranking signal), the
+    * dot for each surviving candidate runs over ALL shared terms, and
+    * the per-query top-k is the bounded combinable aggregate — no
+    * window over the corpus. Scores: exact BIGINT dot and norms; the
+    * one float step (dot / √(n2q·n2c), then ⌊·10⁶+½⌋) is
+    * correctly-rounded ops only, so cos_micro is engine-portable.
+    */
+  def tfidfQueryTopK(docs: DataFrame, nDocs: Long, nQueries: Long, k: Int,
+                     dfCap: Long = 1000L): DataFrame = {
+    require(nDocs >= 1, s"nDocs must be >= 1, got $nDocs")
+    require(nQueries >= 1 && k >= 1,
+      s"nQueries and k must be >= 1, got $nQueries/$k")
+    val w = weights(docs, nDocs)
+    val norm2 = w.groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val rare = w.filter(col("df") <= dfCap).select("doc_id", "tok")
+    val qRare = rare.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val cand = qRare.join(rare.withColumnRenamed("doc_id", "id"), Seq("tok"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id")).distinct()
+    val qw = w.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("tok"), col("w").as("wq"))
+    val dots = cand.hint("shuffle_hash")
+      .join(w.select(col("doc_id").as("id"), col("tok"), col("w")),
+        Seq("id"))
+      .join(broadcast(qw), Seq("query_id", "tok"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("w") * col("wq")).as("dot"))
+    val scored = dots
+      .join(broadcast(norm2.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("query_id"), col("n2").as("n2q"))),
+        Seq("query_id"))
+      .join(norm2.select(col("doc_id").as("id"), col("n2").as("n2c")),
+        Seq("id"))
+      .select(col("query_id"), col("id"),
+        floor(col("dot").cast("double") /
+          sqrt(col("n2q").cast("double") * col("n2c").cast("double")) *
+          1e6 + lit(0.5)).cast("long").as("cos_micro"))
+    graft.functions.TopKFunctions.topkPerGroup(scored,
+        Seq(col("query_id")), col("cos_micro"), col("id"), k)
+      .select(col("query_id"), col("rnk"), col("id"),
+        col("key").as("cos_micro"))
   }
 }

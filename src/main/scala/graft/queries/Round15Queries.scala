@@ -223,7 +223,62 @@ object Round15Queries {
       Pq.adcKnnPackedChecked(e.filter(col("vec_id") < Round14Queries.NQ),
           Pq.encodePackedStamped(e, model), model, Round14Queries.AdcK)
         .orderBy("query_id", "rnk")
+    }),
+
+    // Hybrid retrieval: per-query lexical TF-IDF cosine top-20 and
+    // dense packed-ADC top-20, reciprocal-rank-fused (k0=60) into the
+    // top-10 — the lexical+dense union every RAG-style corpus pipeline
+    // serves, in exact-integer arithmetic end to end (integer-division
+    // contributions, BIGINT sums, bounded top-k).
+    "q351_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val lex = graft.ext.SparseSim.tfidfQueryTopK(docs, nDocs,
+          Round14Queries.NQ, HybridR, LexDfCap)
+        .select(col("query_id"), col("id"), col("rnk"))
+      val e = t(s, dir, "embeddings")
+      val model = Round14Queries.hiModel(s, dir)
+      val ann = Pq.adcKnnPacked(
+          e.filter(col("vec_id") < Round14Queries.NQ),
+          Pq.encodePacked(e, model), model, HybridR)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rnk"))
+      graft.ext.Hybrid.rrfFuse(Seq(lex, ann), RrfK0, HybridK)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Two-stage serving, hash-gated: ADC shortlist of 60, exact re-rank
+    // to the top-5 — real vectors are fetched for candidates only.
+    "q352_adc_refine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Round14Queries.hiModel(s, dir)
+      Pq.adcRefineKnn(e.filter(col("vec_id") < Round14Queries.NQ), e,
+          Pq.encodePacked(e, model), model, Round14Queries.AdcK, RefineSL)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Refined recall@20, GATED at 0.9 — re-ranking is exact, so recall
+    // equals the shortlist's containment of the true top-20: the gate
+    // proves the two-stage path beats the pure-ADC floor (0.7) by a
+    // margin no single-stage config reached.
+    "q353_refine_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Round14Queries.hiModel(s, dir)
+      val refined = Pq.adcRefineKnn(
+        e.filter(col("vec_id") < Round14Queries.NQ), e,
+        Pq.encodePacked(e, model), model, Round14Queries.RecallK, RefineSL)
+      recallFrame(s, dir, refined, Some(RefineFloor), "refine")
     }))
+
+  /** Hybrid/refine constants: per-system ranking depth, fused depth, the
+    * RRF damping constant (Cormack et al.'s 60), the refine shortlist
+    * (3× the audited top-20), and the refined-recall floor.
+    */
+  private val HybridR = 20
+  private val HybridK = 10
+  private val RrfK0 = 60
+  private val RefineSL = 60
+  private val RefineFloor = 0.9
+  private val LexDfCap = 1000L
 
   /** Gated-or-plain recall SQL over a prelude that defines `e` (vec_id,
     * v), `q` (query_id, v) and `dist` (query_id, vec_id, dist_micro) —
@@ -231,7 +286,8 @@ object Round15Queries {
     * exact top-RecallK from `e`×`q`, per-query overlap, and optionally
     * DuckDB's error() below the floor.
     */
-  private def recallSql(prelude: String, floor: Option[Double]): String = {
+  private def recallSql(prelude: String, floor: Option[Double],
+                        distCte: String = "dist"): String = {
     val k = Round14Queries.RecallK
     val recallExpr = floor match {
       case Some(f) =>
@@ -248,7 +304,7 @@ object Round15Queries {
                   SELECT query_id, vec_id,
                          row_number() OVER (PARTITION BY query_id
                            ORDER BY dist_micro ASC, vec_id ASC) AS rnk
-                  FROM dist) t WHERE rnk <= $k),
+                  FROM $distCte) t WHERE rnk <= $k),
         edist AS (SELECT q.query_id, c.vec_id,
                          CAST(floor((list_dot_product(c.v, c.v)
                            - 2 * list_dot_product(c.v, q.v)
@@ -330,5 +386,115 @@ object Round15Queries {
       // rendered from the same in-memory model
       "q350_pq_stamped_serving" -> ((s, dir) =>
         Round14Queries.adcTopkSql(Round14Queries.hiModel(s, dir),
-          Round14Queries.AdcK)))
+          Round14Queries.AdcK)),
+
+      // lexical CTEs are q140's weighting verbatim; the ADC half rides
+      // the packed prelude; fusion is pure integer arithmetic
+      "q351_hybrid_rrf" -> ((s, dir) => {
+        val tokSql = raw"string_split_regex(trim(text), '\s+')"
+        s"""WITH ${Round14Queries.packedSql(Round14Queries.hiModel(s, dir))},
+            annR AS (SELECT query_id, vec_id AS id, rnk FROM (
+                       SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_micro ASC, vec_id ASC) AS rnk
+                       FROM dist) t WHERE rnk <= $HybridR),
+            tok AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                   GROUP BY 1, 2),
+            nn AS (SELECT count(*) AS nd FROM documents),
+            dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            w AS (SELECT doc_id, tf.tok, dft.df,
+                         tf * CAST(length(bin(nd // df)) AS BIGINT) AS w
+                  FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN nn),
+            n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                   FROM w GROUP BY 1),
+            rare AS (SELECT doc_id, tok FROM w WHERE df <= $LexDfCap),
+            qrare AS (SELECT doc_id AS query_id, tok FROM rare
+                      WHERE doc_id < ${Round14Queries.NQ}),
+            cand AS (SELECT DISTINCT qr.query_id, r.doc_id AS id
+                     FROM qrare qr JOIN rare r ON r.tok = qr.tok
+                     WHERE r.doc_id <> qr.query_id),
+            qw AS (SELECT doc_id AS query_id, tok, w FROM w
+                   WHERE doc_id < ${Round14Queries.NQ}),
+            dots AS (SELECT c.query_id, c.id,
+                            CAST(sum(cw.w * qw.w) AS BIGINT) AS dot
+                     FROM cand c
+                     JOIN w cw ON cw.doc_id = c.id
+                     JOIN qw ON qw.query_id = c.query_id
+                       AND qw.tok = cw.tok
+                     GROUP BY 1, 2),
+            lexm AS (SELECT d.query_id, d.id,
+                            CAST(floor(CAST(d.dot AS DOUBLE)
+                              / sqrt(CAST(nq.n2 AS DOUBLE)
+                                     * CAST(nc.n2 AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS cm
+                     FROM dots d
+                     JOIN n2 nq ON nq.doc_id = d.query_id
+                     JOIN n2 nc ON nc.doc_id = d.id),
+            lexR AS (SELECT query_id, id, rnk FROM (
+                       SELECT query_id, id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY cm DESC, id ASC) AS rnk
+                       FROM lexm) t WHERE rnk <= $HybridR),
+            u AS (SELECT query_id, id,
+                         1000000000 // ($RrfK0 + rnk) AS c FROM annR
+                  UNION ALL
+                  SELECT query_id, id,
+                         1000000000 // ($RrfK0 + rnk) AS c FROM lexR),
+            fused AS (SELECT query_id, id, CAST(sum(c) AS BIGINT)
+                        AS rrf_micro
+                      FROM u GROUP BY 1, 2),
+            rr AS (SELECT query_id, id, rrf_micro,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, id ASC) AS rnk
+                   FROM fused)
+            SELECT query_id, CAST(rnk AS BIGINT) AS rnk, id, rrf_micro
+            FROM rr WHERE rnk <= $HybridK ORDER BY query_id, rnk"""
+      }),
+
+      "q352_adc_refine" -> ((s, dir) => {
+        s"""WITH ${Round14Queries.packedSql(Round14Queries.hiModel(s, dir))},
+            sl AS (SELECT query_id, vec_id FROM (
+                     SELECT query_id, vec_id,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist_micro ASC, vec_id ASC) AS rnk
+                     FROM dist) t WHERE rnk <= $RefineSL),
+            ed AS (SELECT s.query_id, s.vec_id,
+                          CAST(floor((list_dot_product(c.v, c.v)
+                            - 2 * list_dot_product(c.v, q.v)
+                            + list_dot_product(q.v, q.v)) * 1000000.0
+                            + 0.5) AS BIGINT) AS d_micro
+                   FROM sl s
+                   JOIN e c ON c.vec_id = s.vec_id
+                   JOIN q ON q.query_id = s.query_id),
+            r AS (SELECT query_id, vec_id AS neighbor_id, d_micro,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY d_micro ASC, vec_id ASC) AS rnk
+                  FROM ed)
+            SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+                   d_micro
+            FROM r WHERE rnk <= ${Round14Queries.AdcK}
+            ORDER BY query_id, rnk"""
+      }),
+
+      "q353_refine_recall" -> ((s, dir) => {
+        val prelude =
+          s"""${Round14Queries.packedSql(Round14Queries.hiModel(s, dir))},
+              sl AS (SELECT query_id, vec_id FROM (
+                       SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_micro ASC, vec_id ASC)
+                                AS rnk
+                       FROM dist) t WHERE rnk <= $RefineSL),
+              dist2 AS (SELECT s.query_id, s.vec_id,
+                               CAST(floor((list_dot_product(c.v, c.v)
+                                 - 2 * list_dot_product(c.v, q.v)
+                                 + list_dot_product(q.v, q.v))
+                                 * 1000000.0 + 0.5) AS BIGINT)
+                                 AS dist_micro
+                        FROM sl s
+                        JOIN e c ON c.vec_id = s.vec_id
+                        JOIN q ON q.query_id = s.query_id)"""
+        recallSql(prelude, Some(RefineFloor), distCte = "dist2")
+      }))
 }

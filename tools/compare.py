@@ -8,7 +8,7 @@ row counts, and cell values. Usage:
 
     python3 tools/compare.py <sfDir> <outDir>
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 def canon(rows, cols):
@@ -29,8 +29,11 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+        # driver testdata is one file per table; Spark-written scale-ups
+        # (testdata-sf1) are directories of part files
+        path = f"{sf_dir}/{tbl}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
