@@ -1859,6 +1859,67 @@ object ScaleBench {
           graft.ext.Similarity.kCenterSeeds(corpus, 4)
             .agg(sum("dmin_micro"), count(lit(1))).collect()
         }
+      },
+      "refine_shortlist" -> { n =>
+        time {
+          // adcRefineKnn's scale claim: the exact stage touches ONLY
+          // |queries|·shortlist rows, however big the corpus. 32 fixed
+          // queries, shortlist 50, m=16/k=16 codes over n/10 vectors —
+          // the ADC scan is the linear term; the refine join fetches
+          // 1600 vectors by key and must stay invisible in the ratio.
+          val m = n / 10
+          val dim = 16
+          val books = Seq.tabulate(16)(s => Seq.tabulate(16)(c =>
+            Seq((c * 16 + s).toDouble)))
+          val model = graft.ext.Pq.Model(books, dim)
+          val corpus = spark.range(m).select(col("id").as("vec_id"),
+            array((0 until dim).map(j =>
+              (pmod(hash(col("id"), lit(j)), lit(256)).cast("double"))): _*)
+              .as("embedding"))
+          val queries = corpus.filter(col("vec_id") < 32)
+          graft.ext.Pq.adcRefineKnn(queries, corpus,
+              graft.ext.Pq.encodePacked(corpus, model), model, 10, 50)
+            .agg(sum("d_micro"), count(lit(1))).collect()
+        }
+      },
+      "rrf_hot_query" -> { n =>
+        time {
+          // rrfFuse's adversary: 3 systems' rankings with HALF of all n
+          // rows on ONE query (a degenerate ranking depth — real depths
+          // are bounded, but the fusion must not assume it). The
+          // (query, id) aggregate map-side combines and the per-query
+          // top-k is the bounded heap — no window, no per-query state
+          // beyond k entries.
+          val rankings = (0 until 3).map { sys =>
+            spark.range(n / 3).select(
+              when(col("id") % 2 === 0, lit(0L))
+                .otherwise(col("id") % 1000L).as("query_id"),
+              pmod(hash(col("id"), lit(sys)), lit(n / 30)).as("id"),
+              (pmod(hash(col("id"), lit(sys + 7)), lit(1000000)) + 1L)
+                .as("rnk"))
+          }
+          graft.ext.Hybrid.rrfFuse(rankings, 60, 10)
+            .agg(sum("rrf_micro"), count(lit(1))).collect()
+        }
+      },
+      "lexrank_hot_term" -> { n =>
+        time {
+          // tfidfQueryTopK's adversary: every document shares one
+          // corpus-universal term (df = corpus size — the d²/2
+          // candidate bomb if it entered the index) plus a ~20-doc
+          // rare term. The dfCap excludes the hot term from candidate
+          // generation BEFORE the self-join; dots for surviving
+          // candidates still run over all shared terms. Linear ratio =
+          // the cap bounds the blowup, exactly like jaccard_hot_df.
+          val m = n / 100
+          val docs = spark.range(m).select(col("id").as("doc_id"),
+            concat(lit("common hdr r"),
+              pmod(hash(col("id")), lit(m / 20)).cast("string"),
+              lit(" u"), col("id").cast("string")).as("text"))
+          graft.ext.SparseSim.tfidfQueryTopK(docs, m, nQueries = 8,
+              k = 10, dfCap = 100)
+            .agg(sum("cos_micro"), count(lit(1))).collect()
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient
