@@ -128,8 +128,11 @@ object Round14Queries {
         .orderBy("query_id", "rnk")),
 
     // Chunk-invisibility, in-gate: the SAME scan with a LUT budget that
-    // forces the NQ queries through 3 hash-disjoint batches must hash
-    // identically to q331's oracle (which knows nothing of batching).
+    // forces the NQ queries through multiple hash-disjoint batches (6 at
+    // this budget since round 15's per-batch ENFORCEMENT — the expected
+    // 3 leave one batch over budget under hash skew, so the count
+    // doubles) must hash identically to q331's oracle (which knows
+    // nothing of batching).
     "q332_pq_adc_chunked" -> ((s, dir) =>
       hiAdc(s, dir, AdcK, 2L * M * K)
         .orderBy("query_id", "rnk")),
