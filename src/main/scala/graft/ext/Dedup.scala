@@ -329,8 +329,15 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val sh = shingles(docs, n)
       .withColumn("n_shingles", count(lit(1)).over(w))
+    // EVERY join in this operator is strategy-hinted: the shingle,
+    // prefix, and df tables are all corpus-proportional and their
+    // measured shuffle sizes straddle the 10 MB AQE broadcast threshold
+    // at bench SFs, so any join left to AQE re-decides run to run (the
+    // round-14/15 q118 fingerprint flip-flop). Sort-merge everywhere a
+    // side is corpus-shaped — spillable and the plan you'd run at
+    // 100 TB, where none of these tables is broadcastable.
     val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfTab, Seq("shingle"))
+    val ranked = sh.hint("merge").join(dfTab, Seq("shingle"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("df"), col("shingle"))))
@@ -342,7 +349,7 @@ object Dedup {
     // instead of being verified through |A| shingle rows. Result-
     // invisible (the final jaccard >= threshold filter subsumes it) —
     // the q118 hash pins that.
-    val cand = prefix.as("a")
+    val cand = prefix.as("a").hint("merge")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
