@@ -105,6 +105,15 @@ object Bench {
       def names(p: SparkPlan): Seq[String] = p match {
         case a: AdaptiveSparkPlanExec => names(a.executedPlan)
         case q: QueryStageExec => q.nodeName +: names(q.plan)
+        // AQE's exchange-reuse cache races its own concurrent stage
+        // materialization: identical subtrees are sometimes deduped
+        // into a ReusedExchange and sometimes both materialized, run to
+        // run, with no plan-quality difference. Expand the reuse node
+        // to the subtree it references so the fingerprint counts the
+        // same multiset either way — plan CHANGES stay visible, reuse
+        // races stop reading as changes.
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          names(r.child)
         case other => other.nodeName +: other.children.flatMap(names)
       }
       val canon = names(df.queryExecution.executedPlan).sorted.mkString(",")

@@ -327,6 +327,16 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs a threshold in (0, 1], got $threshold")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // NOTE on plan stability: the shingle table feeds four consumers and
+    // the prefix table two, so AQE's exchange-reuse cache races its own
+    // concurrent stage materialization — identical subtrees are
+    // sometimes deduplicated and sometimes both computed, run to run.
+    // That race is work-variance only (the bench fingerprint normalizes
+    // ReusedExchange away since round 15); an eager localCheckpoint of
+    // the shared tables was MEASURED SLOWER (sf1: 38.9 s → 52.9 s — the
+    // materialization barrier costs more than the duplicate work it
+    // saves, because reuse usually wins the race exactly when the
+    // subtree is expensive), so the operator stays barrier-free.
     val sh = shingles(docs, n)
       .withColumn("n_shingles", count(lit(1)).over(w))
     // EVERY join in this operator is strategy-hinted: the shingle,
