@@ -109,4 +109,63 @@ class Round15PropertySuite extends SparkSpec {
       assert(nested == full)
     }
   }
+
+  describe("Pq.adcRefineKnn recall dominance") {
+    it("refined recall@k >= pure-ADC recall@k on random corpora") {
+      // theorem being exercised: a true neighbor in the ADC top-k is in
+      // the shortlist (k <= shortlistK), and its exact rank within the
+      // shortlist is <= its global exact rank, so refinement can only
+      // keep or add true neighbors — never lose one
+      import graft.functions.VectorFunctions.dot
+      val corpus = randomCorpus(150, 16)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val model = Pq.trainCodebooksLocal(spark, corpus, 16, 4, 4)
+      val codes = Pq.encodePacked(corpus, model)
+      val q = corpus.filter(col("vec_id") < 4)
+      val k = 8
+      val exactD = corpus.select(col("vec_id"),
+          col("embedding").as("v"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          floor((dot(col("v"), col("v")) -
+            lit(2.0) * dot(col("v"), col("qv")) +
+            dot(col("qv"), col("qv"))) * 1e6 + lit(0.5)).cast("long")
+            .as("d"))
+      val exact = graft.functions.TopKFunctions.topkPerGroup(exactD,
+          Seq(col("query_id")), -col("d"), col("vec_id"), k)
+        .select(col("query_id"), col("id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (g, v) => g -> v.map(_._2).toSet }
+      def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+        df.select(col("query_id"), col("neighbor_id"))
+          .as[(Long, Long)].collect().groupBy(_._1)
+          .map { case (g, v) =>
+            g -> v.map(_._2).count(exact(g).contains)
+          }
+      val adc = hits(Pq.adcKnnPacked(q, codes, model, k))
+      val refined = hits(Pq.adcRefineKnn(q, corpus, codes, model, k, 24))
+      for (g <- exact.keys)
+        assert(refined.getOrElse(g, 0) >= adc.getOrElse(g, 0),
+          s"query $g: refined ${refined.get(g)} < adc ${adc.get(g)}")
+    }
+  }
+
+  describe("Hybrid.rrfFuse monotonicity") {
+    it("improving an item's rank in one system never lowers its score") {
+      val base = Seq((0L, 10L, 3L), (0L, 11L, 1L), (0L, 12L, 2L))
+        .toDF("query_id", "id", "rnk")
+      val other = Seq((0L, 10L, 5L), (0L, 11L, 4L), (0L, 12L, 6L))
+      def score(o: Seq[(Long, Long, Long)], id: Long): Long =
+        Hybrid.rrfFuse(Seq(base, o.toDF("query_id", "id", "rnk")), 60, 3)
+          .filter(col("id") === id)
+          .select("rrf_micro").as[Long].collect().headOption.getOrElse(0L)
+      val before = score(other, 10L)
+      val improved = other.map { case (q, id, r) =>
+        if (id == 10L) (q, id, 1L) else (q, id, r + 1) }
+      assert(score(improved, 10L) > before)
+    }
+  }
 }
