@@ -99,7 +99,8 @@ object Bench {
     // Explains for exactly that question. Best-effort: a plan whose
     // internals can't be walked fingerprints what it can see.
     val planFps = scala.collection.mutable.Map.empty[String, String]
-    def planFp(df: org.apache.spark.sql.DataFrame): String = try {
+    def planFp(fpDumpName: String,
+               df: org.apache.spark.sql.DataFrame): String = try {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       def names(p: SparkPlan): Seq[String] = p match {
@@ -116,7 +117,28 @@ object Bench {
           names(r.child)
         case other => other.nodeName +: other.children.flatMap(names)
       }
-      val canon = names(df.queryExecution.executedPlan).sorted.mkString(",")
+      // WholeStageCodegen embeds a GLOBAL stage counter in its nodeName
+      // ("WholeStageCodegen (41)") whose value depends on the order AQE
+      // happened to materialize stages in — pure run-to-run noise
+      // (measured: the entire residual fp-flip set after reuse
+      // normalization was codegen-id strings). Strip the id; the NUMBER
+      // of codegen stages still counts, their arbitrary labels do not.
+      val canon = names(df.queryExecution.executedPlan)
+        .map(n => if (n.startsWith("WholeStageCodegen")) "WholeStageCodegen"
+                  else n)
+        .sorted.mkString(",")
+      // forensic hook for fp-flip diagnosis: dump each query's raw
+      // sorted node multiset (first measurement only) so two runs'
+      // dumps diff to the exact nodes that moved
+      sys.env.get("SPARK_GRAFT_BENCH_FP_DUMP").foreach { dir =>
+        try {
+          val p = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.createDirectories(p)
+          val f = p.resolve(fpDumpName + ".nodes")
+          if (!java.nio.file.Files.exists(f))
+            java.nio.file.Files.writeString(f, canon.replace(",", "\n"))
+        } catch { case _: Throwable => () }
+      }
       java.security.MessageDigest.getInstance("MD5")
         .digest(canon.getBytes("UTF-8"))
         .take(6).map(b => f"$b%02x").mkString
@@ -148,7 +170,7 @@ object Bench {
         : Unit = {
       try {
         val (t, stall, df) = once(fn)
-        if (!planFps.contains(name)) planFps(name) = planFp(df)
+        if (!planFps.contains(name)) planFps(name) = planFp(name, df)
         if (t < times.getOrElse(name, Double.MaxValue)) {
           times(name) = t
           stallAtMin(name) = stall
