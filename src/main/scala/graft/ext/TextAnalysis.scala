@@ -353,6 +353,92 @@ object TextAnalysis {
       .withColumn("n_tokens_after", col("n_tokens") - col("n_merges"))
   }
 
+  /** Multi-step BPE vocabulary TRAINING (Sennrich et al. 2016, word-type
+    * weighted), distributed: build the word-TYPE table once (one corpus
+    * pass; the state the whole loop runs on is vocabulary-sized, so a
+    * 100 TB corpus costs one aggregate plus k vocab-sized passes), then
+    * repeat `steps` times — census adjacent symbol pairs weighted by
+    * word-type count, pick the most frequent pair, merge it into one
+    * symbol everywhere. Per step the only driver traffic is the 1-row
+    * argmax (a documented bounded model read ×k — BPE is inherently
+    * sequential in its merge list).
+    *
+    * Determinism discipline (the q189 single-step contract, iterated):
+    *  - word types are restricted to `^[a-z0-9]+$` (pre-tokenized clean
+    *    lexical types; punctuation is pre-tokenization's job) so the
+    *    symbol alphabet is ASCII and string ordering agrees between
+    *    engines, and so the '|' symbol separator can never collide;
+    *  - identical-halves pairs (x, x) are EXCLUDED: their occurrences
+    *    can overlap ("x x x" merges once, not twice), which would make
+    *    counts depend on application order; with distinct halves,
+    *    occurrences cannot overlap and left-to-right literal
+    *    `replace('|a|b|' → '|ab|')` has identical semantics on any
+    *    engine;
+    *  - argmax ties break (count desc, left asc, right asc) — a total
+    *    order over ASCII strings.
+    *
+    * Word state rides as a '|'-delimited symbol string ("|p|l|a|y|"),
+    * so applying a merge is ONE literal string replace — no per-symbol
+    * array surgery, and the corresponding SQL is the same replace. The
+    * oracle does not receive the learned merges: it RE-LEARNS them
+    * stage by stage (census → argmax → scalar-subquery replace), so a
+    * wrong argmax, census, or application on either engine hash-fails.
+    *
+    * Returns one row per merge: (step, left_sym, right_sym, merged,
+    * pair_n — the weighted occurrence count that won the step).
+    */
+  def bpeTrain(docs: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64,
+      s"steps must be in [1, 64], got $steps")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the word-TYPE table is the loop state: vocabulary-sized, so it is
+    // localCheckpoint'd once (k censuses read cached blocks instead of
+    // re-aggregating the corpus k times) and RELEASED before returning —
+    // the returned merge table is driver-built, so nothing downstream
+    // can reach the blocks (the Checkpoints discipline, self-contained)
+    val words = docs
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("|"),
+        regexp_replace(col("w"), "(.)", "$1|")).as("state"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    try {
+      var state = words
+      var step = 1
+      var exhausted = false
+      while (step <= steps && !exhausted) {
+        val top = state
+          .select(col("cnt"), expr(
+            "slice(split(state, '\\\\|'), 2, size(split(state, '\\\\|')) - 2)")
+            .as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sy) - 1), " +
+              "j -> struct(sy[j - 1] AS a, sy[j] AS b))")).as("p"))
+          .filter(col("p.a") =!= col("p.b"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1)
+          .as[(String, String, Long)].collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = top(0)
+          merges += ((step.toLong, a, b, a + b, c))
+          state = state.select(expr(
+            s"replace(state, '|$a|$b|', '|$a$b|')").as("state"), col("cnt"))
+          step += 1
+        }
+      }
+    } finally Checkpoints.release(words)
+    require(merges.nonEmpty, "bpeTrain: no mergeable pair in the corpus")
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_n")
+  }
+
   /** Bigram collocations by PMI lift: for every corpus bigram occurring
     * at least `minCount` times, its count, the two unigram counts, and
     * `lift = c_ab·N / (c_a·c_b)` — e^PMI, which ORDERS identically to

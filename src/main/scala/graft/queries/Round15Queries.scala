@@ -256,6 +256,16 @@ object Round15Queries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Distributed BPE vocabulary training, 8 merge steps: the oracle
+    // does NOT receive the learned merges — it re-learns them stage by
+    // stage (census → argmax → scalar-subquery replace), so a wrong
+    // census weight, tie-break, or merge application on either engine
+    // hash-fails. The loop state is the vocabulary-sized word-type
+    // table; the corpus is read once.
+    "q354_bpe_train" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bpeTrain(t(s, dir, "documents"), BpeSteps)
+        .orderBy("step")),
+
     // Refined recall@20, GATED at 0.9 — re-ranking is exact, so recall
     // equals the shortlist's containment of the true top-20: the gate
     // proves the two-stage path beats the pure-ADC floor (0.7) by a
@@ -330,7 +340,52 @@ object Round15Queries {
         FROM rec ORDER BY query_id"""
   }
 
+  private val BpeSteps = 8
+
+  /** q354's oracle: the FULL BPE training loop unrolled to `BpeSteps`
+    * static SQL stages. Each stage re-derives the pair census from the
+    * previous stage's word-state table, picks the argmax with the same
+    * (count desc, left asc, right asc) total order, and applies the
+    * merge via a scalar-subquery `replace` — the oracle LEARNS the
+    * merges itself; nothing from the Spark run is echoed in.
+    */
+  private def bpeOracleSql(steps: Int): String = {
+    val tokSql = raw"string_split_regex(trim(text), '\s+')"
+    val w0 =
+      s"""w0 AS (SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g')
+                   AS state,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest($tokSql) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z0-9]+$$')
+          GROUP BY 1)"""
+    val stages = (1 to steps).map { i =>
+      s"""p$i AS (SELECT sy[j] AS a, sy[j + 1] AS b,
+                        CAST(sum(cnt) AS BIGINT) AS c
+                 FROM (SELECT cnt, sy,
+                              unnest(generate_series(1, len(sy) - 1)) AS j
+                       FROM (SELECT cnt,
+                                    string_split(trim(state, '|'), '|')
+                                      AS sy
+                             FROM w${i - 1}))
+                 WHERE sy[j] <> sy[j + 1] GROUP BY 1, 2),
+          m$i AS (SELECT a, b, c FROM p$i
+                  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+          w$i AS (SELECT replace(state,
+                    (SELECT '|' || a || '|' || b || '|' FROM m$i),
+                    (SELECT '|' || a || b || '|' FROM m$i)) AS state, cnt
+                  FROM w${i - 1})"""
+    }.mkString(",\n")
+    val union = (1 to steps).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, a AS left_sym,
+                 b AS right_sym, a || b AS merged, c AS pair_n
+          FROM m$i"""
+    }.mkString(" UNION ALL ")
+    s"WITH $w0,\n$stages\n$union ORDER BY step"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q354_bpe_train" -> bpeOracleSql(BpeSteps),
+
     // identical to q343's oracle: restart or no restart, the final
     // census is the batch recompute with doubled counts
     "q349_stream_gram_restart" -> {

@@ -77,6 +77,43 @@ class Round15bSuite extends SparkSpec {
     }
   }
 
+  describe("TextAnalysis.bpeTrain") {
+    it("matches a from-scratch driver BPE on a synthetic corpus") {
+      val docs = Seq(
+        (1L, "lower lower lowest newer newer newer wider"),
+        (2L, "low low lowest newer new wide wide"),
+        (3L, "lower newest newest wide new low")).toDF("doc_id", "text")
+      val got = TextAnalysis.bpeTrain(docs, 5)
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      // independent oracle: plain Scala word-type BPE with the same
+      // documented variant (distinct-halves pairs only, ties by
+      // (count desc, left, right))
+      var types = docs.as[(Long, String)].collect()
+        .flatMap(_._2.trim.split("\\s+")).filter(_.matches("^[a-z0-9]+$"))
+        .groupBy(identity).map { case (word, v) =>
+          word.map(_.toString).toVector -> v.length.toLong
+        }.toVector
+      val want = (1 to 5).map { step =>
+        val census = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, cnt) <- types; Seq(a, b) <- syms.sliding(2) if a != b)
+          census((a, b)) = census.getOrElse((a, b), 0L) + cnt
+        val ((a, b), c) = census.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        types = types.map { case (syms, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector -> cnt
+        }
+        (step.toLong, a, b, a + b, c)
+      }
+      assert(got.sortBy(_._1) == want)
+    }
+  }
+
   describe("SparseSim.tfidfQueryTopK") {
     it("agrees with tfidfCosinePairs scores on query-corpus pairs") {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
