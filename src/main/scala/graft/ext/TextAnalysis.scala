@@ -439,6 +439,40 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_n")
   }
 
+  /** Apply a learned BPE merge list ([[bpeTrain]]'s output order) to
+    * every clean word occurrence and report per-language tokenizer
+    * FERTILITY — pieces per word and chars per piece, the
+    * vocabulary-fit signal multilingual data curation balances
+    * mixtures on (a language the vocabulary underserves shows high
+    * fertility: more pieces for the same text). Pure projection + one
+    * combinable aggregate: each occurrence's symbol state folds
+    * through the k literal replaces in-row (codegen'd string ops, no
+    * join, no shuffle beyond the per-lang agg), so the corpus is read
+    * once however many merges were learned.
+    */
+  def bpeFertility(docs: DataFrame,
+                   merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeFertility needs at least one merge")
+    val occ = docs
+      .select(col("lang"), explode(wsTokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+    val state0 = concat(lit("|"),
+      regexp_replace(col("w"), "(.)", "$1|"))
+    val stateN = merges.foldLeft(state0) { case (st, (a, b)) =>
+      replace(st, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+    }
+    occ.select(col("lang"), col("w"),
+        (size(split(stateN, "\\|")) - 2).cast("long").as("n_pieces"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+  }
+
   /** Bigram collocations by PMI lift: for every corpus bigram occurring
     * at least `minCount` times, its count, the two unigram counts, and
     * `lift = c_ab·N / (c_a·c_b)` — e^PMI, which ORDERS identically to
