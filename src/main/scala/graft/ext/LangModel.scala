@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Interpolated Kneser–Ney bigram language model in EXACT integer
+  * arithmetic — the smoothing used by KenLM-style n-gram models that
+  * data pipelines score/filter corpora with.
+  *
+  * With absolute discount D = 3/4 every probability is the exact
+  * rational num/den over corpus counts alone:
+  *
+  *   P_KN(w|v) = max(c(vw) − D, 0)/c(v) + D·N1+(v·)/c(v) · N1+(·w)/N1+(··)
+  *
+  * scaled by 4·c(v)·N1+(··):
+  *
+  *   num = (4·c(vw) − 3)·Npp + 3·N1p(v)·N1r(w)     (observed vw; c ≥ 1
+  *                                                  makes the max a no-op)
+  *   den = 4·c(v)·Npp
+  *
+  * where c(v) = Σ_w c(vw) (left-context total), N1p(v) = |{w : c(vw)>0}|,
+  * N1r(w) = |{v : c(vw)>0}| (the continuation count — how many distinct
+  * contexts w follows, Kneser–Ney's replacement for raw frequency), and
+  * Npp = |{(v,w) : c(vw)>0}|. No float ever appears, so both engines
+  * derive bit-identical rationals, and the closed-form normalization
+  *   Σ_{w ∈ V} num(v, w) = den(v)
+  * holds as an exact integer identity (pinned by the property suite).
+  *
+  * Scale shape: the only corpus-sized operation is the bigram census —
+  * one map-side-combinable groupBy collapsing to the bigram TYPE table;
+  * c(v), N1p, N1r, Npp are aggregates OF the type table (vocabulary-,
+  * not corpus-sized), and the final joins are type-table joins. Nothing
+  * is windowed, nothing is quadratic.
+  */
+object LangModel {
+
+  /** Per-document clean-token bigram pairs (the `^[a-z0-9]+$` alphabet
+    * discipline shared with [[TextAnalysis.bpeTrain]]): adjacency is
+    * computed AFTER filtering, within each document.
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs
+      .select(filter(Portable.wsTokens(col("text")),
+        x => x.rlike("^[a-z0-9]+$")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i - 1] AS a, w[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+
+  /** The KN-smoothed probability table for every observed bigram with
+    * c(vw) ≥ `minCount`: (a, b, c_vw, num, den) — P_KN(b|a) = num/den
+    * exactly.
+    */
+  def knBigram(docs: DataFrame, minCount: Long = 1L): DataFrame = {
+    val bg = bigramPairs(docs)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val cv = bg.groupBy("a")
+      .agg(sum("c").as("cv"), count(lit(1)).as("n1p"))
+    val n1r = bg.groupBy("b").agg(count(lit(1)).as("n1r"))
+    val npp = bg.agg(count(lit(1)).as("npp"))
+    bg.join(cv, "a").join(n1r, "b").crossJoin(broadcast(npp))
+      .filter(col("c") >= minCount)
+      .select(col("a"), col("b"), col("c").as("c_vw"),
+        ((lit(4L) * col("c") - lit(3L)) * col("npp") +
+          lit(3L) * col("n1p") * col("n1r")).as("num"),
+        (lit(4L) * col("cv") * col("npp")).as("den"))
+  }
+}

@@ -377,15 +377,20 @@ object Round15Queries {
     */
   private def bpeStagesSql(steps: Int): String = {
     val tokSql = raw"string_split_regex(trim(text), '\s+')"
+    // Every stage CTE is MATERIALIZED: DuckDB 1.0 inlines plain CTEs, so
+    // w_i's three references to w_{i-1} (direct + the two argmax scalar
+    // subqueries) would re-evaluate the whole chain 3^steps times —
+    // materialization makes the unrolled loop linear, exactly like the
+    // Spark side's localCheckpoint'd state table.
     val w0 =
-      s"""w0 AS (SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g')
+      s"""w0 AS MATERIALIZED (SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g')
                    AS state,
                  CAST(count(*) AS BIGINT) AS cnt
           FROM (SELECT unnest($tokSql) AS w FROM documents)
           WHERE regexp_matches(w, '^[a-z0-9]+$$')
           GROUP BY 1)"""
     val stages = (1 to steps).map { i =>
-      s"""p$i AS (SELECT sy[j] AS a, sy[j + 1] AS b,
+      s"""p$i AS MATERIALIZED (SELECT sy[j] AS a, sy[j + 1] AS b,
                         CAST(sum(cnt) AS BIGINT) AS c
                  FROM (SELECT cnt, sy,
                               unnest(generate_series(1, len(sy) - 1)) AS j
@@ -394,9 +399,9 @@ object Round15Queries {
                                       AS sy
                              FROM w${i - 1}))
                  WHERE sy[j] <> sy[j + 1] GROUP BY 1, 2),
-          m$i AS (SELECT a, b, c FROM p$i
+          m$i AS MATERIALIZED (SELECT a, b, c FROM p$i
                   ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-          w$i AS (SELECT replace(state,
+          w$i AS MATERIALIZED (SELECT replace(state,
                     (SELECT '|' || a || '|' || b || '|' FROM m$i),
                     (SELECT '|' || a || b || '|' FROM m$i)) AS state, cnt
                   FROM w${i - 1})"""

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.KMeans
+
+/** Round-15 continuation batch:
+  *  - q356/q357: full-corpus distributed Lloyd k-means on the exact
+  *    micro grid — the oracle RE-LEARNS the centroids (the q354
+  *    contract, for vectors), closing the gap between the sample-based
+  *    driver-local trainers behind IVF/PQ and a 100 TB-scale trainer.
+  *  - q358/q359: winnowing (MOSS) fingerprints — position-robust local
+  *    overlap detection, the guarantee-carrying complement to MinHash.
+  *  - q360: Kneser–Ney bigram smoothing as exact integer rationals.
+  */
+object Round15bQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val K = 4
+  private val Iters = 3
+  private val Dim = 64
+
+  /** One training per sf dir (the train-once/serve-everywhere seam);
+    * q356 gates the learned grid itself, q357 gates serving with it.
+    */
+  private val kmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Long])]]()
+  private def kmCents(s: SparkSession, dir: String): Seq[(Int, Seq[Long])] =
+    kmCache.computeIfAbsent(dir, _ =>
+      KMeans.lloyd(t(s, dir, "embeddings"), K, Iters))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Full-corpus Lloyd on the exact micro grid: 3 distributed passes,
+    // k=4, init from the 4 lowest vec_ids. The oracle does NOT receive
+    // the centroids — it re-runs all 3 assignment/update stages itself,
+    // so a wrong argmin, a wrong floor(mean), or a drifted micro grid
+    // on either engine hash-fails. 256 rows: (cid, dim, c_micro).
+    "q356_kmeans_centroids" -> ((s, dir) =>
+      KMeans.centroidTable(s, kmCents(s, dir)).orderBy("cid", "dim")),
+
+    // Serving census under the learned grid: exact nearest-centroid
+    // assignment of every vector (pure per-row projection — the k·d
+    // grid folds in as literals, no join) → cluster sizes + exact
+    // BIGINT inertia. The oracle re-learns the grid first, then
+    // re-assigns, so the census compares two independent trainings.
+    "q357_kmeans_census" -> ((s, dir) =>
+      KMeans.assign(t(s, dir, "embeddings"), kmCents(s, dir))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+        .orderBy("cid")),
+
+    // Winnowing (MOSS) fingerprint census: per-document selected-
+    // fingerprint stats under (n=3, w=4). Selection is a pure in-row
+    // array fold — no shuffle; any ≥ 6-gram contiguous overlap between
+    // documents is guaranteed to share a fingerprint.
+    "q358_winnow_census" -> ((s, dir) =>
+      graft.ext.Winnow.census(t(s, dir, "documents"), WinN, WinW)
+        .orderBy("doc_id")),
+
+    // Winnowing overlap pairs: documents sharing ≥ 2 selected
+    // fingerprints, boilerplate fingerprints (df > 50) excluded before
+    // the inverted-index self-join.
+    "q359_winnow_pairs" -> ((s, dir) =>
+      graft.ext.Winnow.overlapPairs(t(s, dir, "documents"),
+        WinN, WinW, WinMinShared, WinDfCap).orderBy("doc_a", "doc_b")),
+
+    // Interpolated Kneser–Ney bigram probabilities as exact rationals
+    // (D = 3/4 → num/den over pure BIGINT corpus counts): the KenLM-
+    // style smoothing, no float anywhere, so both engines derive
+    // bit-identical num/den — and Σ_w num(v,w) = den(v) exactly (the
+    // property suite pins the closed-form normalization).
+    "q360_kn_bigram" -> ((s, dir) =>
+      graft.ext.LangModel.knBigram(t(s, dir, "documents"), KnMinCount)
+        .orderBy("a", "b")),
+
+    // Top principal component by exact-integer power iteration (the
+    // all-but-the-top direction): 3 power steps, L∞-normalized to the
+    // micro grid. The oracle re-derives the whole trajectory in
+    // HUGEINT — mean, iterates, renormalizations — from the raw
+    // vectors; nothing learned crosses engines.
+    "q361_pca_component" -> ((s, dir) => {
+      val (mu, v) = pcaModel(s, dir)
+      graft.ext.Pca.componentTable(s, mu, v).orderBy("dim")
+    }),
+
+    // Projection census under the learned component: exact BIGINT
+    // coefficients y = ⟨x − mu, v⟩ per vector (pure in-row projection),
+    // aggregated per label — the distribution "all-but-the-top"
+    // flattens. Both engines learn their own component first.
+    "q362_pca_projection" -> ((s, dir) => {
+      val (mu, v) = pcaModel(s, dir)
+      graft.ext.Pca.projections(t(s, dir, "embeddings"), mu, v)
+        .join(t(s, dir, "embeddings").select(col("vec_id"),
+          col("label").cast("long").as("label")), "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("y").as("sum_y"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("label")
+    })
+  )
+
+  private val KnMinCount = 5L
+  private val PcaIters = 3
+
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Long], Seq[Long])]()
+  private def pcaModel(s: SparkSession, dir: String): (Seq[Long], Seq[Long]) =
+    pcaCache.computeIfAbsent(dir, _ =>
+      graft.ext.Pca.topComponent(t(s, dir, "embeddings"), PcaIters))
+
+  private val WinN = 3
+  private val WinW = 4
+  private val WinMinShared = 2
+  private val WinDfCap = 50
+
+  // ---- oracles ------------------------------------------------------------
+
+  /** Unrolled Lloyd stages: m (micro grid), c0 (init), then per
+    * iteration a_i (exact argmin assignment), u_i (floor-mean update),
+    * c_i (LEFT join: emptied clusters keep their previous grid).
+    */
+  private def kmeansStagesSql(k: Int, iters: Int): String = {
+    val d2 = "CAST(list_sum(list_transform(range(1,65), j -> " +
+      "(v.m[j]-c.cm[j])*(v.m[j]-c.cm[j]))) AS BIGINT)"
+    val m =
+      """m AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS m
+           FROM embeddings)"""
+    val c0 =
+      s"""c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+            AS cid, m AS cm
+          FROM (SELECT vec_id, m FROM m ORDER BY vec_id LIMIT $k))"""
+    val stages = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT vec_id, m, cid, d2 FROM (
+            SELECT vec_id, m, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM (SELECT v.vec_id, v.m, c.cid, $d2 AS d2
+                  FROM m v CROSS JOIN c${i - 1} c)) WHERE rn = 1),
+          u$i AS MATERIALIZED (SELECT cid, list((s + n*1000000) // n - 1000000
+                                   ORDER BY dim) AS cm FROM (
+            SELECT cid, t.j AS dim, CAST(SUM(m[t.j]) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM a$i CROSS JOIN range(1,65) t(j)
+            GROUP BY cid, t.j) GROUP BY cid),
+          c$i AS MATERIALIZED (SELECT p.cid, coalesce(u.cm, p.cm) AS cm
+                  FROM c${i - 1} p LEFT JOIN u$i u USING (cid))"""
+    }.mkString(",\n")
+    s"$m,\n$c0,\n$stages"
+  }
+
+  /** Winnowing stage prelude: t (token arrays), g (gram hash arrays),
+    * s (selected fingerprints — window minima, distinct per doc).
+    */
+  private def winnowStagesSql(n: Int, w: Int): String =
+    s"""t AS MATERIALIZED (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+        g AS MATERIALIZED (
+          SELECT doc_id,
+            CASE WHEN len(w) >= $n
+              THEN list_transform(range(1, len(w) - $n + 2),
+                i -> CAST(('0x' || substr(md5(
+                  array_to_string(w[i:i+$n-1], ' ')), 1, 15)) AS BIGINT))
+              ELSE [] END AS h
+          FROM t),
+        s AS MATERIALIZED (
+          SELECT doc_id, len(h) AS n_grams,
+            list_distinct(
+              CASE WHEN len(h) >= $w
+                THEN list_transform(range(1, len(h) - $w + 2),
+                       i -> list_min(h[i:i+$w-1]))
+                WHEN len(h) >= 1 THEN [list_min(h)]
+                ELSE [] END) AS fps
+          FROM g)"""
+
+  /** PCA power-iteration stage prelude: m (micro grid), mu (floor-mean),
+    * x (centered), v0 (lowest-vec_id init), then per step y_i (in-row
+    * projection), z_i (HUGEINT Gram product), v_i (L∞ floor-renorm).
+    */
+  private def pcaStagesSql(iters: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """m AS MATERIALIZED (SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS m
+         FROM embeddings)""",
+      """mu AS MATERIALIZED (SELECT list((s + n*1000000)//n - 1000000
+             ORDER BY dim) AS mu FROM (
+           SELECT t.j AS dim, CAST(SUM(m[t.j]) AS BIGINT) AS s,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM m CROSS JOIN range(1,65) t(j) GROUP BY t.j))""",
+      """x AS MATERIALIZED (SELECT vec_id, list_transform(range(1,65),
+           j -> m[j] - mu[j]) AS x FROM m CROSS JOIN mu)""",
+      """v0 AS MATERIALIZED (SELECT x AS v FROM x ORDER BY vec_id LIMIT 1)""")
+    for (i <- 1 to iters) {
+      parts += s"""y$i AS MATERIALIZED (SELECT vec_id, x,
+          CAST(list_sum(list_transform(range(1,65), j -> x[j] * v[j]))
+            AS BIGINT) AS y
+          FROM x CROSS JOIN v${i - 1})"""
+      parts += s"""z$i AS MATERIALIZED (SELECT t.j AS dim,
+          SUM(CAST(x[t.j] AS HUGEINT) * CAST(y AS HUGEINT)) AS z
+          FROM y$i CROSS JOIN range(1,65) t(j) GROUP BY t.j)"""
+      parts += s"""v$i AS MATERIALIZED (SELECT
+          list(CAST((z*1000000 + mx*1000000) // mx - 1000000 AS BIGINT)
+               ORDER BY dim) AS v
+          FROM z$i CROSS JOIN (SELECT MAX(ABS(z)) AS mx FROM z$i))"""
+    }
+    parts.mkString(",\n")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q358_winnow_census" ->
+      s"""WITH ${winnowStagesSql(WinN, WinW)}
+          SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                 CAST(len(fps) AS BIGINT) AS n_fps,
+                 list_min(fps) AS fp_min, list_max(fps) AS fp_max
+          FROM s WHERE n_grams >= 1 ORDER BY doc_id""",
+
+    "q359_winnow_pairs" ->
+      s"""WITH ${winnowStagesSql(WinN, WinW)},
+          fp AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM s),
+          rare AS (SELECT fp FROM (SELECT fp, count(*) AS df
+                                   FROM fp GROUP BY fp)
+                   WHERE df <= $WinDfCap AND df >= 2),
+          idx AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= $WinMinShared
+          ORDER BY doc_a, doc_b""",
+
+    "q360_kn_bigram" ->
+      s"""WITH w AS MATERIALIZED (
+            SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> regexp_matches(x, '^[a-z0-9]+$$')) AS w
+            FROM documents),
+          cvw AS MATERIALIZED (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM (
+              SELECT w[i] AS a, w[i + 1] AS b
+              FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM w WHERE len(w) >= 2)) GROUP BY 1, 2),
+          cv AS (SELECT a, CAST(sum(c) AS BIGINT) AS cv,
+                        CAST(count(*) AS BIGINT) AS n1p
+                 FROM cvw GROUP BY a),
+          n1r AS (SELECT b, CAST(count(*) AS BIGINT) AS n1r
+                  FROM cvw GROUP BY b),
+          npp AS (SELECT CAST(count(*) AS BIGINT) AS npp FROM cvw)
+          SELECT a, b, c AS c_vw,
+                 CAST((4*c - 3)*npp + 3*n1p*n1r AS BIGINT) AS num,
+                 CAST(4*cv*npp AS BIGINT) AS den
+          FROM cvw JOIN cv USING (a) JOIN n1r USING (b) CROSS JOIN npp
+          WHERE c >= $KnMinCount ORDER BY a, b""",
+
+    "q361_pca_component" ->
+      s"""WITH ${pcaStagesSql(PcaIters)}
+          SELECT CAST(t.j AS BIGINT) AS dim, mu[t.j] AS mu_micro,
+                 v[t.j] AS v_micro
+          FROM range(1,65) t(j) CROSS JOIN mu CROSS JOIN v$PcaIters
+          ORDER BY dim""",
+
+    "q362_pca_projection" ->
+      s"""WITH ${pcaStagesSql(PcaIters)},
+          p AS (SELECT e.vec_id, CAST(list_sum(list_transform(range(1,65),
+                  j -> x[j]*v[j])) AS BIGINT) AS y
+                FROM x e CROSS JOIN v$PcaIters)
+          SELECT CAST(l.label AS BIGINT) AS label,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(p.y) AS BIGINT) AS sum_y,
+                 CAST(MIN(p.y) AS BIGINT) AS min_y,
+                 CAST(MAX(p.y) AS BIGINT) AS max_y
+          FROM p JOIN embeddings l ON l.vec_id = p.vec_id
+          GROUP BY 1 ORDER BY 1""",
+
+    "q356_kmeans_centroids" ->
+      s"""WITH ${kmeansStagesSql(K, Iters)}
+          SELECT cid, CAST(t.j AS BIGINT) AS dim, cm[t.j] AS c_micro
+          FROM c$Iters CROSS JOIN range(1,65) t(j)
+          ORDER BY cid, dim""",
+
+    "q357_kmeans_census" ->
+      s"""WITH ${kmeansStagesSql(K, Iters)},
+          af AS (SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM (SELECT v.vec_id, c.cid,
+                         CAST(list_sum(list_transform(range(1,65), j ->
+                           (v.m[j]-c.cm[j])*(v.m[j]-c.cm[j]))) AS BIGINT) AS d2
+                  FROM m v CROSS JOIN c$Iters c)) WHERE rn = 1)
+          SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(d2) AS BIGINT) AS inertia
+          FROM af GROUP BY cid ORDER BY cid"""
+  )
+}
