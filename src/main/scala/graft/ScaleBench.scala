@@ -1920,6 +1920,78 @@ object ScaleBench {
               k = 10, dfCap = 100)
             .agg(sum("cos_micro"), count(lit(1))).collect()
         }
+      },
+      "winnow_hot_fp" -> { n =>
+        time {
+          // overlapPairs' adversary: every document opens with the same
+          // 16-token boilerplate, so its selected fingerprints are
+          // corpus-universal (df = corpus — the d²/2 self-join bomb);
+          // genuine duplicate pairs come from two shards sharing per-i
+          // tails. The dfCap excludes the boilerplate fingerprints
+          // BEFORE the join squares them; linear per_row_ratio is the
+          // proof, exactly like jaccard_hot_df / lexrank_hot_term.
+          val m = n / 400
+          val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+          def shard(tag: Int) = spark.range(m).select(
+            (col("id") * 2 + tag).as("doc_id"),
+            concat(lit(boiler + " "), concat_ws(" ",
+              (0 until 10).map(j => concat(lit(s"u$j."),
+                pmod(hash(col("id"), lit(j)), lit(1000000000))
+                  .cast("string"))): _*)).as("text"))
+          graft.ext.Winnow.overlapPairs(
+              shard(0).union(shard(1)), 3, 4, 2, 50)
+            .agg(sum("n_shared"), count(lit(1))).collect()
+        }
+      },
+      "kmeans_lloyd_pass" -> { n =>
+        time {
+          // one full-corpus Lloyd pass (k=4, dim 8): assignment is the
+          // in-row argmin over literal grids (no join), the update one
+          // combinable (cid, dim) aggregate — at most k·d cells per map
+          // partition survive to the exchange. Linear per_row_ratio
+          // certifies the trainer reads the corpus once per iteration
+          // with model-sized shuffles.
+          val m = n / 100
+          val vecs = spark.range(m).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(7)), j =>
+              (pmod(hash(col("id"), j), lit(2000)).cast("double") / 1000.0
+                - 1.0).cast("float")).as("embedding"))
+          graft.ext.KMeans.lloyd(vecs, 4, 1)
+        }
+      },
+      "kn_hot_bigram" -> { n =>
+        time {
+          // Kneser-Ney's adversary: one bigram carries half of all
+          // occurrences (a corpus-universal collocation). The census
+          // map-side combines the hot pair to one row per partition and
+          // every downstream table is vocabulary-sized; linear
+          // per_row_ratio certifies the smoother never materializes
+          // occurrence-grained state past the first aggregate.
+          val m = n / 20
+          val docs = spark.range(m).select(col("id").as("doc_id"),
+            concat(lit("h0 h1 h0 h1 h0 h1 h0 h1 x"),
+              pmod(hash(col("id")), lit(2000)).cast("string"),
+              lit(" y"),
+              pmod(hash(col("id"), lit(1)), lit(2000)).cast("string"))
+              .as("text"))
+          graft.ext.LangModel.knBigram(docs, 1L)
+            .agg(sum("num"), sum("den"), count(lit(1))).collect()
+        }
+      },
+      "pca_power_step" -> { n =>
+        time {
+          // mean pass + one power step (dim 8): y is an in-row fold
+          // (the iterate rides as a literal), z one combinable d-cell
+          // aggregate in decimal(38,0) — per-iteration driver traffic
+          // is d values. Linear per_row_ratio certifies the component
+          // trainer is one-pass-per-step with model-sized shuffles.
+          val m = n / 100
+          val vecs = spark.range(m).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(7)), j =>
+              (pmod(hash(col("id"), j), lit(2000)).cast("double") / 1000.0
+                - 1.0).cast("float")).as("embedding"))
+          graft.ext.Pca.topComponent(vecs, 1)
+        }
       })
 
     // min over `reps` measurements per size: this box's 10-100 s ambient

@@ -101,4 +101,52 @@ object Pca {
           zip_with(col("m"), typedLit(mu), (a, b) => a - b),
           typedLit(v), (a, b) => a * b),
         lit(0L), (acc, t) => acc + t).as("y"))
+
+  /** All-but-the-top debiased kNN, exactly: similarity after removing
+    * the mean and the component along `v` is
+    *   ⟨x'a, x'b⟩ − y_a·y_b/⟨v,v⟩
+    * — a rational whose denominator ⟨v,v⟩ is SHARED by every pair, so
+    * ranking needs only the integer numerator
+    *   score = ⟨x'a, x'b⟩·⟨v,v⟩ − y_a·y_b
+    * (up to ~10²⁸ — the decimal(38,0)/HUGEINT widening is load-bearing,
+    * like the PCA Gram products). Emitted snapped to the 10¹⁰ grid via
+    * a positive-offset floor-div so the comparison column is a plain
+    * BIGINT; ordering ties on the grid break by neighbor_id — the same
+    * total order on both engines.
+    *
+    * Scale: x' and y are per-row projections, scoring crossJoins the
+    * corpus against the BROADCAST nQueries rows only, and the per-query
+    * top-k is the bounded-heap aggregate (no corpus-sized windows).
+    */
+  def debiasedKnn(emb: DataFrame, mu: Seq[Long], v: Seq[Long],
+                  k: Int, nQueries: Int): DataFrame = {
+    val vv: Long = v.map(x => x * x).sum
+    val xy = KMeans.micro(emb)
+      .select(col("vec_id"),
+        zip_with(col("m"), typedLit(mu), (a, b) => a - b).as("x"))
+      .select(col("vec_id"), col("x"),
+        aggregate(zip_with(col("x"), typedLit(v), (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t).as("y"))
+    val q = xy.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("x").as("qx"),
+        col("y").as("qy"))
+    val scored = xy.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (aggregate(zip_with(col("x"), col("qx"), (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t).cast("decimal(19,0)") *
+          lit(vv).cast("decimal(19,0)") -
+          col("y").cast("decimal(19,0)") * col("qy").cast("decimal(19,0)"))
+          .as("score"))
+      // |score| ≤ ~1.1e28 < 2e28, so score + 2e28 > 0 and truncating
+      // div IS floor div on both engines; 2e28/1e10 = 2e18 shifts back
+      .select(col("query_id"), col("vec_id"),
+        (expr("(score + CAST('20000000000000000000000000000' AS DECIMAL(38,0)))" +
+          " div CAST('10000000000' AS DECIMAL(38,0))") -
+          lit(2000000000000000000L)).as("s10"))
+    graft.functions.TopKFunctions.topkPerGroup(scored,
+        Seq(col("query_id")), col("s10"), col("vec_id"), k)
+      .select(col("query_id"), col("rnk"),
+        col("id").as("neighbor_id"), col("key").as("score_s10"))
+  }
 }

@@ -99,8 +99,50 @@ object Round15bQueries {
         .agg(count(lit(1)).as("n"), sum("y").as("sum_y"),
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("label")
-    })
+    }),
+
+    // The payoff composition: kNN under the DEBIASED similarity (mean
+    // and top component removed) — ranked by the exact integer
+    // numerator score = ⟨x'a,x'b⟩·⟨v,v⟩ − y_a·y_b (shared denominator,
+    // so no division), snapped to a 10¹⁰ grid for the BIGINT boundary.
+    // Corpus × 5 broadcast queries, bounded-heap top-10 per query; the
+    // oracle re-learns mean + component, then re-ranks from scratch.
+    "q363_abtt_knn" -> ((s, dir) => {
+      val (mu, v) = pcaModel(s, dir)
+      graft.ext.Pca.debiasedKnn(t(s, dir, "embeddings"), mu, v,
+          AbttK, AbttQueries)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Distributed batch perceptron, 3 epochs from w = 0 (margin ≤ 0
+    // updates — the deterministic cold start): the weight TRAJECTORY is
+    // gated, and the oracle re-learns all 3 epochs (unrolled
+    // misclassify → gradient-sum → weight-add stages).
+    "q364_perceptron_train" -> ((s, dir) =>
+      graft.ext.Perceptron.trajectoryTable(s, percTraj(s, dir))
+        .orderBy("epoch", "dim")),
+
+    // Confusion census under the final weights: exact sign of ⟨w, x⟩
+    // per vector, one combinable aggregate. Both engines train their
+    // own model first.
+    "q365_perceptron_confusion" -> ((s, dir) =>
+      graft.ext.Perceptron.confusion(t(s, dir, "embeddings"), PercSplit,
+          percTraj(s, dir).last._2)
+        .orderBy("y", "pred"))
   )
+
+  private val AbttK = 10
+  private val AbttQueries = 5
+  private val PercSplit = 5
+  private val PercEpochs = 3
+
+  private val percCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, Seq[Long], Long)]]()
+  private def percTraj(s: SparkSession,
+                       dir: String): Seq[(Int, Seq[Long], Long)] =
+    percCache.computeIfAbsent(dir, _ =>
+      graft.ext.Perceptron.train(t(s, dir, "embeddings"), PercSplit,
+        PercEpochs))
 
   private val KnMinCount = 5L
   private val PcaIters = 3
@@ -211,6 +253,36 @@ object Round15bQueries {
     parts.mkString(",\n")
   }
 
+  /** Batch-perceptron stage prelude: ft (micro features, ±1 labels),
+    * w0 = 0, then per epoch mi_i (margin ≤ 0 set), u_i (gradient sum),
+    * w_i (LEFT join add — an empty update leaves w unchanged).
+    */
+  private def perceptronStagesSql(split: Int, epochs: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""ft AS MATERIALIZED (SELECT vec_id,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(floor(x*1000000+0.5) AS BIGINT)) AS x,
+            CASE WHEN label < $split THEN CAST(1 AS BIGINT)
+                 ELSE CAST(-1 AS BIGINT) END AS y
+          FROM embeddings)""",
+      """w0 AS (SELECT list_transform(range(1,65),
+           j -> CAST(0 AS BIGINT)) AS w)""")
+    for (i <- 1 to epochs) {
+      parts += s"""mi$i AS MATERIALIZED (SELECT vec_id, x, y
+          FROM ft CROSS JOIN w${i - 1}
+          WHERE y * CAST(list_sum(list_transform(range(1,65),
+                  j -> x[j]*w[j])) AS BIGINT) <= 0)"""
+      parts += s"""u$i AS MATERIALIZED (SELECT t.j AS dim,
+            CAST(SUM(y * x[t.j]) AS BIGINT) AS g
+          FROM mi$i CROSS JOIN range(1,65) t(j) GROUP BY t.j)"""
+      parts += s"""w$i AS MATERIALIZED (SELECT
+            list(w[t.j] + coalesce(u.g, 0) ORDER BY t.j) AS w
+          FROM w${i - 1} CROSS JOIN range(1,65) t(j)
+          LEFT JOIN u$i u ON u.dim = t.j)"""
+    }
+    parts.mkString(",\n")
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q358_winnow_census" ->
@@ -274,6 +346,50 @@ object Round15bQueries {
                  CAST(MAX(p.y) AS BIGINT) AS max_y
           FROM p JOIN embeddings l ON l.vec_id = p.vec_id
           GROUP BY 1 ORDER BY 1""",
+
+    "q363_abtt_knn" ->
+      s"""WITH ${pcaStagesSql(PcaIters)},
+          xy AS MATERIALIZED (SELECT vec_id, x,
+            CAST(list_sum(list_transform(range(1,65), j -> x[j]*v[j]))
+              AS BIGINT) AS y
+            FROM x CROSS JOIN v$PcaIters),
+          vvt AS (SELECT CAST(list_sum(list_transform(range(1,65),
+                    j -> v[j]*v[j])) AS BIGINT) AS vv FROM v$PcaIters),
+          sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST((CAST(list_sum(list_transform(range(1,65),
+                    j -> c.x[j]*q.x[j])) AS HUGEINT) * vv
+                  - CAST(c.y AS HUGEINT) * CAST(q.y AS HUGEINT)
+                  + CAST('20000000000000000000000000000' AS HUGEINT))
+                 // 10000000000 - 2000000000000000000 AS BIGINT) AS s10
+            FROM xy c CROSS JOIN (SELECT * FROM xy
+                                  WHERE vec_id < $AbttQueries) q
+            CROSS JOIN vvt WHERE c.vec_id <> q.vec_id),
+          r AS (SELECT query_id, neighbor_id, s10,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s10 DESC, neighbor_id)
+                         AS rnk
+                FROM sc)
+          SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+                 s10 AS score_s10
+          FROM r WHERE rnk <= $AbttK ORDER BY query_id, rnk""",
+
+    "q364_perceptron_train" -> {
+      val union = (1 to PercEpochs).map { e =>
+        s"""SELECT CAST($e AS BIGINT) AS epoch, CAST(t.j AS BIGINT) AS dim,
+              w[t.j] AS w_micro,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM mi$e) AS n_updates
+            FROM w$e CROSS JOIN range(1,65) t(j)"""
+      }.mkString(" UNION ALL ")
+      s"""WITH ${perceptronStagesSql(PercSplit, PercEpochs)}
+          $union ORDER BY epoch, dim"""
+    },
+
+    "q365_perceptron_confusion" ->
+      s"""WITH ${perceptronStagesSql(PercSplit, PercEpochs)}
+          SELECT y, CAST(sign(CAST(list_sum(list_transform(range(1,65),
+                   j -> x[j]*w[j])) AS BIGINT)) AS BIGINT) AS pred,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ft CROSS JOIN w$PercEpochs GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q356_kmeans_centroids" ->
       s"""WITH ${kmeansStagesSql(K, Iters)}

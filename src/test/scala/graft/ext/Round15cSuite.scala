@@ -237,6 +237,83 @@ class Round15cSuite extends SparkSpec {
     }
   }
 
+  describe("Perceptron.train") {
+    it("matches a from-scratch BigInt batch perceptron") {
+      val emb = embeddings.filter(col("vec_id") < 120)
+      val got = Perceptron.train(emb, 5, 3)
+      // driver oracle
+      val data = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>"), col("label"))
+        .as[(Long, Seq[Double], Int)].collect()
+        .map { case (_, v, l) =>
+          (v.map(x => math.floor(x * 1e6 + 0.5).toLong).toVector,
+            if (l < 5) 1L else -1L)
+        }
+      var w = Vector.fill(64)(0L)
+      val want = (1 to 3).map { e =>
+        val miscl = data.filter { case (x, y) =>
+          y * x.zip(w).map { case (a, b) => a * b }.sum <= 0
+        }
+        val g = (0 until 64).map(j => miscl.map { case (x, y) => y * x(j) }.sum)
+        w = w.zip(g).map { case (a, b) => a + b }
+        (e, w.toSeq, miscl.length.toLong)
+      }
+      assert(got.map(t => (t._1, t._2, t._3)) == want)
+    }
+
+    it("confusion census matches the driver recompute") {
+      val emb = embeddings.filter(col("vec_id") < 120)
+      val w = Perceptron.train(emb, 5, 2).last._2
+      val got = Perceptron.confusion(emb, 5, w)
+        .as[(Long, Long, Long)].collect().toSet
+      val data = emb.select(col("embedding").cast("array<double>"),
+          col("label")).as[(Seq[Double], Int)].collect()
+        .map { case (v, l) =>
+          (v.map(x => math.floor(x * 1e6 + 0.5).toLong), if (l < 5) 1L else -1L)
+        }
+      val want = data.map { case (x, y) =>
+        (y, x.zip(w).map { case (a, b) => a * b }.sum.sign.toLong)
+      }.groupBy(identity).map { case ((y, p), v) => (y, p, v.length.toLong) }
+        .toSet
+      assert(got == want)
+    }
+  }
+
+  describe("Pca.debiasedKnn") {
+    it("matches a from-scratch BigInt debiased re-rank") {
+      val emb = embeddings.filter(col("vec_id") < 80)
+      val (mu, v) = Pca.topComponent(emb, 2)
+      val got = Pca.debiasedKnn(emb, mu, v, 5, 3)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      // driver oracle in BigInt
+      val vecs = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+        .map { case (id, vv) =>
+          id -> vv.map(x => BigInt(math.floor(x * 1e6 + 0.5).toLong))
+            .zip(mu.map(BigInt(_))).map { case (a, b) => a - b }.toVector
+        }
+      val vB = v.map(BigInt(_)).toVector
+      val vv = vB.map(x => x * x).sum
+      val ys = vecs.map { case (id, x) =>
+        id -> x.zip(vB).map { case (a, b) => a * b }.sum
+      }.toMap
+      val xsM = vecs.toMap
+      val big = BigInt("20000000000000000000000000000")
+      val want = (0L until 3L).flatMap { q =>
+        vecs.filter(_._1 != q).map { case (id, x) =>
+          val dot = x.zip(xsM(q)).map { case (a, b) => a * b }.sum
+          val score = dot * vv - ys(id) * ys(q)
+          val s10 = (score + big) / BigInt(10000000000L) -
+            BigInt(2000000000000000000L)
+          (q, id, s10.toLong)
+        }.sortBy { case (_, id, s) => (-s, id) }.take(5).zipWithIndex
+          .map { case ((qq, id, s), i) => (qq, (i + 1).toLong, id, s) }
+      }.sorted
+      assert(got == want)
+    }
+  }
+
   describe("TextAnalysis.bpeFertility") {
     it("matches a from-scratch apply + census on a synthetic corpus") {
       val docs = Seq(
