@@ -100,6 +100,12 @@ object Sf1Bench {
     val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/testdata-sf1")
     val reps = args.headOption.map(_.toInt).getOrElse(2)
+    // optional explicit query set (args 2+): anchors a NEW operator
+    // batch without redefining the committed top-20 artifact; output
+    // goes to docs/bench_sf1_extra.json instead
+    val names = if (args.length > 1) args.drop(1).toSeq else Top20
+    val outPath = if (args.length > 1) "docs/bench_sf1_extra.json"
+                  else "docs/bench_sf1_top20.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -127,7 +133,7 @@ object Sf1Bench {
     def d2(x: Double): String = f"$x%.2f"
     val out = new StringBuilder("{")
     var first = true
-    for (name <- Top20) {
+    for (name <- names) {
       var mSmall = Double.MaxValue
       var mBig = Double.MaxValue
       for (_ <- 1 to reps) {
@@ -144,7 +150,7 @@ object Sf1Bench {
     }
     out.append(s""","max_stall_sec":${d2(StallMeter.runMaxGapSec())}}""")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("docs/bench_sf1_top20.json"), out.toString)
+      java.nio.file.Paths.get(outPath), out.toString)
     println(out.toString)
     spark.stop()
   }

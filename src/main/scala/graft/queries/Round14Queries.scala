@@ -30,7 +30,7 @@ object Round14Queries {
     * maxFilesPerTrigger=1 feeds the same file as SEPARATE micro-batches
     * so streaming state actually merges across arrivals.
     */
-  private def runDocsStream(
+  private[queries] def runDocsStream(
       s: SparkSession, dir: String, prefix: String, copies: Int,
       options: Map[String, String] = Map.empty)(
       use: DataFrame => DataFrame): DataFrame = {

@@ -20,7 +20,6 @@ object Round15bQueries {
 
   private val K = 4
   private val Iters = 3
-  private val Dim = 64
 
   /** One training per sf dir (the train-once/serve-everywhere seam);
     * q356 gates the learned grid itself, q357 gates serving with it.
@@ -128,7 +127,27 @@ object Round15bQueries {
     "q365_perceptron_confusion" -> ((s, dir) =>
       graft.ext.Perceptron.confusion(t(s, dir, "embeddings"), PercSplit,
           percTraj(s, dir).last._2)
-        .orderBy("y", "pred"))
+        .orderBy("y", "pred")),
+
+    // Winnowing over a STREAM: the same selection (a stateless per-row
+    // projection, so it composes with Structured Streaming for free)
+    // feeding a stateful per-fingerprint (count, min-owner) table; the
+    // docs file arrives as TWO micro-batches, so the final complete-
+    // mode state must equal the batch recompute with doubled df — the
+    // q343 seam, for the winnowing index.
+    "q366_stream_winnow_census" -> ((s, dir) =>
+      Round14Queries.runDocsStream(s, dir, "q366_docs_", copies = 2,
+          Map("maxFilesPerTrigger" -> "1")) { raw =>
+        val fps = graft.ext.Winnow.fingerprints(
+          raw.select(col("doc_id"), col("text")), WinN, WinW)
+        val state = fps.groupBy("fp")
+          .agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+        val out = graft.streaming.EventStream.runToMemory(state,
+          StreamingQueries.memName("q366_mem_"), statePartitions = Some(8))
+        out.groupBy("df")
+          .agg(count(lit(1)).as("n_fps"), sum("owner").as("owner_sum"))
+          .orderBy("df")
+      })
   )
 
   private val AbttK = 10
@@ -372,6 +391,16 @@ object Round15bQueries {
           SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
                  s10 AS score_s10
           FROM r WHERE rnk <= $AbttK ORDER BY query_id, rnk""",
+
+    "q366_stream_winnow_census" ->
+      s"""WITH ${winnowStagesSql(WinN, WinW)},
+          fp AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM s),
+          st AS (SELECT fp, 2*CAST(count(*) AS BIGINT) AS df,
+                        CAST(min(doc_id) AS BIGINT) AS owner
+                 FROM fp GROUP BY fp)
+          SELECT df, CAST(count(*) AS BIGINT) AS n_fps,
+                 CAST(sum(owner) AS BIGINT) AS owner_sum
+          FROM st GROUP BY df ORDER BY df""",
 
     "q364_perceptron_train" -> {
       val union = (1 to PercEpochs).map { e =>
