@@ -67,6 +67,15 @@ object Perceptron {
         w = w.zipWithIndex.map { case (wd, j) =>
           wd + g.getOrElse((j + 1).toLong, 0L)
         }
+        // margin = y·⟨w, x⟩ must stay exact in signed 64-bit: with
+        // |x_d| ≤ ~1.3·10⁶ micro and 64 dims, that needs
+        // |w_d| < 2⁶³/(64·1.3·10⁶) ≈ 1.1·10¹¹. |w_d| grows with the
+        // update-support size, so fail loud (Spark would wrap silently
+        // in non-ANSI mode) instead of serving a wrong trajectory —
+        // checked on the already-collected model, no extra job.
+        require(w.forall(wd => math.abs(wd) < 110000000000L),
+          s"perceptron epoch $e: |w| exceeds the exact-margin bound " +
+            "(corpus too large for 64-bit margins; shard or scale down)")
         out += ((e, w, miscl))
       }
       out.toSeq

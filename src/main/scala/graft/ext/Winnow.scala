@@ -37,23 +37,21 @@ import graft.functions.Portable
 object Winnow {
 
   /** (doc_id, n_grams, fps): gram count and the DISTINCT selected
-    * fingerprints per document, staged as projection barriers.
+    * fingerprints per document. The selection is ONE kernel expression
+    * ([[graft.functions.WinnowKernel]]) — the builtin-chain phrasing
+    * (gram transform → md5 transform → window minima) costs ~9 s of
+    * FIXED plan/codegen overhead per invocation once predicate
+    * pushdown copies it into every pre-scan Filter; the kernel call
+    * copies as one generated line.
     */
   private def selected(docs: DataFrame, n: Int, w: Int): DataFrame =
     docs
       .select(col("doc_id"), Portable.wsTokens(col("text")).as("__w"))
       .select(col("doc_id"),
-        when(size(col("__w")) >= n,
-          transform(sequence(lit(1), size(col("__w")) - (n - 1)),
-            i => concat_ws(" ", slice(col("__w"), i, lit(n)))))
-          .otherwise(expr("array()")).as("__g"))
-      .select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"),
-        transform(col("__g"), g => Portable.hash60(g)).as("__h"))
-      .select(col("doc_id"), col("n_grams"),
-        graft.functions.WinnowFunctions.slidingMin(col("__h"), w)
-          .as("__win"))
-      .select(col("doc_id"), col("n_grams"),
-        array_distinct(col("__win")).as("fps"))
+        greatest(size(col("__w")) - (n - 1), lit(0)).cast("long")
+          .as("n_grams"),
+        graft.functions.WinnowFunctions.winnowSelect(col("__w"), n, w)
+          .as("fps"))
 
   /** Per-document fingerprint census: (doc_id, n_grams, n_fps, fp_min,
     * fp_max) for every document with at least one gram. Pure

@@ -132,10 +132,21 @@ object Round15Queries {
     val ckptDir = java.nio.file.Files.createTempDirectory(prefix + "ckpt_")
     val target = java.nio.file.Paths.get(dir).toAbsolutePath
       .resolve("documents.parquet")
-    def link(i: Int): java.nio.file.Path = {
-      val l = streamDir.resolve(s"copy$i.parquet")
-      java.nio.file.Files.createSymbolicLink(l, target)
-      l
+    // directory-shaped tables (Spark-written scale-ups) must be linked
+    // per part file — the stream source lists non-recursively (see
+    // Round14Queries.runDocsStream)
+    def link(i: Int): Unit = {
+      val srcs =
+        if (java.nio.file.Files.isDirectory(target)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(target).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
+        } else Seq(target)
+      srcs.zipWithIndex.foreach { case (src, j) =>
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve(s"copy${i}_$j.parquet"), src)
+      }
     }
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.KMeans
 
@@ -129,6 +129,93 @@ object Round15bQueries {
           percTraj(s, dir).last._2)
         .orderBy("y", "pred")),
 
+    // Winnowing overlap pairs → connected components: the contiguous-
+    // overlap clusters (plagiarism/contamination families), champion =
+    // min doc_id per component (DedupGroups' hash-to-min CC); verified
+    // against a DuckDB RECURSIVE transitive closure over the SAME
+    // re-derived pair set.
+    "q367_winnow_components" -> ((s, dir) => {
+      val pairs = graft.ext.Winnow.overlapPairs(t(s, dir, "documents"),
+          WinN, WinW, WinMinShared, WinDfCap)
+        .select(col("doc_a"), col("doc_b"))
+      graft.ext.DedupGroups.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // Misra-Gries-GATED heavy hitters: the output is the EXACT census
+    // of tokens with count > n/k (deterministic); the MG summary — the
+    // O(k)-state sketch a 100 TB hot-key scan would ship — is used
+    // in-plan to fail loud if its membership guarantee (every true
+    // heavy hitter survives the summary) is ever violated. The gate is
+    // result-invisible by theorem; the sketch is exercised on every
+    // run.
+    "q368_mg_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.Portable.wsTokens(col("text")))
+          .as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .select(col("w"), graft.functions.Portable.hash60(col("w")).as("h"))
+      val exact = toks.groupBy("w", "h").agg(count(lit(1)).as("cnt"))
+      val nDf = exact.agg(sum("cnt").as("n"))
+      // the summary is a bounded model read: ≤ k−1 (key, cnt) entries
+      val cands = toks
+        .agg(graft.functions.MgFunctions.misraGries(col("h"), MgK).as("s"))
+        .selectExpr("explode(s) AS e").select(col("e.key"))
+        .collect().map(_.getLong(0)).toSeq
+      exact.crossJoin(broadcast(nDf))
+        .filter(col("cnt") * MgK > col("n"))
+        .select(col("w"),
+          when(col("h").isin(cands: _*), col("cnt"))
+            .otherwise(raise_error(concat(
+              lit("MG guarantee violated for token "), col("w"))))
+            .as("cnt"),
+          col("n"))
+        .orderBy("w")
+    }),
+
+    // Hash-derived ±1 random projection (Achlioptas): 64 → 16 dims on
+    // the exact micro grid. The sign matrix is the md5 parity of
+    // "rp:d:j" — a PUBLIC derivation both engines compute from the
+    // seed string, so nothing learned or random crosses engines.
+    // Output: (vec_id, j, z) exploded projections.
+    "q369_random_projection" -> ((s, dir) =>
+      graft.ext.RandomProjection.project(t(s, dir, "embeddings"), RpK)
+        .select(col("vec_id"), posexplode(col("z")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+          col("col").as("z"))
+        .orderBy("vec_id", "j")),
+
+    // The JL quality table, measured exactly: for 5 broadcast queries ×
+    // corpus, original exact squared distance (micro²) vs projected
+    // squared distance — with ±1 signs E[d2_proj] = k·d2_orig, and
+    // ratio_micro = ⌊d2_proj·10⁶ / (k·d2_orig)⌋ makes the estimator's
+    // concentration itself an exact, hash-gated observable.
+    "q370_rp_distance_check" -> ((s, dir) => {
+      val z = graft.ext.RandomProjection.project(t(s, dir, "embeddings"),
+        RpK)
+      val m = graft.ext.KMeans.micro(t(s, dir, "embeddings"))
+        .join(z, "vec_id")
+      val q = m.filter(col("vec_id") < RpQueries)
+        .select(col("vec_id").as("query_id"), col("m").as("qm"),
+          col("z").as("qz"))
+      def d2(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, t) => acc + t)
+      m.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          d2(col("m"), col("qm")).as("d2_orig"),
+          d2(col("z"), col("qz")).as("d2_proj"))
+        .filter(col("d2_orig") > 0)
+        .select(col("query_id"), col("vec_id"), col("d2_orig"),
+          col("d2_proj"),
+          // d2_proj·10⁶ reaches ~10¹⁹ — widen before the scale
+          expr(s"CAST(d2_proj AS DECIMAL(38,0)) * 1000000 div " +
+            s"($RpK * CAST(d2_orig AS DECIMAL(38,0)))")
+            .as("ratio_micro"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // Winnowing over a STREAM: the same selection (a stateless per-row
     // projection, so it composes with Structured Streaming for free)
     // feeding a stateful per-fingerprint (count, min-owner) table; the
@@ -154,6 +241,9 @@ object Round15bQueries {
   private val AbttQueries = 5
   private val PercSplit = 5
   private val PercEpochs = 3
+  private val MgK = 64
+  private val RpK = 16
+  private val RpQueries = 5
 
   private val percCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Int, Seq[Long], Long)]]()
@@ -302,6 +392,23 @@ object Round15bQueries {
     parts.mkString(",\n")
   }
 
+  /** Random-projection stage prelude: m (micro grid), sm (md5-parity
+    * sign matrix — re-derived, never transferred), z (projections).
+    */
+  private def rpStagesSql(k: Int): String =
+    s"""m AS MATERIALIZED (SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS m
+        FROM embeddings),
+        sm AS MATERIALIZED (SELECT d.range AS d, j.range AS j,
+          CASE WHEN CAST(('0x'||substr(md5('rp:'||d.range||':'||j.range),
+                 1, 15)) AS BIGINT) % 2 = 0
+               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS s
+          FROM range(1,65) d CROSS JOIN range(1,${k + 1}) j),
+        z AS MATERIALIZED (SELECT vec_id, sm.j AS j,
+          CAST(SUM(m[sm.d]*sm.s) AS BIGINT) AS z
+          FROM m CROSS JOIN sm GROUP BY vec_id, sm.j)"""
+
   val oracleSql: Map[String, String] = Map(
 
     "q358_winnow_census" ->
@@ -391,6 +498,65 @@ object Round15bQueries {
           SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
                  s10 AS score_s10
           FROM r WHERE rnk <= $AbttK ORDER BY query_id, rnk""",
+
+    "q369_random_projection" ->
+      s"""WITH ${rpStagesSql(RpK)}
+          SELECT vec_id, CAST(j AS BIGINT) AS j, z FROM z
+          ORDER BY vec_id, j""",
+
+    "q370_rp_distance_check" ->
+      s"""WITH ${rpStagesSql(RpK)},
+          zl AS MATERIALIZED (SELECT vec_id, list(z ORDER BY j) AS zl
+                              FROM z GROUP BY vec_id),
+          b AS MATERIALIZED (SELECT m.vec_id, m.m, zl.zl
+                             FROM m JOIN zl USING (vec_id)),
+          q AS (SELECT vec_id AS query_id, m AS qm, zl AS qz
+                FROM b WHERE vec_id < $RpQueries),
+          sc AS (SELECT q.query_id, b.vec_id,
+            CAST(list_sum(list_transform(range(1,65),
+              d -> (b.m[d]-q.qm[d])*(b.m[d]-q.qm[d]))) AS BIGINT)
+              AS d2_orig,
+            CAST(list_sum(list_transform(range(1,${RpK + 1}),
+              j -> (b.zl[j]-q.qz[j])*(b.zl[j]-q.qz[j]))) AS BIGINT)
+              AS d2_proj
+            FROM b CROSS JOIN q WHERE b.vec_id <> q.query_id)
+          SELECT query_id, vec_id, d2_orig, d2_proj,
+                 CAST((CAST(d2_proj AS HUGEINT) * 1000000)
+                      // ($RpK * CAST(d2_orig AS HUGEINT)) AS BIGINT)
+                   AS ratio_micro
+          FROM sc WHERE d2_orig > 0 ORDER BY query_id, vec_id""",
+
+    "q368_mg_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(list_filter(
+            string_split_regex(trim(text), '\\s+'),
+            x -> regexp_matches(x, '^[a-z0-9]+$$'))) AS w FROM documents),
+          c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+                FROM tok GROUP BY w),
+          nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+          SELECT w, cnt, n FROM c CROSS JOIN nt
+          WHERE cnt * $MgK > n ORDER BY w""",
+
+    "q367_winnow_components" -> {
+      val pairsSql = s"""WITH ${winnowStagesSql(WinN, WinW)},
+          fp AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM s),
+          rare AS (SELECT fp FROM (SELECT fp, count(*) AS df
+                                   FROM fp GROUP BY fp)
+                   WHERE df <= $WinDfCap AND df >= 2),
+          idx AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= $WinMinShared"""
+      s"""WITH RECURSIVE pr AS ($pairsSql),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+            nodes AS (SELECT DISTINCT a AS id FROM e),
+            reach(id, m) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.id)
+          SELECT id AS doc_id, min(m) AS component
+          FROM reach GROUP BY 1 ORDER BY doc_id"""
+    },
 
     "q366_stream_winnow_census" ->
       s"""WITH ${winnowStagesSql(WinN, WinW)},

@@ -279,6 +279,66 @@ class Round15cSuite extends SparkSpec {
     }
   }
 
+  describe("MisraGriesLong") {
+    it("summary always contains every key with count > n/k") {
+      val rnd = new scala.util.Random(37)
+      for (trial <- 1 to 5; k <- Seq(4, 16)) {
+        // zipf-ish stream: a few hot keys + a long tail
+        val stream = Seq.fill(3000) {
+          if (rnd.nextInt(3) == 0) rnd.nextInt(3).toLong
+          else rnd.nextInt(500).toLong + 100L
+        }
+        val n = stream.size.toLong
+        val exact = stream.groupBy(identity)
+          .map { case (key, v) => key -> v.size.toLong }
+        val heavy = exact.filter { case (_, c) => c * k > n }.keySet
+        val got = stream.toDF("h").repartition(7)
+          .agg(graft.functions.MgFunctions.misraGries(col("h"), k).as("s"))
+          .selectExpr("explode(s) AS e").select("e.key", "e.cnt")
+          .as[(Long, Long)].collect()
+        val cands = got.map(_._1).toSet
+        assert(got.length <= k - 1, s"trial $trial k=$k over capacity")
+        assert(heavy.subsetOf(cands),
+          s"trial $trial k=$k missed ${heavy -- cands}")
+        // counter never overestimates, underestimates by at most n/k
+        for ((key, c) <- got) {
+          assert(c <= exact(key), s"overestimate for $key")
+          assert(exact(key) - c <= n / k, s"error bound broken for $key")
+        }
+      }
+    }
+  }
+
+  describe("RandomProjection") {
+    it("projection matches a driver recompute and preserves norms in expectation") {
+      val emb = embeddings.filter(col("vec_id") < 60)
+      val k = 16
+      val got = RandomProjection.project(emb, k)
+        .as[(Long, Seq[Long])].collect().toMap
+      val signs = RandomProjection.signMatrix(64, k)
+      val vecs = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, v) =>
+          id -> v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+        }
+      for ((id, m) <- vecs) {
+        val want = signs.map(row =>
+          row.zip(m).map { case (s, x) => s * x }.sum)
+        assert(got(id) == want, s"vec $id")
+      }
+      // E[|z|^2] = k * |x|^2: check the corpus-level ratio is within 2x
+      val num = vecs.map { case (id, _) =>
+        got(id).map(z => BigInt(z) * BigInt(z)).sum
+      }.sum
+      val den = vecs.map { case (_, m) =>
+        m.map(x => BigInt(x) * BigInt(x)).sum
+      }.sum * k
+      val ratio = BigDecimal(num) / BigDecimal(den)
+      assert(ratio > 0.5 && ratio < 2.0, s"JL ratio off: $ratio")
+    }
+  }
+
   describe("Pca.debiasedKnn") {
     it("matches a from-scratch BigInt debiased re-rank") {
       val emb = embeddings.filter(col("vec_id") < 80)
