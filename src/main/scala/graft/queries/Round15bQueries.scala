@@ -4,14 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.KMeans
 
-/** Round-15 continuation batch:
+/** Round-15 continuation batch — the q354 re-learning gate generalized
+  * to every trainer shape, plus guarantee-carrying dedup/sketch
+  * operators:
   *  - q356/q357: full-corpus distributed Lloyd k-means on the exact
   *    micro grid — the oracle RE-LEARNS the centroids (the q354
   *    contract, for vectors), closing the gap between the sample-based
-  *    driver-local trainers behind IVF/PQ and a 100 TB-scale trainer.
-  *  - q358/q359: winnowing (MOSS) fingerprints — position-robust local
-  *    overlap detection, the guarantee-carrying complement to MinHash.
+  *    driver-local trainers behind IVF/PQ and a 100 TB-scale trainer;
+  *    q371 serves the grid over a STREAM (model-sized state).
+  *  - q358/q359/q366/q367: winnowing (MOSS) fingerprints — position-
+  *    robust local-overlap detection (guaranteed for ≥ w+n−1-gram
+  *    matches), streamed census, and connected-component families.
   *  - q360: Kneser–Ney bigram smoothing as exact integer rationals.
+  *  - q361–q363: all-but-the-top PCA by exact-integer power iteration,
+  *    plus debiased kNN on the shared-denominator integer score.
+  *  - q364/q365: distributed batch perceptron (the order-independent
+  *    variant), trajectory re-learned by the oracle.
+  *  - q368: Misra–Gries-gated heavy hitters (exact output, sketch
+  *    guarantee failed loud in-plan).
+  *  - q369/q370: hash-derived ±1 random projection with the JL
+  *    estimator's quality measured exactly.
   */
 object Round15bQueries {
 
@@ -216,6 +228,25 @@ object Round15bQueries {
         .orderBy("query_id", "vec_id")
     }),
 
+    // The trained k-means grid serving a STREAM (the E-step online):
+    // assignment is a pure per-row projection (centroids fold in as
+    // literals), so it composes with Structured Streaming for free and
+    // the stateful side is k ROWS of (count, inertia) — model-sized
+    // state, unlike per-key tables. Two micro-batches of the same file
+    // ⇒ final state = batch census with doubled counts; the oracle
+    // re-learns the grid, re-assigns, and doubles.
+    "q371_stream_kmeans_estep" -> ((s, dir) => {
+      val cents = kmCents(s, dir)
+      runEmbStream(s, dir, "q371_emb_", copies = 2) { raw =>
+        val state = KMeans.assign(raw, cents)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+        graft.streaming.EventStream.runToMemory(state,
+            StreamingQueries.memName("q371_mem_"), statePartitions = Some(8))
+          .orderBy("cid")
+      }
+    }),
+
     // Winnowing over a STREAM: the same selection (a stateless per-row
     // projection, so it composes with Structured Streaming for free)
     // feeding a stateful per-fingerprint (count, min-owner) table; the
@@ -244,6 +275,43 @@ object Round15bQueries {
   private val MgK = 64
   private val RpK = 16
   private val RpQueries = 5
+
+  /** Embeddings-schema twin of [[Round14Queries.runDocsStream]]: a
+    * bounded parquet stream over per-part-file symlinks (directories
+    * would list as zero files — the round-15b harness lesson).
+    */
+  private def runEmbStream(
+      s: SparkSession, dir: String, prefix: String, copies: Int)(
+      use: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val streamDir = java.nio.file.Files.createTempDirectory(prefix)
+    val target = java.nio.file.Paths.get(dir).toAbsolutePath
+      .resolve("embeddings.parquet")
+    def parts(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(p).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } else Seq(p)
+    val links = (1 to copies).flatMap { i =>
+      parts(target).zipWithIndex.map { case (src, j) =>
+        val l = streamDir.resolve(s"copy${i}_$j.parquet")
+        java.nio.file.Files.createSymbolicLink(l, src)
+        l
+      }
+    }
+    try use(s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString))
+    finally {
+      links.foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
+  }
 
   private val percCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Int, Seq[Long], Long)]]()
@@ -498,6 +566,20 @@ object Round15bQueries {
           SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
                  s10 AS score_s10
           FROM r WHERE rnk <= $AbttK ORDER BY query_id, rnk""",
+
+    "q371_stream_kmeans_estep" ->
+      s"""WITH ${kmeansStagesSql(K, Iters)},
+          af AS (SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM (SELECT v.vec_id, c.cid,
+                         CAST(list_sum(list_transform(range(1,65), j ->
+                           (v.m[j]-c.cm[j])*(v.m[j]-c.cm[j]))) AS BIGINT) AS d2
+                  FROM m v CROSS JOIN c$Iters c)) WHERE rn = 1)
+          SELECT cid, 2*CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 2*CAST(SUM(d2) AS BIGINT) AS inertia
+          FROM af GROUP BY cid ORDER BY cid""",
 
     "q369_random_projection" ->
       s"""WITH ${rpStagesSql(RpK)}
