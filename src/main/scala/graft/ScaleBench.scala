@@ -1978,6 +1978,31 @@ object ScaleBench {
             .agg(sum("num"), sum("den"), count(lit(1))).collect()
         }
       },
+      "mg_hot_key" -> { n =>
+        time {
+          // the Misra-Gries serving shape under a 30%-of-all-rows hot
+          // key: the summary keeps O(k) state per map partition (the
+          // hot key collapses to one counter before the exchange), and
+          // the exact heavy-hitter census it gates is one combinable
+          // aggregate. Linear per_row_ratio certifies the sketch adds
+          // no key-grain state anywhere.
+          val keys = spark.range(n).select(
+            when(pmod(hash(col("id")), lit(10)) < 3, lit(7L))
+              .otherwise(pmod(hash(col("id"), lit(1)), lit(n / 100)))
+              .as("h"))
+          val exact = keys.groupBy("h").agg(count(lit(1)).as("cnt"))
+          val nTot = keys.count()
+          val cands = keys
+            .agg(graft.functions.MgFunctions.misraGries(col("h"), 64)
+              .as("s"))
+            .selectExpr("explode(s) AS e").select(col("e.key"))
+            .collect().map(_.getLong(0)).toSet
+          val heavy = exact.filter(col("cnt") * 64 > nTot)
+            .as[(Long, Long)].collect()
+          require(heavy.forall { case (k2, _) => cands.contains(k2) },
+            "MG guarantee violated at scale")
+        }
+      },
       "pca_power_step" -> { n =>
         time {
           // mean pass + one power step (dim 8): y is an in-row fold
