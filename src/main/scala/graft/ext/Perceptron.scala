@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * (the q354/q356/q361 contract).
   *
   * Exactness: features are BIGINT micro coordinates, labels ±1, the
-  * margin y·⟨w, x⟩ an exact BIGINT (|w_d| ≤ epochs·Σ|x_d| keeps
-  * per-term products ≤ ~10¹⁶ and the 64-dim sum ≤ ~10¹⁸ through
-  * sf 1 — bound documented, not defensive), misclassified means
+  * margin y·⟨w, x⟩ an exact BIGINT — train() measures d and max|x|
+  * from the data once and fail-louds whenever d·max|w|·max|x| could
+  * reach 2⁶³ (so neither ragged dims nor out-of-range coordinates can
+  * wrap a margin silently), misclassified means
   * margin ≤ 0 (epoch 1 updates on everything from w = 0 — the
   * deterministic cold start).
   *
@@ -53,7 +54,27 @@ object Perceptron {
     import spark.implicits._
     val f = features(emb, split).localCheckpoint()
     try {
-      var w: Seq[Long] = Seq.fill(64)(0L)
+      // Derive the dimension and coordinate range from the DATA (one
+      // cheap combinable aggregate on the checkpointed feature table)
+      // instead of assuming 64 dims / |x| ≤ 1.3·10⁶: a ragged corpus
+      // would otherwise silently train a truncated model (zip_with
+      // stops at the shorter array), and out-of-range coordinates
+      // would wrap margins in non-ANSI Spark BEFORE the w-bound check
+      // can fire. Fail loud on both.
+      val (dMin, dMax, xMaxRaw) = f.select(
+        min(size(col("x"))), max(size(col("x"))),
+        max(aggregate(col("x"), lit(0L),
+          (acc, t) => greatest(acc, abs(t)))))
+        .as[(Int, Int, Long)].head()
+      require(dMin == dMax,
+        s"perceptron: ragged embedding dims (min $dMin, max $dMax)")
+      val d = dMax
+      val xMax = math.max(xMaxRaw, 1L)
+      // margin = y·Σ_d w_d·x_d stays exact in signed 64-bit iff
+      // d · max|w| · max|x| < 2⁶³ — the bound below is derived from
+      // the OBSERVED d and max|x|, checked after every epoch.
+      val wBound = Long.MaxValue / (d.toLong * xMax)
+      var w: Seq[Long] = Seq.fill(d)(0L)
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Int, Seq[Long], Long)]
       for (e <- 1 to epochs) {
@@ -67,15 +88,14 @@ object Perceptron {
         w = w.zipWithIndex.map { case (wd, j) =>
           wd + g.getOrElse((j + 1).toLong, 0L)
         }
-        // margin = y·⟨w, x⟩ must stay exact in signed 64-bit: with
-        // |x_d| ≤ ~1.3·10⁶ micro and 64 dims, that needs
-        // |w_d| < 2⁶³/(64·1.3·10⁶) ≈ 1.1·10¹¹. |w_d| grows with the
-        // update-support size, so fail loud (Spark would wrap silently
-        // in non-ANSI mode) instead of serving a wrong trajectory —
-        // checked on the already-collected model, no extra job.
-        require(w.forall(wd => math.abs(wd) < 110000000000L),
+        // |w_d| grows with the update-support size, so fail loud
+        // (Spark would wrap silently in non-ANSI mode) instead of
+        // serving a wrong trajectory — checked on the already-
+        // collected model against the data-derived bound, no extra job.
+        require(w.forall(wd => math.abs(wd) < wBound),
           s"perceptron epoch $e: |w| exceeds the exact-margin bound " +
-            "(corpus too large for 64-bit margins; shard or scale down)")
+            s"$wBound for d=$d, max|x|=$xMax (corpus too large for " +
+            "64-bit margins; shard or scale down)")
         out += ((e, w, miscl))
       }
       out.toSeq

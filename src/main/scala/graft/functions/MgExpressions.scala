@@ -88,21 +88,26 @@ final class MgBuffer(val k: Int) {
     * overflow weight (the weighted generalization used by merges).
     */
   def add(key: Long, w: Long): Unit = {
-    if (w <= 0) return
-    m.get(key) match {
-      case Some(c) => m(key) = c + w
-      case None if m.size < k - 1 => m(key) = w
-      case None =>
-        // decrement everything by min(w, current k-th largest proxy):
-        // classic MG decrements by 1 per excess arrival; weighted form
-        // decrements by the smallest amount that frees a slot or
-        // exhausts w
-        val dec = math.min(w, m.values.min)
-        var rem = 0L
-        m.mapValuesInPlace((_, c) => c - dec)
-        m.filterInPlace((_, c) => c > 0)
-        rem = w - dec
-        if (rem > 0) add(key, rem)
+    // Iterative (not recursive) so the termination bound is in the
+    // structure: a decrement round either exhausts `rem` (dec = rem)
+    // or frees at least one slot (dec = some counter's value), and a
+    // freed slot makes the next pass take the insert branch — so the
+    // loop runs at most three passes regardless of w or k.
+    var rem = w
+    while (rem > 0) {
+      m.get(key) match {
+        case Some(c) => m(key) = c + rem; rem = 0
+        case None if m.size < k - 1 => m(key) = rem; rem = 0
+        case None =>
+          // decrement everything by min(rem, smallest counter):
+          // classic MG decrements by 1 per excess arrival; weighted
+          // form decrements by the smallest amount that frees a slot
+          // or exhausts rem
+          val dec = math.min(rem, m.values.min)
+          m.mapValuesInPlace((_, c) => c - dec)
+          m.filterInPlace((_, c) => c > 0)
+          rem -= dec
+      }
     }
   }
 

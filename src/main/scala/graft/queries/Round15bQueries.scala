@@ -60,7 +60,12 @@ object Round15bQueries {
     "q357_kmeans_census" -> ((s, dir) =>
       KMeans.assign(t(s, dir, "embeddings"), kmCents(s, dir))
         .groupBy("cid")
-        .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+        // inertia sums per-vector d2 (≤ ~3·10¹⁴ each) over the whole
+        // cluster: widen to decimal(38,0) like the oracle's HUGEINT —
+        // a LongType sum would wrap silently in non-ANSI Spark once
+        // the corpus outgrows ~3·10⁴ vectors per cluster headroom.
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("d2").cast("decimal(38,0)")).cast("long").as("inertia"))
         .orderBy("cid")),
 
     // Winnowing (MOSS) fingerprint census: per-document selected-
@@ -240,7 +245,10 @@ object Round15bQueries {
       runEmbStream(s, dir, "q371_emb_", copies = 2) { raw =>
         val state = KMeans.assign(raw, cents)
           .groupBy("cid")
-          .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+          // decimal(38,0) inertia sum — same wrap-safety widening as
+          // the batch census (q357); cast back keeps the BIGINT schema.
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("d2").cast("decimal(38,0)")).cast("long").as("inertia"))
         graft.streaming.EventStream.runToMemory(state,
             StreamingQueries.memName("q371_mem_"), statePartitions = Some(8))
           .orderBy("cid")

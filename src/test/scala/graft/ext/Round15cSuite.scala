@@ -307,6 +307,33 @@ class Round15cSuite extends SparkSpec {
         }
       }
     }
+
+    it("weighted add keeps the MG guarantee (direct buffer exercise)") {
+      // the w > 1 decrement path is unreachable through update()
+      // (always w = 1) — exercise it directly so the merge-path
+      // generalization carries its own test, not just a proof sketch
+      val rnd = new scala.util.Random(91)
+      for (trial <- 1 to 20) {
+        val k = 2 + rnd.nextInt(8)
+        val ops = Seq.fill(200)(
+          (rnd.nextInt(12).toLong, 1L + rnd.nextInt(9)))
+        val buf = new graft.functions.MgBuffer(k)
+        ops.foreach { case (key, w) => buf.add(key, w) }
+        val n = ops.map(_._2).sum
+        val exact = ops.groupBy(_._1)
+          .map { case (key, v) => key -> v.map(_._2).sum }
+        val got = buf.entries.toMap
+        assert(got.size <= k - 1, s"trial $trial k=$k over capacity")
+        val heavy = exact.filter { case (_, c) => c * k > n }.keySet
+        assert(heavy.subsetOf(got.keySet),
+          s"trial $trial k=$k missed ${heavy -- got.keySet}")
+        for ((key, c) <- got) {
+          assert(c <= exact(key), s"trial $trial overestimate for $key")
+          assert(exact(key) - c <= n / k,
+            s"trial $trial error bound broken for $key")
+        }
+      }
+    }
   }
 
   describe("RandomProjection") {
