@@ -632,6 +632,84 @@ object Dedup {
           .as("owned_share"))
   }
 
+  /** Duplicated-span REMOVAL — the rewrite step exact-substring
+    * curation actually ships (Lee et al. 2022 drop the repeated spans,
+    * not the documents): re-emit each document's text with every token
+    * cut that is covered by a FOREIGN duplicated window — an L-token
+    * window occurring ≥ `minCount` times in the corpus whose canonical
+    * owner (min doc_id) is another document. The canonical owner keeps
+    * its copy, so exactly one occurrence of every repeated span
+    * survives the corpus-wide rewrite (the keep-one discipline, made
+    * deterministic by the min-doc_id owner rule of [[spanProvenance]]).
+    *
+    * Cut semantics are token-exact and engine-portable: the covered
+    * token set is the union of the flagged windows' [p, p+L) intervals
+    * (identical to [[duplicatedSpans]]' island merge), and the output
+    * text is the surviving tokens joined by single spaces — a
+    * whitespace-NORMALIZED rewrite (the tokenizer's grain; original
+    * inter-token whitespace is not preserved, by contract). Documents
+    * with no foreign spans re-emit all their tokens; documents fully
+    * covered emit the empty string. Returns (doc_id, clean_text,
+    * n_tokens, kept_tokens, cut_tokens).
+    *
+    * Scale: the gram census and flag-back join are exactly
+    * [[duplicatedSpans]]' (combinable count+min, AQE-splittable long-
+    * hash equi join); the only new work is the per-document rebuild —
+    * an `aggregate()` fold over the doc's SORTED foreign positions that
+    * emits the inter-island token slices as it walks (scalar island
+    * state, one slice per kept segment), so per-doc cost is
+    * O(n_spans + n_tokens) and bounded by the text cell already held
+    * in one row. No new shuffle shape anywhere.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, L: Int,
+                            minCount: Long = 2L): DataFrame = {
+    require(L >= 1, s"window length must be >= 1, got $L")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
+    val hot = gramStats(docs, L)
+      .filter(col("cnt") >= minCount)
+      .select("g", "owner")
+    val cuts = tokenWindows(docs, L).join(hot, Seq("g"))
+      .filter(col("owner") =!= col("doc_id"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+    val empt = array().cast("array<string>")
+    // walk the sorted foreign starts with scalar island state
+    // (kept-so-far, next-unemitted cursor, island start/end): a new
+    // island first flushes the kept slice before it; extending an
+    // island (p <= e + L — the duplicatedSpans merge rule) just moves
+    // the island end; the finish flushes the tail after the last island.
+    val kept = toks.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"),
+        aggregate(coalesce(col("ps"), array().cast("array<long>")),
+          struct(empt.as("k"), lit(1L).as("cur"),
+            lit(-1L).as("s"), lit(-1L).as("e")),
+          (st, p) => when(st.getField("s") === -1L,
+              struct(concat(st.getField("k"),
+                  slice(col("w"), st.getField("cur"),
+                    p - st.getField("cur"))).as("k"),
+                p.as("cur"), p.as("s"), p.as("e")))
+            .when(p <= st.getField("e") + L,
+              struct(st.getField("k").as("k"), st.getField("cur").as("cur"),
+                st.getField("s").as("s"), p.as("e")))
+            .otherwise(struct(concat(st.getField("k"),
+                slice(col("w"), st.getField("e") + L,
+                  p - st.getField("e") - L)).as("k"),
+              p.as("cur"), p.as("s"), p.as("e"))),
+          st => when(st.getField("s") === -1L,
+              concat(st.getField("k"), slice(col("w"), st.getField("cur"),
+                size(col("w")) - st.getField("cur") + 1)))
+            .otherwise(concat(st.getField("k"),
+              slice(col("w"), st.getField("e") + L,
+                size(col("w")) - st.getField("e") - L + 1)))).as("kw"))
+    kept.select(col("doc_id"),
+      concat_ws(" ", col("kw")).as("clean_text"),
+      col("n_tokens"),
+      size(col("kw")).cast("long").as("kept_tokens"),
+      (col("n_tokens") - size(col("kw")).cast("long")).as("cut_tokens"))
+  }
+
   /** Cross-attribute duplication FLOW over [[spanProvenance]]'s
     * windows: for every duplicated L-token window held by a document
     * that is NOT its canonical owner (min doc_id), one (owner_attr →

@@ -37,17 +37,21 @@ object LangModel {
 
   /** Per-document clean-token bigram pairs (the `^[a-z0-9]+$` alphabet
     * discipline shared with [[TextAnalysis.bpeTrain]]): adjacency is
-    * computed AFTER filtering, within each document.
+    * computed AFTER filtering, within each document. Keeps doc_id for
+    * the per-document scoring path; [[knBigram]] drops it.
     */
-  private def bigramPairs(docs: DataFrame): DataFrame =
+  private def docBigramPairs(docs: DataFrame): DataFrame =
     docs
-      .select(filter(Portable.wsTokens(col("text")),
+      .select(col("doc_id"), filter(Portable.wsTokens(col("text")),
         x => x.rlike("^[a-z0-9]+$")).as("w"))
       .filter(size(col("w")) >= 2)
-      .select(explode(expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), " +
           "i -> struct(w[i - 1] AS a, w[i] AS b))")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docBigramPairs(docs).select("a", "b")
 
   /** The KN-smoothed probability table for every observed bigram with
     * c(vw) ≥ `minCount`: (a, b, c_vw, num, den) — P_KN(b|a) = num/den
@@ -66,5 +70,47 @@ object LangModel {
         ((lit(4L) * col("c") - lit(3L)) * col("npp") +
           lit(3L) * col("n1p") * col("n1r")).as("num"),
         (lit(4L) * col("cv") * col("npp")).as("den"))
+  }
+
+  /** Per-document KN-LM quality score on the integer-bits grid — the
+    * CCNet-style LM filter (Wenzek et al. 2020 rank documents by
+    * LM perplexity; here the model is the [[knBigram]] table trained
+    * on the SAME corpus, so every document bigram is observed and the
+    * score needs no backoff case): for each adjacent clean-token
+    * bigram occurrence, surprisal = ⌊log₂(den div num)⌋ whole bits
+    * (num ≤ den since P ≤ 1, so bits ≥ 0) — the
+    * [[TextAnalysis.crossEntropyBits]] integer-division + bit-length
+    * log, NO float log, so both engines derive bit-identical scores
+    * from their independently-learned models (the re-learning oracle
+    * contract). Low mean_bits = the corpus LM finds the document
+    * predictable (in-domain prose); high = rare-bigram soup — the
+    * ranking CCNet thresholds on. Documents with < 2 clean tokens
+    * carry zero bigrams and mean_bits 0 by convention. Returns
+    * (doc_id, n_bigrams, bits_total, mean_bits).
+    *
+    * Scale: the model is the vocabulary-sized bigram TYPE table; the
+    * per-doc side is the (doc, bigram-type) census — both combinable
+    * aggregates of one corpus pass each; the score join is an equi
+    * join on (a, b) whose boilerplate-bigram skew AQE splits. No
+    * window, no per-key state, nothing quadratic.
+    */
+  def knDocScoreBits(docs: DataFrame): DataFrame = {
+    val model = knBigram(docs, 1L)
+      .select(col("a"), col("b"),
+        (length(bin(expr("den div num"))) - 1).cast("long").as("bits"))
+    val occ = docBigramPairs(docs)
+      .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("cd"))
+    val sc = occ.join(model, Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(sum(col("cd")).as("n_bigrams"),
+        sum(col("cd") * col("bits")).as("bits_total"))
+    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits_total"), lit(0L)).as("bits_total"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
+          col("bits_total").cast("double") /
+            col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("mean_bits"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,5 +109,59 @@ object Mixture {
     }
     spark.createDataset(rows.toSeq)
       .toDF(sliceCol, "n", "alloc", "level", "leftover")
+  }
+
+  /** Exact integer square root: ⌊√n⌋ for n ≥ 0, as a column program —
+    * a float sqrt seed corrected by ±1 integer steps, so the result is
+    * exact for any BIGINT even where the double rounds (both engines
+    * run the identical seed-and-correct, so it is hash-portable where
+    * bare floor(sqrt) is not).
+    */
+  def isqrt(n: Column): Column = {
+    // The seed's worst-case error is < 1 (double(n) is within 2¹⁰ of n
+    // near 2⁶³; sqrt amplifies that to ~2e-7), so ±1 correction is
+    // complete. The square compares run in decimal(38,0) because
+    // (s+1)² exceeds 2⁶³ for n near Long.MaxValue — BIGINT would wrap
+    // silently in Spark and ERROR in DuckDB (HUGEINT on that side).
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    def sq(x: Column) = x.cast("decimal(38,0)") * x.cast("decimal(38,0)")
+    val nd = n.cast("decimal(38,0)")
+    val up = s0 + when(sq(s0 + 1) <= nd, 1L).otherwise(0L)
+    up - when(sq(up) > nd, 1L).otherwise(0L)
+  }
+
+  /** Temperature-scaled mixture weights + allocation — the DoReMi /
+    * Pile-style domain reweighting w_i ∝ n_i^(1/T), kept on the exact
+    * integer grid by restricting 1/T to {1/2, 1, 2}: T = 2 flattens
+    * the skew via the integer square root ([[isqrt]] — exact even
+    * where float sqrt rounds), T = 1 is proportional, T = 1/2
+    * sharpens it via exact squares. The weight table is integers on
+    * both engines; the budget split over it reuses
+    * [[withAllocation]]'s largest-remainder method (doubles only in
+    * the bit-portable mult→floor→compare shape). `invT2` is 2/T, so
+    * 1 → isqrt, 2 → identity, 4 → square.
+    *
+    * Returns `perSlice` + (`weight`, `alloc`): Σalloc == budget
+    * exactly. Same scale shape as [[withAllocation]] — runs on the
+    * already-aggregated per-slice table (mixture dimensions are
+    * dozens, not millions; the corpus-sized token count happens
+    * before, as a plain combinable aggregate).
+    */
+  def temperatureAllocation(perSlice: DataFrame, sliceCol: String,
+                            nCol: String, budget: Long,
+                            invT2: Int): DataFrame = {
+    require(Set(1, 2, 4).contains(invT2),
+      s"invT2 must be 1 (T=2), 2 (T=1), or 4 (T=1/2), got $invT2")
+    val n = col(nCol)
+    val w = invT2 match {
+      case 1 => isqrt(n)
+      case 2 => n.cast("long")
+      // exact-square weights can pass 2⁶³ for BIGINT token counts:
+      // widen to decimal(38,0) (withAllocation only reads the weight
+      // through a double cast, which is shape-portable either way)
+      case 4 => (n.cast("decimal(38,0)") * n.cast("decimal(38,0)"))
+    }
+    withAllocation(perSlice.withColumn("weight", w),
+      sliceCol, "weight", budget)
   }
 }
