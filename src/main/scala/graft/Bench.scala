@@ -103,29 +103,57 @@ object Bench {
                df: org.apache.spark.sql.DataFrame): String = try {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // AQE's exchange-reuse cache races its own concurrent stage
+      // materialization: identical subtrees are sometimes deduped into
+      // a ReusedExchange and sometimes both materialized, run to run,
+      // with no plan-quality difference. Round 15 normalized the
+      // ReusedExchange spelling of that race; q216/q234 then exposed
+      // the STAGE-level spelling — the losing run carries one extra
+      // materialized stage (its Exchange + QueryStage wrapper +
+      // AQEShuffleRead reader + codegen boundary), so node COUNTS
+      // differ even after reuse expansion. Normalize both spellings at
+      // once: (a) count each DISTINCT exchange subtree once — a second
+      // textually-identical exchange collapses to an ExchangeReuse
+      // marker, exactly what AQE's dedup would have produced; (b) drop
+      // the stage-plumbing wrappers whose multiplicity is a function
+      // of where AQE happened to cut stages (QueryStage wrappers,
+      // AQEShuffleRead, InputAdapter, WholeStageCodegen — the codegen
+      // COUNT was kept through r15 but is itself boundary-racy).
+      // Real plan changes stay visible through what remains: operator
+      // nodes (joins by strategy name, aggregates, sorts, scans) and
+      // the multiset of distinct exchange subtrees.
+      val seenEx = scala.collection.mutable.Set.empty[String]
+      val noise = Set("InputAdapter", "AQEShuffleRead")
+      def isNoise(p: SparkPlan): Boolean =
+        noise.contains(p.nodeName) ||
+          p.nodeName.startsWith("WholeStageCodegen")
+      // raw canonical form: wrappers unwrapped, noise dropped, NO
+      // dedup markers — used as the exchange-identity KEY, so two
+      // copies of the same work key identically even when their
+      // EMITTED forms diverge (a copy whose inner exchange deduped to
+      // a marker would otherwise evade the outer dedup)
+      def raw(p: SparkPlan): Seq[String] = p match {
+        case a: AdaptiveSparkPlanExec => raw(a.executedPlan)
+        case q: QueryStageExec => raw(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          raw(r.child)
+        case other if isNoise(other) => other.children.flatMap(raw)
+        case other => other.nodeName +: other.children.flatMap(raw)
+      }
       def names(p: SparkPlan): Seq[String] = p match {
         case a: AdaptiveSparkPlanExec => names(a.executedPlan)
-        case q: QueryStageExec => q.nodeName +: names(q.plan)
-        // AQE's exchange-reuse cache races its own concurrent stage
-        // materialization: identical subtrees are sometimes deduped
-        // into a ReusedExchange and sometimes both materialized, run to
-        // run, with no plan-quality difference. Expand the reuse node
-        // to the subtree it references so the fingerprint counts the
-        // same multiset either way — plan CHANGES stay visible, reuse
-        // races stop reading as changes.
+        case q: QueryStageExec => names(q.plan)
         case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
           names(r.child)
+        case e: org.apache.spark.sql.execution.exchange.Exchange =>
+          val key = (e.nodeName +: e.children.flatMap(raw))
+            .sorted.mkString("|")
+          if (seenEx.add(key)) e.nodeName +: e.children.flatMap(names)
+          else Seq("ExchangeReuse")
+        case other if isNoise(other) => other.children.flatMap(names)
         case other => other.nodeName +: other.children.flatMap(names)
       }
-      // WholeStageCodegen embeds a GLOBAL stage counter in its nodeName
-      // ("WholeStageCodegen (41)") whose value depends on the order AQE
-      // happened to materialize stages in — pure run-to-run noise
-      // (measured: the entire residual fp-flip set after reuse
-      // normalization was codegen-id strings). Strip the id; the NUMBER
-      // of codegen stages still counts, their arbitrary labels do not.
       val canon = names(df.queryExecution.executedPlan)
-        .map(n => if (n.startsWith("WholeStageCodegen")) "WholeStageCodegen"
-                  else n)
         .sorted.mkString(",")
       // forensic hook for fp-flip diagnosis: dump each query's raw
       // sorted node multiset (first measurement only) so two runs'
@@ -137,6 +165,15 @@ object Bench {
           val f = p.resolve(fpDumpName + ".nodes")
           if (!java.nio.file.Files.exists(f))
             java.nio.file.Files.writeString(f, canon.replace(",", "\n"))
+          // full executed-plan treeString alongside the multiset, for
+          // fp-flip forensics where the multiset diff alone can't
+          // localize the moved subtree (opt-in: large files)
+          if (sys.env.contains("SPARK_GRAFT_BENCH_PLAN_DUMP")) {
+            val t = p.resolve(fpDumpName + ".tree")
+            if (!java.nio.file.Files.exists(t))
+              java.nio.file.Files.writeString(t,
+                df.queryExecution.executedPlan.toString)
+          }
         } catch { case _: Throwable => () }
       }
       java.security.MessageDigest.getInstance("MD5")

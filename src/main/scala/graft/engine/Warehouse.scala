@@ -594,9 +594,17 @@ object Warehouse {
     // alone; later delta sessions always stand alone
     val firstDelta = deltaSessions.groupBy(keyCol)
       .agg(min(col("start_tsu")).as("__graft_fs"))
-    val joined = deltaSessions
-      .join(firstDelta, Seq(keyCol))
-      .join(last, Seq(keyCol), "left")
+    // both sides of deltaSessions ⋈ firstDelta are delta-sized and
+    // broadcast-eligible at once, so AQE's build-side choice races run
+    // to run (observed as q216's recurring bench fp flip: BuildLeft +
+    // downstream re-shuffle in some runs, BuildRight + local read in
+    // others). Pin sort-merge: both sides leave their aggregates
+    // already hash-partitioned on the key, the join stays spillable
+    // for arbitrarily large deltas (the q118 SHJ-cannot-spill lesson),
+    // and the added sorts are over delta-sized rows only.
+    val joined = deltaSessions.hint("merge")
+      .join(firstDelta.hint("merge"), Seq(keyCol))
+      .join(last.hint("merge"), Seq(keyCol), "left")
     val isFirst = col("start_tsu") === col("__graft_fs")
     val extendsLast = isFirst && col("__graft_le").isNotNull &&
       (col("start_tsu") - col("__graft_le")) <= gapUs

@@ -867,7 +867,15 @@ object GlobalOrder {
       explode(array(expr("__lo + (n - 1) div 2"),
         expr("__lo + n div 2"))).as("__rn"))
       .distinct()
-    picks.join(rn.select(col("__rn"), col(valueCol)), "__rn")
+    // pin the pick join: both sides straddle AQE's runtime broadcast
+    // threshold at bench scale, so the BHJ build-side choice races run
+    // to run — and the losing choice broadcasts the CORPUS-shaped
+    // ranked side (observed via q234's recurring fp flip). Shuffle-hash
+    // building on the ≤ 2-rows-per-group picks side is the documented
+    // shape ("rows shuffle by unique rank"): deterministic, and the
+    // build stays narrow at any corpus size (the q118 discipline).
+    picks.hint("shuffle_hash")
+      .join(rn.select(col("__rn"), col(valueCol)), "__rn")
       .groupBy(groupCol)
       .agg(min(col("n")).as("n"),
         (sum(col(valueCol)).cast("double") / count(lit(1))).as("median"))
@@ -903,7 +911,9 @@ object GlobalOrder {
       .agg(min(col("__rn")).as("__lo"), count(lit(1)).as("n"))
       .select(col(groupCol), col("n"),
         expr(s"__lo + ((n - 1) * $pPct) div 100").as("__rn"))
-    picks.join(rn.select(col("__rn"), col(valueCol)), "__rn")
+    // same build-side pin as groupMedianOfLong (one pick row per group)
+    picks.hint("shuffle_hash")
+      .join(rn.select(col("__rn"), col(valueCol)), "__rn")
       .select(col(groupCol), col("n"), col(valueCol).as(out))
   }
 

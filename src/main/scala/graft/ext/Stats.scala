@@ -556,7 +556,14 @@ object Stats {
       .groupBy(groupCol)
       .agg(count_if(col("__graft_dev2").cast("double") >
         lit(k.toDouble) * col("__graft_m2")).as("n_outliers"))
-    med.join(mad2, Seq(groupCol)).join(outliers, Seq(groupCol))
+    // the three per-group model tables are runtime-sized right at the
+    // broadcast threshold for small group columns, so AQE's BHJ-vs-SMJ
+    // choice races run to run (the q118 straddle, observed as q234's
+    // recurring bench fp flip). Pin sort-merge: all three sides are
+    // already shuffled on groupCol, the sort is over model-sized rows,
+    // and the choice stays correct at ANY group cardinality.
+    med.hint("merge").join(mad2.hint("merge"), Seq(groupCol))
+      .join(outliers.hint("merge"), Seq(groupCol))
       .select(col(groupCol), col("n"), col("median"),
         (col("__graft_m2") / lit(2.0)).as("mad"), col("n_outliers"))
   }

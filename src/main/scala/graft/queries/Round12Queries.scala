@@ -166,11 +166,9 @@ object Round12Queries {
             .start()
           q.awaitTermination()
         }
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve("copy1.parquet"), target)
+        StreamingQueries.linkTable(streamDir, target, 1)
         lifetime() // lifetime 1: folds copy1, stops — the restart point
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve("copy2.parquet"), target)
+        StreamingQueries.linkTable(streamDir, target, 2)
         lifetime() // lifetime 2: same checkpoint — only copy2 may fold
         // materialize off the mv directory before cleanup; Bench's
         // post-measure Checkpoints.release frees the blocks

@@ -358,7 +358,12 @@ object Round14Queries {
     // (the raw gram table is corpus-sized).
     "q343_stream_gram_stats" -> ((s, dir) =>
       runDocsStream(s, dir, "q343_docs_", copies = 2,
-          Map("maxFilesPerTrigger" -> "1")) { raw =>
+          // one trigger per logical copy (the q366 harness lesson): a
+          // directory-shaped table under maxFilesPerTrigger=1 would
+          // re-emit the corpus-sized gram census once per PART file
+          Map("maxFilesPerTrigger" ->
+            StreamingQueries.partFileCount(dir, "documents").toString)) {
+        raw =>
         val stats = graft.ext.Dedup.gramStats(
           raw.select(col("doc_id"), col("text")), SpanL)
         val out = graft.streaming.EventStream.runToMemory(stats,

@@ -263,7 +263,16 @@ object Round15bQueries {
     // q343 seam, for the winnowing index.
     "q366_stream_winnow_census" -> ((s, dir) =>
       Round14Queries.runDocsStream(s, dir, "q366_docs_", copies = 2,
-          Map("maxFilesPerTrigger" -> "1")) { raw =>
+          // one trigger per logical COPY, not per part file: a
+          // directory-shaped table (testdata-sf1: 8 parts) under
+          // maxFilesPerTrigger=1 ran 16 micro-batches, and the
+          // complete-mode sink re-emitted the FULL census each time —
+          // an O(batches × state) harness artifact that read as an
+          // 8.8x sf1 ratio on an operator that is actually linear
+          // (and broke the documented two-micro-batch contract).
+          Map("maxFilesPerTrigger" ->
+            StreamingQueries.partFileCount(dir, "documents").toString)) {
+        raw =>
         val fps = graft.ext.Winnow.fingerprints(
           raw.select(col("doc_id"), col("text")), WinN, WinW)
         val state = fps.groupBy("fp")
@@ -313,8 +322,13 @@ object Round15bQueries {
         l
       }
     }
+    // one trigger per logical copy (the q366 harness lesson):
+    // per-part-file triggers would multiply the complete-mode state
+    // re-emission by the part count on directory-shaped scale-ups
     try use(s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString))
+      .option("maxFilesPerTrigger",
+        StreamingQueries.partFileCount(dir, "embeddings").toString)
+      .parquet(streamDir.toString))
     finally {
       links.foreach(java.nio.file.Files.deleteIfExists(_))
       java.nio.file.Files.deleteIfExists(streamDir)

@@ -52,11 +52,7 @@ object StreamingQueries {
     val streamDir = java.nio.file.Files.createTempDirectory(prefix)
     val target = java.nio.file.Paths.get(dir).toAbsolutePath
       .resolve("events.parquet")
-    val links = (1 to copies).map { i =>
-      val l = streamDir.resolve(s"copy$i.parquet")
-      java.nio.file.Files.createSymbolicLink(l, target)
-      l
-    }
+    val links = (1 to copies).flatMap(i => linkTable(streamDir, target, i))
     try use(graft.engine.Readers.toNanosLong(
       s.readStream.schema(eventsSchema(s, dir)).options(options)
         .parquet(streamDir.toString),
@@ -70,6 +66,47 @@ object StreamingQueries {
   /** Fresh memory-sink name per run (the sink registry is session-global). */
   private[queries] def memName(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Number of part files a parquet table contributes to a file stream
+    * (1 for the driver's single-file testdata; the part count for
+    * Spark-written directory tables like testdata-sf1). Harnesses that
+    * mean "one micro-batch per logical copy" must pass this as
+    * maxFilesPerTrigger, not 1.
+    */
+  private[queries] def partFileCount(dir: String, table: String): Int = {
+    val p = java.nio.file.Paths.get(dir).toAbsolutePath
+      .resolve(s"$table.parquet")
+    if (java.nio.file.Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      math.max(1, java.nio.file.Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet")))
+    } else 1
+  }
+
+  /** Symlink one logical copy of a parquet table into a stream-source
+    * dir. The file stream source lists the dir NON-recursively, so a
+    * directory-shaped table (Spark-written scale-ups like testdata-sf1)
+    * must be linked per part file — a symlink to the directory itself
+    * contributes ZERO files and the stream silently runs on empty input
+    * (the round-15 sf1 harness bug; q200/q208 re-hit it through this
+    * harness before it carried the fix).
+    */
+  private[queries] def linkTable(streamDir: java.nio.file.Path,
+                                 target: java.nio.file.Path,
+                                 copy: Int): Seq[java.nio.file.Path] = {
+    val parts =
+      if (java.nio.file.Files.isDirectory(target)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(target).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } else Seq(target)
+    parts.zipWithIndex.map { case (src, j) =>
+      val l = streamDir.resolve(s"copy${copy}_$j.parquet")
+      java.nio.file.Files.createSymbolicLink(l, src)
+      l
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_streaming_hourly" -> ((s, dir) =>

@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""Full-surface sf1 correctness gate (round-16 verdict task 1).
+
+Same hash discipline as tools/compare.py (DuckDB oracle over the sfDir
+tables, sorted-column/sorted-row exact string compare against the Verify
+parquet dump), plus what a 10x-data sweep needs:
+
+  * each oracle runs in its OWN subprocess with a wall-clock timeout —
+    a pair-population-bound oracle that explodes at sf1 is killed and
+    recorded as TIMEOUT (candidate for the justified exclusion list),
+    never hangs the gate;
+  * results stream into a JSON artifact (per-query status + seconds),
+    so a killed run keeps everything already measured;
+  * --jobs N runs queries in parallel worker processes.
+
+Usage:
+    python3 tools/compare_sf1.py <sfDir> <outDir> <resultJson>
+        [--timeout SEC] [--jobs N] [--only q1,q2,...]
+"""
+import json, math, multiprocessing as mp, os, sys, time
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            rr.append(str(v))
+        out.append(tuple(rr))
+    return sorted(out), [cols[i] for i in idx]
+
+
+def run_one(sf_dir, out_dir, name, sql, q):
+    import duckdb
+    t0 = time.time()
+    try:
+        con = duckdb.connect()
+        for tbl in ["region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents",
+                    "embeddings"]:
+            path = f"{sf_dir}/{tbl}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{src}'")
+        want = con.execute(sql)
+        wcols = [d[0] for d in want.description]
+        wrows = want.fetchall()
+        got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
+        wr, wc = canon(wrows, wcols)
+        gr, gc = canon(grows, gcols)
+        if wc != gc:
+            q.put((name, "fail", f"cols spark={gc} oracle={wc}",
+                   time.time() - t0))
+        elif len(wr) != len(gr):
+            q.put((name, "fail",
+                   f"rows spark={len(gr)} oracle={len(wr)}",
+                   time.time() - t0))
+        elif wr != gr:
+            bad = [(a, b) for a, b in zip(gr, wr) if a != b][:2]
+            q.put((name, "fail", f"values differ: {str(bad)[:300]}",
+                   time.time() - t0))
+        else:
+            q.put((name, "pass", f"{len(gr)} rows", time.time() - t0))
+    except Exception as e:
+        q.put((name, "error", f"{type(e).__name__}: {str(e)[:200]}",
+               time.time() - t0))
+
+
+def main(argv):
+    sf_dir, out_dir, result_json = argv[0], argv[1], argv[2]
+    timeout = 900.0
+    jobs = 4
+    only = None
+    i = 3
+    while i < len(argv):
+        if argv[i] == "--timeout":
+            timeout = float(argv[i + 1]); i += 2
+        elif argv[i] == "--jobs":
+            jobs = int(argv[i + 1]); i += 2
+        elif argv[i] == "--only":
+            only = set(argv[i + 1].split(",")); i += 2
+        else:
+            raise SystemExit(f"unknown arg {argv[i]}")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(n for n in oracle
+                   if (only is None or n in only)
+                   and os.path.exists(f"{out_dir}/{n}"))
+    missing = sorted(n for n in oracle
+                     if (only is None or n in only)
+                     and not os.path.exists(f"{out_dir}/{n}"))
+    results = {}
+    if os.path.exists(result_json):
+        results = json.load(open(result_json)).get("queries", {})
+    pend = [n for n in names if n not in results]
+    for n in missing:
+        results[n] = {"status": "no_dump", "detail": "Verify wrote no "
+                      "parquet for this query at sf1", "sec": 0.0}
+
+    def flush():
+        counts = {}
+        for v in results.values():
+            counts[v["status"]] = counts.get(v["status"], 0) + 1
+        json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                   "timeout_sec": timeout, "counts": counts,
+                   "queries": results},
+                  open(result_json, "w"), indent=1, sort_keys=True)
+
+    running = {}  # name -> (proc, queue, deadline)
+    while pend or running:
+        while pend and len(running) < jobs:
+            n = pend.pop(0)
+            q = mp.Queue()
+            p = mp.Process(target=run_one,
+                           args=(sf_dir, out_dir, n, oracle[n], q))
+            p.start()
+            running[n] = (p, q, time.time() + timeout)
+        time.sleep(0.3)
+        for n in list(running):
+            p, q, dl = running[n]
+            if not q.empty():
+                _, status, detail, sec = q.get()
+                results[n] = {"status": status, "detail": detail,
+                              "sec": round(sec, 1)}
+                p.join(5)
+                del running[n]
+                print(f"{status.upper()} {n} ({results[n]['sec']}s): "
+                      f"{detail[:120]}", flush=True)
+                flush()
+            elif not p.is_alive():
+                results[n] = {"status": "error",
+                              "detail": "oracle subprocess died "
+                              "(likely OOM-killed)", "sec": timeout}
+                del running[n]
+                print(f"ERROR {n}: subprocess died", flush=True)
+                flush()
+            elif time.time() > dl:
+                p.terminate()
+                p.join(5)
+                if p.is_alive():
+                    p.kill()
+                results[n] = {"status": "timeout",
+                              "detail": f"oracle exceeded {timeout}s",
+                              "sec": timeout}
+                del running[n]
+                print(f"TIMEOUT {n}", flush=True)
+                flush()
+    flush()
+    counts = {}
+    for v in results.values():
+        counts[v["status"]] = counts.get(v["status"], 0) + 1
+    print(f"== {counts} ==")
+    return 0 if set(counts) <= {"pass", "timeout"} else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
