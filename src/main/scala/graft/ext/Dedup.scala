@@ -662,11 +662,26 @@ object Dedup {
     * in one row. No new shuffle shape anywhere.
     */
   def removeDuplicatedSpans(docs: DataFrame, L: Int,
-                            minCount: Long = 2L): DataFrame = {
+                            minCount: Long = 2L): DataFrame =
+    removeDuplicatedSpansFromStats(docs, gramStats(docs, L), L, minCount)
+
+  /** [[removeDuplicatedSpans]] against a SUPPLIED gram-statistics table
+    * (a [[gramStats]] output or a [[mergeGramStats]] of shard tables) —
+    * the incremental REWRITE path: when a new shard arrives, merge its
+    * stats into the persisted table and re-cut ONLY the affected
+    * documents instead of re-counting the corpus (the
+    * [[duplicatedSpansFromStats]] seam, for the rewrite half). `docs`
+    * may be any subset of the corpus the stats were built from; owners
+    * referenced by the stats keep their copies even when absent from
+    * `docs`.
+    */
+  def removeDuplicatedSpansFromStats(docs: DataFrame, stats: DataFrame,
+                                     L: Int,
+                                     minCount: Long = 2L): DataFrame = {
     require(L >= 1, s"window length must be >= 1, got $L")
     require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
-    val hot = gramStats(docs, L)
+    val hot = stats
       .filter(col("cnt") >= minCount)
       .select("g", "owner")
     val cuts = tokenWindows(docs, L).join(hot, Seq("g"))

@@ -6,12 +6,14 @@ import graft.ext.{Dedup, LangModel, Mixture}
 
 /** Round-16 batch: the REWRITE half of exact-substring dedup (cut the
   * duplicated spans and re-emit the cleaned corpus — the step an LLM
-  * pipeline actually ships, q372), temperature-scaled mixture weights
+  * pipeline actually ships, q372; its incremental persisted-stats seam,
+  * q375), temperature-scaled mixture weights
   * (DoReMi/Pile-style n^(1/T) domain reweighting on the exact integer
   * grid, q373), and per-document KN-LM quality scoring (the CCNet-style
   * LM filter composed from q360's exact-rational bigram model on the
   * integer-bits grid, q374). Library operators:
-  * [[graft.ext.Dedup.removeDuplicatedSpans]],
+  * [[graft.ext.Dedup.removeDuplicatedSpans]] /
+  * [[graft.ext.Dedup.removeDuplicatedSpansFromStats]],
   * [[graft.ext.Mixture.temperatureAllocation]] / [[graft.ext.Mixture.isqrt]],
   * [[graft.ext.LangModel.knDocScoreBits]].
   */
@@ -63,6 +65,21 @@ object Round16Queries {
           col("weight").cast("long").as("weight"), col("alloc"))
         .orderBy("lang")),
 
+    // Incremental span REWRITE: per-shard gram stats merged via
+    // mergeGramStats, then only shard-1 documents re-cut against the
+    // merged table — the persisted-stats seam (q333's merge contract)
+    // composed with the q372 rewrite. The oracle recomputes stats over
+    // the WHOLE corpus in one pass and cuts the same documents, so the
+    // gate proves merge + subset-rewrite ≡ full-corpus rewrite.
+    "q375_remove_spans_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merged = Dedup.mergeGramStats(Seq(0, 1).map(r =>
+        Dedup.gramStats(docs.filter(col("doc_id") % 2 === r), SpanL)))
+      Dedup.removeDuplicatedSpansFromStats(
+          docs.filter(col("doc_id") % 2 === 1), merged, SpanL)
+        .orderBy("doc_id")
+    }),
+
     // Per-document KN-LM score: whole-bit surprisal under the corpus's
     // own Kneser-Ney bigram model (num/den exact rationals, log via
     // integer division + bit length — no float log). The oracle
@@ -106,6 +123,46 @@ object Round16Queries {
                   FROM kept GROUP BY 1),
           sz AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
                  FROM w)
+          SELECT sz.doc_id,
+                 coalesce(agg.clean_text, '') AS clean_text,
+                 sz.n_tokens,
+                 CAST(coalesce(agg.kept, 0) AS BIGINT) AS kept_tokens,
+                 sz.n_tokens - CAST(coalesce(agg.kept, 0) AS BIGINT)
+                   AS cut_tokens
+          FROM sz LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    "q375_remove_spans_incremental" ->
+      s"""WITH w AS MATERIALIZED (SELECT doc_id, $tokSql AS w
+            FROM documents),
+          p AS MATERIALIZED (
+            SELECT doc_id, i,
+                   ${hash60Sql(s"array_to_string(w[i:i+${SpanL - 1}], ' ')")}
+                     AS g
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - ${SpanL - 1}))
+                           AS i
+                  FROM w)),
+          st AS (SELECT g, count(*) AS cnt, min(doc_id) AS owner
+                 FROM p GROUP BY g),
+          f AS (SELECT p.doc_id, p.i FROM p JOIN st USING (g)
+                WHERE st.cnt >= 2 AND st.owner <> p.doc_id
+                  AND p.doc_id % 2 = 1),
+          cut AS (SELECT DISTINCT doc_id, i + j AS t
+                  FROM f CROSS JOIN range(0, $SpanL) r(j)),
+          toks AS (SELECT doc_id, t, w[t] AS tok
+                   FROM (SELECT doc_id, w,
+                                unnest(generate_series(1, len(w))) AS t
+                         FROM w WHERE doc_id % 2 = 1)),
+          kept AS (SELECT k.doc_id, k.t, k.tok
+                   FROM toks k LEFT JOIN cut c
+                     ON c.doc_id = k.doc_id AND c.t = k.t
+                   WHERE c.t IS NULL),
+          agg AS (SELECT doc_id,
+                         string_agg(tok, ' ' ORDER BY t) AS clean_text,
+                         CAST(count(*) AS BIGINT) AS kept
+                  FROM kept GROUP BY 1),
+          sz AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+                 FROM w WHERE doc_id % 2 = 1)
           SELECT sz.doc_id,
                  coalesce(agg.clean_text, '') AS clean_text,
                  sz.n_tokens,
