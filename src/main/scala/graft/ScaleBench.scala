@@ -21,7 +21,14 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle-partition override for the 10⁹-row decade: a fixed
+      // partitions=cpus harness gives ~600 MB per-task sorts at 1B
+      // rows (disk spill reads as superlinearity), where a real
+      // cluster scales partition count with data — the override lets
+      // a shape measure the PLAN at the partitioning the data size
+      // calls for, holding cores constant
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       // diagnosis knob for ObjectHashAggregate's sort fallback (default
       // 128 distinct groups per partition — relevant to every
