@@ -42,7 +42,15 @@ object SparseSim {
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(df, "tok")
+    // pin the tf ⋈ df join: at bench scale the (doc, tok) side and the
+    // df-filtered vocab both straddle AQE's runtime broadcast
+    // threshold, so the build-side pick races run to run (observed as
+    // q140's bench fp flip) — and the losing pick builds on the
+    // CORPUS-shaped tf side. Shuffle-hash building on the df table
+    // (always the smaller side: one row per distinct token,
+    // co-partitioned on tok) is deterministic and stays narrow at any
+    // corpus size (the q118 discipline).
+    tf.join(df.hint("shuffle_hash"), "tok")
       .select(col("doc_id"), col("tok"), col("df"),
         (col("tf") * length(bin(expr(s"$nDocs div df"))).cast("long"))
           .as("w"))
@@ -58,7 +66,13 @@ object SparseSim {
       .agg(sum(col("w") * col("w")).as("n2"))
     // candidates only from sub-cap terms (the d²/2 guard)
     val rare = w.filter(col("df") <= dfCap).select("doc_id", "tok")
-    val cand = rare.as("a").join(rare.as("b"),
+    // every pair-path join strategy-pinned sort-merge (the q118
+    // discipline): all sides — the inverted-index posting lists, the
+    // candidate pairs, the weight and norm tables — are corpus-shaped
+    // at scale, so SMJ (spillable) is the 100 TB plan, and leaving the
+    // choice to AQE's runtime broadcast conversion made the bench fp
+    // race run to run (q140's recurring flip)
+    val cand = rare.as("a").hint("merge").join(rare.as("b").hint("merge"),
       col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -67,14 +81,14 @@ object SparseSim {
       col("w").as("wa"))
     val wb = w.select(col("doc_id").as("doc_b"), col("tok"),
       col("w").as("wb"))
-    cand.join(wa, Seq("doc_a"))
-      .join(wb, Seq("doc_b", "tok"))
+    cand.hint("merge").join(wa.hint("merge"), Seq("doc_a"))
+      .join(wb.hint("merge"), Seq("doc_b", "tok"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(norm2.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
-        "doc_a")
-      .join(norm2.select(col("doc_id").as("doc_b"), col("n2").as("n2b")),
-        "doc_b")
+      .join(norm2.select(col("doc_id").as("doc_a"), col("n2").as("n2a"))
+        .hint("merge"), "doc_a")
+      .join(norm2.select(col("doc_id").as("doc_b"), col("n2").as("n2b"))
+        .hint("merge"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("dot"),
         round(col("dot").cast("double") /
           sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 6)

@@ -385,8 +385,12 @@ object Round12bQueries {
         Seq(col("cents"), col("o_custkey")), out = "decile")
       val d = nt.groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+      // pin the 10x10 spine join's build side: both sides are 10-row
+      // aggregates, so AQE's BNLJ build pick races run to run (bench
+      // fp flip); broadcasting the bare spine is costless and fixed
       val cum = d.select(col("decile").as("db"), col("cents").as("cb"))
-        .join(d.select(col("decile")), col("db") <= col("decile"))
+        .join(broadcast(d.select(col("decile"))),
+          col("db") <= col("decile"))
         .groupBy("decile").agg(sum(col("cb")).as("cum_cents"))
       val tot = d.agg(sum(col("cents")).as("total"))
       d.join(cum, "decile").crossJoin(broadcast(tot))
