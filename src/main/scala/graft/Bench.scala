@@ -91,70 +91,16 @@ object Bench {
       graft.ext.Checkpoints.release(df)
       (t, stall, df)
     }
-    // Physical-plan fingerprint: md5 (first 12 hex) over the SORTED
-    // multiset of executed-plan node names, descending through AQE
-    // wrappers and materialized query stages. Round-over-round diffs of
-    // this map separate "the plan changed" from "the data or the box
-    // re-costed" mechanically — round 10's mover audit needed hand-run
-    // Explains for exactly that question. Best-effort: a plan whose
-    // internals can't be walked fingerprints what it can see.
+    // Physical-plan fingerprint: see [[PlanFp]] (shared with FpCensus so
+    // the stability census hashes the SAME canonical form as the bench
+    // artifact). Round-over-round diffs of this map separate "the plan
+    // changed" from "the data or the box re-costed" mechanically.
+    // Best-effort: a plan whose internals can't be walked fingerprints
+    // what it can see.
     val planFps = scala.collection.mutable.Map.empty[String, String]
     def planFp(fpDumpName: String,
                df: org.apache.spark.sql.DataFrame): String = try {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      // AQE's exchange-reuse cache races its own concurrent stage
-      // materialization: identical subtrees are sometimes deduped into
-      // a ReusedExchange and sometimes both materialized, run to run,
-      // with no plan-quality difference. Round 15 normalized the
-      // ReusedExchange spelling of that race; q216/q234 then exposed
-      // the STAGE-level spelling — the losing run carries one extra
-      // materialized stage (its Exchange + QueryStage wrapper +
-      // AQEShuffleRead reader + codegen boundary), so node COUNTS
-      // differ even after reuse expansion. Normalize both spellings at
-      // once: (a) count each DISTINCT exchange subtree once — a second
-      // textually-identical exchange collapses to an ExchangeReuse
-      // marker, exactly what AQE's dedup would have produced; (b) drop
-      // the stage-plumbing wrappers whose multiplicity is a function
-      // of where AQE happened to cut stages (QueryStage wrappers,
-      // AQEShuffleRead, InputAdapter, WholeStageCodegen — the codegen
-      // COUNT was kept through r15 but is itself boundary-racy).
-      // Real plan changes stay visible through what remains: operator
-      // nodes (joins by strategy name, aggregates, sorts, scans) and
-      // the multiset of distinct exchange subtrees.
-      val seenEx = scala.collection.mutable.Set.empty[String]
-      val noise = Set("InputAdapter", "AQEShuffleRead")
-      def isNoise(p: SparkPlan): Boolean =
-        noise.contains(p.nodeName) ||
-          p.nodeName.startsWith("WholeStageCodegen")
-      // raw canonical form: wrappers unwrapped, noise dropped, NO
-      // dedup markers — used as the exchange-identity KEY, so two
-      // copies of the same work key identically even when their
-      // EMITTED forms diverge (a copy whose inner exchange deduped to
-      // a marker would otherwise evade the outer dedup)
-      def raw(p: SparkPlan): Seq[String] = p match {
-        case a: AdaptiveSparkPlanExec => raw(a.executedPlan)
-        case q: QueryStageExec => raw(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          raw(r.child)
-        case other if isNoise(other) => other.children.flatMap(raw)
-        case other => other.nodeName +: other.children.flatMap(raw)
-      }
-      def names(p: SparkPlan): Seq[String] = p match {
-        case a: AdaptiveSparkPlanExec => names(a.executedPlan)
-        case q: QueryStageExec => names(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          names(r.child)
-        case e: org.apache.spark.sql.execution.exchange.Exchange =>
-          val key = (e.nodeName +: e.children.flatMap(raw))
-            .sorted.mkString("|")
-          if (seenEx.add(key)) e.nodeName +: e.children.flatMap(names)
-          else Seq("ExchangeReuse")
-        case other if isNoise(other) => other.children.flatMap(names)
-        case other => other.nodeName +: other.children.flatMap(names)
-      }
-      val canon = names(df.queryExecution.executedPlan)
-        .sorted.mkString(",")
+      val canon = PlanFp.canon(df).mkString(",")
       // forensic hook for fp-flip diagnosis: dump each query's raw
       // sorted node multiset (first measurement only) so two runs'
       // dumps diff to the exact nodes that moved
@@ -176,9 +122,7 @@ object Bench {
           }
         } catch { case _: Throwable => () }
       }
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(canon.getBytes("UTF-8"))
-        .take(6).map(b => f"$b%02x").mkString
+      PlanFp.md5Hex12(canon)
     } catch { case _: Throwable => "unavailable" }
     // min over INTERLEAVED sweeps (was median of 3 back-to-back runs):
     // stall noise is strictly one-sided, so the minimum estimates the

@@ -99,7 +99,13 @@ object Sf1Bench {
     val src = "/root/testdata/sf0.1"
     val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/testdata-sf1")
-    val reps = args.headOption.map(_.toInt).getOrElse(2)
+    // `gen` as the sole arg: (re)generate the sf1 tables and exit —
+    // testdata-sf1 stays out of git, so a fresh checkout needs a
+    // one-command regeneration that does NOT overwrite the committed
+    // timing artifacts.
+    val genOnly = args.headOption.contains("gen")
+    val reps =
+      if (genOnly) 0 else args.headOption.map(_.toInt).getOrElse(2)
     // optional explicit query set (args 2+): anchors a NEW operator
     // batch without redefining the committed top-20 artifact; output
     // goes to docs/bench_sf1_extra.json instead
@@ -118,6 +124,7 @@ object Sf1Bench {
       println(s"[sf1] generating $dst from $src")
       generate(spark, src, dst)
     }
+    if (genOnly) { println(s"[sf1] ready: $dst"); spark.stop(); return }
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     def once(name: String, dir: String): Double = {

@@ -64,12 +64,30 @@ object LangModel {
       .agg(sum("c").as("cv"), count(lit(1)).as("n1p"))
     val n1r = bg.groupBy("b").agg(count(lit(1)).as("n1r"))
     val npp = bg.agg(count(lit(1)).as("npp"))
+    // 64-bit headroom: den = 4·c(v)·Npp pairs the two largest counts in
+    // the model — corpus bigram tokens times bigram types — so it
+    // approaches 2⁶³ well below the 1B-row decade (cv·npp ≥ 2⁶¹ wraps),
+    // and non-ANSI Spark would wrap SILENTLY, skewing every score
+    // downstream. Compute both rationals on the exact decimal(38,0)
+    // grid (the type table is vocabulary-sized, so the widening is
+    // cheap) and fail loud in-row if den no longer fits the published
+    // BIGINT schema; num ≤ den exactly (P_KN ≤ 1, pinned by the
+    // normalization property), so guarding den guards both.
+    val dec = "decimal(38,0)"
+    val numDec = (lit(4L) * col("c").cast(dec) - lit(3L)) * col("npp") +
+      lit(3L) * col("n1p").cast(dec) * col("n1r")
+    val denDec = lit(4L) * col("cv").cast(dec) * col("npp")
+    val longMax = lit(Long.MaxValue).cast(dec)
     bg.join(cv, "a").join(n1r, "b").crossJoin(broadcast(npp))
       .filter(col("c") >= minCount)
       .select(col("a"), col("b"), col("c").as("c_vw"),
-        ((lit(4L) * col("c") - lit(3L)) * col("npp") +
-          lit(3L) * col("n1p") * col("n1r")).as("num"),
-        (lit(4L) * col("cv") * col("npp")).as("den"))
+        when(denDec <= longMax, numDec.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("knBigram: den = 4*c(v)*Npp exceeds 64-bit for a='"),
+            col("a"), lit("' (cv="), col("cv"), lit(", npp="),
+            col("npp"), lit("); shard the corpus")))).as("num"),
+        when(denDec <= longMax, denDec.cast("long"))
+          .otherwise(lit(null).cast("long")).as("den"))
   }
 
   /** Per-document KN-LM quality score on the integer-bits grid — the

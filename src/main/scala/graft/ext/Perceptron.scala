@@ -61,19 +61,35 @@ object Perceptron {
       // stops at the shorter array), and out-of-range coordinates
       // would wrap margins in non-ANSI Spark BEFORE the w-bound check
       // can fire. Fail loud on both.
-      val (dMin, dMax, xMaxRaw) = f.select(
+      val stats = f.select(
         min(size(col("x"))), max(size(col("x"))),
         max(aggregate(col("x"), lit(0L),
           (acc, t) => greatest(acc, abs(t)))))
-        .as[(Int, Int, Long)].head()
+        .as[(Option[Int], Option[Int], Option[Long])].head()
+      // an empty feature table makes every min/max NULL — fail with a
+      // named condition instead of an opaque NPE out of the decoder
+      val (dMin, dMax, xMaxRaw) = (stats._1, stats._2, stats._3) match {
+        case (Some(a), Some(b), Some(c)) => (a, b, c)
+        case _ => throw new IllegalArgumentException(
+          "perceptron: empty feature table (no labeled rows after split)")
+      }
       require(dMin == dMax,
         s"perceptron: ragged embedding dims (min $dMin, max $dMax)")
       val d = dMax
       val xMax = math.max(xMaxRaw, 1L)
       // margin = y·Σ_d w_d·x_d stays exact in signed 64-bit iff
       // d · max|w| · max|x| < 2⁶³ — the bound below is derived from
-      // the OBSERVED d and max|x|, checked after every epoch.
-      val wBound = Long.MaxValue / (d.toLong * xMax)
+      // the OBSERVED d and max|x|, checked after every epoch. The
+      // divisor d·max|x| is itself a 64-bit product, so compute it in
+      // BigInt: for max|x| near 2⁶³/d the Long product would wrap and
+      // could yield a too-LAX bound — the exact failure this guard
+      // exists to catch. A divisor ≥ 2⁶³ means no nonzero weight is
+      // provably safe; bound 1 keeps the all-zero start legal and the
+      // first real update fails loud.
+      val divisor = BigInt(d) * BigInt(xMax)
+      val wBound =
+        if (divisor >= BigInt(Long.MaxValue)) 1L
+        else Long.MaxValue / divisor.toLong
       var w: Seq[Long] = Seq.fill(d)(0L)
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Int, Seq[Long], Long)]

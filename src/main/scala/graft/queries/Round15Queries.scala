@@ -136,14 +136,7 @@ object Round15Queries {
     // per part file — the stream source lists non-recursively (see
     // Round14Queries.runDocsStream)
     def link(i: Int): Unit = {
-      val srcs =
-        if (java.nio.file.Files.isDirectory(target)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(target).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .toSeq.sortBy(_.getFileName.toString)
-        } else Seq(target)
-      srcs.zipWithIndex.foreach { case (src, j) =>
+      StreamingQueries.partFiles(target).zipWithIndex.foreach { case (src, j) =>
         java.nio.file.Files.createSymbolicLink(
           streamDir.resolve(s"copy${i}_$j.parquet"), src)
       }

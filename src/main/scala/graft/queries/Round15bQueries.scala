@@ -308,15 +308,8 @@ object Round15bQueries {
     val streamDir = java.nio.file.Files.createTempDirectory(prefix)
     val target = java.nio.file.Paths.get(dir).toAbsolutePath
       .resolve("embeddings.parquet")
-    def parts(p: java.nio.file.Path): Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(p).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString)
-      } else Seq(p)
     val links = (1 to copies).flatMap { i =>
-      parts(target).zipWithIndex.map { case (src, j) =>
+      StreamingQueries.partFiles(target).zipWithIndex.map { case (src, j) =>
         val l = streamDir.resolve(s"copy${i}_$j.parquet")
         java.nio.file.Files.createSymbolicLink(l, src)
         l

@@ -76,12 +76,29 @@ object StreamingQueries {
   private[queries] def partFileCount(dir: String, table: String): Int = {
     val p = java.nio.file.Paths.get(dir).toAbsolutePath
       .resolve(s"$table.parquet")
-    if (java.nio.file.Files.isDirectory(p)) {
-      import scala.jdk.CollectionConverters._
-      math.max(1, java.nio.file.Files.list(p).iterator().asScala
-        .count(_.getFileName.toString.endsWith(".parquet")))
-    } else 1
+    math.max(1, partFiles(p).size)
   }
+
+  /** The .parquet part files of a table path — the path itself for a
+    * single-file table, the sorted part files for a Spark-written
+    * directory table. The directory stream is CLOSED (`Files.list`
+    * holds a directory fd open until closed; the streaming harnesses
+    * call this hundreds of times per bench run, one leaked fd each
+    * before round 17). Shared by every stream-source harness — this
+    * logic was previously quadruplicated across StreamingQueries,
+    * Round14Queries, Round15Queries, and Round15bQueries.
+    */
+  private[queries] def partFiles(
+      p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (java.nio.file.Files.isDirectory(p)) {
+      val ls = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally ls.close()
+    } else Seq(p)
 
   /** Symlink one logical copy of a parquet table into a stream-source
     * dir. The file stream source lists the dir NON-recursively, so a
@@ -94,14 +111,7 @@ object StreamingQueries {
   private[queries] def linkTable(streamDir: java.nio.file.Path,
                                  target: java.nio.file.Path,
                                  copy: Int): Seq[java.nio.file.Path] = {
-    val parts =
-      if (java.nio.file.Files.isDirectory(target)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(target).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString)
-      } else Seq(target)
-    parts.zipWithIndex.map { case (src, j) =>
+    partFiles(target).zipWithIndex.map { case (src, j) =>
       val l = streamDir.resolve(s"copy${copy}_$j.parquet")
       java.nio.file.Files.createSymbolicLink(l, src)
       l
