@@ -473,6 +473,70 @@ object TextAnalysis {
           .as("chars_per_piece"))
   }
 
+  /** Materialize the TOKEN-ID corpus under a learned BPE vocabulary —
+    * the (doc_id, piece sequence, piece-ID sequence) table an LLM
+    * pipeline actually SHIPS to training after curation ends: q354
+    * learns the merges, q372 rewrites the text, this emits the training
+    * input. (The reference pipeline stops at clean tabular marts —
+    * `transform_data.py` — so this is extension surface, like all of
+    * the curation family.)
+    *
+    * Segmentation is IN-ROW (the [[bpeFertility]] fold: each clean
+    * word's '|'-delimited symbol state folds through the k literal
+    * replaces — codegen'd string ops, no join, no shuffle), so the
+    * `pieces` column costs one corpus projection. Piece IDs are the
+    * lexicographic rank over the corpus's DISTINCT piece vocabulary:
+    * the rank window runs single-partition but on the DEDUPED piece
+    * table (vocabulary-sized — bounded by |merges| + alphabet, never
+    * corpus-shaped), the id lookup is a broadcast join, and the
+    * per-document ID sequence re-assembles with ONE equi shuffle on
+    * doc_id (collect_list partially aggregates map-side). Documents
+    * with no clean token keep a row as (0, '', '') — training-data
+    * accounting must see them dropped explicitly downstream, not lose
+    * them silently here.
+    *
+    * Returns (doc_id, n_pieces, pieces, piece_ids) — flat space-joined
+    * strings, no arrays (the comparison-boundary discipline).
+    */
+  def bpeEncode(docs: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode needs at least one merge")
+    def segOf(w: Column): Column = {
+      val st0 = concat(lit("|"), regexp_replace(w, "(.)", "$1|"))
+      val stN = merges.foldLeft(st0) { case (st, (a, b)) =>
+        replace(st, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+      }
+      replace(trim(stN, "|"), lit("|"), lit(" "))
+    }
+    val clean = filter(wsTokens(col("text")),
+      x => x.rlike("^[a-z0-9]+$"))
+    val pieces = docs.select(col("doc_id"),
+      array_join(transform(clean, w => segOf(w)), " ").as("pieces"))
+    val wp = docs
+      .select(col("doc_id"), posexplode(clean).as(Seq("wpos", "w")))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(split(segOf(col("w")), " ")).as(Seq("ppos", "piece")))
+    val vocab = wp.select("piece").distinct()
+      .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("piece"))
+        .cast("long"))
+    val ids = wp.join(broadcast(vocab), "piece")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pieces"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("wpos"), col("ppos"), col("id")))),
+          x => x.getField("id").cast("string")), " ").as("piece_ids"))
+    // BOTH sides of the reassembly join are corpus-shaped (one row per
+    // document) — AQE would happily broadcast the ids aggregate at bench
+    // scale, a latent wrong-at-scale plan (the q140/groupMedian lesson);
+    // pin the spillable sort-merge.
+    pieces.join(ids.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        col("pieces"),
+        coalesce(col("piece_ids"), lit("")).as("piece_ids"))
+  }
+
   /** Bigram collocations by PMI lift: for every corpus bigram occurring
     * at least `minCount` times, its count, the two unigram counts, and
     * `lift = c_ab·N / (c_a·c_b)` — e^PMI, which ORDERS identically to

@@ -353,7 +353,7 @@ object Round15Queries {
         FROM rec ORDER BY query_id"""
   }
 
-  private val BpeSteps = 8
+  private[queries] val BpeSteps = 8
 
   /** One BPE training per sf dir for the APPLY-side query (q355): the
     * train-once/serve-everywhere seam; q354 deliberately retrains per
@@ -361,7 +361,7 @@ object Round15Queries {
     */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
-  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+  private[queries] def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeCache.computeIfAbsent(dir, _ =>
       graft.ext.TextAnalysis.bpeTrain(t(s, dir, "documents"), BpeSteps)
         .orderBy("step").select("left_sym", "right_sym")
@@ -379,7 +379,7 @@ object Round15Queries {
     * oracle-side training loop both q354 (merge table) and q355
     * (fertility with the learned vocabulary) build on.
     */
-  private def bpeStagesSql(steps: Int): String = {
+  private[queries] def bpeStagesSql(steps: Int): String = {
     val tokSql = raw"string_split_regex(trim(text), '\s+')"
     // Every stage CTE is MATERIALIZED: DuckDB 1.0 inlines plain CTEs, so
     // w_i's three references to w_{i-1} (direct + the two argmax scalar
