@@ -537,6 +537,32 @@ object TextAnalysis {
         coalesce(col("piece_ids"), lit("")).as("piece_ids"))
   }
 
+  /** Per-document BPE piece count under a learned merge list — the
+    * packing-side companion to [[bpeEncode]]: sequence packing needs
+    * ONLY the token count per document, so this skips the vocabulary
+    * rank and the reassembly shuffle entirely. One corpus projection,
+    * fully in-row: each clean word's symbol state folds through the k
+    * literal replaces and contributes its piece count to a scalar
+    * `aggregate()` over the token array (no explode, no join, no
+    * shuffle). Documents with no clean token count 0.
+    */
+  def bpePieceCounts(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpePieceCounts needs at least one merge")
+    def piecesOf(w: Column): Column = {
+      val st0 = concat(lit("|"), regexp_replace(w, "(.)", "$1|"))
+      val stN = merges.foldLeft(st0) { case (st, (a, b)) =>
+        replace(st, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+      }
+      (size(split(stN, "\\|")) - 2).cast("long")
+    }
+    val clean = filter(wsTokens(col("text")),
+      x => x.rlike("^[a-z0-9]+$"))
+    docs.select(col("doc_id"),
+      aggregate(clean, lit(0L), (acc, w) => acc + piecesOf(w))
+        .as("n_pieces"))
+  }
+
   /** Bigram collocations by PMI lift: for every corpus bigram occurring
     * at least `minCount` times, its count, the two unigram counts, and
     * `lift = c_ab·N / (c_a·c_b)` — e^PMI, which ORDERS identically to

@@ -33,6 +33,18 @@ class Round17Suite extends SparkSpec {
       assert(out(2) == ((3L, 3L, "a l pla", "1 2 4")))
     }
 
+    it("bpePieceCounts agrees with bpeEncode's n_pieces on every document") {
+      val merges = Seq(("p", "l"), ("pl", "a"))
+      val docs = Seq(
+        (1L, "play plaza lap"), (2L, "NOPE !!"), (3L, "al pla ab")
+      ).toDF("doc_id", "text")
+      val enc = TextAnalysis.bpeEncode(docs, merges)
+        .select("doc_id", "n_pieces").as[(Long, Long)].collect().toMap
+      val cnt = TextAnalysis.bpePieceCounts(docs, merges)
+        .as[(Long, Long)].collect().toMap
+      assert(cnt == enc)
+    }
+
     it("n_pieces reconciles with the pieces string for every document") {
       val docs = Seq(
         (10L, "aa ab aa ba"),
