@@ -44,9 +44,24 @@ object Verify {
       .map { case (name, render) => name -> render(spark, sfDir) }
     val static = SparkEntry.oracleSql
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val json = (static ++ dynamic)
+    // A filtered run ("only") MERGES into an existing oracle_sql.json
+    // instead of truncating it: re-dumping one query into a full sweep
+    // directory must not shrink the oracle map the sf1 gate resumes
+    // from (this truncated a 376-entry map to 2 in round 17).
+    val path = Paths.get(s"$outDir/oracle_sql.json")
+    val existing: Map[String, String] =
+      if (only.isDefined && Files.exists(path)) {
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(path.toFile)
+          import scala.jdk.CollectionConverters._
+          node.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        } catch { case _: Throwable => Map.empty }
+      } else Map.empty
+    val json = (existing ++ static ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(path, json)
     spark.stop()
   }
 }
