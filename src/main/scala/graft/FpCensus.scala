@@ -45,16 +45,22 @@ object FpCensus {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq
     def short(name: String): String = name.takeWhile(_ != '_')
-    // query -> fp -> count across passes
+    // query -> fp -> count across passes (REAL fingerprints only; a
+    // transient per-pass failure is tracked in `errors`, not as an "err"
+    // fp variant — r17 advice: one flaky pass must not flag a query as a
+    // genuine plan instability for the rest of the run)
     val seen = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, Int]]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def emit(passesDone: Int): Unit = {
       val flips = seen.collect { case (q, m) if m.size > 1 => q }.toSeq
       val qs = seen.map { case (q, m) =>
         "\"" + q + "\":" + m.map { case (fp, n) => "\"" + fp + "\":" + n }
           .mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-      val json = s"""{"passes":$passesDone,"sf":"$sfDir","n_queries":${seen.size},"flips":${flips.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs}"""
+      val errs = errors.map { case (q, n) => "\"" + q + "\":" + n }
+        .mkString("{", ",", "}")
+      val json = s"""{"passes":$passesDone,"sf":"$sfDir","n_queries":${seen.size},"flips":${flips.map("\"" + _ + "\"").mkString("[", ",", "]")},"errors":$errs,"queries":$qs}"""
       java.nio.file.Files.write(out.resolve("census.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[census] pass $passesDone/$passes done, " +
@@ -81,9 +87,7 @@ object FpCensus {
         } catch {
           case e: Throwable =>
             System.err.println(s"[census] $sk pass $pass FAILED: ${e.getMessage}")
-            val m = seen.getOrElseUpdate(sk,
-              scala.collection.mutable.LinkedHashMap.empty[String, Int])
-            m("err") = m.getOrElse("err", 0) + 1
+            errors(sk) = errors.getOrElse(sk, 0) + 1
         }
       }
       emit(pass)

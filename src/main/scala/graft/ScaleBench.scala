@@ -50,6 +50,34 @@ object ScaleBench {
       col("id").as("partkey"),
       concat(lit("brand"), (col("id") % 50).cast("string")).as("brand"))
 
+    // Shared synthetic corpus for the BPE shapes: 10-word documents over
+    // a 12-word inventory (the documents-table flavor) — enough pair
+    // diversity for a 250+-merge corpus-level vocabulary.
+    def bpeShapeDocs(nDocs: Long): DataFrame = {
+      val words = Seq("key", "agg", "row", "scan", "slow", "fast",
+        "table", "value", "merge", "batch", "window", "part")
+      val warr = array(words.map(lit): _*)
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 10).map(j =>
+          element_at(warr, (pmod(hash(col("id"), lit(j)),
+            lit(words.size)) + 1).cast("int"))): _*).as("text"))
+    }
+    // Vocabulary for the encode shapes, trained once per (stages, batch)
+    // on a FIXED 20k-doc sample — constant cost, outside the timed
+    // region, cached so reps re-use it.
+    val bpeVocabCache = new java.util.concurrent.ConcurrentHashMap[
+      (Int, Int), Seq[(String, String)]]()
+    def bpeShapeVocab(stages: Int, batch: Int): Seq[(String, String)] =
+      bpeVocabCache.computeIfAbsent((stages, batch), _ => {
+        val m = graft.ext.TextAnalysis
+          .bpeTrainBatched(bpeShapeDocs(20000L), stages, batch, 512)
+          .orderBy("rank").select("left_sym", "right_sym")
+          .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+        System.err.println(
+          s"[scale] bpe vocab stages=$stages batch=$batch -> ${m.size} merges")
+        m
+      })
+
     // Zipf-skewed IVF cells (shared by semdedup_zipf_cells and
     // ivf_cell_representatives): m = n/100 vectors (dim 8) over
     // k = m/100 cells — 90% spread uniformly (~90/cell), 10% crowd into
@@ -2041,6 +2069,61 @@ object ScaleBench {
             s"multimodal ANN emitted $got rows, expected 80")
         }
       },
+      "bpe_tokenize_pack" -> { n =>
+        time {
+          // the tokenize-and-pack decade (round-17 verdict task 2):
+          // q376's bpeEncode (in-row fold segmentation, vocabulary rank
+          // window, broadcast id lookup, ONE doc_id reassembly shuffle
+          // pinned sort-merge at birth) feeding q377's chunkSpans
+          // range-shuffle prefix scan. n/10 four-word docs under an
+          // 8-merge vocabulary; the final aggregate CONSUMES pieces and
+          // piece_ids (length sums), so column pruning cannot skip the
+          // segmentation or the reassembly. With
+          // SPARK_GRAFT_SCALE_METRICS=1 the artifact decomposes what
+          // rides the exchanges: the wp tuples (doc_id, wpos, ppos,
+          // id), the ids aggregate, the pieces side of the reassembly
+          // join, and the packing range shuffle.
+          val words = Seq("key", "agg", "row", "scan", "slow", "fast",
+            "table", "value", "merge", "batch", "window", "part")
+          val merges = Seq(("t", "a"), ("ta", "b"), ("s", "c"),
+            ("sc", "a"), ("k", "e"), ("ke", "y"), ("f", "a"), ("fa", "s"))
+          val warr = array(words.map(lit): _*)
+          val docs = spark.range(n / 10).select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 4).map(j =>
+              element_at(warr, (pmod(hash(col("id"), lit(j)),
+                lit(words.size)) + 1).cast("int"))): _*).as("text"))
+          val enc = graft.ext.TextAnalysis.bpeEncode(docs, merges)
+          graft.ext.Packing.chunkSpans(enc, col("n_pieces"),
+              Seq(col("doc_id")), 512)
+            .agg(count(lit(1)), sum("n_chunks"), sum("n_pieces"),
+              sum(length(col("pieces"))), sum(length(col("piece_ids"))))
+            .collect()
+        }
+      },
+      "bpe_encode_vocab_small" -> { n =>
+        // vocabulary-INDEPENDENCE pair (round-17 verdict task 1's decade
+        // evidence): same corpus, same greedy BpeSegment expression,
+        // ~14 vs ~250+ learned merges — the plan is ONE kernel call
+        // either way, so big-vocab time must track small-vocab time
+        // (the fold path would inline 20x the replace nodes) and both
+        // must stay linear in rows. Training runs OUTSIDE the timed
+        // region on a fixed 20k-doc sample (the documented
+        // sampled-training contract).
+        val merges = bpeShapeVocab(2, 8)
+        time {
+          val docs = bpeShapeDocs(n / 10)
+          graft.ext.TextAnalysis.bpeEncodeCorpus(docs, merges)
+            .agg(sum("n_pieces"), sum(length(col("pieces")))).collect()
+        }
+      },
+      "bpe_encode_vocab_big" -> { n =>
+        val merges = bpeShapeVocab(16, 32)
+        time {
+          val docs = bpeShapeDocs(n / 10)
+          graft.ext.TextAnalysis.bpeEncodeCorpus(docs, merges)
+            .agg(sum("n_pieces"), sum(length(col("pieces")))).collect()
+        }
+      },
       "pca_power_step" -> { n =>
         time {
           // mean pass + one power step (dim 8): y is an in-row fold
@@ -2111,6 +2194,11 @@ object ScaleBench {
     // instead of reading as superlinearity
     def timed(run: Long => Double, n: Long)
         : (Double, Double, Map[String, Long]) = {
+      // drain BEFORE clearing too (r17 advice): onTaskEnd events still
+      // queued from the preceding warm-up/rep would otherwise land after
+      // clear() and inflate this run's sums, skewing the small-vs-big
+      // IO decomposition
+      if (metricsOn) Thread.sleep(500)
       mAgg.clear()
       StallMeter.mark()
       val t = run(n)

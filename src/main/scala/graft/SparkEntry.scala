@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQueries, BreadthQueries, CorpusQueries, ExtensionQueries, ParityQueries, RelationalQueries, Round2Queries, Round4Queries, Round5Queries, Round6Queries, Round6bQueries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round11Queries, Round12Queries, Round12bQueries, Round12cQueries, Round13Queries, Round13bQueries, Round13cQueries, Round13dQueries, Round13eQueries, Round13fQueries, Round13gQueries, Round13hQueries, Round13iQueries, Round13jQueries, Round14Queries, Round15Queries, Round15bQueries, Round16Queries, Round17Queries, StreamingQueries}
+import graft.queries.{AdvancedQueries, BreadthQueries, CorpusQueries, ExtensionQueries, ParityQueries, RelationalQueries, Round2Queries, Round4Queries, Round5Queries, Round6Queries, Round6bQueries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round11Queries, Round12Queries, Round12bQueries, Round12cQueries, Round13Queries, Round13bQueries, Round13cQueries, Round13dQueries, Round13eQueries, Round13fQueries, Round13gQueries, Round13hQueries, Round13iQueries, Round13jQueries, Round14Queries, Round15Queries, Round15bQueries, Round16Queries, Round17Queries, Round18Queries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +35,8 @@ object SparkEntry {
       Round13hQueries.queries ++ Round13iQueries.queries ++
       Round13jQueries.queries ++ Round14Queries.queries ++
       Round15Queries.queries ++ Round15bQueries.queries ++
-      Round16Queries.queries ++ Round17Queries.queries
+      Round16Queries.queries ++ Round17Queries.queries ++
+      Round18Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,7 +57,8 @@ object SparkEntry {
       Round13hQueries.oracleSql ++ Round13iQueries.oracleSql ++
       Round13jQueries.oracleSql ++ Round14Queries.oracleSql ++
       Round15Queries.oracleSql ++ Round15bQueries.oracleSql ++
-      Round16Queries.oracleSql ++ Round17Queries.oracleSql
+      Round16Queries.oracleSql ++ Round17Queries.oracleSql ++
+      Round18Queries.oracleSql
 
   /** Oracles whose SQL depends on run-time-learned parameters (q64's
     * k-means centroids): rendered per (session, sfDir) when Verify dumps

@@ -48,16 +48,30 @@ object Verify {
     // instead of truncating it: re-dumping one query into a full sweep
     // directory must not shrink the oracle map the sf1 gate resumes
     // from (this truncated a 376-entry map to 2 in round 17).
+    // Fail LOUD if the existing file cannot be parsed: silently falling
+    // back to Map.empty would truncate the merged map — the exact
+    // regression the merge exists to prevent (r17 advice). Stale keys for
+    // renamed/deleted queries are dropped by intersecting with the live
+    // query map.
     val path = Paths.get(s"$outDir/oracle_sql.json")
     val existing: Map[String, String] =
       if (only.isDefined && Files.exists(path)) {
-        try {
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(path.toFile)
-          import scala.jdk.CollectionConverters._
-          node.properties().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        } catch { case _: Throwable => Map.empty }
+        val parsed =
+          try {
+            val node = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(path.toFile)
+            import scala.jdk.CollectionConverters._
+            node.properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[verify] FATAL: existing $path is unparseable " +
+                s"(${e.getMessage}); refusing to truncate the oracle map. " +
+                "Delete the file or run an unfiltered dump.")
+            spark.stop()
+            sys.exit(2)
+          }
+        parsed.filter { case (k, _) => SparkEntry.queries.contains(k) }
       } else Map.empty
     val json = (existing ++ static ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

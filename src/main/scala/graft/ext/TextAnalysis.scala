@@ -1055,4 +1055,145 @@ object TextAnalysis {
       .select(col(sliceCol), col("rnk"), col("term"),
         col("key").as("score"), col("df"), col("idf_bits"))
   }
+
+  // -------------------------------------------------------------------
+  // Corpus-level (SentencePiece-style) BPE: the production-vocabulary
+  // path. The word-level family above ([[bpeTrain]]/[[bpeEncode]]) is
+  // capped by this corpus's WORD diversity (31 word types; at most ~107
+  // merges exist at any SF), so vocabulary-scale capability needs the
+  // industry shape instead: normalize each document to its clean tokens
+  // joined by '_' and learn CHARACTER-level merges that may cross word
+  // boundaries — merge capacity then grows with corpus text mass, not
+  // the word inventory.
+  // -------------------------------------------------------------------
+
+  /** Clean-token normalization for corpus-level BPE: whitespace tokens
+    * matching `^[a-z0-9]+$`, joined by '_' (the word-boundary marker a
+    * SentencePiece-style vocabulary learns through). '' when the
+    * document has no clean token.
+    */
+  def bpeNormalize(text: Column): Column =
+    array_join(filter(wsTokens(text), x => x.rlike("^[a-z0-9]+$")), "_")
+
+  /** BATCHED corpus-level BPE training — the vocabulary-scale trainer
+    * (round-17 verdict task 1). [[bpeTrain]] runs one Spark job per
+    * merge, so a 32k-merge production vocabulary would be a 32k-job
+    * driver loop; this trainer learns up to `batch` merges per census,
+    * turning vocabulary size into stages = vocab/batch corpus scans
+    * (32k at batch=64 -> 500 scans; at 100 TB the documented contract
+    * is to train on a deterministic hash-sample — content-hash
+    * sampling is [[Sampling]]'s seam — since BPE statistics converge
+    * far below full-corpus mass).
+    *
+    * Per stage: (1) census every adjacent symbol pair (a <> b) over the
+    * '|'-delimited document states, weighted by state multiplicity;
+    * (2) rank by (count DESC, a, b) and keep the top `cands`
+    * CANDIDATES; (3) greedy-scan candidates in rank order, selecting a
+    * pair unless a previously SELECTED pair already uses either of its
+    * symbols — selected pairs also reserve their merged string, so no
+    * later selection can consume a symbol this batch is about to
+    * create; (4) apply the <= batch selected merges as chained literal
+    * replaces (symbol-disjointness makes the batch order-independent
+    * and equal to simultaneous application over the pre-stage state).
+    * The candidate list is vocabulary-sized (`cands` rows), so the
+    * per-stage collect is a model-sized read, never corpus-shaped. The
+    * state table is re-localCheckpoint'd per stage (each census reads
+    * cached blocks) and every generation is released before returning.
+    *
+    * Returns one row per learned merge: (rank, stage, left_sym,
+    * right_sym, merged, pair_n). A pair consumed and later re-formed by
+    * string-coincident symbols can legitimately be re-learned at a
+    * higher rank; the encode side resolves such pairs at their LOWEST
+    * rank ([[graft.functions.BpeVocab]]).
+    */
+  def bpeTrainBatched(docs: DataFrame, stages: Int, batch: Int,
+                      cands: Int): DataFrame = {
+    require(stages >= 1 && stages <= 1000,
+      s"stages must be in [1, 1000], got $stages")
+    require(batch >= 1 && cands >= batch,
+      s"need batch >= 1 and cands >= batch, got batch=$batch cands=$cands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var state = docs
+      .select(bpeNormalize(col("text")).as("n"))
+      .filter(col("n") =!= "")
+      .select(concat(lit("|"),
+        regexp_replace(col("n"), "(.)", "$1|")).as("state"))
+      .groupBy("state").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, String, String, Long)]
+    try {
+      var stage = 1
+      var exhausted = false
+      while (stage <= stages && !exhausted) {
+        val top = state
+          .select(col("cnt"), expr(
+            "slice(split(state, '\\\\|'), 2, size(split(state, '\\\\|')) - 2)")
+            .as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sy) - 1), " +
+              "j -> struct(sy[j - 1] AS a, sy[j] AS b))")).as("p"))
+          .filter(col("p.a") =!= col("p.b"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(cands)
+          .as[(String, String, Long)].collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val used = scala.collection.mutable.HashSet.empty[String]
+          val sel = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, Long)]
+          var i = 0
+          while (i < top.length && sel.length < batch) {
+            val (a, b, c) = top(i)
+            if (!used.contains(a) && !used.contains(b)) {
+              sel += ((a, b, c))
+              used += a; used += b; used += (a + b)
+            }
+            i += 1
+          }
+          sel.foreach { case (a, b, c) =>
+            merges += ((merges.length + 1L, stage.toLong, a, b, a + b, c))
+          }
+          val next = state.select(
+            sel.foldLeft(col("state")) { case (st, (a, b, _)) =>
+              replace(st, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+            }.as("state"), col("cnt"))
+            .groupBy("state").agg(sum(col("cnt")).as("cnt"))
+            .localCheckpoint()
+          Checkpoints.release(state)
+          state = next
+          stage += 1
+        }
+      }
+    } finally Checkpoints.release(state)
+    require(merges.nonEmpty, "bpeTrainBatched: no mergeable pair")
+    merges.toSeq
+      .toDF("rank", "stage", "left_sym", "right_sym", "merged", "pair_n")
+  }
+
+  /** Tokenize the corpus under a learned corpus-level vocabulary with
+    * the LINEAR encode expression ([[graft.functions.BpeSegment]]):
+    * one projection, one kernel call per document, plan size and
+    * per-document cost independent of |merges| — the production-
+    * vocabulary replacement for the per-merge `replace` fold. Returns
+    * (doc_id, n_pieces, pieces); documents with no clean token keep a
+    * row as (0, '').
+    */
+  def bpeEncodeCorpus(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeCorpus needs at least one merge")
+    docs
+      .select(col("doc_id"),
+        graft.functions.BpeFunctions
+          .bpeSegment(bpeNormalize(col("text")), merges).as("pieces"))
+      .select(col("doc_id"),
+        when(col("pieces") === "", 0L)
+          .otherwise(size(split(col("pieces"), " ")).cast("long"))
+          .as("n_pieces"),
+        col("pieces"))
+  }
 }

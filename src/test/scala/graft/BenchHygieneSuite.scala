@@ -57,6 +57,19 @@ class BenchHygieneSuite extends SparkSpec {
     }
   }
 
+  describe("Bench prev-artifact hygiene") {
+    it("warns loudly when the prev artifact's query count disagrees") {
+      // stale prev (r17's near-miss: 371-query r15 artifact under a
+      // 375-query registry) must produce a warning
+      assert(Bench.prevCountWarning(371, 375).isDefined)
+      // a prev artifact can never have MORE queries than the registry
+      assert(Bench.prevCountWarning(380, 375).isDefined)
+      // matching counts and the no-prev-file case are silent
+      assert(Bench.prevCountWarning(375, 375).isEmpty)
+      assert(Bench.prevCountWarning(0, 375).isEmpty)
+    }
+  }
+
   describe("StallMeter") {
     it("reports ~zero gap over an idle window and a nonneg run max") {
       StallMeter.start()

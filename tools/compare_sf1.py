@@ -49,9 +49,22 @@ def run_one(sf_dir, out_dir, name, sql, q, heavy=False):
             # oracle (|V|^2 = 4e8 cosine pairs at sf1) OOM-dies under the
             # shared worker budget but passes solo once DuckDB may spill
             # its window to disk
-            con.execute("SET memory_limit='60GB'")
-            os.makedirs("/tmp/duck_spill", exist_ok=True)
-            con.execute("SET temp_directory='/tmp/duck_spill'")
+            # limit/spill-dir configurable (r17 advice): default the memory
+            # limit to ~half of detected RAM so a smaller host spills
+            # instead of OOMing the machine, and let both be overridden
+            # via env (DUCK_MEM_LIMIT / DUCK_SPILL_DIR)
+            mem = os.environ.get("DUCK_MEM_LIMIT")
+            if not mem:
+                try:
+                    kb = int(next(l for l in open("/proc/meminfo")
+                                  if l.startswith("MemTotal")).split()[1])
+                    mem = f"{max(4, kb // 1024 // 1024 // 2)}GB"
+                except Exception:
+                    mem = "8GB"
+            spill = os.environ.get("DUCK_SPILL_DIR", "/tmp/duck_spill")
+            con.execute(f"SET memory_limit='{mem}'")
+            os.makedirs(spill, exist_ok=True)
+            con.execute(f"SET temp_directory='{spill}'")
         for tbl in ["region", "nation", "customer", "supplier", "part",
                     "orders", "lineitem", "events", "documents",
                     "embeddings"]:
