@@ -274,7 +274,12 @@ object Pq {
     * (0-based indices into the source vector).
     */
   def permuteVec(v: Column, perm: Seq[Int]): Column =
-    array(perm.map(j => element_at(v, j + 1)): _*)
+    // one-pass native expression; the previous Column phrasing
+    // (`array(perm.map(j => element_at(v, j + 1)))`) re-evaluated the
+    // child cast once per ELEMENT — 64 whole-array casts per row, which
+    // round-18's q338 task-metrics decomposition measured as ~50x the
+    // encode's arithmetic cost
+    graft.functions.PqFunctions.vecPermute(v, perm)
 
   /** Squared distance between subvector s of `v` and a code centroid,
     * in the engine-portable order: v·v − 2·v·c + c·c, dot products
@@ -526,15 +531,48 @@ object Pq {
 
   private def adcKnnPackedBatch(queries: DataFrame, corpusCodes: DataFrame,
                                 model: Model, k: Int): DataFrame = {
-    val nCodes = model.books.head.size
-    val lutQ = broadcast(queries.select(col("vec_id").as("query_id"),
-      graft.functions.PqFunctions.pqAdcLut(
-        col("embedding").cast("array<double>"), model.books).as("__lut")))
-    val dists = corpusCodes.crossJoin(lutQ)
+    // The batch's LUTs are COLLECTED and ride as one reference object
+    // (bounded by construction: batchPredicates caps each batch at
+    // maxLutRows LUT entries, so this is a model-sized read, never
+    // corpus-shaped). The per-query fan-out is then a plain
+    // explode(sequence(0, B-1)) over each codes row — no broadcast
+    // join. The previous crossJoin-against-broadcast-LUT plan
+    // whole-stage-codegen'd the stream-side ENCODE into the join's
+    // consume path, re-encoding every corpus row once per broadcast
+    // row: per-row cost grew with the batch size (measured round 18 at
+    // sf1: 5 queries -> encode 5x, 52 s vs 12 s; QueryMetrics artifact
+    // docs/opq_metrics_r18.json).
+    val spark = corpusCodes.sparkSession
+    val (flat, norms, kk, subDim) =
+      graft.functions.PqMatrix.pack(model.books)
+    val qRows = queries
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    if (qRows.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("query_id", "rnk", "neighbor_id", "dist_micro")
+    }
+    val m = model.books.size
+    val luts = new Array[Long](qRows.length * m * kk)
+    qRows.zipWithIndex.foreach { case ((_, v), qi) =>
+      graft.functions.PqKernel.lut(flat, norms, m, kk, subDim, v)
+        .copyToArray(luts, qi * m * kk)
+    }
+    val qids = qRows.map(_._1).toSeq
+    val dists = corpusCodes
+      .select(col("vec_id"), col("codes"),
+        explode(sequence(lit(0), lit(qRows.length - 1))).as("__qi"))
+      .select(
+        element_at(typedLit(qids), (col("__qi") + 1).cast("int"))
+          .as("query_id"),
+        col("vec_id"),
+        graft.functions.PqFunctions.pqAdcDistBatch(col("codes"),
+          col("__qi"), luts, m, kk).as("dist_micro"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        graft.functions.PqFunctions.pqAdcDist(col("codes"), col("__lut"),
-          nCodes).as("dist_micro"))
     graft.functions.TopKFunctions.topkPerGroup(dists,
         Seq(col("query_id")), -col("dist_micro"), col("vec_id"), k)
       .select(col("query_id"), col("rnk"), col("id").as("neighbor_id"),

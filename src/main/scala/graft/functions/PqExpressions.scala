@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for FULL-DIMENSION product quantization.
   *
@@ -269,7 +269,160 @@ case class PqAdcDistMicro(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Coordinate permutation of an array<double> vector in ONE pass with
+  * the permutation as a reference object. The Column phrasing —
+  * `array(perm.map(j => element_at(v, j + 1)))` — re-evaluates the
+  * child (typically `cast(embedding AS array<double>)`) once PER
+  * ELEMENT: 64 whole-array casts + 64 intermediate allocations per
+  * row (the round-18 q338 finding: 0.5 ms/row on a 4096-flop encode).
+  * Here the child evaluates once and the permute is a d-step copy.
+  */
+case class VecPermute(child: Expression, perm: Array[Int])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vec_permute"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](perm.length)
+    var i = 0
+    while (i < perm.length) {
+      val j = perm(i)
+      if (j >= n) throw new ArrayIndexOutOfBoundsException(
+        s"permutation index $j out of bounds for vector of $n")
+      out(i) = v.getDouble(j)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val permRef = ctx.addReferenceObj("vecPerm", perm, "int[]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = $v.numElements();
+         |double[] $out = new double[$permRef.length];
+         |for (int $i = 0; $i < $permRef.length; $i++) {
+         |  int $j = $permRef[$i];
+         |  if ($j >= $n) throw new ArrayIndexOutOfBoundsException(
+         |    "permutation index " + $j + " out of bounds for vector of " + $n);
+         |  $out[$i] = $v.getDouble($j);
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecPermute =
+    copy(child = newChild)
+}
+
+/** ADC distance of one corpus row's codes against query `qi` of a
+  * DRIVER-COLLECTED batch LUT (flat layout: luts[qi·m·k + s·k + code]).
+  * The batch LUT rides as ONE reference object, so the per-query
+  * distance fan-out is `explode(sequence(0, B−1))` over the codes row —
+  * NO broadcast join, and the encode feeding `codes` is evaluated once
+  * per corpus row (the round-18 q338 finding: whole-stage codegen
+  * re-evaluated the stream-side encode once per broadcast row, a
+  * per-row cost that grew with the query batch).
+  */
+case class PqAdcDistBatch(left: Expression, right: Expression,
+                          luts: Array[Long], m: Int, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_adc_dist_batch"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val qi = b.asInstanceOf[Number].intValue()
+    val base = qi * m * k
+    var s = 0
+    var d = 0L
+    while (s < m) {
+      d += luts(base + s * k + codes.getLong(s).toInt)
+      s += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lutsRef = ctx.addReferenceObj("adcLuts", luts, "long[]")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      s"""
+         |int $base = ((int) $b) * $m * $k;
+         |long $d = 0L;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $d += $lutsRef[$base + $s * $k + (int) $a.getLong($s)];
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDistBatch =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqKernel {
+  /** The [[PqAdcLutMicro]] arithmetic as a driver-callable kernel —
+    * SAME loop, SAME order, so a LUT built driver-side for the batch
+    * path is bit-identical to the expression-built one (the oracle
+    * reproduces both from the rendered codebooks).
+    */
+  def lut(flat: Array[Double], norms: Array[Double], m: Int, k: Int,
+          subDim: Int, v: Array[Double]): Array[Long] = {
+    val n = v.length
+    val out = new Array[Long](m * k)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      var vv = 0.0
+      var j = 0
+      while (j < subDim && base + j < n) {
+        val x = v(base + j); vv += x * x; j += 1
+      }
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * subDim
+        var dot = 0.0
+        var i = 0
+        while (i < subDim && base + i < n) {
+          dot += v(base + i) * flat(off + i); i += 1
+        }
+        val d2 = vv - 2.0 * dot + norms(s * k + c)
+        out(s * k + c) = math.floor(d2 * 1e6 + 0.5).toLong
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
+}
+
 object PqFunctions {
+  /** One-pass coordinate permutation (see [[VecPermute]]). */
+  def vecPermute(v: Column, perm: Seq[Int]): Column =
+    GraftShim.column(VecPermute(GraftShim.expression(v), perm.toArray))
+
+  /** Batch ADC distance against a driver-collected flat LUT (see
+    * [[PqAdcDistBatch]]).
+    */
+  def pqAdcDistBatch(codes: Column, qi: Column, luts: Array[Long],
+                     m: Int, k: Int): Column =
+    GraftShim.column(PqAdcDistBatch(GraftShim.expression(codes),
+      GraftShim.expression(qi), luts, m, k))
+
   /** Codes for all m subspaces as array<long> (codegen'd, matrix rides
     * as a reference object).
     */
