@@ -172,6 +172,66 @@ class Round18Suite extends SparkSpec {
     }
   }
 
+  describe("VecPermute and the batch-LUT ADC (the q338 fix)") {
+    import org.apache.spark.sql.functions._
+
+    it("VecPermute equals the element_at Column phrasing") {
+      val vecs = Seq((1L, Seq(1.0f, 2.5f, -3.0f, 4.0f)),
+        (2L, Seq(0.0f, -1.0f, 7.25f, 9.5f)))
+        .toDF("vec_id", "embedding")
+      val perm = Seq(2, 0, 3, 1)
+      val fast = vecs.select(col("vec_id"),
+        graft.functions.PqFunctions.vecPermute(
+          col("embedding").cast("array<double>"), perm).as("p"))
+        .as[(Long, Seq[Double])].collect().toMap
+      val ref = vecs.select(col("vec_id"),
+        array(perm.map(j => element_at(
+          col("embedding").cast("array<double>"), j + 1)): _*).as("p"))
+        .as[(Long, Seq[Double])].collect().toMap
+      assert(fast == ref)
+    }
+
+    it("VecPermute throws on an out-of-range index") {
+      val vecs = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+      val bad = vecs.select(graft.functions.PqFunctions.vecPermute(
+        col("embedding"), Seq(0, 5)))
+      assertThrows[Exception](bad.collect())
+    }
+
+    it("adcKnnPacked (batch-LUT plan) matches the melt-path adcKnn ranking") {
+      // two independent implementations of the same ADC semantics:
+      // the reference-object batch plan vs the exploded (s, code) join
+      val books = Seq.tabulate(2)(s => Seq.tabulate(4)(c =>
+        Seq.tabulate(2)(j => (c * 3 + j + s).toDouble)))
+      val model = Pq.Model(books, dim = 4)
+      val vecs = (0L until 40L).map(i => (i,
+        Seq.tabulate(4)(j => ((i * 7 + j * 5) % 11).toDouble)))
+        .toDF("vec_id", "embedding")
+      val queries = vecs.filter(col("vec_id") < 3)
+      val fast = Pq.adcKnnPacked(queries, Pq.encodePacked(vecs, model),
+          model, 5)
+        .select("query_id", "rnk", "neighbor_id", "dist_micro")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val ref = Pq.adcKnn(queries, Pq.encode(vecs, model), model, 5)
+        .select("query_id", "rnk", "neighbor_id", "dist_micro")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(fast == ref)
+    }
+
+    it("batch-LUT ADC returns an empty frame for an empty query set") {
+      val books = Seq.tabulate(2)(s => Seq.tabulate(2)(c =>
+        Seq.tabulate(2)(j => (c + j + s).toDouble)))
+      val model = Pq.Model(books, dim = 4)
+      val vecs = (0L until 10L).map(i => (i, Seq(1.0, 2.0, 3.0, 4.0)))
+        .toDF("vec_id", "embedding")
+      val out = Pq.adcKnnPacked(vecs.filter(col("vec_id") < 0),
+        Pq.encodePacked(vecs, model), model, 3)
+      assert(out.count() == 0)
+      assert(out.columns.toSeq ==
+        Seq("query_id", "rnk", "neighbor_id", "dist_micro"))
+    }
+  }
+
   describe("TextAnalysis.bpeEncodeCorpus") {
     it("n_pieces reconciles with the pieces string; empty docs keep a row") {
       val docs = Seq(
