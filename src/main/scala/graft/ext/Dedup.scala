@@ -239,11 +239,83 @@ object Dedup {
           .as("shingle"))
   }
 
+  /** Per-document DISTINCT shingle SET as an in-row array column — the
+    * zero-shuffle form of [[shingles]] (round-18 optimization, guide
+    * §2.3/§2.4 "remove shuffles outright / shuffle fewer bytes").
+    * Set-dedup within a document needs no cross-row exchange: the
+    * shingle positions of one document live in one row, so
+    * `array_distinct` over the in-row transform IS the distinct — the
+    * old `shinglesRaw(...).distinct()` paid a full
+    * (doc_id, shingle)-keyed exchange of the exploded corpus (~5M
+    * string rows at sf0.1) for a dedup that never crossed documents,
+    * and every consumer that needed |set| paid a second doc_id-keyed
+    * exchange for a count window. Output: (doc_id, sharr, n_shingles)
+    * with n_shingles = size of the distinct set (0 for docs shorter
+    * than n tokens — explode drops them, preserving [[shingles]]'
+    * row semantics for exploded consumers).
+    *
+    * ONLY VALID when `doc_id` is unique per input row (true for every
+    * caller — the documents table): duplicate doc_id rows would no
+    * longer be set-merged across rows the way the exchange-based
+    * distinct merged them.
+    */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
+    // `w` MUST be bound as an attribute before the transform lambda
+    // references it: a raw `wsTokens(col("text"))` Column inlines the
+    // whole-text split INTO the lambda body, where it re-evaluates once
+    // per array element — O(len²) per document (the repo's own
+    // HOF-lambda trap, the q338 permuteVec lesson; measured 20× slower
+    // here before the binding).
+    val w = col("w")
+    val m = size(w) - (n - 1)
+    // the coalesce-to-literal makes `sharr` (and so n_shingles) provably
+    // NON-NULLABLE — load-bearing: the pair operators end in a
+    // null-intolerant jaccard filter, and with a nullable n_shingles,
+    // InferFiltersFromConstraints pushes an isnotnull(n_shingles) filter
+    // to the SCAN with this whole expression re-substituted into an
+    // interpreted per-row Filter (measured 6× the operator's cost); a
+    // non-nullable type makes the constraint vacuous, so it is never
+    // generated
+    val arr = coalesce(
+      when(m >= 1,
+        array_distinct(transform(sequence(lit(1), m),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))),
+      array())
+    docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), arr.as("sharr"))
+      .select(col("doc_id"), col("sharr"),
+        size(col("sharr")).cast("long").as("n_shingles"))
+  }
+
+  /** [[shingleSets]] exploded to (doc_id, n_shingles, shingle) rows —
+    * the shape the pair operators consume, with |set| riding in-row.
+    *
+    * `explode_outer` + a post-filter on the GENERATED column is load-
+    * bearing, not style: plain `explode` triggers Catalyst's
+    * InferFiltersFromGenerate, whose inferred `size(e) > 0 AND
+    * isnotnull(e)` predicate substitutes down through the projections
+    * and re-inlines the whole shingle-build expression (split × ~8)
+    * into an interpreted Filter evaluated once per row — measured 15 s
+    * vs 0.5 s at sf0.1 for the same rows. The rule skips outer
+    * generates, and the isnotnull filter on the generated column
+    * cannot be pushed below the Generate, so the array is built
+    * exactly once per document. Empty sets (docs shorter than n
+    * tokens) emit one null-shingle row and are filtered — identical
+    * rows to the old exchange-based distinct.
+    */
+  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    shingleSets(docs, n)
+      .select(col("doc_id"), col("n_shingles"),
+        explode_outer(col("sharr")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+
   /** Distinct word n-gram shingles per document (set semantics — required
-    * by Jaccard; costs one shuffle).
+    * by Jaccard). Zero shuffle since round 18: the per-document set is
+    * built in-row ([[shingleSets]]) and exploded — identical rows to the
+    * old `shinglesRaw(...).distinct()`, minus its corpus-wide exchange.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shinglesRaw(docs, n).distinct()
+    shingleRows(docs, n).select(col("doc_id"), col("shingle"))
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity >= threshold,
     * via inverted-index join (doc pairs are generated only when they share
@@ -262,14 +334,14 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    dfCap: Int = Int.MaxValue): DataFrame = {
-    // each shingle row carries its document's total shingle count (one
-    // window pass over the doc_id shuffle) so |A| and |B| ride along with
-    // the inverted-index join — without this, sizes would be a separate
-    // aggregate joined back in, re-scanning and re-shingling the corpus
-    // twice more (4 corpus passes instead of 2 in the physical plan)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val all = shingles(docs, n)
-      .withColumn("n_shingles", count(lit(1)).over(w))
+    // each shingle row carries its document's total shingle count IN-ROW
+    // (size of the per-doc set array, [[shingleSets]]) so |A| and |B|
+    // ride along with the inverted-index join for free — the old shape
+    // paid a (doc_id, shingle) exchange for the set-distinct plus a
+    // doc_id exchange for a count window before the first real join
+    // (round-18: two corpus-wide shuffles of exploded string rows
+    // removed, guide §2.4)
+    val all = shingleRows(docs, n)
     val sh =
       if (dfCap == Int.MaxValue) all
       else {
@@ -285,7 +357,16 @@ object Dedup {
           .filter(col("df") > dfCap).select("shingle")
         all.join(hot, Seq("shingle"), "left_anti")
       }
-    sh.as("a")
+    // the inverted-index self-join is PINNED sort-merge: with the
+    // round-18 in-row shingle pipeline there is no exchange below this
+    // join, so Catalyst's STATIC size estimate of the exploded corpus
+    // side (derived from the small parquet file) sits under the 10 MB
+    // broadcast threshold and the planner would otherwise BROADCAST a
+    // corpus-shaped side — measured as a multi-second driver build at
+    // sf0.1 and the wrong plan at any real scale (the q118 round-14
+    // lesson; AQE cannot re-cost a join with no query-stage boundary
+    // beneath it)
+    sh.as("a").hint("merge")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -326,19 +407,21 @@ object Dedup {
                          n: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs a threshold in (0, 1], got $threshold")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    // NOTE on plan stability: the shingle table feeds four consumers and
-    // the prefix table two, so AQE's exchange-reuse cache races its own
-    // concurrent stage materialization — identical subtrees are
-    // sometimes deduplicated and sometimes both computed, run to run.
-    // That race is work-variance only (the bench fingerprint normalizes
-    // ReusedExchange away since round 15); an eager localCheckpoint of
-    // the shared tables was MEASURED SLOWER (sf1: 38.9 s → 52.9 s — the
-    // materialization barrier costs more than the duplicate work it
-    // saves, because reuse usually wins the race exactly when the
-    // subtree is expensive), so the operator stays barrier-free.
-    val sh = shingles(docs, n)
-      .withColumn("n_shingles", count(lit(1)).over(w))
+    // Round-18 reshape (guide §2.3/§2.4): the shingle table is built
+    // IN-ROW ([[shingleSets]]) — per-doc set dedup and |set| need no
+    // exchange — so the operator's first shuffle is the df census's
+    // map-side-combined partial aggregate instead of a corpus-wide
+    // (doc_id, shingle) exchange followed by a doc_id count window.
+    // This also shrinks the old four-consumer exchange-reuse RACE
+    // (identical shingle subtrees sometimes deduplicated, sometimes
+    // both computed, run to run — measured 8–30 s swings on q118 at
+    // sf0.1): the shared subtree is now a cheap projection, so losing
+    // the race costs a re-tokenize, not a re-shuffle. An eager
+    // localCheckpoint remains off the table (measured SLOWER at sf1:
+    // 38.9 s → 52.9 s — the materialization barrier out-costs the
+    // duplicate work it saves).
+    val sets = shingleSets(docs, n)
+    val sh = shingleRows(docs, n)
     // EVERY join in this operator is strategy-hinted: the shingle,
     // prefix, and df tables are all corpus-proportional and their
     // measured shuffle sizes straddle the 10 MB AQE broadcast threshold
@@ -367,33 +450,37 @@ object Dedup {
           col("b.n_shingles") * threshold <= col("a.n_shingles"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val aSide = sh.select(col("doc_id").as("doc_a"), col("shingle"),
-      col("n_shingles").as("n_a"))
-    val bSide = sh.select(col("doc_id").as("doc_b"), col("shingle"),
-      col("n_shingles").as("n_b"))
-    // Verification joins are PINNED to sort-merge. Left to AQE, the
-    // corpus shingle table's measured shuffle size straddles the 10 MB
-    // broadcast threshold at bench SFs (260k rows ≈ 8-12 MB at sf0.1),
-    // so the executed plan flip-flopped between broadcasting the CORPUS
-    // side and a sort-merge join across otherwise-identical runs
-    // (round-14 verdict: the bench's one recurring fingerprint
-    // instability, ±1 s on its most expensive query). Broadcasting a
-    // corpus-scale side is the wrong plan beyond toy SFs, and
-    // shuffle-hash was measured to OOM at sf1: the build side of the
-    // second join is the candidate×shingle EXPANSION (Σ|A| over
-    // candidate pairs — pair-population-bound, ~100× sf0.1 at sf1), and
-    // Spark's shuffled-hash build cannot spill. Sort-merge is the one
-    // shape that is deterministic at every size AND spills — what you'd
-    // run at 100 TB, where both sides shuffle on their keys and nothing
-    // is collected or built in memory.
-    // Join 1 builds shuffled-hash on `cand` — a two-long-column pruned
-    // PAIRS table, the textbook hash-build side; join 2, whose left
-    // input is the expansion, is the one that must spill and stays
-    // sort-merge.
-    cand.hint("shuffle_hash").join(aSide, Seq("doc_a"))
-      .hint("merge").join(bSide, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_inter"))
+    // Round-18 verification reshape: intersect the two documents' SET
+    // ARRAYS in-row instead of expanding candidates through the exploded
+    // shingle table. The old shape shuffled the full corpus shingle
+    // table twice (aSide by doc_a, bSide by (doc_b, shingle)) and
+    // materialized the candidate×shingle EXPANSION (Σ|A| over candidate
+    // pairs — pair-population-bound, ~100× sf0.1 at sf1) through a
+    // sort-merge join + re-aggregate; the new shape semi-prunes the
+    // array table to candidate documents FIRST (the candidate doc-id
+    // set is pairs-derived and tiny — AQE broadcasts it at bench SFs
+    // and falls back to a spillable merge join beyond), so only
+    // candidate documents' arrays ride any exchange, and |A∩B| is one
+    // in-row `array_intersect` over already-distinct arrays — exactly
+    // count(*) of the old per-shingle join group, with no expansion
+    // rows and no re-aggregate. The attach joins stay PINNED sort-merge:
+    // candidate-pruned array tables measure ~10 MB at sf0.1 (the
+    // broadcast-threshold straddle band — the round-14 q118 flip-flop
+    // lesson), and sort-merge is the shape that spills at any size.
+    val candA = cand.select(col("doc_a").as("doc_id")).distinct()
+    val candB = cand.select(col("doc_b").as("doc_id")).distinct()
+    val aArr = sets.join(candA, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("sharr").as("arr_a"),
+        col("n_shingles").as("n_a"))
+    val bArr = sets.join(candB, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("sharr").as("arr_b"),
+        col("n_shingles").as("n_b"))
+    cand.hint("merge").join(aArr, Seq("doc_a"))
+      .hint("merge").join(bArr, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("n_inter"),
+        col("n_a"), col("n_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
@@ -770,10 +857,13 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
                        n: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sh = shingles(docs, n)
-      .withColumn("n_shingles", count(lit(1)).over(w))
-    sh.as("a")
+    // |set| rides in-row ([[shingleSets]]) — no set-distinct exchange,
+    // no count window (round-18, same reshape as [[jaccardPairs]])
+    val sh = shingleRows(docs, n)
+    // merge pin: same static-estimate broadcast hazard as
+    // [[jaccardPairs]]' self-join (no exchange below the join since the
+    // in-row reshape)
+    sh.as("a").hint("merge")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -947,17 +1037,27 @@ object Dedup {
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
-    val sh = shingles(docs, n)
-      .withColumn("n_shingles", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-    val aSide = sh.select(col("doc_id").as("doc_a"), col("shingle"),
-      col("n_shingles").as("n_a"))
-    val bSide = sh.select(col("doc_id").as("doc_b"), col("shingle"),
-      col("n_shingles").as("n_b"))
-    val exact = cand.join(aSide, Seq("doc_a"))
-      .join(bSide, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_inter"))
+    // in-row array verification (round-18 — the [[jaccardPairsPrefix]]
+    // reshape): candidate pairs attach both documents' in-row shingle
+    // SET arrays and intersect per row, instead of expanding through
+    // the exploded corpus shingle table. A zero-intersection candidate
+    // now yields an explicit jaccard-0.0 row where the old per-shingle
+    // inner join yielded no row — the left join + coalesce(0.0) below
+    // produces the same output either way.
+    // merge pins: the array sides are corpus-shaped with static (no
+    // exchange beneath) size estimates — unpinned, the planner would
+    // broadcast them (wrong at scale, the jaccardPairs self-join hazard)
+    val sets = shingleSets(docs, n)
+    val exact = cand.hint("merge")
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("sharr").as("arr_a"), col("n_shingles").as("n_a")), Seq("doc_a"))
+      .hint("merge")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("sharr").as("arr_b"), col("n_shingles").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("n_inter"),
+        col("n_a"), col("n_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
